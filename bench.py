@@ -1,0 +1,62 @@
+"""Benchmark harness: runs every catalog query at $SPARK_GRAFT_SF_DIR and
+prints ONE JSON line with per-query wall times.
+
+Usage: python bench.py  (env: SPARK_GRAFT_SF_DIR, SPARK_GRAFT_CPUS)
+
+Materialization uses the noop sink — full execution, no driver collect — so
+the measured time is the distributed plan, not result transfer.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    from milan_spark.catalog import queries
+    from milan_spark.session import get_spark
+
+    spark = get_spark("milan_spark_bench")
+    qs = queries()
+
+    # warm the JVM + parquet footers once with the flagship query
+    try:
+        qs["q1_pricing_summary"](spark, sf_dir).write.format("noop").mode("overwrite").save()
+    except Exception as e:
+        print(f"bench warmup error: {e}", file=sys.stderr)
+
+    timings: dict[str, float] = {}
+    for name, build in qs.items():
+        start = time.perf_counter()
+        try:
+            build(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            timings[name] = round(time.perf_counter() - start, 4)
+        except Exception as e:  # a failing query must not hide the others
+            timings[name] = -1.0
+            print(f"bench error in {name}: {e}", file=sys.stderr)
+
+    total = round(sum(t for t in timings.values() if t >= 0), 4)
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1)) if m else None
+    print(
+        json.dumps(
+            {
+                "metric": "total_catalog_query_wall_time",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,287 @@
+"""Temporal enrichment joins (SURVEY.md §2.3).
+
+The reference's joins are keyed *enrichment* joins, not set-relational joins:
+state machines that pair an arriving record with the latest record seen on the
+other stream for the same key (doc/Milan Operations.md:27-51):
+
+- LeftJoin   — ``flink/runtime/LeftJoinKeyedCoProcessFunction.scala:41-80``:
+  a ValueState holds the last right value per key; each left arrival emits
+  ``(left, lastRight)`` (lastRight may be null) gated by the residual
+  postCondition.
+- FullJoin   — ``flink/runtime/FullJoinKeyedCoProcessFunction.scala:43-88``:
+  symmetric, two ValueStates.
+- LeftInnerJoin — ``flink/runtime/LeftInnerJoinKeyedCoProcessFunction.scala:40-103``:
+  left records buffer until a matching right arrives; each left emits at most
+  once.
+
+Batch realization (this module): arrival order is the ``__seq`` column; the
+state-machine semantics become **one shuffle + one sort per key** using window
+functions (``last(..., ignorenulls)`` over a union of both sides). This is the
+plan Catalyst would pick for an as-of join and it scales: no driver loops, no
+Python UDFs, AQE handles skew. Streaming realization lives in
+``milan_spark.streaming.stateful``.
+
+Join-condition decomposition (per-side pre-filters, equi-keys, residual —
+``milan-scala-compiler/.../trees/JoinPreconditionExtractor.scala:7-73``,
+``JoinKeyExpressionExtractor.scala:29-77``) is Catalyst-native for relational
+joins; for enrichment joins the caller passes pre-filtered inputs, equi-key
+column names, and an optional residual Column evaluated on the pair. Residual
+uses SQL three-valued logic: a residual referencing a null right side fails →
+row dropped, matching the generated null-check-post-join behavior
+(``JoinPreconditionExtractor.scala:21-23``).
+
+Non-equi (un-keyed) joins are rejected by the reference
+(``ConnectedStreamsGenerator.scala:49``); here plain relational joins —
+inner/left/semi/anti/theta — are available directly on DataFrames.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Sequence
+
+from pyspark.sql import Column, DataFrame, Window as W, functions as F
+
+from milan_spark.session import SEQ_COL
+
+_L, _R, _SIDE, _KEY, _ORD = "__l", "__r", "__side", "__key", "__ord"
+
+
+def _prefixed(df_cols: Sequence[str], other_cols: Sequence[str], prefix: str) -> dict[str, str]:
+    """Collision-renaming like the reference's TypeJoiner (typeutil/TypeJoiner.scala)."""
+    taken = set(df_cols)
+    out = {}
+    for c in other_cols:
+        name = c if c not in taken else f"{prefix}{c}"
+        while name in taken:
+            name = f"{prefix}{name}"
+        out[c] = name
+        taken.add(name)
+    return out
+
+
+def _union_sides(
+    left: DataFrame,
+    right: DataFrame,
+    left_on: Sequence[str],
+    right_on: Sequence[str],
+    left_seq: str,
+    right_seq: str,
+) -> tuple[DataFrame, list[str], list[str]]:
+    lcols = [c for c in left.columns]
+    rcols = [c for c in right.columns]
+    l = left.select(
+        F.struct(*lcols).alias(_L),
+        F.lit(None).cast(right.select(F.struct(*rcols).alias("s")).schema["s"].dataType).alias(_R),
+        *[F.col(c).alias(f"{_KEY}{i}") for i, c in enumerate(left_on)],
+        F.col(left_seq).cast("long").alias(_ORD),
+        F.lit(1).alias(_SIDE),
+    )
+    r = right.select(
+        F.lit(None).cast(left.select(F.struct(*lcols).alias("s")).schema["s"].dataType).alias(_L),
+        F.struct(*rcols).alias(_R),
+        *[F.col(c).alias(f"{_KEY}{i}") for i, c in enumerate(right_on)],
+        F.col(right_seq).cast("long").alias(_ORD),
+        F.lit(0).alias(_SIDE),
+    )
+    return l.unionByName(r), lcols, rcols
+
+
+def _normalize_on(on, left_on, right_on):
+    if on is not None:
+        if isinstance(on, str):
+            on = [on]
+        return list(on), list(on)
+    return list(left_on), list(right_on)
+
+
+def _pair_output(
+    joined: DataFrame, lcols: list[str], rcols: list[str], right_prefix: str
+) -> tuple[DataFrame, dict[str, str]]:
+    rename = _prefixed(lcols, rcols, right_prefix)
+    cols = [F.col(f"{_L}.{c}").alias(c) for c in lcols]
+    cols += [F.col(f"{_R}.{c}").alias(rename[c]) for c in rcols]
+    return joined.select(*cols), rename
+
+
+def left_enrichment_join(
+    left: DataFrame,
+    right: DataFrame,
+    on=None,
+    *,
+    left_on: Sequence[str] = (),
+    right_on: Sequence[str] = (),
+    left_seq: str = SEQ_COL,
+    right_seq: str = SEQ_COL,
+    residual: Callable[[Column, Column], Column] | None = None,
+    right_prefix: str = "r_",
+) -> DataFrame:
+    """Milan LeftJoin: each left record paired with the latest right record for
+    its key that arrived at-or-before it (``right_seq <= left_seq``; ties pair
+    the right first), right side null when none has arrived.
+
+    ``residual(left_struct, right_struct)`` is the postCondition: rows where it
+    is not true are dropped (LeftJoinKeyedCoProcessFunction.scala:55-56).
+    Output = left columns + right columns (collisions prefixed).
+    """
+    left_on, right_on = _normalize_on(on, left_on, right_on)
+    u, lcols, rcols = _union_sides(left, right, left_on, right_on, left_seq, right_seq)
+    keys = [f"{_KEY}{i}" for i in range(len(left_on))]
+    w = W.partitionBy(*keys).orderBy(_ORD, _SIDE).rowsBetween(W.unboundedPreceding, W.currentRow)
+    paired = (
+        u.withColumn("__last_r", F.last(_R, ignorenulls=True).over(w))
+        .filter(F.col(_SIDE) == 1)
+        .drop(_R)
+        .withColumnRenamed("__last_r", _R)
+    )
+    if residual is not None:
+        paired = paired.filter(residual(F.col(_L), F.col(_R)))
+    out, _ = _pair_output(paired, lcols, rcols, right_prefix)
+    return out
+
+
+def full_enrichment_join(
+    left: DataFrame,
+    right: DataFrame,
+    on=None,
+    *,
+    left_on: Sequence[str] = (),
+    right_on: Sequence[str] = (),
+    left_seq: str = SEQ_COL,
+    right_seq: str = SEQ_COL,
+    residual: Callable[[Column, Column], Column] | None = None,
+    right_prefix: str = "r_",
+) -> DataFrame:
+    """Milan FullJoin: symmetric enrichment — every arrival on either side emits
+    ``(latestLeft, latestRight)`` where the arriving record is its own side's
+    latest (FullJoinKeyedCoProcessFunction.scala:43-88).
+    """
+    left_on, right_on = _normalize_on(on, left_on, right_on)
+    u, lcols, rcols = _union_sides(left, right, left_on, right_on, left_seq, right_seq)
+    keys = [f"{_KEY}{i}" for i in range(len(left_on))]
+    w = W.partitionBy(*keys).orderBy(_ORD, _SIDE).rowsBetween(W.unboundedPreceding, W.currentRow)
+    paired = (
+        u.withColumn("__last_l", F.last(_L, ignorenulls=True).over(w))
+        .withColumn("__last_r", F.last(_R, ignorenulls=True).over(w))
+        .drop(_L, _R)
+        .withColumnRenamed("__last_l", _L)
+        .withColumnRenamed("__last_r", _R)
+    )
+    if residual is not None:
+        paired = paired.filter(residual(F.col(_L), F.col(_R)))
+    out, _ = _pair_output(paired, lcols, rcols, right_prefix)
+    return out
+
+
+def left_inner_enrichment_join(
+    left: DataFrame,
+    right: DataFrame,
+    on=None,
+    *,
+    left_on: Sequence[str] = (),
+    right_on: Sequence[str] = (),
+    left_seq: str = SEQ_COL,
+    right_seq: str = SEQ_COL,
+    right_prefix: str = "r_",
+) -> DataFrame:
+    """Milan LeftInnerJoin: a left record emits exactly once — immediately with
+    the latest earlier right record for its key if one exists, otherwise it
+    buffers and emits with the *first* later right record; never emits if no
+    right ever arrives (LeftInnerJoinKeyedCoProcessFunction.scala:40-103).
+
+    Batch realization: pair = coalesce(latest right with seq<=left_seq,
+    earliest right with seq>left_seq); drop pairs with no right.
+    (Residual conditions require the streaming backend — the buffered re-match
+    on arbitrary pair predicates is inherently stateful; batch callers
+    pre-filter sides instead.)
+    """
+    left_on, right_on = _normalize_on(on, left_on, right_on)
+    u, lcols, rcols = _union_sides(left, right, left_on, right_on, left_seq, right_seq)
+    keys = [f"{_KEY}{i}" for i in range(len(left_on))]
+    w_before = W.partitionBy(*keys).orderBy(_ORD, _SIDE).rowsBetween(W.unboundedPreceding, W.currentRow)
+    w_after = W.partitionBy(*keys).orderBy(_ORD, _SIDE).rowsBetween(W.currentRow, W.unboundedFollowing)
+    paired = (
+        u.withColumn("__r_before", F.last(_R, ignorenulls=True).over(w_before))
+        .withColumn("__r_after", F.first(_R, ignorenulls=True).over(w_after))
+        .filter(F.col(_SIDE) == 1)
+        .withColumn("__pair_r", F.coalesce("__r_before", "__r_after"))
+        .filter(F.col("__pair_r").isNotNull())
+        .drop(_R)
+        .withColumnRenamed("__pair_r", _R)
+    )
+    out, _ = _pair_output(paired, lcols, rcols, right_prefix)
+    return out
+
+
+def snapshot_join(
+    left: DataFrame,
+    right: DataFrame,
+    on=None,
+    *,
+    left_on: Sequence[str] = (),
+    right_on: Sequence[str] = (),
+    right_seq: str = SEQ_COL,
+    how: str = "left",
+    right_prefix: str = "r_",
+    broadcast_right: bool | None = None,
+) -> DataFrame:
+    """Final-state enrichment join: left joined against the last-per-key
+    snapshot of the right stream (``max_by(struct, seq)`` per key).
+
+    This is the cheap batch equivalence of LeftJoin when only the final state
+    matters: the snapshot is a map-side-combinable aggregate, and the join
+    broadcasts when the key cardinality is small — no window sort needed.
+    """
+    left_on, right_on = _normalize_on(on, left_on, right_on)
+    rcols = [c for c in right.columns]
+    snap = right.groupBy(*[F.col(c) for c in right_on]).agg(
+        F.max_by(F.struct(*[c for c in rcols if c not in right_on]), F.col(right_seq)).alias("__snap")
+    )
+    rename = _prefixed(left.columns, rcols, right_prefix)
+    proj = [F.col(k).alias(rename[k]) for k in right_on]
+    proj += [F.col(f"__snap.{c}").alias(rename[c]) for c in rcols if c not in right_on]
+    snap = snap.select(*proj)
+    if broadcast_right:
+        snap = F.broadcast(snap)
+    cond = None
+    for lc, rc in zip(left_on, right_on):
+        c = left[lc] == snap[rename[rc]]
+        cond = c if cond is None else (cond & c)
+    return left.join(snap, cond, how)
+
+
+def left_windowed_join_apply(
+    left: DataFrame,
+    right: DataFrame,
+    on=None,
+    *,
+    left_on: Sequence[str] = (),
+    right_on: Sequence[str] = (),
+    aggs: Sequence[Column] = (),
+    apply_in_pandas=None,
+    apply_schema=None,
+    how: str = "left",
+) -> DataFrame:
+    """Milan LeftWindowedJoin + apply: a left record joined against the window
+    contents of the right stream for its key, consumed by
+    ``f(left, Iterable[right]) => out`` (lang/JoinedWindowedStream.scala:16-27,
+    flink/generator/FlatMapGenerator.scala:35).
+
+    Fast path: express ``f`` as aggregate Columns over the right group (stays
+    JVM-side, map-side partial aggregation). Escape hatch: a pandas grouped-map
+    over the collected right window per key (``apply_in_pandas``).
+    """
+    left_on, right_on = _normalize_on(on, left_on, right_on)
+    if apply_in_pandas is not None:
+        grouped = right.groupBy(*right_on).applyInPandas(apply_in_pandas, schema=apply_schema)
+    else:
+        grouped = right.groupBy(*right_on).agg(*aggs)
+    cond = None
+    for lc, rc in zip(left_on, right_on):
+        c = left[lc] == grouped[rc]
+        cond = c if cond is None else (cond & c)
+    out = left.join(grouped, cond, how)
+    for rc in right_on:
+        if rc not in left_on:
+            continue
+        out = out.drop(grouped[rc])
+    return out

@@ -1,0 +1,159 @@
+"""Running (per-record stateful) operators — Milan's ScanExpressions (SURVEY.md §2.6).
+
+Reference semantics (doc/Milan Operations.md:106-140, IR
+``program/StreamExpressions.scala:494-719``, runtimes
+``flink/runtime/ScanOperations.scala``, ``ArgCompareProcessFunctions.scala``,
+``LastOperators.scala``):
+
+- ``SumBy``   — running sum of an extracted argument, output built from
+  (current sum, current record).
+- ``MaxBy``/``MinBy`` — emit the arriving record **only when it strictly
+  beats** the running max/min ("only produce an output record if the new
+  record is larger", doc/Milan Operations.md:106-111).
+- ``Scan``    — general user fold ``(state, record) -> (state, Option[out])``;
+  only Some(out) rows appear downstream.
+- ``Last``    — latest record per key (emitted at end-of-stream).
+
+Batch realization: arrival order = the ``__seq`` column; associative state
+becomes a cumulative window aggregate (pure JVM window exec, one shuffle+sort
+per key — this is exactly the plan a hand-written Flink keyed state walk
+linearizes into, but parallel across keys). The general ``scan`` falls back to
+an ordered ``applyInPandas`` fold per key — the documented slow path.
+Streaming realization: ``milan_spark.streaming.stateful``.
+
+The reference pins unkeyed ``last()`` to parallelism 1
+(``flink/generator/LastByGenerator.scala:59-63``); here the unkeyed variants
+are ordinary global aggregates that combine map-side — no single-task
+bottleneck.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Sequence
+
+from pyspark.sql import Column, DataFrame, Window as W, functions as F
+
+from milan_spark.session import SEQ_COL
+
+
+def _cum_window(keys: Sequence[str], seq: str):
+    part = W.partitionBy(*keys) if keys else W.partitionBy(F.lit(1))
+    return part.orderBy(seq).rowsBetween(W.unboundedPreceding, W.currentRow)
+
+
+def _prev_window(keys: Sequence[str], seq: str):
+    part = W.partitionBy(*keys) if keys else W.partitionBy(F.lit(1))
+    return part.orderBy(seq).rowsBetween(W.unboundedPreceding, -1)
+
+
+def running_sum_by(
+    df: DataFrame,
+    arg: Column | str,
+    *,
+    keys: Sequence[str] = (),
+    seq: str = SEQ_COL,
+    alias: str = "running_sum",
+) -> DataFrame:
+    """Milan SumBy (StreamExpressions.scala:670, ScanOperations.scala:17-47).
+
+    Appends the running sum of ``arg`` in arrival order (per key if given);
+    the caller's output-builder is an ordinary select over the result.
+    """
+    arg = F.col(arg) if isinstance(arg, str) else arg
+    return df.withColumn(alias, F.sum(arg).over(_cum_window(keys, seq)))
+
+
+def _stream_arg_compare(df, arg, keys, seq, maximize: bool) -> DataFrame:
+    arg = F.col(arg) if isinstance(arg, str) else arg
+    best = F.max(arg) if maximize else F.min(arg)
+    prev = best.over(_prev_window(keys, seq))
+    improved = (arg > F.col("__prev_best")) if maximize else (arg < F.col("__prev_best"))
+    return (
+        df.withColumn("__prev_best", prev)
+        .filter(F.col("__prev_best").isNull() | improved)
+        .drop("__prev_best")
+    )
+
+
+def stream_max_by(
+    df: DataFrame,
+    arg: Column | str,
+    *,
+    keys: Sequence[str] = (),
+    seq: str = SEQ_COL,
+) -> DataFrame:
+    """Milan MaxBy (StreamExpressions.scala:566, ScanOperations.scala:49-103):
+    keep a record iff its ``arg`` strictly exceeds every earlier record's
+    (per key). Equal values do not emit — matching the reference's
+    emit-on-improvement contract (doc/Milan Operations.md:106-111).
+    """
+    return _stream_arg_compare(df, arg, keys, seq, maximize=True)
+
+
+def stream_min_by(
+    df: DataFrame,
+    arg: Column | str,
+    *,
+    keys: Sequence[str] = (),
+    seq: str = SEQ_COL,
+) -> DataFrame:
+    """Milan MinBy — see :func:`stream_max_by`."""
+    return _stream_arg_compare(df, arg, keys, seq, maximize=False)
+
+
+def scan(
+    df: DataFrame,
+    fold: Callable,
+    *,
+    initial_state,
+    output_schema,
+    keys: Sequence[str] = (),
+    seq: str = SEQ_COL,
+) -> DataFrame:
+    """Milan Scan (StreamExpressions.scala:505): general user-stateful fold
+    ``(state, record) -> (state, out_or_None)`` applied in arrival order per
+    key; None outputs are suppressed (doc/Milan Operations.md:122-133).
+
+    Executed as a grouped-map Pandas fold (Arrow-batched). This is the
+    UDF slow path by design — associative folds should use
+    :func:`running_sum_by` / window aggregates, which the reference itself
+    special-cases "because many compilation targets support these higher-level
+    operations" (doc/Milan Operations.md:134-140).
+    """
+    import pandas as pd
+
+    key_list = list(keys)
+
+    def run_group(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(seq)
+        state = initial_state
+        rows = []
+        for rec in pdf.itertuples(index=False):
+            state, out = fold(state, rec)
+            if out is not None:
+                rows.append(out)
+        return pd.DataFrame(rows)
+
+    if key_list:
+        return df.groupBy(*key_list).applyInPandas(run_group, schema=output_schema)
+    return df.groupBy(F.lit(1).alias("__g")).applyInPandas(run_group, schema=output_schema)
+
+
+def last(
+    df: DataFrame,
+    *,
+    keys: Sequence[str] = (),
+    seq: str = SEQ_COL,
+) -> DataFrame:
+    """Milan Last (StreamExpressions.scala:719, LastOperators.scala:23,85):
+    the final record per key (global when unkeyed), identified by the largest
+    sequence number. A map-side-combinable ``max_by`` — unlike the reference,
+    which forces the unkeyed variant onto a single task.
+    """
+    cols = [c for c in df.columns]
+    payload = F.max_by(F.struct(*cols), F.col(seq))
+    if keys:
+        out = df.groupBy(*keys).agg(payload.alias("__last"))
+    else:
+        out = df.groupBy().agg(payload.alias("__last"))
+    return out.select(*[F.col(f"__last.{c}").alias(c) for c in cols])

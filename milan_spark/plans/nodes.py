@@ -1,0 +1,203 @@
+"""Logical plan nodes — the engine's analog of Milan's expression IR.
+
+The reference builds a JSON-serializable DAG of ``StreamExpression`` nodes with
+ids (``program/StreamExpressions.scala:15-18``), stored dereferenced (children
+replaced by ``Ref(nodeId)``) in a ``StreamCollection``
+(``graph/StreamCollection.scala:9-33``) and round-tripped through
+``TreeParser`` (``program/TreeParser.scala:23-120``). Three compilers consume
+that IR.
+
+Here the same idea is one dataclass: ``Node(op, params, inputs, node_id)``.
+Scalar expressions are stored as Spark SQL strings (the runtime-Python analog
+of Milan's macro-captured expression trees); plans built from SQL-string
+expressions serialize to JSON and back. The single compiler target is a
+DataFrame — Catalyst replaces the reference's per-backend source codegen
+(``flink/generator/FlinkGenerator.scala:63-87``).
+
+Plans whose expressions are live Column/callable objects still execute (the
+Stream API compiles incrementally) but are marked non-serializable, mirroring
+the reference's split between portable IR and opaque ApplyFunction references.
+"""
+
+from __future__ import annotations
+
+import itertools
+import json
+from dataclasses import dataclass, field
+from typing import Any
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+_ids = itertools.count()
+
+
+def _next_id(op: str) -> str:
+    return f"{op}_{next(_ids)}"
+
+
+@dataclass
+class Node:
+    op: str
+    params: dict[str, Any] = field(default_factory=dict)
+    inputs: list["Node"] = field(default_factory=list)
+    node_id: str = ""
+    serializable: bool = True
+
+    def __post_init__(self):
+        if not self.node_id:
+            self.node_id = _next_id(self.op)
+
+    @property
+    def is_serializable(self) -> bool:
+        return self.serializable and all(i.is_serializable for i in self.inputs)
+
+
+def to_json(node: Node) -> str:
+    """Dereferenced JSON form, like the reference's StreamCollection: nodes
+    stored flat, children replaced by id references."""
+    if not node.is_serializable:
+        raise ValueError(f"plan contains non-serializable node under {node.node_id}")
+    nodes: dict[str, dict] = {}
+
+    def walk(n: Node) -> str:
+        if n.node_id not in nodes:
+            nodes[n.node_id] = {
+                "op": n.op,
+                "params": n.params,
+                "inputs": [walk(i) for i in n.inputs],
+            }
+        return n.node_id
+
+    root = walk(node)
+    return json.dumps({"root": root, "nodes": nodes}, indent=2, sort_keys=True)
+
+
+def from_json(text: str) -> Node:
+    doc = json.loads(text)
+    built: dict[str, Node] = {}
+
+    def build(nid: str) -> Node:
+        if nid not in built:
+            spec = doc["nodes"][nid]
+            built[nid] = Node(
+                op=spec["op"],
+                params=spec["params"],
+                inputs=[build(i) for i in spec["inputs"]],
+                node_id=nid,
+            )
+        return built[nid]
+
+    return build(doc["root"])
+
+
+def compile_node(node: Node, spark: SparkSession) -> DataFrame:
+    """Compile a serializable plan to a DataFrame (the batch backend).
+
+    Dispatch-by-op mirrors the reference's GeneratorContext
+    (``flink/generator/GeneratorContext.scala:163-198``) but emits a DataFrame
+    instead of Scala source; Catalyst then plans the physical execution.
+    Memoized per node id like the reference's common-subgraph reuse
+    (``GeneratorContext.scala:89-100``).
+    """
+    memo: dict[str, DataFrame] = {}
+
+    def compile_(n: Node) -> DataFrame:
+        if n.node_id in memo:
+            return memo[n.node_id]
+        df = _compile_op(n, spark, [compile_(i) for i in n.inputs])
+        memo[n.node_id] = df
+        return df
+
+    return compile_(node)
+
+
+def _compile_op(n: Node, spark: SparkSession, ins: list[DataFrame]) -> DataFrame:
+    p = n.params
+    if n.op == "parquet_source":
+        return spark.read.parquet(p["path"])
+    if n.op == "file_source":
+        from milan_spark.sources import file_source
+
+        return file_source(spark, p["path"], fmt=p.get("fmt", "parquet"), options=p.get("options"))
+    if n.op == "list_source":
+        return spark.createDataFrame(p["rows"], schema=p.get("schema"))
+    if n.op == "filter":
+        return ins[0].filter(p["condition"])
+    if n.op == "map":
+        return ins[0].selectExpr(*p["exprs"])
+    if n.op == "add_fields":
+        df = ins[0]
+        for name, expr in p["fields"].items():
+            df = df.withColumn(name, F.expr(expr))
+        return df
+    if n.op == "to_field":
+        df = ins[0]
+        return df.select(F.struct(*df.columns).alias(p["name"]))
+    if n.op == "aggregate":
+        df = ins[0]
+        aggs = [F.expr(e).alias(a) for a, e in p["aggs"].items()]
+        if p.get("keys"):
+            return df.groupBy(*[F.expr(k) for k in p["keys"]]).agg(*aggs)
+        return df.groupBy().agg(*aggs)
+    if n.op == "time_window_aggregate":
+        from milan_spark.operators.windows import sliding_window
+
+        return sliding_window(
+            ins[0],
+            p["ts"],
+            p["size"],
+            p.get("slide", p["size"]),
+            offset=p.get("offset"),
+            keys=p.get("keys", []),
+            aggs=[F.expr(e).alias(a) for a, e in p["aggs"].items()],
+        )
+    if n.op == "record_window":
+        from milan_spark.operators.windows import record_window
+
+        return record_window(
+            ins[0],
+            p["n"],
+            {a: F.expr(e) for a, e in p["aggs"].items()},
+            keys=p.get("keys", []),
+            seq=p.get("seq", "__seq"),
+        )
+    if n.op == "union":
+        return ins[0].unionByName(ins[1])
+    if n.op in ("left_enrichment_join", "full_enrichment_join", "left_inner_enrichment_join"):
+        from milan_spark.operators import joins as J
+
+        fn = getattr(J, n.op)
+        kwargs = dict(
+            left_on=p["left_on"],
+            right_on=p["right_on"],
+            left_seq=p.get("left_seq", "__seq"),
+            right_seq=p.get("right_seq", "__seq"),
+            right_prefix=p.get("right_prefix", "r_"),
+        )
+        if n.op != "left_inner_enrichment_join" and p.get("residual"):
+            kwargs["residual"] = lambda l, r: F.expr(p["residual"])
+        return fn(ins[0], ins[1], **kwargs)
+    if n.op == "relational_join":
+        how = p.get("how", "inner")
+        return ins[0].join(ins[1], on=p["on"], how=how)
+    if n.op == "running_sum_by":
+        from milan_spark.operators.scans import running_sum_by
+
+        return running_sum_by(
+            ins[0], p["arg"], keys=p.get("keys", []), seq=p.get("seq", "__seq"), alias=p.get("alias", "running_sum")
+        )
+    if n.op in ("stream_max_by", "stream_min_by"):
+        from milan_spark.operators import scans as S
+
+        fn = getattr(S, n.op)
+        return fn(ins[0], p["arg"], keys=p.get("keys", []), seq=p.get("seq", "__seq"))
+    if n.op == "last":
+        from milan_spark.operators.scans import last
+
+        return last(ins[0], keys=p.get("keys", []), seq=p.get("seq", "__seq"))
+    if n.op == "distinct":
+        return ins[0].dropDuplicates(p.get("subset"))
+    if n.op == "order_limit":
+        df = ins[0].orderBy(*[F.expr(e) for e in p["order"]])
+        return df.limit(p["limit"]) if p.get("limit") else df
+    raise ValueError(f"unknown op: {n.op}")

@@ -1,0 +1,54 @@
+"""SparkSession factory tuned for this engine.
+
+Local testing runs on local[N]; the configuration is chosen so the same code
+scales to a multi-executor cluster: AQE on (runtime re-planning, skew-join
+handling, partition coalescing), shuffle partitions sized by env, UTC session
+timezone so results compare exactly against a DuckDB oracle, Arrow enabled for
+the Pandas-UDF slow path.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+# Name of the monotonic arrival-order column used by order-sensitive operators
+# (scans, argmax ties, enrichment joins). Mirrors the reference's per-record
+# sequence numbers (milan-flink-compiler .../types/RecordWrapper.scala:23).
+SEQ_COL = "__seq"
+
+
+def get_spark(app_name: str = "milan_spark", shuffle_partitions: int | None = None) -> SparkSession:
+    """Create or reuse a SparkSession with engine defaults.
+
+    ``SPARK_GRAFT_CPUS`` controls local parallelism (default ``*``).
+    On a real cluster the master/memory settings are supplied by spark-submit;
+    everything set here is cluster-safe.
+    """
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
+    if shuffle_partitions is None:
+        try:
+            shuffle_partitions = max(int(cpus), 8)
+        except ValueError:
+            shuffle_partitions = 32
+    builder = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        # testdata events.parquet stores TIMESTAMP(NANOS); Spark lacks a nanos
+        # timestamp type, so read as long and convert in sources.table
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.ui.showConsoleProgress", "false")
+    )
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark

@@ -1,0 +1,511 @@
+"""User-facing Stream DSL — the engine's analog of Milan's lang package.
+
+Mirrors the reference's stream-kind surface (SURVEY.md §1.1):
+
+| reference                                   | here                      |
+|---------------------------------------------|---------------------------|
+| ``Stream[T]`` (lang/Stream.scala:19)        | :class:`Stream`           |
+| ``GroupedStream`` (lang/GroupedStream.scala:19) | :class:`GroupedStream`|
+| ``WindowedStream``/``TimeWindowedStream`` (lang/WindowedStreams.scala:16,47) | :class:`WindowedStream` |
+| ``JoinedStream`` + select (lang/JoinedStream.scala:21-43) | join methods return Stream of pair columns |
+| ``CycleStream`` (lang/CycleStream.scala:16) | :meth:`Stream.iterate` (batch driver loop; streaming rejects like the scala-event compiler, EventHandlerClassGenerator.scala:23) |
+
+Where Milan captures lambdas with Scala macros (lang/internal/
+StreamMacros.scala:31-276), this DSL takes Spark SQL expression strings (the
+portable, JSON-serializable path — see milan_spark.plans) or live Column
+objects / Python callables (the opaque ApplyFunction path). Every operation
+records a logical plan Node and compiles incrementally to a DataFrame;
+Catalyst owns optimization.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Iterable, Sequence
+
+from pyspark.sql import Column, DataFrame, SparkSession, functions as F
+
+from milan_spark.plans.nodes import Node
+from milan_spark.session import SEQ_COL
+
+
+def _is_str(x) -> bool:
+    return isinstance(x, str)
+
+
+class Stream:
+    """A data stream of records — Milan ``Stream[T]`` over a Spark DataFrame."""
+
+    def __init__(self, df: DataFrame, node: Node | None = None, name: str = ""):
+        self.df = df
+        self.node = node or Node("opaque_source", serializable=False)
+        self.name = name or self.node.node_id
+
+    # --- sources (SURVEY §2.1) ---------------------------------------------
+
+    @staticmethod
+    def from_parquet(spark: SparkSession, path: str) -> "Stream":
+        return Stream(spark.read.parquet(path), Node("parquet_source", {"path": path}))
+
+    @staticmethod
+    def from_file(spark: SparkSession, path: str, fmt: str = "parquet", options: dict | None = None) -> "Stream":
+        from milan_spark.sources import file_source
+
+        return Stream(
+            file_source(spark, path, fmt=fmt, options=options),
+            Node("file_source", {"path": path, "fmt": fmt, "options": options or {}}),
+        )
+
+    @staticmethod
+    def from_list(spark: SparkSession, rows: Iterable, schema=None, with_seq: bool = False) -> "Stream":
+        from milan_spark.sources import list_source
+
+        rows = list(rows)
+        df = list_source(spark, rows, schema=schema, with_seq=with_seq)
+        serializable = isinstance(schema, (str, type(None)))
+        return Stream(
+            df,
+            Node(
+                "list_source",
+                {"rows": rows if serializable else None, "schema": schema if isinstance(schema, str) else None},
+                serializable=serializable,
+            ),
+        )
+
+    @staticmethod
+    def from_dataframe(df: DataFrame) -> "Stream":
+        return Stream(df, Node("opaque_source", serializable=False))
+
+    # --- core ops (SURVEY §2.2) --------------------------------------------
+
+    def where(self, condition: str | Column) -> "Stream":
+        """Milan Filter (lang/Stream.scala:155, StreamExpressions.scala:442)."""
+        if _is_str(condition):
+            return Stream(self.df.filter(condition), Node("filter", {"condition": condition}, [self.node]))
+        return Stream(self.df.filter(condition), Node("filter", serializable=False, inputs=[self.node]))
+
+    filter = where
+
+    def map(self, *exprs: str | Column) -> "Stream":
+        """Milan StreamMap / named-fields projection (lang/Stream.scala:164,
+        lang/package.scala:8-31). String exprs may use ``expr AS name``."""
+        if all(_is_str(e) for e in exprs):
+            return Stream(self.df.selectExpr(*exprs), Node("map", {"exprs": list(exprs)}, [self.node]))
+        return Stream(self.df.select(*exprs), Node("map", serializable=False, inputs=[self.node]))
+
+    select = map
+
+    def add_fields(self, **fields: str | Column) -> "Stream":
+        """Milan addFields (lang/Stream.scala:187)."""
+        df = self.df
+        serializable = all(_is_str(e) for e in fields.values())
+        for name, expr in fields.items():
+            df = df.withColumn(name, F.expr(expr) if _is_str(expr) else expr)
+        node = Node(
+            "add_fields",
+            {"fields": fields} if serializable else {},
+            [self.node],
+            serializable=serializable,
+        )
+        return Stream(df, node)
+
+    def to_field(self, name: str) -> "Stream":
+        """Milan toField (lang/Stream.scala:55-65)."""
+        return Stream(
+            self.df.select(F.struct(*self.df.columns).alias(name)),
+            Node("to_field", {"name": name}, [self.node]),
+        )
+
+    def apply_function(self, fn: Callable, return_type, *cols, alias: str = "result") -> "Stream":
+        """Milan ApplyFunction UDF escape hatch (Expression.scala:407) as a
+        pandas-vectorized column append."""
+        udf = F.pandas_udf(fn, return_type)
+        return Stream(
+            self.df.withColumn(alias, udf(*[F.col(c) if _is_str(c) else c for c in cols])),
+            Node("apply_function", serializable=False, inputs=[self.node]),
+        )
+
+    # --- ordering ----------------------------------------------------------
+
+    def with_seq(self, order_by: str | Column | None = None) -> "Stream":
+        """Attach the arrival-order ``__seq`` column that order-sensitive
+        operators key on (the reference's RecordWrapper sequence numbers,
+        flink/types/RecordWrapper.scala:23). ``order_by`` must be a unique
+        expression (e.g. an event id); deriving order from data beats
+        zipWithIndex at scale (no barrier)."""
+        if order_by is None:
+            df = self.df.withColumn(SEQ_COL, F.monotonically_increasing_id())
+            return Stream(df, Node("with_seq", serializable=False, inputs=[self.node]))
+        expr = F.expr(order_by) if _is_str(order_by) else order_by
+        df = self.df.withColumn(SEQ_COL, expr.cast("long"))
+        node = Node(
+            "add_fields",
+            {"fields": {SEQ_COL: f"CAST({order_by} AS LONG)"}} if _is_str(order_by) else {},
+            [self.node],
+            serializable=_is_str(order_by),
+        )
+        return Stream(df, node)
+
+    # --- grouping & windows (SURVEY §2.4, §2.5) ----------------------------
+
+    def group_by(self, *keys: str) -> "GroupedStream":
+        """Milan GroupBy (lang/Stream.scala:196, GroupingExpressions.scala:38)."""
+        return GroupedStream(self, list(keys))
+
+    def tumbling_window(self, ts: str, period: str, offset: str | None = None) -> "WindowedStream":
+        """Milan TumblingWindow (lang/Stream.scala:207)."""
+        return WindowedStream(self, ts, period, period, offset, keys=[])
+
+    def sliding_window(self, ts: str, size: str, slide: str, offset: str | None = None) -> "WindowedStream":
+        """Milan SlidingWindow (lang/Stream.scala:219)."""
+        return WindowedStream(self, ts, size, slide, offset, keys=[])
+
+    # --- joins (SURVEY §2.3) -----------------------------------------------
+
+    def left_join(
+        self,
+        other: "Stream",
+        on=None,
+        *,
+        left_on=(),
+        right_on=(),
+        residual=None,
+        right_prefix: str = "r_",
+        left_seq: str = SEQ_COL,
+        right_seq: str = SEQ_COL,
+    ) -> "Stream":
+        """Milan LeftJoin — temporal left enrichment (doc/Milan Operations.md:31-39)."""
+        from milan_spark.operators.joins import left_enrichment_join
+
+        df = left_enrichment_join(
+            self.df,
+            other.df,
+            on,
+            left_on=left_on,
+            right_on=right_on,
+            left_seq=left_seq,
+            right_seq=right_seq,
+            residual=residual,
+            right_prefix=right_prefix,
+        )
+        lo, ro = ([on] if isinstance(on, str) else list(on or left_on)), (
+            [on] if isinstance(on, str) else list(on or right_on)
+        )
+        node = Node(
+            "left_enrichment_join",
+            {"left_on": lo, "right_on": ro, "left_seq": left_seq, "right_seq": right_seq, "right_prefix": right_prefix},
+            [self.node, other.node],
+            serializable=residual is None,
+        )
+        return Stream(df, node)
+
+    def full_join(
+        self,
+        other: "Stream",
+        on=None,
+        *,
+        left_on=(),
+        right_on=(),
+        residual=None,
+        right_prefix: str = "r_",
+        left_seq: str = SEQ_COL,
+        right_seq: str = SEQ_COL,
+    ) -> "Stream":
+        """Milan FullJoin — symmetric enrichment (doc/Milan Operations.md:41-46)."""
+        from milan_spark.operators.joins import full_enrichment_join
+
+        df = full_enrichment_join(
+            self.df,
+            other.df,
+            on,
+            left_on=left_on,
+            right_on=right_on,
+            left_seq=left_seq,
+            right_seq=right_seq,
+            residual=residual,
+            right_prefix=right_prefix,
+        )
+        lo = [on] if isinstance(on, str) else list(on or left_on)
+        ro = [on] if isinstance(on, str) else list(on or right_on)
+        node = Node(
+            "full_enrichment_join",
+            {"left_on": lo, "right_on": ro, "left_seq": left_seq, "right_seq": right_seq, "right_prefix": right_prefix},
+            [self.node, other.node],
+            serializable=residual is None,
+        )
+        return Stream(df, node)
+
+    def left_inner_join(
+        self,
+        other: "Stream",
+        on=None,
+        *,
+        left_on=(),
+        right_on=(),
+        right_prefix: str = "r_",
+        left_seq: str = SEQ_COL,
+        right_seq: str = SEQ_COL,
+    ) -> "Stream":
+        """Milan LeftInnerJoin — buffered enrichment (doc/Milan Operations.md:48-51)."""
+        from milan_spark.operators.joins import left_inner_enrichment_join
+
+        df = left_inner_enrichment_join(
+            self.df,
+            other.df,
+            on,
+            left_on=left_on,
+            right_on=right_on,
+            left_seq=left_seq,
+            right_seq=right_seq,
+            right_prefix=right_prefix,
+        )
+        lo = [on] if isinstance(on, str) else list(on or left_on)
+        ro = [on] if isinstance(on, str) else list(on or right_on)
+        node = Node(
+            "left_inner_enrichment_join",
+            {"left_on": lo, "right_on": ro, "left_seq": left_seq, "right_seq": right_seq, "right_prefix": right_prefix},
+            [self.node, other.node],
+        )
+        return Stream(df, node)
+
+    def join(self, other: "Stream", on, how: str = "inner") -> "Stream":
+        """Relational join passthrough (inner/left/right/full/semi/anti) —
+        beyond the reference's enrichment-only joins; Catalyst picks
+        broadcast/SMJ/hash."""
+        return Stream(
+            self.df.join(other.df, on=on, how=how),
+            Node("relational_join", {"on": on, "how": how}, [self.node, other.node]),
+        )
+
+    def left_windowed_join(
+        self, other: "Stream", on=None, *, left_on=(), right_on=(), aggs: Sequence[Column] = ()
+    ) -> "Stream":
+        """Milan LeftWindowedJoin+apply (lang/JoinedWindowedStream.scala:16-27)."""
+        from milan_spark.operators.joins import left_windowed_join_apply
+
+        df = left_windowed_join_apply(self.df, other.df, on, left_on=left_on, right_on=right_on, aggs=aggs)
+        return Stream(df, Node("left_windowed_join", serializable=False, inputs=[self.node, other.node]))
+
+    # --- scans (SURVEY §2.6) -----------------------------------------------
+
+    def sum_by(self, arg: str | Column, alias: str = "running_sum", keys: Sequence[str] = ()) -> "Stream":
+        """Milan SumBy (lang/Stream.scala:251)."""
+        from milan_spark.operators.scans import running_sum_by
+
+        df = running_sum_by(self.df, arg, keys=keys, alias=alias)
+        return Stream(
+            df,
+            Node(
+                "running_sum_by",
+                {"arg": arg, "keys": list(keys), "alias": alias} if _is_str(arg) else {},
+                [self.node],
+                serializable=_is_str(arg),
+            ),
+        )
+
+    def max_by(self, arg: str | Column, keys: Sequence[str] = ()) -> "Stream":
+        """Milan MaxBy — emit-on-improvement (lang/Stream.scala:229)."""
+        from milan_spark.operators.scans import stream_max_by
+
+        df = stream_max_by(self.df, arg, keys=keys)
+        return Stream(
+            df,
+            Node("stream_max_by", {"arg": arg, "keys": list(keys)} if _is_str(arg) else {}, [self.node], serializable=_is_str(arg)),
+        )
+
+    def min_by(self, arg: str | Column, keys: Sequence[str] = ()) -> "Stream":
+        """Milan MinBy (lang/Stream.scala:239)."""
+        from milan_spark.operators.scans import stream_min_by
+
+        df = stream_min_by(self.df, arg, keys=keys)
+        return Stream(
+            df,
+            Node("stream_min_by", {"arg": arg, "keys": list(keys)} if _is_str(arg) else {}, [self.node], serializable=_is_str(arg)),
+        )
+
+    def scan(self, fold: Callable, *, initial_state, output_schema, keys: Sequence[str] = ()) -> "Stream":
+        """Milan Scan (lang/Stream.scala:176) — general stateful fold."""
+        from milan_spark.operators.scans import scan as scan_op
+
+        df = scan_op(self.df, fold, initial_state=initial_state, output_schema=output_schema, keys=keys)
+        return Stream(df, Node("scan", serializable=False, inputs=[self.node]))
+
+    def last(self, keys: Sequence[str] = ()) -> "Stream":
+        """Milan Last (lang/Stream.scala:123)."""
+        from milan_spark.operators.scans import last as last_op
+
+        return Stream(last_op(self.df, keys=keys), Node("last", {"keys": list(keys)}, [self.node]))
+
+    # --- set/flow ops (SURVEY §2.7) ----------------------------------------
+
+    def union(self, other: "Stream") -> "Stream":
+        """Milan Union — bag union (lang/Stream.scala:135)."""
+        return Stream(self.df.unionByName(other.df), Node("union", {}, [self.node, other.node]))
+
+    def distinct(self, subset: Sequence[str] | None = None) -> "Stream":
+        """The documented unique/uniqueBy (doc/Streams in Milan and streaming
+        operations.md:73-77) — implemented, unlike the reference."""
+        return Stream(self.df.dropDuplicates(list(subset) if subset else None), Node("distinct", {"subset": list(subset) if subset else None}, [self.node]))
+
+    def iterate(self, body: Callable[["Stream"], "Stream"], max_iterations: int, converged: Callable[[DataFrame, DataFrame], bool] | None = None) -> "Stream":
+        """Milan Cycle (beginCycle/closeCycle, lang/Stream.scala:143-147) —
+        batch realization as a driver-side fixpoint loop; the streaming backend
+        rejects cycles exactly like the reference's event compiler
+        (EventHandlerClassGenerator.scala:23). Each iteration is a full
+        distributed plan; ``localCheckpoint`` truncates lineage between
+        rounds so plans don't grow unboundedly."""
+        cur = self
+        for _ in range(max_iterations):
+            nxt = body(cur)
+            nxt = Stream(nxt.df.localCheckpoint(eager=True), nxt.node)
+            if converged is not None and converged(cur.df, nxt.df):
+                return nxt
+            cur = nxt
+        return cur
+
+    # --- sinks (SURVEY §2.1) -----------------------------------------------
+
+    def to_df(self) -> DataFrame:
+        return self.df
+
+    def to_list(self) -> list:
+        return self.df.collect()
+
+    def write_parquet(self, path: str, mode: str = "overwrite", partition_by: Sequence[str] = ()) -> None:
+        """FileDataSink / S3DataSink analog (sinks/FileDataSink.scala:18,
+        S3DataSink.scala:1 — partition-key prefix ≈ partitionBy)."""
+        w = self.df.write.mode(mode)
+        if partition_by:
+            w = w.partitionBy(*partition_by)
+        w.parquet(path)
+
+    def write_file(self, path: str, fmt: str = "json", mode: str = "overwrite", **options) -> None:
+        self.df.write.mode(mode).format(fmt).options(**options).save(path)
+
+    def show(self, n: int = 20) -> None:
+        self.df.show(n)
+
+
+class GroupedStream:
+    """Milan GroupedStream (lang/GroupedStream.scala:19): per-key sub-streams.
+
+    ``select`` = the Aggregate operation (lang/GroupOperations.scala:54);
+    ``map_group``/``flat_map`` = per-group stream transforms
+    (lang/GroupedStream.scala:82, doc/Milan Operations.md:59-97).
+    """
+
+    def __init__(self, parent: Stream, keys: list[str]):
+        self.parent = parent
+        self.keys = keys
+
+    def select(self, **aggs: str | Column) -> Stream:
+        """Aggregate over the group; keyword = output column name. String
+        values are SQL aggregate expressions; Columns pass through."""
+        cols = [F.expr(e).alias(a) if _is_str(e) else e.alias(a) for a, e in aggs.items()]
+        df = self.parent.df.groupBy(*self.keys).agg(*cols)
+        serializable = all(_is_str(e) for e in aggs.values())
+        node = Node(
+            "aggregate",
+            {"keys": self.keys, "aggs": {a: e for a, e in aggs.items()}} if serializable else {},
+            [self.parent.node],
+            serializable=serializable,
+        )
+        return Stream(df, node)
+
+    agg = select
+
+    def map_group(self, fn: Callable, output_schema) -> Stream:
+        """GroupedStream.map — per-group pandas transform, key preserved
+        (doc/Milan Operations.md:59-64)."""
+        df = self.parent.df.groupBy(*self.keys).applyInPandas(fn, schema=output_schema)
+        return Stream(df, Node("map_group", serializable=False, inputs=[self.parent.node]))
+
+    def flat_map(self, fn: Callable, output_schema) -> Stream:
+        """FlatMap on grouped stream — per-group transform, groups merged
+        (doc/Milan Operations.md:79-97). Same physical op as map_group; the
+        distinction (key dropped vs preserved) is the caller's output schema."""
+        return self.map_group(fn, output_schema)
+
+    def record_window(self, n: int, aggs: dict[str, Column | str] | None = None, seq: str = SEQ_COL) -> Stream:
+        """Milan SlidingRecordWindow on a grouped stream (lang/GroupedStream.scala:46)."""
+        from milan_spark.operators.windows import record_window
+
+        aggs = aggs or {}
+        cols = {a: (F.expr(e) if _is_str(e) else e) for a, e in aggs.items()}
+        df = record_window(self.parent.df, n, cols, keys=self.keys, seq=seq)
+        serializable = all(_is_str(e) for e in aggs.values())
+        node = Node(
+            "record_window",
+            {"n": n, "aggs": aggs, "keys": self.keys, "seq": seq} if serializable else {},
+            [self.parent.node],
+            serializable=serializable,
+        )
+        return Stream(df, node)
+
+    def tumbling_window(self, ts: str, period: str, offset: str | None = None) -> "WindowedStream":
+        """Keyed time window (lang/GroupedStream.scala:61)."""
+        return WindowedStream(self.parent, ts, period, period, offset, keys=self.keys)
+
+    def sliding_window(self, ts: str, size: str, slide: str, offset: str | None = None) -> "WindowedStream":
+        return WindowedStream(self.parent, ts, size, slide, offset, keys=self.keys)
+
+    def last(self) -> Stream:
+        return self.parent.last(keys=self.keys)
+
+
+class WindowedStream:
+    """Milan TimeWindowedStream (lang/WindowedStreams.scala:47): tumbling and
+    sliding event-time windows; the aggregate select's group key is the window
+    start (doc/Streams in Milan and streaming operations.md:70-71)."""
+
+    def __init__(self, parent: Stream, ts: str, size: str, slide: str, offset: str | None, keys: list[str]):
+        self.parent = parent
+        self.ts = ts
+        self.size = size
+        self.slide = slide
+        self.offset = offset
+        self.keys = keys
+
+    def select(self, **aggs: str | Column) -> Stream:
+        from milan_spark.operators.windows import sliding_window
+
+        cols = [F.expr(e).alias(a) if _is_str(e) else e.alias(a) for a, e in aggs.items()]
+        df = sliding_window(
+            self.parent.df, self.ts, self.size, self.slide, offset=self.offset, keys=self.keys, aggs=cols
+        )
+        serializable = all(_is_str(e) for e in aggs.values())
+        node = Node(
+            "time_window_aggregate",
+            {
+                "ts": self.ts,
+                "size": self.size,
+                "slide": self.slide,
+                "offset": self.offset,
+                "keys": self.keys,
+                "aggs": dict(aggs),
+            }
+            if serializable
+            else {},
+            [self.parent.node],
+            serializable=serializable,
+        )
+        return Stream(df, node)
+
+    agg = select
+
+    def apply(self, fn: Callable, output_schema) -> Stream:
+        """Milan WindowApply — whole-window UDF (lang/WindowedStreams.scala:37,
+        flink/generator/RecordWindowGenerator.scala:19): pandas per (window,
+        key) group."""
+        win = (
+            F.window(F.col(self.ts), self.size, self.slide, self.offset)
+            if self.offset
+            else F.window(F.col(self.ts), self.size, self.slide)
+        )
+        df = (
+            self.parent.df.withColumn("__w", win)
+            .withColumn("window_start", F.col("__w.start"))
+            .drop("__w")
+            .groupBy("window_start", *self.keys)
+            .applyInPandas(fn, schema=output_schema)
+        )
+        return Stream(df, Node("window_apply", serializable=False, inputs=[self.parent.node]))
