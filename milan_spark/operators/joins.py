@@ -95,11 +95,23 @@ def _normalize_on(on, left_on, right_on):
 
 
 def _pair_output(
-    joined: DataFrame, lcols: list[str], rcols: list[str], right_prefix: str
+    joined: DataFrame,
+    lcols: list[str],
+    rcols: list[str],
+    right_prefix: str,
+    left_on: Sequence[str] = (),
+    right_on: Sequence[str] = (),
 ) -> tuple[DataFrame, dict[str, str]]:
+    # Key columns come from the state-machine partition key, never from the
+    # (possibly null) side structs — the reference emits the key via
+    # RecordWrapper.wrap(output, key, ...) regardless of which side is null.
     rename = _prefixed(lcols, rcols, right_prefix)
-    cols = [F.col(f"{_L}.{c}").alias(c) for c in lcols]
-    cols += [F.col(f"{_R}.{c}").alias(rename[c]) for c in rcols]
+    lkey = {c: f"{_KEY}{i}" for i, c in enumerate(left_on)}
+    rkey = {c: f"{_KEY}{i}" for i, c in enumerate(right_on)}
+    cols = [F.col(lkey[c]).alias(c) if c in lkey else F.col(f"{_L}.{c}").alias(c) for c in lcols]
+    cols += [
+        F.col(rkey[c]).alias(rename[c]) if c in rkey else F.col(f"{_R}.{c}").alias(rename[c]) for c in rcols
+    ]
     return joined.select(*cols), rename
 
 
@@ -135,7 +147,7 @@ def left_enrichment_join(
     )
     if residual is not None:
         paired = paired.filter(residual(F.col(_L), F.col(_R)))
-    out, _ = _pair_output(paired, lcols, rcols, right_prefix)
+    out, _ = _pair_output(paired, lcols, rcols, right_prefix, left_on, right_on)
     return out
 
 
@@ -168,7 +180,7 @@ def full_enrichment_join(
     )
     if residual is not None:
         paired = paired.filter(residual(F.col(_L), F.col(_R)))
-    out, _ = _pair_output(paired, lcols, rcols, right_prefix)
+    out, _ = _pair_output(paired, lcols, rcols, right_prefix, left_on, right_on)
     return out
 
 
@@ -208,7 +220,7 @@ def left_inner_enrichment_join(
         .drop(_R)
         .withColumnRenamed("__pair_r", _R)
     )
-    out, _ = _pair_output(paired, lcols, rcols, right_prefix)
+    out, _ = _pair_output(paired, lcols, rcols, right_prefix, left_on, right_on)
     return out
 
 

@@ -1,0 +1,135 @@
+"""Running-scan queries (SURVEY.md §2.6) with DuckDB oracles.
+
+Arrival order = ``event_id`` (the driver data's monotonic id), mirroring the
+reference's per-record sequence numbers.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from milan_spark.catalog import register
+from milan_spark.operators.scans import last, running_sum_by, scan, stream_max_by, stream_min_by
+from milan_spark.sources import table
+
+DEC = "decimal(18,6)"
+
+
+@register(
+    "running_sum_by",
+    doc="Milan SumBy (StreamExpressions.scala:670, ScanOperations.scala:17-47): "
+    "per-user running sum of value in arrival order; cumulative window "
+    "aggregate instead of the reference's sequential keyed fold.",
+    oracle="""
+SELECT event_id, user_id, value,
+       CAST(ROUND(SUM(CAST(value AS DECIMAL(18,6))) OVER
+         (PARTITION BY user_id ORDER BY event_id
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS DOUBLE) AS running_sum
+FROM events
+""",
+)
+def running_sum_by_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events").withColumn("__dec_value", F.col("value").cast(DEC))
+    out = running_sum_by(ev, "__dec_value", keys=["user_id"], seq="event_id", alias="__rs")
+    return out.select(
+        "event_id", "user_id", "value", F.round(F.col("__rs"), 2).cast("double").alias("running_sum")
+    )
+
+
+@register(
+    "stream_max_by",
+    doc="Milan MaxBy emit-on-improvement (doc/Milan Operations.md:106-111, "
+    "ScanOperations.scala:49-103): per-user, emit an event only when its value "
+    "strictly beats every earlier value.",
+    oracle="""
+SELECT event_id, user_id, value
+FROM (
+  SELECT event_id, user_id, value,
+         MAX(value) OVER (PARTITION BY user_id ORDER BY event_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_best
+  FROM events
+)
+WHERE prev_best IS NULL OR value > prev_best
+""",
+)
+def stream_max_by_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    return stream_max_by(ev, "value", keys=["user_id"], seq="event_id").select("event_id", "user_id", "value")
+
+
+@register(
+    "stream_min_by_global",
+    doc="Milan MinBy, unkeyed: global running minimum improvements. The "
+    "reference would pin this to one task; here the prev-window scan still "
+    "parallelizes the pre-aggregation.",
+    oracle="""
+SELECT event_id, user_id, value
+FROM (
+  SELECT event_id, user_id, value,
+         MIN(value) OVER (ORDER BY event_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_best
+  FROM events
+)
+WHERE prev_best IS NULL OR value < prev_best
+""",
+)
+def stream_min_by_global_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    return stream_min_by(ev, "value", seq="event_id").select("event_id", "user_id", "value")
+
+
+@register(
+    "last_per_key",
+    doc="Milan Last keyed (LastOperators.scala:85): final event per user by "
+    "sequence number — map-side-combinable max_by.",
+    oracle="""
+SELECT user_id,
+       MAX(event_id) AS event_id,
+       arg_max(event_type, event_id) AS event_type,
+       arg_max(value, event_id) AS value
+FROM events
+GROUP BY user_id
+""",
+)
+def last_per_key_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events").select("user_id", "event_id", "event_type", "value")
+    return last(ev, keys=["user_id"], seq="event_id").select("user_id", "event_id", "event_type", "value")
+
+
+@register(
+    "scan_threshold",
+    doc="Milan Scan — general stateful fold with Option output "
+    "(doc/Milan Operations.md:122-133): per-user cents accumulator emitting "
+    "once the running total crosses 5000.00; executed as an ordered "
+    "applyInPandas fold (the UDF slow path the Scan op is specified to be).",
+    oracle="""
+SELECT event_id, user_id, acc_cents
+FROM (
+  SELECT event_id, user_id,
+         SUM(CAST(floor(value * 100 + 0.5) AS BIGINT)) OVER
+           (PARTITION BY user_id ORDER BY event_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS acc_cents
+  FROM events
+)
+WHERE acc_cents > 500000
+""",
+)
+def scan_threshold_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events").select("event_id", "user_id", "value")
+
+    def fold(state, rec):
+        state = state + int(math.floor(rec.value * 100 + 0.5))
+        if state > 500000:
+            return state, {"event_id": rec.event_id, "user_id": rec.user_id, "acc_cents": state}
+        return state, None
+
+    return scan(
+        ev,
+        fold,
+        initial_state=0,
+        output_schema="event_id long, user_id long, acc_cents long",
+        keys=["user_id"],
+        seq="event_id",
+    )

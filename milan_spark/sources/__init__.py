@@ -118,7 +118,8 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
-        df = df.withColumn("ts", F.timestamp_micros((F.col("ts") / 1000).cast("long")))
+        # integer division: double division would lose precision on epoch-nanos
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
         # keep original column order
         df = df.select("event_id", "ts", "user_id", "event_type", "value", "props")
     return df
