@@ -1,0 +1,152 @@
+"""Embedding similarity search for LLM data pipelines (SURVEY.md §7 phase 6).
+
+Cosine similarity is computed on **quantized integer** vectors: each float32
+component maps to round(x · 2^20) as int64. Integer dot products and norms
+are order-independent exact sums (64 dims × (2^20·0.53)² products stay well
+under 2^63), so a cosine is one double division of exact integers — identical
+across engines, partitionings, and SQL oracles; no float-accumulation drift.
+
+- :func:`ann_brute_force` — exact top-k per query: broadcast the (small)
+  query set against the corpus, JVM-side zip_with/aggregate dot products,
+  per-query top-k via window rank (no global sort).
+- :func:`ann_lsh`       — the scale path: 16 deterministic random-hyperplane
+  signs bucket the corpus (2^16 buckets); a query only scores its own bucket.
+  Hyperplane components derive from an integer hash formula, so the bucketing
+  (and therefore the result set) is fully deterministic and oracle-checkable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window as W, functions as F
+
+QUANT = 1 << 20  # quantization grid: float -> round(x * 2^20) as int64
+
+
+def quantize(vec) -> Column:
+    vec = F.col(vec) if isinstance(vec, str) else vec
+    return F.transform(vec, lambda x: F.floor(x.cast("double") * QUANT + F.lit(0.5)).cast("long"))
+
+
+def int_dot(a: Column, b: Column) -> Column:
+    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0).cast("long"), lambda acc, v: acc + v)
+
+
+def int_norm2(a: Column) -> Column:
+    return F.aggregate(F.transform(a, lambda x: x * x), F.lit(0).cast("long"), lambda acc, v: acc + v)
+
+
+def cosine(a: Column, b: Column) -> Column:
+    """Exact-integer cosine: dot/(|a||b|) as one double division."""
+    return int_dot(a, b).cast("double") / (
+        F.sqrt(int_norm2(a).cast("double")) * F.sqrt(int_norm2(b).cast("double"))
+    )
+
+
+def ann_brute_force(
+    corpus: DataFrame,
+    id_col: str,
+    vec_col: str,
+    query_ids,
+    k: int = 5,
+) -> DataFrame:
+    """Exact top-k cosine neighbors for each query id (self excluded).
+
+    The query side is tiny by construction → broadcast; the corpus streams
+    through one narrow stage. Ties break on neighbor id ascending.
+    Output: query_id, neighbor_id, rank, cosine (rounded to 6).
+    """
+    q = (
+        corpus.filter(F.col(id_col).isin(list(query_ids)))
+        .select(F.col(id_col).alias("query_id"), quantize(vec_col).alias("__qv"))
+    )
+    c = corpus.select(F.col(id_col).alias("neighbor_id"), quantize(vec_col).alias("__cv"))
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("cosine", cosine(F.col("__qv"), F.col("__cv")))
+    )
+    w = W.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", F.round("cosine", 6).alias("cosine"))
+    )
+
+
+def lsh_bucket(vec_int: Column, planes: int = 16) -> Column:
+    """Random-hyperplane LSH bucket of a quantized vector.
+
+    Plane p's component for dimension d is the deterministic integer
+    ``((p+1)·73856093 + (d+1)·19349663) mod 2000003 - 1000001`` — a fixed
+    pseudo-random integer grid, identical in any engine. Bucket bit p =
+    sign of the integer dot product (≥0 → 1).
+    """
+    def bit(p: int) -> Column:
+        plane = F.transform(
+            F.sequence(F.lit(0), F.array_size(vec_int) - 1),
+            lambda d: ((F.lit(p + 1) * 73856093 + (d + 1) * 19349663) % 2000003) - 1000001,
+        )
+        return F.when(int_dot(vec_int, plane) >= 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long"))
+
+    out = F.lit(0).cast("long")
+    for p in range(planes):
+        out = out + bit(p) * F.lit(1 << p).cast("long")
+    return out
+
+
+def ann_lsh(
+    corpus: DataFrame,
+    id_col: str,
+    vec_col: str,
+    query_ids,
+    k: int = 5,
+    planes: int = 8,
+) -> DataFrame:
+    """Approximate top-k: score only corpus vectors in the query's LSH bucket.
+
+    The scale path for ANN: bucketing replaces the cross join with an
+    equi-join on bucket id (2^planes partitions), trading recall for a
+    ~2^planes reduction in scored pairs. Deterministic by construction.
+    """
+    withb = corpus.select(
+        F.col(id_col).alias("__vid"),
+        quantize(vec_col).alias("__v"),
+    ).withColumn("__bucket", lsh_bucket(F.col("__v"), planes))
+    q = withb.filter(F.col("__vid").isin(list(query_ids))).select(
+        F.col("__vid").alias("query_id"), F.col("__v").alias("__qv"), "__bucket"
+    )
+    scored = (
+        withb.join(F.broadcast(q), "__bucket")
+        .filter(F.col("__vid") != F.col("query_id"))
+        .withColumn("cosine", cosine(F.col("__qv"), F.col("__v")))
+    )
+    w = W.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("__vid"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", F.col("__vid").alias("neighbor_id"), "rank", F.round("cosine", 6).alias("cosine"))
+    )
+
+
+def embedding_near_dup_pairs(
+    corpus: DataFrame,
+    id_col: str,
+    vec_col: str,
+    threshold: float = 0.45,
+) -> DataFrame:
+    """All pairs with cosine ≥ threshold (embedding near-duplicate dedup).
+
+    Exact all-pairs formulation; at corpus scale, swap the self-join for LSH
+    bucketing (``lsh_bucket``) exactly as ann_lsh does — kept exact here
+    because the oracle checks exactness.
+    """
+    v = corpus.select(F.col(id_col).alias("__vid"), quantize(vec_col).alias("__v"))
+    a = v.select(F.col("__vid").alias("id_a"), F.col("__v").alias("__va"))
+    b = v.select(F.col("__vid").alias("id_b"), F.col("__v").alias("__vb"))
+    return (
+        a.crossJoin(b)
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("cosine", cosine(F.col("__va"), F.col("__vb")))
+        .filter(F.col("cosine") >= threshold)
+        .select("id_a", "id_b", F.round("cosine", 6).alias("cosine"))
+    )

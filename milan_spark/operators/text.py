@@ -1,0 +1,141 @@
+"""Text-analysis operators for LLM data pipelines (beyond the reference —
+SURVEY.md §7 phase 6; the reference has no scalar string library at all,
+§2.2 'String/date/math scalar functions: none exist in the IR').
+
+Design rules:
+- everything is JVM-side Spark SQL (regexp/array/higher-order functions) —
+  no Python UDFs in these hot paths;
+- all numeric derivations are integer-exact (counts, polynomial hashes with
+  moduli small enough that no int64 overflow occurs), so results are
+  reproducible across engines and partitionings bit-for-bit;
+- ratios are double divisions of exact integers — deterministic.
+
+Hash parameters: token hashes are base-31/base-131 polynomial folds over
+character codes mod p31 = 2^31-1 (products stay < 2^36); document-level
+fingerprints fold mod p53 (prime < 2^53, products < 2^58).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+TOKEN_RE = "[a-z0-9]+"
+PUNCT_RE = "[.,;:!?]"
+P31 = 2_147_483_647  # 2^31 - 1
+P53 = 9_007_199_254_740_881  # largest prime < 2^53
+
+# tiny per-language marker vocabularies for the n-gram/stopword language
+# heuristic; scores are deterministic token-membership counts
+LANG_MARKERS = {
+    "en": ["the", "and", "of", "to", "in", "is"],
+    "es": ["el", "la", "de", "que", "y", "los"],
+    "fr": ["le", "la", "de", "et", "les", "des"],
+    "de": ["der", "die", "und", "das", "ist", "ein"],
+}
+STOPWORDS = sorted({w for ws in LANG_MARKERS.values() for w in ws})
+
+
+def _c(col) -> Column:
+    return F.col(col) if isinstance(col, str) else col
+
+
+def tokenize(col) -> Column:
+    """Lowercased ``[a-z0-9]+`` tokens (whitespace+punctuation splitting)."""
+    return F.regexp_extract_all(F.lower(_c(col)), F.lit(TOKEN_RE), 0)
+
+
+def token_count(col) -> Column:
+    return F.array_size(tokenize(col))
+
+
+def punct_count(col) -> Column:
+    return F.array_size(F.regexp_extract_all(_c(col), F.lit(PUNCT_RE), 0))
+
+
+def stopword_count(tokens: Column, words=STOPWORDS) -> Column:
+    """Token-membership count with multiplicity (not distinct)."""
+    return F.array_size(F.filter(tokens, lambda t: t.isin(*words)))
+
+
+def char_fold_hash(col, base: int = 31, mod: int = P53) -> Column:
+    """Polynomial rolling hash of a string: fold (acc*base + ascii(ch)) % mod.
+
+    The document-fingerprint primitive; char list via regexp so the identical
+    fold is expressible in ANSI SQL (list_reduce) for oracle checking.
+    """
+    chars = F.regexp_extract_all(_c(col), F.lit("."), 0)
+    return F.aggregate(
+        chars,
+        F.lit(0).cast("long"),
+        lambda acc, ch: (acc * base + F.ascii(ch)) % mod,
+    )
+
+
+def token_hash31(token: Column, base: int = 31) -> Column:
+    """base-31 polynomial hash of one token mod 2^31-1."""
+    chars = F.regexp_extract_all(token, F.lit("."), 0)
+    return F.aggregate(chars, F.lit(0).cast("long"), lambda acc, ch: (acc * base + F.ascii(ch)) % P31)
+
+
+def token_hash62(token: Column) -> Column:
+    """62-bit token hash: base-31 and base-131 folds combined (h1 + h2<<31)."""
+    return token_hash31(token, 31) + token_hash31(token, 131) * F.lit(2_147_483_648).cast("long")
+
+
+def rolling_min_hash(col, window: int = 8) -> Column:
+    """Winnowing-style fingerprint: minimum of the rolling ``window``-char
+    polynomial hashes across the document."""
+    text = _c(col)
+    n = F.greatest(F.length(text) - (window - 1), F.lit(1))
+    per_pos = F.transform(
+        F.sequence(F.lit(1), n),
+        lambda i: F.aggregate(
+            F.regexp_extract_all(F.substr(text, i, F.lit(window)), F.lit("."), 0),
+            F.lit(0).cast("long"),
+            lambda acc, ch: (acc * 31 + F.ascii(ch)) % P31,
+        ),
+    )
+    return F.array_min(per_pos)
+
+
+def lang_scores(tokens: Column) -> dict[str, Column]:
+    return {lang: stopword_count(tokens, words) for lang, words in LANG_MARKERS.items()}
+
+
+def lang_id(tokens: Column) -> Column:
+    """Deterministic argmax over marker-token counts; fixed tie order
+    en > es > fr > de > und ('und' = undetermined when all scores are 0)."""
+    s = lang_scores(tokens)
+    best = F.greatest(*s.values())
+    return (
+        F.when(best == 0, F.lit("und"))
+        .when(s["en"] == best, F.lit("en"))
+        .when(s["es"] == best, F.lit("es"))
+        .when(s["fr"] == best, F.lit("fr"))
+        .otherwise(F.lit("de"))
+    )
+
+
+def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Append deterministic quality-signal columns used for corpus filtering:
+    token/char counts, mean token length, punctuation & stopword ratios, and
+    a combined [0,1] score (all ratios are divisions of exact integers)."""
+    toks = tokenize(text_col)
+    n_tok = F.array_size(toks)
+    tok_chars = F.aggregate(toks, F.lit(0).cast("long"), lambda a, t: a + F.length(t))
+    n_chars = F.length(_c(text_col))
+    n_punct = punct_count(text_col)
+    n_stop = stopword_count(toks)
+    safe_tok = F.greatest(n_tok, F.lit(1))
+    mean_tok_len = tok_chars.cast("double") / safe_tok
+    stop_ratio = n_stop.cast("double") / safe_tok
+    punct_ratio = n_punct.cast("double") / F.greatest(n_chars, F.lit(1))
+    length_factor = F.least(n_tok, F.lit(64)).cast("double") / F.lit(64.0)
+    score = stop_ratio * 0.4 + (F.lit(1.0) - punct_ratio) * 0.2 + length_factor * 0.4
+    return (
+        df.withColumn("n_tokens", n_tok)
+        .withColumn("mean_token_len", mean_tok_len)
+        .withColumn("punct_ratio", punct_ratio)
+        .withColumn("stopword_ratio", stop_ratio)
+        .withColumn("quality_score", score)
+    )

@@ -1,0 +1,389 @@
+"""LLM-data-pipeline queries: dedup, similarity search, text analysis,
+multimodal plumbing (SURVEY.md §7 phase 6) — each with an exact DuckDB oracle.
+
+Oracle-compatibility is by construction: every number is either an integer
+count, an integer-polynomial hash (no int64 overflow anywhere), or a double
+derived from exact integers by the same expression tree on both sides.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from milan_spark.catalog import register
+from milan_spark.operators import dedup as D
+from milan_spark.operators import multimodal as M
+from milan_spark.operators import similarity as S
+from milan_spark.operators import text as T
+from milan_spark.sources import table
+
+# shared oracle fragments -----------------------------------------------------
+
+_SQL_TOKENS = "regexp_extract_all(lower(text), '[a-z0-9]+')"
+_SQL_H31 = (
+    "list_reduce(list_transform(regexp_extract_all({s}, '.'), c -> CAST(ascii(c) AS BIGINT)),"
+    " (a, c) -> (a * 31 + c) % 2147483647)"
+)
+_SQL_H131 = (
+    "list_reduce(list_transform(regexp_extract_all({s}, '.'), c -> CAST(ascii(c) AS BIGINT)),"
+    " (a, c) -> (a * 131 + c) % 2147483647)"
+)
+
+_SQL_SHINGLES = f"""
+WITH toks AS (
+  SELECT doc_id, {_SQL_TOKENS} AS tokens FROM documents
+), sh AS (
+  SELECT doc_id,
+         list_distinct([array_to_string(tokens[i:i+1], ' ') FOR i IN range(1, len(tokens))]) AS shingles
+  FROM toks WHERE len(tokens) >= 2
+)
+"""
+
+_SQL_EXACT_JACCARD_PAIRS = (
+    _SQL_SHINGLES
+    + """
+, ex AS (
+  SELECT doc_id, unnest(shingles) AS s FROM sh
+), pairs AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS shared
+  FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+), sizes AS (SELECT doc_id, len(shingles) AS n FROM sh)
+SELECT id_a, id_b,
+       round(shared * 1.0 / (sa.n + sb.n - shared), 6) AS jaccard
+FROM pairs JOIN sizes sa ON id_a = sa.doc_id JOIN sizes sb ON id_b = sb.doc_id
+WHERE shared * 1.0 / (sa.n + sb.n - shared) >= 0.8
+"""
+)
+
+# --- text analysis -----------------------------------------------------------
+
+
+@register(
+    "text_quality_features",
+    doc="Quality scoring for corpus filtering: token counts (regex + "
+    "whitespace), mean token length, punctuation/stopword ratios, combined "
+    "[0,1] score — all JVM-side regexp/array exprs, integer-exact.",
+    oracle=f"""
+WITH t AS (
+  SELECT doc_id, text, {_SQL_TOKENS} AS tokens,
+         len(string_split_regex(trim(text), '\\s+')) AS ws_tokens
+  FROM documents
+)
+SELECT doc_id,
+       len(tokens) AS n_tokens,
+       ws_tokens,
+       CAST(list_sum(list_transform(tokens, x -> length(x))) AS DOUBLE)
+         / greatest(len(tokens), 1) AS mean_token_len,
+       CAST(len(regexp_extract_all(text, '[.,;:!?]')) AS DOUBLE)
+         / greatest(length(text), 1) AS punct_ratio,
+       CAST(len(list_filter(tokens, x -> x IN ({', '.join("'" + w + "'" for w in T.STOPWORDS)}))) AS DOUBLE)
+         / greatest(len(tokens), 1) AS stopword_ratio,
+       CAST(len(list_filter(tokens, x -> x IN ({', '.join("'" + w + "'" for w in T.STOPWORDS)}))) AS DOUBLE)
+         / greatest(len(tokens), 1) * 0.4
+         + (1.0 - CAST(len(regexp_extract_all(text, '[.,;:!?]')) AS DOUBLE) / greatest(length(text), 1)) * 0.2
+         + CAST(least(len(tokens), 64) AS DOUBLE) / 64.0 * 0.4 AS quality_score
+FROM t
+""",
+)
+def text_quality_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    out = T.quality_features(docs, "text")
+    ws = F.array_size(F.split(F.trim(F.col("text")), r"\s+"))
+    return out.withColumn("ws_tokens", ws).select(
+        "doc_id", "n_tokens", "ws_tokens", "mean_token_len", "punct_ratio", "stopword_ratio", "quality_score"
+    )
+
+
+@register(
+    "text_lang_id",
+    doc="Language-ID heuristic: marker-token counts per language, "
+    "deterministic argmax (tie order en>es>fr>de, all-zero -> 'und').",
+    oracle=f"""
+WITH t AS (
+  SELECT doc_id, {_SQL_TOKENS} AS tokens FROM documents
+), s AS (
+  SELECT doc_id,
+    len(list_filter(tokens, x -> x IN ({', '.join("'" + w + "'" for w in T.LANG_MARKERS['en'])}))) AS s_en,
+    len(list_filter(tokens, x -> x IN ({', '.join("'" + w + "'" for w in T.LANG_MARKERS['es'])}))) AS s_es,
+    len(list_filter(tokens, x -> x IN ({', '.join("'" + w + "'" for w in T.LANG_MARKERS['fr'])}))) AS s_fr,
+    len(list_filter(tokens, x -> x IN ({', '.join("'" + w + "'" for w in T.LANG_MARKERS['de'])}))) AS s_de
+  FROM t
+)
+SELECT doc_id, s_en, s_es, s_fr, s_de,
+       CASE WHEN greatest(s_en, s_es, s_fr, s_de) = 0 THEN 'und'
+            WHEN s_en = greatest(s_en, s_es, s_fr, s_de) THEN 'en'
+            WHEN s_es = greatest(s_en, s_es, s_fr, s_de) THEN 'es'
+            WHEN s_fr = greatest(s_en, s_es, s_fr, s_de) THEN 'fr'
+            ELSE 'de' END AS lang_pred
+FROM s
+""",
+)
+def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    toks = T.tokenize("text")
+    scores = T.lang_scores(toks)
+    return docs.select(
+        "doc_id",
+        scores["en"].alias("s_en"),
+        scores["es"].alias("s_es"),
+        scores["fr"].alias("s_fr"),
+        scores["de"].alias("s_de"),
+        T.lang_id(toks).alias("lang_pred"),
+    )
+
+
+@register(
+    "doc_fingerprint",
+    doc="Document fingerprinting: base-31 polynomial hash of the full text "
+    "(mod prime<2^53) + winnowing-style minimum rolling 8-char hash "
+    "(mod 2^31-1).",
+    oracle=f"""
+SELECT doc_id,
+       {_SQL_H31.format(s='text').replace('% 2147483647', '% 9007199254740881')} AS full_hash,
+       list_min([
+         list_reduce(list_transform(regexp_extract_all(substring(text, i, 8), '.'),
+                                    c -> CAST(ascii(c) AS BIGINT)),
+                     (a, c) -> (a * 31 + c) % 2147483647)
+         FOR i IN range(1, greatest(length(text) - 7, 1) + 1)
+       ]) AS min_rolling_hash
+FROM documents
+""",
+)
+def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        T.char_fold_hash("text").alias("full_hash"),
+        T.rolling_min_hash("text", 8).alias("min_rolling_hash"),
+    )
+
+
+# --- dedup -------------------------------------------------------------------
+
+
+@register(
+    "exact_dedup",
+    doc="Exact dedup: hash group-by on content, earliest doc_id survives.",
+    oracle="""
+SELECT text, MIN(doc_id) AS survivor_id, COUNT(*) AS n_copies
+FROM documents GROUP BY text
+""",
+)
+def exact_dedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    return D.exact_dedup(docs, "text", "doc_id")
+
+
+@register(
+    "ngram_jaccard_dedup",
+    doc="Exact near-dup pairs: Jaccard over distinct word bigrams >= 0.8 via "
+    "the inverted shingle index (explode -> self-join -> shared counts).",
+    oracle=_SQL_EXACT_JACCARD_PAIRS,
+)
+def ngram_jaccard_dedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    return D.ngram_jaccard_pairs(docs, "doc_id", "text", n=2, threshold=0.8)
+
+
+@register(
+    "minhash_lsh_dedup",
+    doc="MinHash+LSH near-dup pairs (64 hashes, 32 bands x 2 rows), "
+    "candidates exact-verified: output equals the exact Jaccard pairs "
+    "(P[band miss] ~ 4e-15 at tau=0.8), so the exact oracle applies.",
+    oracle=_SQL_EXACT_JACCARD_PAIRS,
+)
+def minhash_lsh_dedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    return D.minhash_lsh_pairs(docs, "doc_id", "text", n=2, num_hashes=64, bands=32, threshold=0.8)
+
+
+@register(
+    "simhash_dedup",
+    doc="SimHash near-dup pairs: 62-bit majority fingerprint over token "
+    "hashes, 4x16-bit chunk candidates, exact Hamming <= 3 verification.",
+    oracle=f"""
+WITH toks AS (
+  SELECT doc_id, unnest({_SQL_TOKENS}) AS t FROM documents
+), h AS (
+  SELECT doc_id,
+         {_SQL_H31.format(s='t')} + {_SQL_H131.format(s='t')} * 2147483648 AS hv
+  FROM toks
+), bits AS (
+  SELECT doc_id, r.b AS b,
+         SUM(CASE WHEN (hv >> CAST(r.b AS INTEGER)) & 1 = 1 THEN 1 ELSE -1 END) AS v
+  FROM h, range(62) r(b)
+  GROUP BY 1, 2
+), sh AS (
+  SELECT doc_id,
+         SUM(CASE WHEN v > 0 THEN (CAST(1 AS BIGINT) << CAST(b AS INTEGER)) ELSE 0 END) AS simhash
+  FROM bits GROUP BY 1
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       bit_count(xor(a.simhash, b.simhash)) AS hamming
+FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+""",
+)
+def simhash_dedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    return D.simhash_pairs(docs, "doc_id", "text", max_hamming=3)
+
+
+# --- similarity search -------------------------------------------------------
+
+_SQL_QUANT = "[CAST(floor(CAST(x AS DOUBLE) * 1048576 + 0.5) AS BIGINT) FOR x IN embedding]"
+
+_SQL_VEC_EX = f"""
+WITH q AS (
+  SELECT vec_id, {_SQL_QUANT} AS v FROM embeddings
+), ex AS (
+  SELECT vec_id, unnest(v) AS x, generate_subscripts(v, 1) AS i FROM q
+), norms AS (
+  SELECT vec_id, SUM(x * x) AS nn FROM ex GROUP BY 1
+)
+"""
+
+
+@register(
+    "embedding_near_dup",
+    doc="Embedding-cosine near-dup pairs (cosine >= 0.45) on 2^20-quantized "
+    "integer vectors: exact integer dot/norms -> deterministic doubles.",
+    oracle=_SQL_VEC_EX
+    + """
+, dots AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b, SUM(a.x * b.x) AS dot
+  FROM ex a JOIN ex b ON a.i = b.i AND a.vec_id < b.vec_id
+  GROUP BY 1, 2
+)
+SELECT id_a, id_b,
+       round(dot / (sqrt(CAST(na.nn AS DOUBLE)) * sqrt(CAST(nb.nn AS DOUBLE))), 6) AS cosine
+FROM dots JOIN norms na ON id_a = na.vec_id JOIN norms nb ON id_b = nb.vec_id
+WHERE dot / (sqrt(CAST(na.nn AS DOUBLE)) * sqrt(CAST(nb.nn AS DOUBLE))) >= 0.45
+""",
+)
+def embedding_near_dup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = table(spark, sf_dir, "embeddings")
+    return S.embedding_near_dup_pairs(emb, "vec_id", "embedding", threshold=0.45)
+
+
+@register(
+    "ann_brute_force",
+    doc="Exact top-5 cosine neighbors for query vectors vec_id<10: broadcast "
+    "queries x corpus, integer dot products, per-query window rank (no "
+    "global sort).",
+    oracle=_SQL_VEC_EX
+    + """
+, pairs AS (
+  SELECT qa.vec_id AS query_id, ca.vec_id AS neighbor_id, SUM(qa.x * ca.x) AS dot
+  FROM ex qa JOIN ex ca ON qa.i = ca.i AND qa.vec_id < 10 AND ca.vec_id != qa.vec_id
+  GROUP BY 1, 2
+), scored AS (
+  SELECT query_id, neighbor_id,
+         dot / (sqrt(CAST(nq.nn AS DOUBLE)) * sqrt(CAST(nc.nn AS DOUBLE))) AS cosine
+  FROM pairs JOIN norms nq ON query_id = nq.vec_id JOIN norms nc ON neighbor_id = nc.vec_id
+)
+SELECT query_id, neighbor_id, rank, round(cosine, 6) AS cosine
+FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
+  FROM scored
+)
+WHERE rank <= 5
+""",
+)
+def ann_brute_force_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = table(spark, sf_dir, "embeddings")
+    return S.ann_brute_force(emb, "vec_id", "embedding", query_ids=range(10), k=5)
+
+
+@register(
+    "ann_lsh",
+    doc="LSH-bucketed approximate top-5 (8 deterministic hyperplanes -> 256 "
+    "buckets; queries score only their own bucket). Fully deterministic, so "
+    "the oracle replicates the bucketing exactly.",
+    oracle=_SQL_VEC_EX
+    + """
+, planes AS (
+  SELECT p.p AS p, d.d AS d,
+         CAST(((p.p + 1) * 73856093 + (d.d + 1) * 19349663) % 2000003 - 1000001 AS BIGINT) AS w
+  FROM range(8) p(p), range(64) d(d)
+), bucket_bits AS (
+  SELECT e.vec_id, pl.p,
+         CASE WHEN SUM(e.x * pl.w) >= 0 THEN CAST(1 AS BIGINT) ELSE 0 END AS bit
+  FROM ex e JOIN planes pl ON e.i = pl.d + 1
+  GROUP BY 1, 2
+), buckets AS (
+  SELECT vec_id, SUM(bit << CAST(p AS INTEGER)) AS bucket FROM bucket_bits GROUP BY 1
+), pairs AS (
+  SELECT qa.vec_id AS query_id, ca.vec_id AS neighbor_id, SUM(qa.x * ca.x) AS dot
+  FROM ex qa
+  JOIN buckets bq ON qa.vec_id = bq.vec_id
+  JOIN buckets bc ON bq.bucket = bc.bucket
+  JOIN ex ca ON ca.vec_id = bc.vec_id AND qa.i = ca.i
+  WHERE qa.vec_id < 10 AND ca.vec_id != qa.vec_id
+  GROUP BY 1, 2
+), scored AS (
+  SELECT query_id, neighbor_id,
+         dot / (sqrt(CAST(nq.nn AS DOUBLE)) * sqrt(CAST(nc.nn AS DOUBLE))) AS cosine
+  FROM pairs JOIN norms nq ON query_id = nq.vec_id JOIN norms nc ON neighbor_id = nc.vec_id
+)
+SELECT query_id, neighbor_id, rank, round(cosine, 6) AS cosine
+FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
+  FROM scored
+)
+WHERE rank <= 5
+""",
+)
+def ann_lsh_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = table(spark, sf_dir, "embeddings")
+    return S.ann_lsh(emb, "vec_id", "embedding", query_ids=range(10), k=5, planes=8)
+
+
+# --- multimodal --------------------------------------------------------------
+
+
+@register(
+    "multimodal_metadata",
+    doc="Multimodal payload+meta layout: binary payload from content, typed "
+    "metadata struct, content hash — metadata-only query never touches "
+    "payload pages (column pruning).",
+    oracle="""
+SELECT doc_id,
+       length(text) AS byte_len,
+       'text' AS modality,
+       'text/plain' AS mime,
+       md5(text) AS content_hash,
+       ascii(text) AS first_byte
+FROM documents
+""",
+)
+def multimodal_metadata_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    packed = M.attach_binary_payload(docs, "text")
+    return packed.select(
+        "doc_id",
+        F.col("meta.byte_len").alias("byte_len"),
+        F.col("meta.modality").alias("modality"),
+        F.col("meta.mime").alias("mime"),
+        F.md5("payload").alias("content_hash"),
+        F.ascii("text").alias("first_byte"),
+    )
+
+
+@register(
+    "multimodal_features",
+    doc="mapInPandas feature extraction over binary payloads (Arrow batch "
+    "path; codec stubbed with deterministic byte stats — ASCII corpus makes "
+    "byte stats == char stats, so the SQL oracle applies).",
+    oracle="""
+SELECT doc_id,
+       length(text) AS byte_len,
+       list_sum(list_transform(regexp_extract_all(text, '.'), c -> CAST(ascii(c) AS BIGINT))) % 997 AS checksum
+FROM documents
+""",
+)
+def multimodal_features_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    packed = M.attach_binary_payload(docs, "text")
+    return M.extract_features(packed, "doc_id").select("doc_id", "byte_len", "checksum")

@@ -1,0 +1,136 @@
+"""Behavioral tests for the LLM-pipeline operators (dedup, similarity, text,
+multimodal) on tiny controlled inputs."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from milan_spark.operators import dedup as D
+from milan_spark.operators import multimodal as M
+from milan_spark.operators import similarity as S
+from milan_spark.operators import text as T
+
+
+@pytest.fixture()
+def docs(spark):
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog"),
+        (2, "the quick brown fox jumps over the lazy cat"),  # near-dup of 1
+        (3, "completely different words entirely here now"),
+        (4, "the quick brown fox jumps over the lazy dog"),  # exact dup of 1
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_exact_dedup(spark, docs):
+    out = {r["survivor_id"]: r["n_copies"] for r in D.exact_dedup(docs, "text", "doc_id").collect()}
+    assert out == {1: 2, 2: 1, 3: 1}
+
+
+def test_ngram_jaccard_finds_near_dups(spark, docs):
+    pairs = {(r["id_a"], r["id_b"]) for r in D.ngram_jaccard_pairs(docs, "doc_id", "text", n=2, threshold=0.6).collect()}
+    assert (1, 4) in pairs  # exact dup -> jaccard 1.0
+    assert (1, 2) in pairs and (2, 4) in pairs  # near dups
+    assert not any(3 in p for p in pairs)
+
+
+def test_minhash_matches_exact(spark, docs):
+    exact = {(r["id_a"], r["id_b"], r["jaccard"]) for r in D.ngram_jaccard_pairs(docs, "doc_id", "text", threshold=0.6).collect()}
+    lsh = {(r["id_a"], r["id_b"], r["jaccard"]) for r in D.minhash_lsh_pairs(docs, "doc_id", "text", threshold=0.6).collect()}
+    assert lsh == exact
+
+
+def test_simhash_exact_dup_is_zero_hamming(spark, docs):
+    pairs = {(r["id_a"], r["id_b"]): r["hamming"] for r in D.simhash_pairs(docs, "doc_id", "text", max_hamming=10).collect()}
+    assert pairs[(1, 4)] == 0
+    assert pairs[(1, 2)] <= 10
+
+
+def test_cosine_quantized_self_similarity(spark):
+    emb = spark.createDataFrame(
+        [(0, [1.0, 0.0, 0.0]), (1, [0.0, 1.0, 0.0]), (2, [0.7071, 0.7071, 0.0])],
+        "vec_id long, embedding array<float>",
+    )
+    out = {(r["id_a"], r["id_b"]): r["cosine"] for r in S.embedding_near_dup_pairs(emb, "vec_id", "embedding", threshold=-1.0).collect()}
+    assert out[(0, 1)] == pytest.approx(0.0, abs=1e-9)
+    assert out[(0, 2)] == pytest.approx(0.7071, abs=1e-4)
+
+
+def test_ann_brute_force_topk(spark):
+    import numpy as np
+
+    rng = np.random.RandomState(7)
+    vecs = rng.randn(30, 8).astype("float32") * 0.3
+    emb = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(30)], "vec_id long, embedding array<float>"
+    )
+    out = S.ann_brute_force(emb, "vec_id", "embedding", query_ids=[0], k=3).collect()
+    got = [r["neighbor_id"] for r in sorted(out, key=lambda r: r["rank"])]
+    norms = np.linalg.norm(vecs, axis=1)
+    cos = vecs @ vecs[0] / (norms * norms[0])
+    cos[0] = -2
+    expect = list(np.argsort(-cos)[:3])
+    assert got == expect
+
+
+def test_ann_lsh_subset_of_bucket(spark):
+    import numpy as np
+
+    rng = np.random.RandomState(11)
+    vecs = rng.randn(50, 8).astype("float32") * 0.3
+    emb = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(50)], "vec_id long, embedding array<float>"
+    )
+    out = S.ann_lsh(emb, "vec_id", "embedding", query_ids=[0, 1], k=5, planes=4).collect()
+    assert all(r["neighbor_id"] != r["query_id"] for r in out)
+    ranks = {}
+    for r in out:
+        ranks.setdefault(r["query_id"], []).append(r["rank"])
+    for q, rs in ranks.items():
+        assert sorted(rs) == list(range(1, len(rs) + 1))
+
+
+def test_lang_id_markers(spark):
+    rows = [
+        (1, "the cat and the dog of the house"),
+        (2, "el gato y la casa de los perros"),
+        (3, "xyzzy plugh"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r["lang"] for r in df.select("doc_id", T.lang_id(T.tokenize("text")).alias("lang")).collect()}
+    assert out == {1: "en", 2: "es", 3: "und"}
+
+
+def test_quality_features_ranges(spark):
+    df = spark.createDataFrame([(1, "the and of to in is a good document with many stopwords")], "doc_id long, text string")
+    r = T.quality_features(df).collect()[0]
+    assert 0.0 <= r["quality_score"] <= 1.0
+    assert r["n_tokens"] == 12
+    assert r["stopword_ratio"] == pytest.approx(6 / 12)
+
+
+def test_fingerprint_deterministic_and_discriminative(spark):
+    df = spark.createDataFrame([(1, "abc def"), (2, "abc def"), (3, "abc deg")], "id long, text string")
+    out = {r["id"]: (r["fh"], r["rh"]) for r in df.select("id", T.char_fold_hash("text").alias("fh"), T.rolling_min_hash("text", 4).alias("rh")).collect()}
+    assert out[1] == out[2]
+    assert out[1] != out[3]
+
+
+def test_multimodal_plumbing(spark):
+    df = spark.createDataFrame([(1, "hello"), (2, "")], "doc_id long, text string")
+    packed = M.attach_binary_payload(df, "text")
+    row = packed.filter("doc_id = 1").collect()[0]
+    assert bytes(row["payload"]) == b"hello"
+    assert row["meta"]["byte_len"] == 5
+    feats = {r["doc_id"]: r for r in M.extract_features(packed, "doc_id").collect()}
+    assert feats[1]["byte_len"] == 5
+    assert feats[1]["checksum"] == sum(b"hello") % 997
+    assert feats[2]["features"] == [0, 0, 0, 0]
+
+
+def test_decode_stubs_raise(spark):
+    with pytest.raises(NotImplementedError):
+        M.decode_image(b"xx")
+    with pytest.raises(NotImplementedError):
+        M.decode_audio(b"xx")
