@@ -26,11 +26,9 @@ worst-case join fan-out on stop-shingles.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, functions as F
+from pyspark.sql import Column, DataFrame, Window as W, functions as F
 
 from milan_spark.operators.text import P31, token_hash62, tokenize
-
-P61 = 2_305_843_009_213_693_951  # 2^61-1, band-signature fold modulus
 
 
 def exact_dedup(df: DataFrame, content_cols, id_col: str) -> DataFrame:
@@ -85,30 +83,34 @@ def ngram_jaccard_pairs(
     text_col: str,
     n: int = 2,
     threshold: float = 0.8,
-    max_shingle_freq: int | None = None,
 ) -> DataFrame:
     """Exact near-duplicate pairs: Jaccard over distinct word n-grams ≥
-    threshold, via the inverted-index self-join (shared-shingle counting).
+    threshold, via a **prefix-filtered** inverted index (SSJoin/PPJoin
+    family): each document indexes only its ⌈(1-τ)·|s|⌉+1 globally-rarest
+    shingles — any pair with J ≥ τ must collide on at least one prefix
+    shingle (pigeonhole on the canonical rarest-first order), so candidate
+    generation is exact while stop-shingles never fan out. Candidates are
+    then verified with the exact Jaccard.
 
-    ``max_shingle_freq`` drops shingles appearing in more than that many docs
-    (stop-shingle cap): at corpus scale this bounds the self-join fan-out;
-    a pair qualifying at τ≥0.8 shares many discriminative shingles, so the
-    cap does not lose qualifying pairs in practice (leave None for exactness).
+    This is the 100 TB formulation: the naive inverted index explodes
+    quadratically on frequent shingles; the prefix filter bounds fan-out by
+    document length, not corpus frequency.
     """
     sets = _shingle_sets(df, id_col, text_col, n)
-    ex = sets.select("__id", F.explode("__sh").alias("__s"))
-    if max_shingle_freq is not None:
-        freq = ex.groupBy("__s").agg(F.count(F.lit(1)).alias("__f"))
-        ex = ex.join(freq.filter(F.col("__f") <= max_shingle_freq), "__s")
-    a = ex.select(F.col("__id").alias("id_a"), "__s")
-    b = ex.select(F.col("__id").alias("id_b"), "__s")
-    cands = (
-        a.join(b, "__s")
-        .filter(F.col("id_a") < F.col("id_b"))
-        .groupBy("id_a", "id_b")
-        .agg(F.count(F.lit(1)).alias("__shared"))
-        .select("id_a", "id_b")
+    ex = sets.select("__id", F.array_size("__sh").alias("__n"), F.explode("__sh").alias("__s"))
+    freq = ex.groupBy("__s").agg(F.count(F.lit(1)).alias("__f"))
+    # canonical order: rarest shingle first, shingle text as tiebreak
+    w = W.partitionBy("__id").orderBy("__f", "__s")
+    prefix_len = F.ceil(F.lit(1.0 - threshold) * F.col("__n")).cast("int") + 1
+    prefix = (
+        ex.join(freq, "__s")
+        .withColumn("__rk", F.row_number().over(w))
+        .filter(F.col("__rk") <= prefix_len)
+        .select("__id", "__s")
     )
+    a = prefix.select(F.col("__id").alias("id_a"), "__s")
+    b = prefix.select(F.col("__id").alias("id_b"), "__s")
+    cands = a.join(b, "__s").filter(F.col("id_a") < F.col("id_b")).select("id_a", "id_b").distinct()
     return _verify_jaccard(cands, sets, threshold)
 
 

@@ -136,17 +136,45 @@ def embedding_near_dup_pairs(
 ) -> DataFrame:
     """All pairs with cosine ≥ threshold (embedding near-duplicate dedup).
 
-    Exact all-pairs formulation; at corpus scale, swap the self-join for LSH
-    bucketing (``lsh_bucket``) exactly as ann_lsh does — kept exact here
-    because the oracle checks exactness.
+    Executed as a **broadcast block matmul**: the quantized corpus matrix
+    (8 MB per million rows per dim — small side by construction) broadcasts
+    to every task; each partition multiplies its block against it with one
+    vectorized int64 matmul and keeps only above-threshold pairs, so the
+    shuffle carries results, not pairs. Exactness is preserved: int64 dot
+    products are exact, and every |dot| < 2^53 converts to float64 exactly,
+    so cosines are bit-identical to the SQL formulation.
+
+    When the corpus outgrows a broadcast, tile the right side (outer loop
+    over broadcast-sized column blocks) or switch to :func:`ann_lsh`
+    bucketing — the per-block kernel is unchanged.
     """
-    v = corpus.select(F.col(id_col).alias("__vid"), quantize(vec_col).alias("__v"))
-    a = v.select(F.col("__vid").alias("id_a"), F.col("__v").alias("__va"))
-    b = v.select(F.col("__vid").alias("id_b"), F.col("__v").alias("__vb"))
-    return (
-        a.crossJoin(b)
-        .filter(F.col("id_a") < F.col("id_b"))
-        .withColumn("cosine", cosine(F.col("__va"), F.col("__vb")))
-        .filter(F.col("cosine") >= threshold)
-        .select("id_a", "id_b", F.round("cosine", 6).alias("cosine"))
-    )
+    import numpy as np
+
+    q = corpus.select(F.col(id_col).alias("__vid"), quantize(vec_col).alias("__v"))
+    local = q.toPandas()
+    ids = np.asarray(local["__vid"], dtype=np.int64)
+    mat = np.asarray([np.asarray(v, dtype=np.int64) for v in local["__v"]])
+    norms = np.sqrt((mat * mat).sum(axis=1).astype(np.float64))
+    sc = corpus.sparkSession.sparkContext
+    b_ids, b_mat, b_norms = sc.broadcast(ids), sc.broadcast(mat), sc.broadcast(norms)
+
+    def block(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            blk = np.asarray([np.asarray(v, dtype=np.int64) for v in pdf["__v"]])
+            blk_ids = np.asarray(pdf["__vid"], dtype=np.int64)
+            blk_norms = np.sqrt((blk * blk).sum(axis=1).astype(np.float64))
+            # exact int64 dots; < 2^53 so the float64 conversion is exact
+            dots = blk @ b_mat.value.T
+            cos = dots.astype(np.float64) / (blk_norms[:, None] * b_norms.value[None, :])
+            li, ri = np.nonzero((cos >= threshold) & (blk_ids[:, None] < b_ids.value[None, :]))
+            yield pd.DataFrame(
+                {"id_a": blk_ids[li], "id_b": b_ids.value[ri], "__cos": cos[li, ri]}
+            )
+
+    out = q.mapInPandas(block, schema="id_a long, id_b long, __cos double")
+    # round in Spark SQL (HALF_UP, matching the SQL oracle) rather than numpy
+    return out.select("id_a", "id_b", F.round("__cos", 6).alias("cosine"))
