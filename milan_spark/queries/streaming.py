@@ -1,0 +1,136 @@
+"""Streaming-backend queries: the same operator semantics executed through
+Structured Streaming (readStream → stateful op / windowed agg → memory sink),
+verified against the *same* DuckDB oracles as their batch twins.
+
+This is the reference's primary execution mode (IR → Flink streaming job,
+``flink/generator/FlinkGenerator.scala:63-87``); the batch queries correspond
+to its scala-event compiler twin. Each query here runs a bounded stream
+(availableNow trigger) to completion and returns the sink table — final-state
+equivalence, which for per-record operators (joins, scans) is exact per-record
+equivalence.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from milan_spark.catalog import REGISTRY, register
+
+# imported for registration side effects — this module shares their oracles
+from milan_spark.queries import joins as _joins  # noqa: F401
+from milan_spark.queries import scans as _scans  # noqa: F401
+from milan_spark.queries import windows as _windows  # noqa: F401
+from milan_spark.streaming import run_to_memory, windowed_agg
+from milan_spark.streaming import stateful
+
+DEC = "decimal(18,6)"
+
+
+def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """readStream over the events table, normalizing nanosecond timestamps the
+    same way ``sources.table`` does for batch.
+
+    FileStreamSource monitors directories, not single files, so the parquet
+    file is exposed through a per-sf symlink directory (no data copy).
+    """
+    import hashlib
+    import os
+    import tempfile
+
+    path = f"{sf_dir}/events.parquet"
+    tag = hashlib.sha1(os.path.abspath(path).encode()).hexdigest()[:12]
+    stage = os.path.join(tempfile.gettempdir(), f"milan_stream_src_{tag}")
+    os.makedirs(stage, exist_ok=True)
+    link = os.path.join(stage, "events.parquet")
+    if not os.path.exists(link):
+        os.symlink(os.path.abspath(path), link)
+    schema = spark.read.parquet(path).schema
+    sdf = spark.readStream.schema(schema).parquet(stage)
+    if dict(sdf.dtypes).get("ts") == "bigint":
+        sdf = sdf.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000"))).select(
+            "event_id", "ts", "user_id", "event_type", "value", "props"
+        )
+    return sdf
+
+
+def _stream_side(spark, sf_dir, event_type, cols):
+    ev = _events_stream(spark, sf_dir)
+    return ev.filter(F.col("event_type") == event_type).select(
+        *cols, F.col("event_id").alias("__seq")
+    )
+
+
+@register(
+    "streaming_left_enrichment_join",
+    doc="Milan LeftJoin executed as its true streaming state machine "
+    "(applyInPandasWithState ≈ LeftJoinKeyedCoProcessFunction.scala:41-80): "
+    "purchases enriched with the user's latest at-or-earlier signup. Same "
+    "oracle as the batch twin.",
+    oracle=REGISTRY["left_enrichment_join"].oracle,
+)
+def streaming_left_enrichment_join_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    left = _stream_side(spark, sf_dir, "purchase", ["event_id", "user_id", "value"])
+    right = _stream_side(
+        spark,
+        sf_dir,
+        "signup",
+        [
+            "user_id",
+            F.col("event_id").alias("signup_event_id"),
+            F.col("value").alias("signup_value"),
+        ],
+    )
+    out = stateful.left_enrichment_join(left, right, on="user_id")
+    out = out.select("event_id", "user_id", "value", "signup_event_id", "signup_value")
+    return run_to_memory(out, "streaming_left_enrichment_join")
+
+
+@register(
+    "streaming_tumbling_window_daily",
+    doc="Milan TumblingWindow on the streaming backend: watermarked daily "
+    "windows (watermark = window size, WindowedStreamsGenerator.scala:129-130), "
+    "complete-mode emission. Same oracle as the batch twin.",
+    oracle=REGISTRY["tumbling_window_daily"].oracle,
+)
+def streaming_tumbling_window_daily_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events_stream(spark, sf_dir)
+    out = windowed_agg(
+        ev,
+        "ts",
+        "1 day",
+        keys=["event_type"],
+        aggs=[
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum(F.col("value").cast(DEC)), 2).cast("double").alias("total"),
+        ],
+    )
+    return run_to_memory(out, "streaming_tumbling_window_daily", output_mode="complete")
+
+
+@register(
+    "streaming_scan_threshold",
+    doc="Milan Scan on the streaming backend (ScanProcessFunction.scala:17,66): "
+    "per-user cents accumulator in per-key value state, emitting past 5000.00. "
+    "Same oracle as the batch twin.",
+    oracle=REGISTRY["scan_threshold"].oracle,
+)
+def streaming_scan_threshold_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events_stream(spark, sf_dir).select("event_id", "user_id", "value")
+
+    def fold(state, rec):
+        state = state + int(math.floor(rec.value * 100 + 0.5))
+        if state > 500000:
+            return state, {"event_id": rec.event_id, "user_id": rec.user_id, "acc_cents": state}
+        return state, None
+
+    out = stateful.scan(
+        ev,
+        fold,
+        initial_state=0,
+        output_schema="event_id long, user_id long, acc_cents long",
+        keys=["user_id"],
+        seq="event_id",
+    )
+    return run_to_memory(out, "streaming_scan_threshold")

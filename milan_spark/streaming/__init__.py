@@ -1,0 +1,125 @@
+"""Structured Streaming backend (SURVEY.md §2.1 sinks, §2.5 windows, §3.3).
+
+The reference compiles its IR to a Flink streaming job; here the same logical
+plans compile to Structured Streaming queries. Mapping:
+
+| reference                                         | here                  |
+|---------------------------------------------------|-----------------------|
+| FileDataSource ReadMode.Continuous                | ``sources.file_stream_source`` |
+| SingletonMemorySink (SingletonMemorySink.scala:17)| :func:`run_to_memory` |
+| FileDataSink (FileDataSink.scala:18)              | :func:`file_sink`     |
+| ConsoleDataSink (ConsoleDataSink.scala:15)        | :func:`console_sink`  |
+| LogSink / plugin sinks (DataSinkGenerator.scala:22-37) | :func:`foreach_batch_sink` |
+| watermark = window size (WindowedStreamsGenerator.scala:129-130) | :func:`windowed_agg` default |
+| every-element trigger (RecordWrapperEveryElementTrigger.scala:15-19) | update/complete mode per microbatch (documented relaxation) |
+
+Emission-cadence equivalence: the reference emits a refined aggregate on
+*every record*; Structured Streaming emits per *microbatch*. Our correctness
+contract is final-state equality plus (for scans/enrichment joins, which emit
+per record by construction) exact per-record outputs — the same relaxation
+SURVEY.md §4 documents.
+
+Stateful per-record operators (enrichment joins, scans) live in
+``milan_spark.streaming.stateful``.
+"""
+
+from __future__ import annotations
+
+import tempfile
+from typing import Callable, Mapping, Sequence
+
+from pyspark.sql import Column, DataFrame, functions as F
+from pyspark.sql.streaming import StreamingQuery
+
+
+def windowed_agg(
+    sdf: DataFrame,
+    ts: str,
+    size: str,
+    *,
+    slide: str | None = None,
+    offset: str | None = None,
+    keys: Sequence[str] = (),
+    aggs: Sequence[Column] = (),
+    watermark: str | None = None,
+) -> DataFrame:
+    """Tumbling/sliding event-time aggregate on a stream.
+
+    ``watermark`` defaults to the window size — the reference's exact policy
+    (``flink/generator/WindowedStreamsGenerator.scala:129-130`` sets watermark
+    delay = window size). Output key is the window start
+    (doc/Streams in Milan and streaming operations.md:70-71).
+    """
+    sdf = sdf.withWatermark(ts, watermark or size)
+    win = F.window(ts, size, slide or size, offset)
+    out = sdf.groupBy(win.alias("__w"), *[F.col(k) for k in keys]).agg(*aggs)
+    # agg() output order is fixed: grouping cols then aggregates
+    return out.select(F.col("__w.start").alias("window_start"), *out.columns[1:])
+
+
+def run_to_memory(
+    sdf: DataFrame,
+    name: str,
+    *,
+    output_mode: str = "append",
+    timeout_sec: int = 300,
+) -> DataFrame:
+    """Run a streaming DataFrame to completion into an in-memory table and
+    return it (ref: SingletonMemorySink.scala:17-45 — tests write to a
+    process-global sink then await expected counts; availableNow + await
+    replaces the polling).
+    """
+    q = (
+        sdf.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(timeout_sec)
+    return sdf.sparkSession.table(name)
+
+
+def file_sink(
+    sdf: DataFrame,
+    path: str,
+    *,
+    fmt: str = "parquet",
+    checkpoint: str | None = None,
+    output_mode: str = "append",
+    available_now: bool = True,
+    options: Mapping[str, str] | None = None,
+) -> StreamingQuery:
+    """Streaming file writer (ref: FileDataSink.scala:18; CsvDataOutputFormat /
+    JsonDataOutputFormat map to fmt='csv'/'json')."""
+    w = (
+        sdf.writeStream.format(fmt)
+        .option("path", path)
+        .option("checkpointLocation", checkpoint or tempfile.mkdtemp(prefix="milan_ckpt_"))
+        .outputMode(output_mode)
+    )
+    if options:
+        w = w.options(**options)
+    if available_now:
+        w = w.trigger(availableNow=True)
+    return w.start()
+
+
+def console_sink(sdf: DataFrame, *, output_mode: str = "append") -> StreamingQuery:
+    """ref: ConsoleDataSink.scala:15."""
+    return sdf.writeStream.format("console").outputMode(output_mode).start()
+
+
+def foreach_batch_sink(
+    sdf: DataFrame,
+    fn: Callable[[DataFrame, int], None],
+    *,
+    output_mode: str = "append",
+    available_now: bool = True,
+) -> StreamingQuery:
+    """Pluggable sink escape hatch (ref: DataSinkGenerator.scala:22-37 routes
+    unknown sinks to plugins; LogSink.scala:15 is the trivial case)."""
+    w = sdf.writeStream.foreachBatch(fn).outputMode(output_mode)
+    if available_now:
+        w = w.trigger(availableNow=True)
+    return w.start()

@@ -1,0 +1,309 @@
+"""Stateful per-record streaming operators (SURVEY.md §2.3, §2.6).
+
+These are the operators whose reference implementations are Flink keyed
+CoProcessFunctions / ProcessFunctions — the part of the engine Catalyst has no
+built-in for. Each becomes an ``applyInPandasWithState`` state machine over a
+key-grouped stream:
+
+- :func:`left_enrichment_join`  — ``flink/runtime/LeftJoinKeyedCoProcessFunction.scala:41-80``
+  (ValueState lastRightValue; left arrival emits (left, lastRight)).
+- :func:`full_enrichment_join`  — ``flink/runtime/FullJoinKeyedCoProcessFunction.scala:43-88``
+  (two ValueStates; either arrival emits (lastLeft, lastRight)).
+- :func:`left_inner_enrichment_join` — ``flink/runtime/LeftInnerJoinKeyedCoProcessFunction.scala:40-103``
+  (ListState buffers lefts until the first right arrives; each left emits once).
+- :func:`scan` — general user fold, ``flink/runtime/ScanProcessFunction.scala:17,66``.
+
+Design: both sides are tagged and unioned into one keyed stream (the analog of
+Flink ``connect().keyBy()``); rows are carried as JSON structs so one state
+machine handles arbitrary schemas, and per-key state is a small struct of JSON
+strings — the exact shape of the reference's ValueState-of-record. Within a
+microbatch records are processed in ``(seq, side)`` order (right-before-left on
+ties, matching the batch realization in ``operators.joins``); across
+microbatches, arrival order *is* the order — which is precisely the reference's
+contract (processing order = arrival order, doc/Milan Operations.md:27-51).
+
+Emission is append-mode and genuinely per-record — these operators reproduce
+the reference's every-element cadence exactly (not the microbatch relaxation
+that windowed aggregates use).
+
+Scale: state is partitioned by join key across executors (RocksDB/HDFS state
+store), identical to the reference's keyed state distribution; the JSON
+encode/decode is Arrow-batched per microbatch. At 100 TB the bottleneck is the
+state store, not this wrapper — same as Flink.
+"""
+
+from __future__ import annotations
+
+import json
+from typing import Callable, Iterator, Sequence
+
+from pyspark.sql import Column, DataFrame, functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.types import StringType, StructField, StructType
+
+from milan_spark.operators.joins import _normalize_on, _prefixed
+from milan_spark.session import SEQ_COL
+
+_STATE_1 = StructType([StructField("r", StringType(), True)])
+_STATE_2 = StructType(
+    [StructField("l", StringType(), True), StructField("r", StringType(), True)]
+)
+_STATE_BUF = StructType(
+    [StructField("r", StringType(), True), StructField("buf", StringType(), True)]
+)
+
+
+def _tagged_union(
+    left: DataFrame,
+    right: DataFrame,
+    left_on: Sequence[str],
+    right_on: Sequence[str],
+    left_seq: str,
+    right_seq: str,
+) -> DataFrame:
+    """Union both sides as (key…, ord, side, payload-JSON) — the Structured
+    Streaming analog of Flink ``left.connect(right).keyBy(lk, rk)``."""
+    l = left.select(
+        *[F.col(c).alias(f"__key{i}") for i, c in enumerate(left_on)],
+        F.col(left_seq).cast("long").alias("__ord"),
+        F.lit(1).alias("__side"),
+        F.to_json(F.struct(*left.columns)).alias("__payload"),
+    )
+    r = right.select(
+        *[F.col(c).alias(f"__key{i}") for i, c in enumerate(right_on)],
+        F.col(right_seq).cast("long").alias("__ord"),
+        F.lit(0).alias("__side"),
+        F.to_json(F.struct(*right.columns)).alias("__payload"),
+    )
+    return l.unionByName(r)
+
+
+def _key_fields(union_df: DataFrame, n_keys: int) -> list[StructField]:
+    schema = union_df.schema
+    return [schema[f"__key{i}"] for i in range(n_keys)]
+
+
+def _out_schema(key_fields: list[StructField]) -> StructType:
+    return StructType(
+        list(key_fields)
+        + [StructField("__l", StringType(), True), StructField("__r", StringType(), True)]
+    )
+
+
+def _pair_project(
+    paired: DataFrame,
+    left: DataFrame,
+    right: DataFrame,
+    left_on: Sequence[str],
+    right_on: Sequence[str],
+    right_prefix: str,
+    residual: Callable[[Column, Column], Column] | None,
+) -> DataFrame:
+    """JSON pair → flat output columns; key columns come from the partition
+    key (never the possibly-null side), mirroring ``operators.joins._pair_output``."""
+    lcols, rcols = list(left.columns), list(right.columns)
+    lstruct = F.from_json("__l", left.schema)
+    rstruct = F.from_json("__r", right.schema)
+    out = paired.withColumn("__ls", lstruct).withColumn("__rs", rstruct)
+    if residual is not None:
+        out = out.filter(residual(F.col("__ls"), F.col("__rs")))
+    rename = _prefixed(lcols, rcols, right_prefix)
+    lkey = {c: f"__key{i}" for i, c in enumerate(left_on)}
+    rkey = {c: f"__key{i}" for i, c in enumerate(right_on)}
+    cols = [
+        (F.col(lkey[c]) if c in lkey else F.col(f"__ls.{c}")).alias(c) for c in lcols
+    ]
+    cols += [
+        (F.col(rkey[c]) if c in rkey else F.col(f"__rs.{c}")).alias(rename[c])
+        for c in rcols
+    ]
+    return out.select(*cols)
+
+
+def _run_state_machine(
+    union_df: DataFrame,
+    n_keys: int,
+    step,
+    state_schema: StructType,
+    init_state: tuple,
+) -> DataFrame:
+    """Group by key and drive ``step(state_tuple, side, payload) ->
+    (state_tuple, [emitted (l_json, r_json)])`` over records in order."""
+    import pandas as pd
+
+    key_cols = [f"__key{i}" for i in range(n_keys)]
+    out_schema = _out_schema(_key_fields(union_df, n_keys))
+
+    def fn(key, pdf_iter: Iterator["pd.DataFrame"], state: GroupState):
+        chunks = [p for p in pdf_iter if len(p)]
+        if not chunks:
+            return
+        pdf = pd.concat(chunks) if len(chunks) > 1 else chunks[0]
+        # right (side=0) before left on seq ties — same order as the batch
+        # window realization orderBy(__ord, __side)
+        pdf = pdf.sort_values(["__ord", "__side"], kind="stable")
+        st = tuple(state.get) if state.exists else init_state
+        out_l, out_r = [], []
+        for side, payload in zip(pdf["__side"], pdf["__payload"]):
+            st, emitted = step(st, int(side), payload)
+            for l, r in emitted:
+                out_l.append(l)
+                out_r.append(r)
+        state.update(st)
+        if out_l:
+            res = {c: [key[i]] * len(out_l) for i, c in enumerate(key_cols)}
+            res["__l"] = out_l
+            res["__r"] = out_r
+            yield pd.DataFrame(res)
+
+    return union_df.groupBy(*key_cols).applyInPandasWithState(
+        fn, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout
+    )
+
+
+def left_enrichment_join(
+    left: DataFrame,
+    right: DataFrame,
+    on=None,
+    *,
+    left_on: Sequence[str] = (),
+    right_on: Sequence[str] = (),
+    left_seq: str = SEQ_COL,
+    right_seq: str = SEQ_COL,
+    residual: Callable[[Column, Column], Column] | None = None,
+    right_prefix: str = "r_",
+) -> DataFrame:
+    """Streaming Milan LeftJoin: right arrivals update per-key state, each left
+    arrival emits (left, lastRight-or-null), residual-gated
+    (LeftJoinKeyedCoProcessFunction.scala:41-80)."""
+    left_on, right_on = _normalize_on(on, left_on, right_on)
+    u = _tagged_union(left, right, left_on, right_on, left_seq, right_seq)
+
+    def step(st, side, payload):
+        if side == 0:
+            return (payload,), []
+        return st, [(payload, st[0])]
+
+    paired = _run_state_machine(u, len(left_on), step, _STATE_1, (None,))
+    return _pair_project(paired, left, right, left_on, right_on, right_prefix, residual)
+
+
+def full_enrichment_join(
+    left: DataFrame,
+    right: DataFrame,
+    on=None,
+    *,
+    left_on: Sequence[str] = (),
+    right_on: Sequence[str] = (),
+    left_seq: str = SEQ_COL,
+    right_seq: str = SEQ_COL,
+    residual: Callable[[Column, Column], Column] | None = None,
+    right_prefix: str = "r_",
+) -> DataFrame:
+    """Streaming Milan FullJoin: either-side arrival emits
+    (lastLeft, lastRight) with the arriver as its own side's latest
+    (FullJoinKeyedCoProcessFunction.scala:43-88)."""
+    left_on, right_on = _normalize_on(on, left_on, right_on)
+    u = _tagged_union(left, right, left_on, right_on, left_seq, right_seq)
+
+    def step(st, side, payload):
+        last_l, last_r = st
+        if side == 1:
+            last_l = payload
+        else:
+            last_r = payload
+        return (last_l, last_r), [(last_l, last_r)]
+
+    paired = _run_state_machine(u, len(left_on), step, _STATE_2, (None, None))
+    return _pair_project(paired, left, right, left_on, right_on, right_prefix, residual)
+
+
+def left_inner_enrichment_join(
+    left: DataFrame,
+    right: DataFrame,
+    on=None,
+    *,
+    left_on: Sequence[str] = (),
+    right_on: Sequence[str] = (),
+    left_seq: str = SEQ_COL,
+    right_seq: str = SEQ_COL,
+    residual: Callable[[dict, dict], bool] | None = None,
+    right_prefix: str = "r_",
+) -> DataFrame:
+    """Streaming Milan LeftInnerJoin: lefts buffer (ListState) until the first
+    matching right; afterwards lefts pair immediately with the latest right.
+    Each left emits at most once (LeftInnerJoinKeyedCoProcessFunction.scala:40-103).
+
+    Unlike the batch realization, a ``residual`` is supported here — a Python
+    predicate ``(left_dict, right_dict) -> bool`` evaluated inside the state
+    machine (the reference's postCondition hook,
+    LeftInnerJoinKeyedCoProcessFunction.scala:55-60): a left that fails it
+    against a right *stays buffered* for the next right — the genuinely
+    stateful re-match semantics a post-join filter cannot express.
+    """
+    left_on, right_on = _normalize_on(on, left_on, right_on)
+    u = _tagged_union(left, right, left_on, right_on, left_seq, right_seq)
+    match = (lambda l, r: True) if residual is None else (
+        lambda l, r: bool(residual(json.loads(l), json.loads(r)))
+    )
+
+    def step(st, side, payload):
+        last_r, buf_json = st
+        buf = json.loads(buf_json) if buf_json else []
+        if side == 1:
+            if last_r is not None and match(payload, last_r):
+                return (last_r, buf_json), [(payload, last_r)]
+            buf.append(payload)
+            return (last_r, json.dumps(buf)), []
+        emitted = [(l, payload) for l in buf if match(l, payload)]
+        kept = [l for l in buf if not match(l, payload)]
+        return (payload, json.dumps(kept) if kept else None), emitted
+
+    paired = _run_state_machine(u, len(left_on), step, _STATE_BUF, (None, None))
+    return _pair_project(paired, left, right, left_on, right_on, right_prefix, None)
+
+
+def scan(
+    sdf: DataFrame,
+    fold: Callable,
+    *,
+    initial_state,
+    output_schema,
+    keys: Sequence[str] = (),
+    seq: str = SEQ_COL,
+) -> DataFrame:
+    """Streaming Milan Scan (ScanProcessFunction.scala:17,66): general user
+    fold ``(state, record) -> (state, out_dict_or_None)`` in arrival order per
+    key; state persists across microbatches (per-key JSON value state, the
+    analog of the reference's serialized ValueState).
+
+    Contract matches the batch ``operators.scans.scan``: records arrive as
+    named tuples, state must be JSON-serializable.
+    """
+    import pandas as pd
+
+    key_list = list(keys)
+    grouped = sdf.groupBy(*key_list) if key_list else sdf.groupBy(F.lit(1).alias("__g"))
+    out_schema = (
+        StructType.fromDDL(output_schema) if isinstance(output_schema, str) else output_schema
+    )
+
+    def fn(key, pdf_iter: Iterator["pd.DataFrame"], state: GroupState):
+        chunks = [p for p in pdf_iter if len(p)]
+        if not chunks:
+            return
+        pdf = pd.concat(chunks) if len(chunks) > 1 else chunks[0]
+        pdf = pdf.sort_values(seq, kind="stable")
+        st = json.loads(state.get[0]) if state.exists else initial_state
+        rows = []
+        for rec in pdf.itertuples(index=False):
+            st, out = fold(st, rec)
+            if out is not None:
+                rows.append(out)
+        state.update((json.dumps(st),))
+        if rows:
+            yield pd.DataFrame(rows, columns=[f.name for f in out_schema.fields])
+
+    return grouped.applyInPandasWithState(
+        fn, out_schema, _STATE_1, "append", GroupStateTimeout.NoTimeout
+    )
