@@ -41,6 +41,9 @@ def main() -> None:
         except Exception as e:  # a failing query must not hide the others
             timings[name] = -1.0
             print(f"bench error in {name}: {e}", file=sys.stderr)
+        # multi-pass operators persist intermediates internally; drop them so
+        # later queries aren't measured under accumulated heap pressure
+        spark.catalog.clearCache()
 
     total = round(sum(t for t in timings.values() if t >= 0), 4)
     m = re.search(r"sf([0-9.]+)", sf_dir)

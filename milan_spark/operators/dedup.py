@@ -1,11 +1,11 @@
 """Deduplication operators for LLM data pipelines (SURVEY.md §7 phase 6).
 
-Four families, all shuffle-scalable DataFrame plans (no Python UDFs, no
-driver-side loops):
+Four families, all shuffle-scalable DataFrame plans (no driver-side loops):
 
 - exact       — hash group-by on content, earliest id survives;
-- n-gram Jaccard — exact pairwise similarity via an inverted shingle index
-  (explode → self-join on shingle → count shared / union);
+- n-gram Jaccard — exact pairwise similarity, corpus-adaptive between an
+  inverted-index count join and a broadcast dense-intersection matmul (see
+  :func:`ngram_jaccard_pairs`);
 - MinHash+LSH — signature = min over shingle hashes under k affine
   permutations; banding buckets candidates (join on a single band-hash long),
   candidates are verified with the exact Jaccard so the output contains no
@@ -15,16 +15,21 @@ driver-side loops):
   into 4 × 16-bit chunks for candidate generation (Hamming ≤ 3 ⇒ at least one
   chunk matches exactly), verified with bit_count(xor).
 
-All hash arithmetic is integer-exact (see operators.text) so every pipeline
-is reproducible bit-for-bit and oracle-checkable in ANSI SQL.
+Heavy per-element math (permutation minima, intersection counting) runs as
+Arrow-vectorized numpy kernels where the SQL-expression form would evaluate
+interpreted per array element; all candidate generation and verification
+joins stay JVM-side. All verification arithmetic is integer-exact, so every
+pipeline is reproducible bit-for-bit and oracle-checkable in ANSI SQL.
 
 At 100 TB these are the standard distributed formulations: the shingle
 inverted index and LSH band buckets shuffle on content-derived keys (uniform
-by construction), and frequency caps (``max_shingle_freq``) bound the
-worst-case join fan-out on stop-shingles.
+by construction); multi-pass operators persist their small derived indexes,
+never the input text.
 """
 
 from __future__ import annotations
+
+import pandas as pd  # module-level so pandas_udf annotations resolve under PEP 563
 
 from pyspark.sql import Column, DataFrame, Window as W, functions as F
 
@@ -57,9 +62,14 @@ def shingles(tokens: Column, n: int) -> Column:
 
 
 def _shingle_sets(df: DataFrame, id_col: str, text_col: str, n: int) -> DataFrame:
-    return df.select(
-        F.col(id_col).alias("__id"), shingles(tokenize(text_col), n).alias("__sh")
-    ).filter(F.array_size("__sh") > 0)
+    # Tokens are projected FIRST so the shingle lambda references a bound
+    # column, not the tokenize expression: inlined, the regex would re-run per
+    # shingle position (CollapseProject keeps the two-step split because the
+    # alias is non-cheap and multiply referenced). No emptiness filter either:
+    # pushed below the projection it would evaluate the shingle expression
+    # twice per row, and empty sets are inert downstream anyway.
+    toks = df.select(F.col(id_col).alias("__id"), tokenize(text_col).alias("__tk"))
+    return toks.select("__id", shingles(F.col("__tk"), n).alias("__sh"))
 
 
 def _verify_jaccard(cands: DataFrame, sets: DataFrame, threshold: float) -> DataFrame:
@@ -83,35 +93,100 @@ def ngram_jaccard_pairs(
     text_col: str,
     n: int = 2,
     threshold: float = 0.8,
+    dense_max_cells: int = 64_000_000,
 ) -> DataFrame:
     """Exact near-duplicate pairs: Jaccard over distinct word n-grams ≥
-    threshold, via a **prefix-filtered** inverted index (SSJoin/PPJoin
-    family): each document indexes only its ⌈(1-τ)·|s|⌉+1 globally-rarest
-    shingles — any pair with J ≥ τ must collide on at least one prefix
-    shingle (pigeonhole on the canonical rarest-first order), so candidate
-    generation is exact while stop-shingles never fan out. Candidates are
-    then verified with the exact Jaccard.
+    threshold. Corpus-adaptive between two exact plans, chosen from measured
+    index statistics (vocabulary size V, corpus size N):
 
-    This is the 100 TB formulation: the naive inverted index explodes
-    quadratically on frequent shingles; the prefix filter bounds fan-out by
-    document length, not corpus frequency.
+    - **Inverted-index counting** (default): explode shingles, self-join the
+      index, and count shared shingles in the join's partial aggregation —
+      J = c/(na+nb-c) from counts alone, so the shuffle never carries shingle
+      arrays per pair. Fan-out on a shingle with doc-frequency f is f²; fine
+      for natural corpora where V is large and f small.
+    - **Dense intersection matmul** (when V·N ≤ ``dense_max_cells``):
+      templated/boilerplate corpora invert the regime — V tiny, every shingle
+      a stop-shingle with f ≈ N, so the index self-join degenerates to ~V·N²
+      rows. Instead each doc becomes a V-wide 0/1 row; a broadcast BLAS
+      matmul yields ALL pairwise intersection counts exactly (counts < 2²⁴
+      are exact in float32). Shingles with f = 1 are dropped from the vocab
+      (they intersect nothing); true set sizes still drive the union term.
+
+    Both plans emit identical results; thresholds/rounding match the SQL
+    formulation bit-for-bit. At larger N with small V, tile the broadcast
+    side block-by-block (the per-block kernel is unchanged); when neither
+    regime is tractable the corpus is pathologically self-similar and the
+    approximate paths (:func:`minhash_lsh_pairs`, :func:`simhash_pairs`) are
+    the scale answer.
     """
     sets = _shingle_sets(df, id_col, text_col, n)
-    ex = sets.select("__id", F.array_size("__sh").alias("__n"), F.explode("__sh").alias("__s"))
-    freq = ex.groupBy("__s").agg(F.count(F.lit(1)).alias("__f"))
-    # canonical order: rarest shingle first, shingle text as tiebreak
-    w = W.partitionBy("__id").orderBy("__f", "__s")
-    prefix_len = F.ceil(F.lit(1.0 - threshold) * F.col("__n")).cast("int") + 1
-    prefix = (
-        ex.join(freq, "__s")
-        .withColumn("__rk", F.row_number().over(w))
-        .filter(F.col("__rk") <= prefix_len)
-        .select("__id", "__s")
+    ex = sets.select(
+        "__id", F.array_size("__sh").alias("__n"), F.explode("__sh").alias("__s")
+    ).select("__id", "__n", F.xxhash64("__s").alias("__h"))
+    # the shingle pipeline feeds the stats probe, both sides of the self-join,
+    # and (dense path) two more passes — persist the small index, not the text
+    ex = ex.persist()
+    freq = ex.groupBy("__h").agg(F.count(F.lit(1)).alias("__f")).filter(F.col("__f") >= 2)
+    v, n_docs = freq.count(), df.count()
+    if v * n_docs <= dense_max_cells:
+        return _jaccard_dense(ex, freq, v, threshold)
+
+    a = ex.select(F.col("__id").alias("id_a"), F.col("__n").alias("__na"), "__h")
+    b = ex.select(F.col("__id").alias("id_b"), F.col("__n").alias("__nb"), "__h")
+    shared = (
+        a.join(b, "__h")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b", "__na", "__nb")
+        .agg(F.count(F.lit(1)).alias("__c"))
     )
-    a = prefix.select(F.col("__id").alias("id_a"), "__s")
-    b = prefix.select(F.col("__id").alias("id_b"), "__s")
-    cands = a.join(b, "__s").filter(F.col("id_a") < F.col("id_b")).select("id_a", "id_b").distinct()
-    return _verify_jaccard(cands, sets, threshold)
+    jac = F.col("__c") / (F.col("__na") + F.col("__nb") - F.col("__c"))
+    return shared.filter(jac >= threshold).select(
+        "id_a", "id_b", F.round(jac, 6).alias("jaccard")
+    )
+
+
+def _jaccard_dense(ex: DataFrame, freq: DataFrame, v: int, threshold: float) -> DataFrame:
+    """All-pairs exact Jaccard via broadcast 0/1 matmul (small-vocab regime)."""
+    import numpy as np
+
+    vocab = freq.select("__h").withColumn(
+        "__ix", F.row_number().over(W.orderBy("__h")) - 1
+    )
+    docs = (
+        ex.join(F.broadcast(vocab), "__h")
+        .groupBy("__id", "__n")
+        .agg(F.collect_list("__ix").alias("__ixs"))
+    ).persist()  # driver broadcast pass + distributed block pass
+
+    def to_mat(pdf):
+        ids = pdf["__id"].to_numpy(np.int64)
+        ns = pdf["__n"].to_numpy(np.int64)
+        m = np.zeros((len(ids), v), np.float32)
+        for i, ixs in enumerate(pdf["__ixs"]):
+            m[i, np.asarray(ixs, np.int64)] = 1.0
+        return ids, ns, m
+
+    local = docs.toPandas()
+    b_ids, b_ns, b_mat = (
+        docs.sparkSession.sparkContext.broadcast(x) for x in to_mat(local)
+    )
+
+    def block(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            ids, ns, m = to_mat(pdf)
+            c = (m @ b_mat.value.T).astype(np.float64)  # exact: counts < 2^24
+            jac = c / (ns[:, None] + b_ns.value[None, :] - c)
+            li, ri = np.nonzero((jac >= threshold) & (ids[:, None] < b_ids.value[None, :]))
+            yield pd.DataFrame(
+                {"id_a": ids[li], "id_b": b_ids.value[ri], "__j": jac[li, ri]}
+            )
+
+    out = docs.mapInPandas(block, schema="id_a long, id_b long, __j double")
+    return out.select("id_a", "id_b", F.round("__j", 6).alias("jaccard"))
 
 
 def minhash_lsh_pairs(
@@ -126,52 +201,48 @@ def minhash_lsh_pairs(
     """MinHash+LSH near-duplicate pairs, exact-verified.
 
     Permutations are affine maps h_i(x) = ((2i+1)·x + i²+17) mod 2^31-1 over
-    base shingle hashes; band signature folds its rows into one long join key.
+    xxhash64 shingle hashes (candidates are exact-verified, so the hash needs
+    no SQL-oracle twin); band signature folds its rows into one long join key.
     With 32 bands × 2 rows, P[miss] at jaccard τ is (1-τ²)^32 — 4e-15 at
     τ=0.8 — and every candidate is verified exactly, so output = exact pairs.
+
+    Signature stage: shingle hashing stays JVM-side (``xxhash64`` per
+    shingle); the 64 permutation-minima + band folds are ONE vectorized
+    Pandas UDF pass (a (num_hashes × |set|) numpy broadcast per doc) —
+    the expression formulation (64 ``array_min(transform(...))`` columns)
+    evaluates interpreted per element and costs seconds of Janino compile.
+    Signatures shuffle only at the (band, sig) candidate join, whose keys
+    are uniform by construction; band-fold collisions only add candidates,
+    which exact verification removes.
     """
+    import numpy as np
+
     rows_per_band = num_hashes // bands
-    sets = _shingle_sets(df, id_col, text_col, n)
-    base = sets.select(
-        "__id",
-        F.explode(
-            F.transform(
-                F.col("__sh"),
-                lambda s: F.aggregate(
-                    F.regexp_extract_all(s, F.lit("."), 0),
-                    F.lit(0).cast("long"),
-                    lambda acc, ch: (acc * 31 + F.ascii(ch)) % P31,
-                ),
-            )
-        ).alias("__h"),
-    )
-    # minhash per (doc, permutation i): explode the permutation index
-    perms = base.select(
-        "__id",
-        "__h",
-        F.explode(F.sequence(F.lit(0), F.lit(num_hashes - 1))).alias("__i"),
-    )
-    mh = (
-        perms.withColumn(
-            "__mh",
-            ((F.lit(2) * F.col("__i") + 1) * F.col("__h") + F.col("__i") * F.col("__i") + 17) % P31,
-        )
-        .groupBy("__id", "__i")
-        .agg(F.min("__mh").alias("__mh"))
-    )
-    # fold each band's rows into a single long signature (order by i); the
-    # fold stays below 2^37 (acc < 2^31, ×37) so it never overflows int64.
-    # Fold collisions only add candidates — exact verification removes them.
-    band_sig = (
-        mh.withColumn("__band", (F.col("__i") / rows_per_band).cast("int"))
-        .groupBy("__id", "__band")
-        .agg(
-            F.aggregate(
-                F.array_sort(F.collect_list(F.struct("__i", "__mh"))),
-                F.lit(0).cast("long"),
-                lambda acc, s: (acc * 37 + s["__mh"]) % P31,
-            ).alias("__sig")
-        )
+    # reused by the signature build and both sides of the verify join
+    sets = _shingle_sets(df, id_col, text_col, n).persist()
+    hs = F.transform("__sh", lambda s: F.pmod(F.xxhash64(s), F.lit(P31)))
+    doc = sets.select("__id", hs.alias("__hs"))
+    coef_a = 2 * np.arange(num_hashes, dtype=np.int64)[:, None] + 1
+    coef_b = (np.arange(num_hashes, dtype=np.int64) ** 2 + 17)[:, None]
+
+    @F.pandas_udf("array<long>")
+    def band_sigs(hss: pd.Series) -> pd.Series:
+        out = []
+        for arr in hss:
+            h = np.asarray(arr, np.int64)
+            if h.size == 0:
+                out.append(None)
+                continue
+            # (2i+1)·h + i²+17 stays < 2^39 — exact in int64
+            mh = ((coef_a * h[None, :] + coef_b) % P31).min(axis=1)
+            acc = np.zeros(bands, np.int64)
+            for j in range(rows_per_band):
+                acc = (acc * 37 + mh[j::rows_per_band][: bands]) % P31
+            out.append(acc)
+        return pd.Series(out)
+
+    band_sig = doc.select(
+        "__id", F.posexplode(band_sigs("__hs")).alias("__band", "__sig")
     )
     a = band_sig.select(F.col("__id").alias("id_a"), "__band", "__sig")
     b = band_sig.select(F.col("__id").alias("id_b"), "__band", "__sig")
@@ -219,7 +290,7 @@ def simhash_pairs(
     Candidates via 4 × 16-bit chunk equality (pigeonhole: ≤3 differing bits
     leave ≥1 of 4 chunks identical), then exact bit_count(xor) verification.
     """
-    sh = simhash(df, id_col, text_col)
+    sh = simhash(df, id_col, text_col).persist()  # self-joined below
     chunks = sh.select(
         F.col(id_col).alias("__id"),
         "simhash",
