@@ -83,4 +83,8 @@ def _ensure_loaded():
         from milan_spark.queries import streaming  # noqa: F401
     except ImportError:
         pass
+    try:
+        from milan_spark.queries import advanced  # noqa: F401
+    except ImportError:
+        pass
     _loaded = True

@@ -1,0 +1,61 @@
+"""Iterative graph operators built on the cycle surface (SURVEY.md §2.7).
+
+The reference's only iteration construct is the feedback Cycle
+(``beginCycle``/``closeCycle``, lang/Stream.scala:143-147, IR
+StreamExpressions.scala:141); its event compiler rejects cycles outright.
+Here iteration is the batch fixpoint loop ``Stream.iterate`` (driver-driven,
+lineage-truncated per round) — the same realization the reference's Boda
+sample documents as the workaround (milan-samples/.../bodaboda/BodaApp.scala:60-69).
+
+``connected_components`` is the canonical use: collapsing near-duplicate
+*pairs* into dedup *clusters* (keep one document per component) — the step a
+real corpus-dedup pipeline needs after any pair generator in
+``operators.dedup``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def connected_components(
+    pairs: DataFrame,
+    a_col: str = "id_a",
+    b_col: str = "id_b",
+    max_iterations: int = 50,
+) -> DataFrame:
+    """Min-label propagation to a fixpoint: every node ends up labeled with
+    the smallest node id in its component. Returns (node, label).
+
+    Each round is one distributed join + min-aggregate; convergence is
+    checked with a count of changed labels. Rounds needed = graph diameter —
+    near-duplicate clusters are dense and shallow (diameter ≲ 3), so this
+    beats the O(log n) large-star/small-star alternation in constant factors
+    while staying a two-line plan. Lineage is truncated every round
+    (``Stream.iterate`` localCheckpoints), so plans stay flat regardless of
+    iteration count.
+    """
+    from milan_spark.stream import Stream
+
+    fwd = pairs.select(F.col(a_col).alias("u"), F.col(b_col).alias("v"))
+    edges = fwd.unionByName(
+        fwd.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    ).persist()
+    labels = edges.select(F.col("u").alias("n")).distinct().withColumn("l", F.col("n"))
+
+    def body(s: Stream) -> Stream:
+        lab = s.df
+        msgs = edges.join(lab, edges["v"] == lab["n"]).select(
+            edges["u"].alias("n"), lab["l"].alias("l")
+        )
+        new = (
+            lab.unionByName(msgs).groupBy("n").agg(F.min("l").alias("l"))
+        )
+        return Stream.from_dataframe(new)
+
+    def converged(old: DataFrame, new: DataFrame) -> bool:
+        o = old.select("n", F.col("l").alias("__lo"))
+        return new.join(o, "n").filter(F.col("l") != F.col("__lo")).count() == 0
+
+    out = Stream.from_dataframe(labels).iterate(body, max_iterations, converged)
+    return out.to_df().select(F.col("n").alias("node"), F.col("l").alias("label"))

@@ -1,0 +1,173 @@
+"""Coverage queries for the remaining SURVEY §2 operator surface: grouped
+flat-map, whole-window apply, the ApplyFunction UDF escape hatch, CSV
+source/sink round-trip, and cycle-based connected components (dedup
+clusters) — each with an exact DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+import tempfile
+
+import pandas as pd  # module-level so pandas_udf annotations resolve under PEP 563
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from milan_spark.catalog import register
+from milan_spark.operators.graph import connected_components
+from milan_spark.queries.llm_pipeline import _SQL_SHINGLES
+from milan_spark.sources import file_source, table
+from milan_spark.stream import Stream
+
+
+@register(
+    "grouped_flat_map",
+    doc="Milan GroupedStream FlatMap (StreamExpressions.scala:327, doc/Milan "
+    "Operations.md:79-97): per-user transform of the group's sub-stream "
+    "(arrival index per user), groups merged back into one stream.",
+    oracle="""
+SELECT user_id, event_id,
+       ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY event_id) AS idx
+FROM events
+""",
+)
+def grouped_flat_map_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events").select("user_id", "event_id")
+
+    def arrival_index(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("event_id").copy()
+        pdf["idx"] = range(1, len(pdf) + 1)
+        return pdf
+
+    return (
+        Stream.from_dataframe(ev)
+        .group_by("user_id")
+        .flat_map(arrival_index, "user_id long, event_id long, idx long")
+        .to_df()
+    )
+
+
+@register(
+    "tumbling_window_apply",
+    doc="Milan WindowApply (StreamExpressions.scala:383, "
+    "RecordWindowGenerator.scala:19): whole-window UDF over daily tumbling "
+    "windows — distinct users and value span per window.",
+    oracle="""
+SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS window_start,
+       COUNT(DISTINCT user_id) AS n_users,
+       MAX(value) - MIN(value) AS value_span
+FROM events GROUP BY 1
+""",
+)
+def tumbling_window_apply_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+
+    def window_stats(pdf: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "window_start": [pdf["window_start"].iloc[0]],
+                "n_users": [pdf["user_id"].nunique()],
+                "value_span": [pdf["value"].max() - pdf["value"].min()],
+            }
+        )
+
+    return (
+        Stream.from_dataframe(ev)
+        .tumbling_window("ts", "1 day")
+        .apply(window_stats, "window_start timestamp, n_users long, value_span double")
+        .to_df()
+    )
+
+
+@register(
+    "udf_escape_hatch",
+    doc="Milan ApplyFunction (Expression.scala:407, "
+    "ConvertExpressionHost.scala:253-269) — the arbitrary-user-function "
+    "escape hatch, realized as an Arrow-vectorized pandas UDF rather than "
+    "the reference's row-at-a-time reflective call.",
+    oracle="""
+SELECT event_id, value, CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+FROM events
+""",
+)
+def udf_escape_hatch_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events").select("event_id", "value")
+
+    def to_cents(v: pd.Series) -> pd.Series:
+        import numpy as np
+
+        return pd.Series(np.floor(v * 100 + 0.5).astype("int64"))
+
+    return (
+        Stream.from_dataframe(ev)
+        .apply_function(to_cents, "long", "value", alias="cents")
+        .to_df()
+    )
+
+
+@register(
+    "csv_roundtrip",
+    doc="CsvDataOutputFormat → CsvDataInputFormat round-trip "
+    "(dataformats/CsvDataOutputFormat.scala:1, CsvDataInputFormat.scala:42-48): "
+    "write events as CSV, read back with an explicit schema, aggregate. "
+    "Doubles survive because Spark writes shortest round-trip decimal forms.",
+    oracle="""
+SELECT event_type, COUNT(*) AS n,
+       SUM(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS cents
+FROM events GROUP BY 1
+""",
+)
+def csv_roundtrip_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events").select("event_id", "event_type", "value")
+    out = tempfile.mkdtemp(prefix="milan_csv_")
+    Stream.from_dataframe(ev).write_file(out, fmt="csv", header="true")
+    back = file_source(
+        spark,
+        out,
+        fmt="csv",
+        schema="event_id long, event_type string, value double",
+        options={"header": "true"},
+    )
+    return back.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.floor(F.col("value") * 100 + 0.5).cast("long")).alias("cents"),
+    )
+
+
+@register(
+    "dedup_clusters",
+    doc="Milan Cycle (StreamExpressions.scala:141, lang/Stream.scala:143-147) "
+    "driving min-label propagation to a fixpoint: near-duplicate pairs "
+    "(MinHash-LSH, exact-verified) collapsed into dedup clusters — "
+    "cluster_id = smallest doc_id in the connected component.",
+    oracle=_SQL_SHINGLES.replace("WITH toks", "WITH RECURSIVE toks", 1)
+    + """
+, ex AS (
+  SELECT doc_id, unnest(shingles) AS s FROM sh
+), jpairs AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS shared
+  FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+), sizes AS (SELECT doc_id, len(shingles) AS n FROM sh
+), edges0 AS (
+  SELECT id_a, id_b
+  FROM jpairs JOIN sizes sa ON id_a = sa.doc_id JOIN sizes sb ON id_b = sb.doc_id
+  WHERE shared * 1.0 / (sa.n + sb.n - shared) >= 0.8
+), edges AS (
+  SELECT id_a AS u, id_b AS v FROM edges0
+  UNION
+  SELECT id_b, id_a FROM edges0
+), reach AS (
+  SELECT u, v FROM edges
+  UNION
+  SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u
+)
+SELECT u AS doc_id, LEAST(u, MIN(v)) AS cluster_id FROM reach GROUP BY u
+""",
+)
+def dedup_clusters_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from milan_spark.operators.dedup import minhash_lsh_pairs
+
+    docs = table(spark, sf_dir, "documents")
+    pairs = minhash_lsh_pairs(docs, "doc_id", "text", n=2, threshold=0.8)
+    cc = connected_components(pairs, "id_a", "id_b")
+    return cc.select(F.col("node").alias("doc_id"), F.col("label").alias("cluster_id"))
