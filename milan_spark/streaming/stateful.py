@@ -307,3 +307,55 @@ def scan(
     return grouped.applyInPandasWithState(
         fn, out_schema, _STATE_1, "append", GroupStateTimeout.NoTimeout
     )
+
+
+def record_window_apply(
+    sdf: DataFrame,
+    n: int,
+    fn: Callable,
+    *,
+    output_schema,
+    keys: Sequence[str] = (),
+    seq: str = SEQ_COL,
+) -> DataFrame:
+    """Streaming Milan SlidingRecordWindow + apply (GroupingExpressions.scala:104,
+    RecordWindowGenerator.scala:19): per key, hold the last ``n`` records
+    (bounded list state — the reference uses a priority-queue ValueState,
+    flink/types/PriorityQueueTypeInformation.scala:1) and on every arrival
+    emit ``fn(window_rows)`` over the trailing window including the arrival.
+
+    ``fn(rows: list[dict]) -> dict | None`` — rows oldest-first; None emits
+    nothing for that arrival. State is bounded at n rows per key by
+    construction, the property that makes record windows safe at scale.
+    """
+    import pandas as pd
+
+    key_list = list(keys)
+    grouped = sdf.groupBy(*key_list) if key_list else sdf.groupBy(F.lit(1).alias("__g"))
+    out_schema = (
+        StructType.fromDDL(output_schema) if isinstance(output_schema, str) else output_schema
+    )
+    payload_cols = [c for c in sdf.columns]
+
+    def run(key, pdf_iter: Iterator["pd.DataFrame"], state: GroupState):
+        chunks = [p for p in pdf_iter if len(p)]
+        if not chunks:
+            return
+        pdf = pd.concat(chunks) if len(chunks) > 1 else chunks[0]
+        pdf = pdf.sort_values(seq, kind="stable")
+        buf = json.loads(state.get[0]) if state.exists else []
+        rows = []
+        for rec in pdf[payload_cols].to_dict("records"):
+            buf.append(rec)
+            if len(buf) > n:
+                buf.pop(0)
+            out = fn(list(buf))
+            if out is not None:
+                rows.append(out)
+        state.update((json.dumps(buf),))
+        if rows:
+            yield pd.DataFrame(rows, columns=[f.name for f in out_schema.fields])
+
+    return grouped.applyInPandasWithState(
+        run, out_schema, _STATE_1, "append", GroupStateTimeout.NoTimeout
+    )
