@@ -359,3 +359,64 @@ def record_window_apply(
     return grouped.applyInPandasWithState(
         run, out_schema, _STATE_1, "append", GroupStateTimeout.NoTimeout
     )
+
+
+def left_windowed_join_apply(
+    left: DataFrame,
+    right: DataFrame,
+    on=None,
+    *,
+    fn: Callable,
+    output_schema,
+    window_n: int | None = None,
+    left_on: Sequence[str] = (),
+    right_on: Sequence[str] = (),
+    left_seq: str = SEQ_COL,
+    right_seq: str = SEQ_COL,
+) -> DataFrame:
+    """Streaming Milan LeftWindowedJoin + apply (JoinExpressions.scala:210,
+    lang/JoinedWindowedStream.scala:27, FlatMapGenerator.scala:35): the right
+    stream's window contents are held as per-key state; each left arrival
+    emits ``fn(left_row, right_window_rows)``.
+
+    ``fn(left: dict, rights: list[dict]) -> dict | None`` — rights
+    oldest-first, only those that arrived before the left (temporal
+    semantics, exactly the reference's CoProcessFunction + right-window
+    state). ``window_n`` bounds the buffer to the last N right records
+    (record-window flavor); None keeps the full group (the reference's
+    group-window flavor — bounded instead by the keyspace, which is why the
+    record-window variant is the scale path).
+    """
+    import pandas as pd
+
+    left_on, right_on = _normalize_on(on, left_on, right_on)
+    u = _tagged_union(left, right, left_on, right_on, left_seq, right_seq)
+    key_cols = [f"__key{i}" for i in range(len(left_on))]
+    out_schema = (
+        StructType.fromDDL(output_schema) if isinstance(output_schema, str) else output_schema
+    )
+
+    def run(key, pdf_iter: Iterator["pd.DataFrame"], state: GroupState):
+        chunks = [p for p in pdf_iter if len(p)]
+        if not chunks:
+            return
+        pdf = pd.concat(chunks) if len(chunks) > 1 else chunks[0]
+        pdf = pdf.sort_values(["__ord", "__side"], kind="stable")
+        buf = json.loads(state.get[0]) if state.exists else []
+        rows = []
+        for side, payload in zip(pdf["__side"], pdf["__payload"]):
+            if side == 0:
+                buf.append(json.loads(payload))
+                if window_n is not None and len(buf) > window_n:
+                    buf.pop(0)
+            else:
+                out = fn(json.loads(payload), list(buf))
+                if out is not None:
+                    rows.append(out)
+        state.update((json.dumps(buf),))
+        if rows:
+            yield pd.DataFrame(rows, columns=[f.name for f in out_schema.fields])
+
+    return u.groupBy(*key_cols).applyInPandasWithState(
+        run, out_schema, _STATE_1, "append", GroupStateTimeout.NoTimeout
+    )

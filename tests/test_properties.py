@@ -1,0 +1,115 @@
+"""Property tests (Hypothesis): operator semantics vs pure-Python reference
+folds on randomized inputs — the tier the reference lacks (SURVEY §5
+'no property-based testing'; we add it on top of its three tiers).
+
+Each property drives the batch operator with an arbitrary interleaving of
+keyed arrivals and compares against a direct sequential state-machine fold —
+the definitional semantics from doc/Milan Operations.md. Integer values only,
+so equality is exact. Examples are capped: every example is a Spark job.
+"""
+
+from __future__ import annotations
+
+from hypothesis import HealthCheck, given, settings, strategies as st
+
+from pyspark.sql import functions as F
+
+from milan_spark.operators.joins import full_enrichment_join, left_enrichment_join
+from milan_spark.operators.scans import running_sum_by, stream_max_by
+from milan_spark.operators.windows import record_window
+
+SETTINGS = dict(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+
+# an arrival: (is_left, key, value); seq = position in the list
+arrivals = st.lists(
+    st.tuples(st.booleans(), st.integers(0, 3), st.integers(-5, 5)), min_size=1, max_size=24
+)
+keyed_values = st.lists(
+    st.tuples(st.integers(0, 2), st.integers(-9, 9)), min_size=1, max_size=24
+)
+
+
+def _sides(spark, evs):
+    left = [(i, k, v) for i, (is_l, k, v) in enumerate(evs) if is_l]
+    right = [(i, k, v) for i, (is_l, k, v) in enumerate(evs) if not is_l]
+    schema = "__seq long, k long, v long"
+    ldf = spark.createDataFrame(left or [(-1, -1, 0)], schema)
+    rdf = spark.createDataFrame(right or [(-1, -1, 0)], schema)
+    if not left:
+        ldf = ldf.filter("k >= 0")
+    if not right:
+        rdf = rdf.filter("k >= 0")
+    return left, right, ldf, rdf
+
+
+@given(arrivals)
+@settings(**SETTINGS)
+def test_left_enrichment_join_is_last_right_fold(spark, evs):
+    left, right, ldf, rdf = _sides(spark, evs)
+    out = left_enrichment_join(ldf, rdf, on="k", right_prefix="r_")
+    got = {r["__seq"]: r["r_v"] for r in out.collect()}
+    last_right: dict = {}
+    want = {}
+    for i, (is_l, k, v) in enumerate(evs):
+        if is_l:
+            want[i] = last_right.get(k)
+        else:
+            last_right[k] = v
+    assert got == want  # one output per left arrival, paired with last right
+
+
+@given(arrivals)
+@settings(**SETTINGS)
+def test_full_enrichment_join_emits_every_arrival(spark, evs):
+    left, right, ldf, rdf = _sides(spark, evs)
+    out = full_enrichment_join(ldf, rdf, on="k", right_prefix="r_")
+    rows = [(r["v"], r["r_v"]) for r in out.collect()]
+    state: dict = {}
+    want = []
+    for is_l, k, v in evs:
+        l_last, r_last = state.get(k, (None, None))
+        state[k] = (v, r_last) if is_l else (l_last, v)
+        want.append(state[k])
+    assert sorted(rows, key=str) == sorted(want, key=str)
+
+
+@given(keyed_values)
+@settings(**SETTINGS)
+def test_running_sum_is_prefix_sum(spark, rows):
+    df = spark.createDataFrame([(i, k, v) for i, (k, v) in enumerate(rows)], "__seq long, k long, v long")
+    out = running_sum_by(df, "v", keys=["k"], alias="rs")
+    got = {r["__seq"]: r["rs"] for r in out.collect()}
+    acc: dict = {}
+    for i, (k, v) in enumerate(rows):
+        acc[k] = acc.get(k, 0) + v
+        assert got[i] == acc[k]
+
+
+@given(keyed_values)
+@settings(**SETTINGS)
+def test_stream_max_by_emits_strict_improvements_only(spark, rows):
+    df = spark.createDataFrame([(i, k, v) for i, (k, v) in enumerate(rows)], "__seq long, k long, v long")
+    got = sorted(r["__seq"] for r in stream_max_by(df, "v", keys=["k"]).collect())
+    best: dict = {}
+    want = []
+    for i, (k, v) in enumerate(rows):
+        if k not in best or v > best[k]:
+            best[k] = v
+            want.append(i)
+    assert got == want
+
+
+@given(keyed_values, st.integers(1, 4))
+@settings(**SETTINGS)
+def test_record_window_is_trailing_n_sum(spark, rows, n):
+    df = spark.createDataFrame([(i, k, v) for i, (k, v) in enumerate(rows)], "__seq long, k long, v long")
+    out = record_window(df, n, {"t": F.sum("v")}, keys=["k"])
+    got = {r["__seq"]: r["t"] for r in out.collect()}
+    hist: dict = {}
+    for i, (k, v) in enumerate(rows):
+        hist.setdefault(k, []).append(v)
+        assert got[i] == sum(hist[k][-n:])

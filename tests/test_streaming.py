@@ -179,3 +179,37 @@ def test_foreach_batch_sink(spark, tmp_path):
     q = foreach_batch_sink(sdf, lambda df, epoch: seen.append(df.count()))
     q.awaitTermination(300)
     assert sum(seen) == 50
+
+
+def test_streaming_left_windowed_join_apply(spark, sides):
+    """Each left pairs with the rights that arrived before it (temporal
+    window state), bounded to the trailing window_n."""
+    ls, rs, lb, rb = sides
+
+    def sum_w(left, rights):
+        return {"id": left["id"], "k": left["k"], "n_right": len(rights),
+                "w_sum": sum(r["w"] for r in rights)}
+
+    got = run_to_memory(
+        stateful.left_windowed_join_apply(
+            ls, rs, on="k", fn=sum_w,
+            output_schema="id long, k long, n_right long, w_sum double", window_n=1,
+        ),
+        "s_lwj",
+    )
+    # hand-fold the same temporal semantics over the interleaved arrival order
+    rights_by_k: dict = {}
+    expect = {}
+    events = sorted(
+        [(r[3], 1, r) for c in LEFT_ROWS for r in c]
+        + [(r[3], 0, r) for c in RIGHT_ROWS for r in c]
+    )
+    for _, side, r in events:
+        if side == 0:
+            rights_by_k.setdefault(r[0], []).append(r)
+            rights_by_k[r[0]] = rights_by_k[r[0]][-1:]  # window_n=1
+        else:
+            w = rights_by_k.get(r[1], [])
+            expect[r[0]] = (r[1], len(w), sum(x[2] for x in w))
+    rows = {r["id"]: (r["k"], r["n_right"], r["w_sum"]) for r in got.collect()}
+    assert rows == expect
