@@ -57,6 +57,10 @@ def sample_frames(payload: bytes, every_n: int = 10):
     raise NotImplementedError("video frame sampling requires ffmpeg; not available in this container")
 
 
+def resize_image(payload: bytes, width: int, height: int):
+    raise NotImplementedError("image resize requires PIL/opencv; not available in this container")
+
+
 def _fake_features(payload: bytes) -> list[int]:
     """Deterministic stand-in for a decoded-feature vector: byte-level stats
     (length, first, last, checksum mod 997). Keeps the full Arrow/mapInPandas
