@@ -171,3 +171,52 @@ def dedup_clusters_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = minhash_lsh_pairs(docs, "doc_id", "text", n=2, threshold=0.8)
     cc = connected_components(pairs, "id_a", "id_b")
     return cc.select(F.col("node").alias("doc_id"), F.col("label").alias("cluster_id"))
+
+
+@register(
+    "set_intersect_except",
+    doc="Set operators (SURVEY §2.7, exceeds-parity): users who purchased AND "
+    "erred, minus users who signed up — intersect/except over key streams.",
+    oracle="""
+SELECT user_id FROM (
+  SELECT user_id FROM events WHERE event_type = 'purchase' AND value > 200
+  INTERSECT
+  SELECT user_id FROM events WHERE event_type = 'error' AND value > 200
+)
+EXCEPT
+SELECT user_id FROM events WHERE event_type = 'signup' AND value > 300
+""",
+)
+def set_intersect_except_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+
+    def side(t, min_value):
+        return Stream.from_dataframe(
+            ev.filter((F.col("event_type") == t) & (F.col("value") > min_value)).select("user_id")
+        )
+
+    return side("purchase", 200).intersect(side("error", 200)).except_(side("signup", 300)).to_df()
+
+
+@register(
+    "rollup_revenue",
+    doc="Rollup subtotals (SURVEY §2.4, exceeds-parity): order counts and "
+    "exact revenue by (status, priority), with subtotals and a grand total.",
+    oracle="""
+SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
+       CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,6))), 2) AS DOUBLE) AS revenue
+FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+""",
+)
+def rollup_revenue_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = table(spark, sf_dir, "orders")
+    return (
+        Stream.from_dataframe(orders)
+        .rollup(
+            "o_orderstatus",
+            "o_orderpriority",
+            n=F.count(F.lit(1)),
+            revenue=F.round(F.sum(F.col("o_totalprice").cast("decimal(18,6)")), 2).cast("double"),
+        )
+        .to_df()
+    )

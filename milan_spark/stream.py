@@ -346,6 +346,25 @@ class Stream:
         operations.md:73-77) — implemented, unlike the reference."""
         return Stream(self.df.dropDuplicates(list(subset) if subset else None), Node("distinct", {"subset": list(subset) if subset else None}, [self.node]))
 
+    def intersect(self, other: "Stream") -> "Stream":
+        """Set intersection (SURVEY §2.7 'absent — free via Spark if exposed')."""
+        return Stream(self.df.intersect(other.df), Node("intersect", {}, [self.node, other.node]))
+
+    def except_(self, other: "Stream") -> "Stream":
+        """Set difference (SURVEY §2.7)."""
+        return Stream(self.df.exceptAll(other.df).dropDuplicates(), Node("except", {}, [self.node, other.node]))
+
+    def rollup(self, *keys: str, **aggs: str | Column) -> "Stream":
+        """Hierarchical subtotal aggregation (SURVEY §2.4 'grouping sets /
+        cube / rollup: absent — available free in Spark if exposed')."""
+        cols = [F.expr(e).alias(a) if _is_str(e) else e.alias(a) for a, e in aggs.items()]
+        return Stream(self.df.rollup(*keys).agg(*cols), Node("rollup", {"keys": list(keys)}, [self.node], serializable=all(_is_str(e) for e in aggs.values())))
+
+    def cube(self, *keys: str, **aggs: str | Column) -> "Stream":
+        """All-combination subtotal aggregation (SURVEY §2.4)."""
+        cols = [F.expr(e).alias(a) if _is_str(e) else e.alias(a) for a, e in aggs.items()]
+        return Stream(self.df.cube(*keys).agg(*cols), Node("cube", {"keys": list(keys)}, [self.node], serializable=all(_is_str(e) for e in aggs.values())))
+
     def iterate(self, body: Callable[["Stream"], "Stream"], max_iterations: int, converged: Callable[[DataFrame, DataFrame], bool] | None = None) -> "Stream":
         """Milan Cycle (beginCycle/closeCycle, lang/Stream.scala:143-147) —
         batch realization as a driver-side fixpoint loop; the streaming backend
