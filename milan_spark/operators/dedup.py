@@ -62,14 +62,41 @@ def shingles(tokens: Column, n: int) -> Column:
 
 
 def _shingle_sets(df: DataFrame, id_col: str, text_col: str, n: int) -> DataFrame:
-    # Tokens are projected FIRST so the shingle lambda references a bound
-    # column, not the tokenize expression: inlined, the regex would re-run per
-    # shingle position (CollapseProject keeps the two-step split because the
-    # alias is non-cheap and multiply referenced). No emptiness filter either:
-    # pushed below the projection it would evaluate the shingle expression
-    # twice per row, and empty sets are inert downstream anyway.
+    """(__id, __sh: array<long>) — distinct hashed word n-grams per doc.
+
+    Tokens are projected FIRST so the shingle lambda references a bound
+    column, not the tokenize expression: inlined, the regex would re-run per
+    shingle position (CollapseProject keeps the two-step split because the
+    alias is non-cheap and multiply referenced). No emptiness filter either:
+    pushed below the projection it would evaluate the shingle expression
+    twice per row, and empty sets are inert downstream anyway.
+
+    Shingles are represented as hashes of the n token hashes — never the
+    joined strings: no per-position string building, and dedup/intersection
+    run on longs. Distinctness matches string-shingle distinctness modulo
+    xxhash64 collisions (~|sh|²/2⁶⁵ per doc — vanishing), the same collision
+    class the downstream join keys already accept.
+    """
     toks = df.select(F.col(id_col).alias("__id"), tokenize(text_col).alias("__tk"))
-    return toks.select("__id", shingles(F.col("__tk"), n).alias("__sh"))
+    th = toks.select("__id", F.transform("__tk", lambda t: F.xxhash64(t)).alias("__th"))
+    # n-gram hash = rotate-xor combine of n consecutive token hashes, built by
+    # zip_with over shifted slices: the slices evaluate once per ROW and the
+    # lambda is pure bit arithmetic (overflow-free under ANSI mode) — no
+    # per-element array indexing or re-hashing. Inputs are xxhash64-random,
+    # so pair collisions stay at the 2⁻⁶⁴ scale.
+    m = F.array_size("__th") - (n - 1)
+    acc = F.slice("__th", 1, m)
+
+    def rot_xor(a, b):
+        rot = F.shiftleft(a, 21).bitwiseOR(F.shiftrightunsigned(a, 43))
+        return rot.bitwiseXOR(b)
+
+    for j in range(1, n):
+        acc = F.zip_with(acc, F.slice("__th", j + 1, m), rot_xor)
+    sh = F.when(F.array_size("__th") >= n, F.array_distinct(acc)).otherwise(
+        F.array().cast("array<long>")
+    )
+    return th.select("__id", sh.alias("__sh"))
 
 
 def _verify_jaccard(cands: DataFrame, sets: DataFrame, threshold: float) -> DataFrame:
@@ -121,8 +148,8 @@ def ngram_jaccard_pairs(
     """
     sets = _shingle_sets(df, id_col, text_col, n)
     ex = sets.select(
-        "__id", F.array_size("__sh").alias("__n"), F.explode("__sh").alias("__s")
-    ).select("__id", "__n", F.xxhash64("__s").alias("__h"))
+        "__id", F.array_size("__sh").alias("__n"), F.explode("__sh").alias("__h")
+    )
     # the shingle pipeline feeds the stats probe, both sides of the self-join,
     # and (dense path) two more passes — persist the small index, not the text
     ex = ex.persist()
@@ -220,7 +247,7 @@ def minhash_lsh_pairs(
     rows_per_band = num_hashes // bands
     # reused by the signature build and both sides of the verify join
     sets = _shingle_sets(df, id_col, text_col, n).persist()
-    hs = F.transform("__sh", lambda s: F.pmod(F.xxhash64(s), F.lit(P31)))
+    hs = F.transform("__sh", lambda s: F.pmod(s, F.lit(P31)))
     doc = sets.select("__id", hs.alias("__hs"))
     coef_a = 2 * np.arange(num_hashes, dtype=np.int64)[:, None] + 1
     coef_b = (np.arange(num_hashes, dtype=np.int64) ** 2 + 17)[:, None]
