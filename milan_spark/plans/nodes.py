@@ -163,6 +163,13 @@ def _compile_op(n: Node, spark: SparkSession, ins: list[DataFrame]) -> DataFrame
         )
     if n.op == "union":
         return ins[0].unionByName(ins[1])
+    if n.op == "intersect":
+        return ins[0].intersect(ins[1])
+    if n.op == "except":
+        return ins[0].exceptAll(ins[1]).dropDuplicates()
+    if n.op in ("rollup", "cube"):
+        grouped = getattr(ins[0], n.op)(*p["keys"])
+        return grouped.agg(*[F.expr(e).alias(a) for a, e in p.get("aggs", {}).items()])
     if n.op in ("left_enrichment_join", "full_enrichment_join", "left_inner_enrichment_join"):
         from milan_spark.operators import joins as J
 

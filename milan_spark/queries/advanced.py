@@ -220,3 +220,27 @@ def rollup_revenue_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .to_df()
     )
+
+
+@register(
+    "json_roundtrip",
+    doc="JsonDataOutputFormat → JsonDataInputFormat round-trip "
+    "(dataformats/JsonDataOutputFormat.scala:1, JsonDataInputFormat.scala:21): "
+    "write events as JSON lines, read back with an explicit schema, aggregate.",
+    oracle="""
+SELECT event_type, COUNT(*) AS n,
+       SUM(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS cents
+FROM events GROUP BY 1
+""",
+)
+def json_roundtrip_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events").select("event_id", "event_type", "value")
+    out = tempfile.mkdtemp(prefix="milan_json_")
+    Stream.from_dataframe(ev).write_file(out, fmt="json")
+    back = file_source(
+        spark, out, fmt="json", schema="event_id long, event_type string, value double"
+    )
+    return back.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.floor(F.col("value") * 100 + 0.5).cast("long")).alias("cents"),
+    )

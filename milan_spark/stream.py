@@ -357,13 +357,22 @@ class Stream:
     def rollup(self, *keys: str, **aggs: str | Column) -> "Stream":
         """Hierarchical subtotal aggregation (SURVEY §2.4 'grouping sets /
         cube / rollup: absent — available free in Spark if exposed')."""
-        cols = [F.expr(e).alias(a) if _is_str(e) else e.alias(a) for a, e in aggs.items()]
-        return Stream(self.df.rollup(*keys).agg(*cols), Node("rollup", {"keys": list(keys)}, [self.node], serializable=all(_is_str(e) for e in aggs.values())))
+        return self._multi_dim_agg("rollup", keys, aggs)
 
     def cube(self, *keys: str, **aggs: str | Column) -> "Stream":
         """All-combination subtotal aggregation (SURVEY §2.4)."""
+        return self._multi_dim_agg("cube", keys, aggs)
+
+    def _multi_dim_agg(self, op: str, keys, aggs) -> "Stream":
         cols = [F.expr(e).alias(a) if _is_str(e) else e.alias(a) for a, e in aggs.items()]
-        return Stream(self.df.cube(*keys).agg(*cols), Node("cube", {"keys": list(keys)}, [self.node], serializable=all(_is_str(e) for e in aggs.values())))
+        serializable = all(_is_str(e) for e in aggs.values())
+        node = Node(
+            op,
+            {"keys": list(keys), "aggs": dict(aggs)} if serializable else {},
+            [self.node],
+            serializable=serializable,
+        )
+        return Stream(getattr(self.df, op)(*keys).agg(*cols), node)
 
     def iterate(self, body: Callable[["Stream"], "Stream"], max_iterations: int, converged: Callable[[DataFrame, DataFrame], bool] | None = None) -> "Stream":
         """Milan Cycle (beginCycle/closeCycle, lang/Stream.scala:143-147) —
