@@ -134,3 +134,84 @@ def streaming_scan_threshold_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         seq="event_id",
     )
     return run_to_memory(out, "streaming_scan_threshold")
+
+
+@register(
+    "streaming_full_enrichment_join",
+    doc="Milan FullJoin as its streaming state machine (two ValueStates, "
+    "FullJoinKeyedCoProcessFunction.scala:43-88): every purchase OR error "
+    "arrival emits (latest purchase, latest error). Same oracle as batch.",
+    oracle=REGISTRY["full_enrichment_join"].oracle,
+)
+def streaming_full_enrichment_join_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    left = _stream_side(
+        spark, sf_dir, "purchase",
+        [F.col("event_id").alias("p_event_id"), "user_id", F.col("value").alias("p_value")],
+    )
+    right = _stream_side(
+        spark, sf_dir, "error",
+        ["user_id", F.col("event_id").alias("e_event_id"), F.col("value").alias("e_value")],
+    )
+    out = stateful.full_enrichment_join(left, right, on="user_id")
+    out = out.select("user_id", "p_event_id", "p_value", "e_event_id", "e_value")
+    return run_to_memory(out, "streaming_full_enrichment_join")
+
+
+@register(
+    "streaming_sliding_window_hourly",
+    doc="Milan SlidingWindow on the streaming backend: 2-hour windows sliding "
+    "hourly, watermarked, complete-mode. Same oracle as the batch twin.",
+    oracle=REGISTRY["sliding_window_hourly"].oracle,
+)
+def streaming_sliding_window_hourly_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events_stream(spark, sf_dir)
+    out = windowed_agg(
+        ev,
+        "ts",
+        "2 hours",
+        slide="1 hour",
+        aggs=[
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum(F.col("value").cast(DEC)), 2).cast("double").alias("total"),
+        ],
+    )
+    return run_to_memory(out, "streaming_sliding_window_hourly", output_mode="complete")
+
+
+@register(
+    "streaming_record_window_trailing",
+    doc="Milan SlidingRecordWindow on the streaming backend (bounded per-key "
+    "list state ≈ the reference's priority-queue state): per-user trailing-5 "
+    "aggregate on every arrival. Same oracle as the batch twin; the python "
+    "fold replicates the DECIMAL(18,6)-cast + HALF_UP rounding discipline.",
+    oracle=REGISTRY["record_window_trailing"].oracle,
+)
+def streaming_record_window_trailing_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from decimal import ROUND_HALF_UP, Decimal
+
+    ev = _events_stream(spark, sf_dir).select(
+        "event_id", "user_id", "value", F.col("event_id").alias("__seq")
+    )
+    six, two = Decimal("0.000001"), Decimal("0.01")
+
+    def trail(rows):
+        last = rows[-1]
+        s = sum(
+            (Decimal(r["value"]).quantize(six, ROUND_HALF_UP) for r in rows),
+            Decimal(0),
+        )
+        return {
+            "event_id": last["event_id"],
+            "user_id": last["user_id"],
+            "trail_sum": float(s.quantize(two, ROUND_HALF_UP)),
+            "trail_n": len(rows),
+        }
+
+    out = stateful.record_window_apply(
+        ev,
+        5,
+        trail,
+        output_schema="event_id long, user_id long, trail_sum double, trail_n long",
+        keys=["user_id"],
+    )
+    return run_to_memory(out, "streaming_record_window_trailing")
