@@ -215,3 +215,21 @@ def streaming_record_window_trailing_q(spark: SparkSession, sf_dir: str) -> Data
         keys=["user_id"],
     )
     return run_to_memory(out, "streaming_record_window_trailing")
+
+
+@register(
+    "streaming_left_inner_enrichment_join",
+    doc="Milan LeftInnerJoin as its streaming state machine (ListState "
+    "buffer, LeftInnerJoinKeyedCoProcessFunction.scala:40-103): clicks "
+    "buffer until the user's first view, then pair with the latest view. "
+    "Same oracle as the batch twin.",
+    oracle=REGISTRY["left_inner_enrichment_join"].oracle,
+)
+def streaming_left_inner_enrichment_join_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    left = _stream_side(spark, sf_dir, "click", ["event_id", "user_id", "value"])
+    right = _stream_side(
+        spark, sf_dir, "view", ["user_id", F.col("event_id").alias("view_event_id")]
+    )
+    out = stateful.left_inner_enrichment_join(left, right, on="user_id")
+    out = out.select("event_id", "user_id", "value", "view_event_id")
+    return run_to_memory(out, "streaming_left_inner_enrichment_join")

@@ -113,3 +113,26 @@ def test_record_window_is_trailing_n_sum(spark, rows, n):
     for i, (k, v) in enumerate(rows):
         hist.setdefault(k, []).append(v)
         assert got[i] == sum(hist[k][-n:])
+
+
+@given(arrivals)
+@settings(**SETTINGS)
+def test_left_inner_join_buffers_until_first_right(spark, evs):
+    from milan_spark.operators.joins import left_inner_enrichment_join
+
+    left, right, ldf, rdf = _sides(spark, evs)
+    out = left_inner_enrichment_join(ldf, rdf, on="k", right_prefix="r_")
+    got = {r["__seq"]: r["r_v"] for r in out.collect()}
+    # model: pair with latest earlier right, else the FIRST later right;
+    # never emit if no right for the key ever arrives
+    want = {}
+    for i, (is_l, k, v) in enumerate(evs):
+        if not is_l:
+            continue
+        before = [w for j, (l2, k2, w) in enumerate(evs) if not l2 and k2 == k and j < i]
+        after = [w for j, (l2, k2, w) in enumerate(evs) if not l2 and k2 == k and j > i]
+        if before:
+            want[i] = before[-1]
+        elif after:
+            want[i] = after[0]
+    assert got == want
