@@ -205,6 +205,8 @@ def _compile_op(n: Node, spark: SparkSession, ins: list[DataFrame]) -> DataFrame
     if n.op == "distinct":
         return ins[0].dropDuplicates(p.get("subset"))
     if n.op == "order_limit":
-        df = ins[0].orderBy(*[F.expr(e) for e in p["order"]])
+        df = ins[0]
+        if p.get("order"):
+            df = df.orderBy(*[F.expr(e) for e in p["order"]])
         return df.limit(p["limit"]) if p.get("limit") else df
     raise ValueError(f"unknown op: {n.op}")

@@ -346,6 +346,35 @@ class Stream:
         operations.md:73-77) — implemented, unlike the reference."""
         return Stream(self.df.dropDuplicates(list(subset) if subset else None), Node("distinct", {"subset": list(subset) if subset else None}, [self.node]))
 
+    def order_by(self, *exprs: str | Column) -> "Stream":
+        """Total ordering (SURVEY §2.7 'sorts/limits: absent — free')."""
+        cols = [F.expr(e) if _is_str(e) else e for e in exprs]
+        serializable = all(_is_str(e) for e in exprs)
+        node = Node(
+            "order_limit",
+            {"order": list(exprs), "limit": None} if serializable else {},
+            [self.node],
+            serializable=serializable,
+        )
+        return Stream(self.df.orderBy(*cols), node)
+
+    def limit(self, n: int) -> "Stream":
+        return Stream(self.df.limit(n), Node("order_limit", {"order": [], "limit": n}, [self.node]))
+
+    def top_k_per_group(self, keys: Sequence[str], order_expr: str | Column, k: int, desc: bool = True) -> "Stream":
+        """Top-k per key = row_number() <= k over a per-key ordering
+        (SURVEY §2.7) — one shuffle+sort, no global ordering."""
+        from pyspark.sql import Window as W
+
+        e = F.expr(order_expr) if _is_str(order_expr) else order_expr
+        w = W.partitionBy(*keys).orderBy(e.desc() if desc else e.asc())
+        df = (
+            self.df.withColumn("__rk", F.row_number().over(w))
+            .filter(F.col("__rk") <= k)
+            .drop("__rk")
+        )
+        return Stream(df, Node("top_k_per_group", serializable=False, inputs=[self.node]))
+
     def intersect(self, other: "Stream") -> "Stream":
         """Set intersection (SURVEY §2.7 'absent — free via Spark if exposed')."""
         return Stream(self.df.intersect(other.df), Node("intersect", {}, [self.node, other.node]))

@@ -159,3 +159,16 @@ def test_apply_function_udf(spark):
     s = Stream.from_list(spark, [(1,), (2,)], "i int")
     out = s.apply_function(lambda col: col * 3, "int", "i", alias="tripled")
     assert rows_set(out, ["i", "tripled"]) == {(1, 3), (2, 6)}
+
+
+def test_order_limit_topk_dsl(spark):
+    from milan_spark.stream import Stream
+
+    rows = [(i, i % 3, float(100 - i)) for i in range(30)]
+    s = Stream.from_list(spark, rows, "id long, k long, v double")
+    top = s.order_by("v").limit(5).to_list()
+    assert [r["id"] for r in top] == [29, 28, 27, 26, 25]
+    per = s.top_k_per_group(["k"], "v", 2).to_df()
+    assert per.count() == 6
+    best = {(r["k"], r["id"]) for r in per.collect()}
+    assert (0, 0) in best and (1, 1) in best and (2, 2) in best
