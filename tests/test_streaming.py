@@ -213,3 +213,30 @@ def test_streaming_left_windowed_join_apply(spark, sides):
             expect[r[0]] = (r[1], len(w), sum(x[2] for x in w))
     rows = {r["id"]: (r["k"], r["n_right"], r["w_sum"]) for r in got.collect()}
     assert rows == expect
+
+
+def test_rate_source_delayed_emission(spark):
+    """DelayedListDataSource analog (testing/DelayedListDataSource.scala:1):
+    a rate-limited source emitting records over time; verify rows accumulate
+    across multiple timed microbatches."""
+    sdf = (
+        spark.readStream.format("rate")
+        .option("rowsPerSecond", 20)
+        .load()
+        .select(F.col("value").alias("n"))
+    )
+    q = (
+        sdf.writeStream.format("memory")
+        .queryName("s_rate")
+        .outputMode("append")
+        .trigger(processingTime="200 milliseconds")
+        .start()
+    )
+    import time as _t
+
+    deadline = _t.time() + 30
+    while _t.time() < deadline and spark.table("s_rate").count() < 10:
+        _t.sleep(0.3)
+    q.stop()
+    got = [r["n"] for r in spark.table("s_rate").orderBy("n").collect()]
+    assert len(got) >= 10 and got[:3] == [0, 1, 2]  # monotone sequence, no gaps
