@@ -53,7 +53,14 @@ def connected_components(
         )
         return Stream.from_dataframe(new)
 
+    rounds = {"n": 0}
+
     def converged(old: DataFrame, new: DataFrame) -> bool:
+        # round 1 always changes (labels start at self); skip its check —
+        # one fewer driver-blocking count job on the common shallow graphs
+        rounds["n"] += 1
+        if rounds["n"] < 2:
+            return False
         o = old.select("n", F.col("l").alias("__lo"))
         return new.join(o, "n").filter(F.col("l") != F.col("__lo")).count() == 0
 
