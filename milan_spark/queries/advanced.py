@@ -244,3 +244,27 @@ def json_roundtrip_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n"),
         F.sum(F.floor(F.col("value") * 100 + 0.5).cast("long")).alias("cents"),
     )
+
+
+@register(
+    "cube_revenue",
+    doc="Cube subtotals (SURVEY §2.4, exceeds-parity): all grouping-set "
+    "combinations of (status, priority) with counts and exact revenue.",
+    oracle="""
+SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
+       CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,6))), 2) AS DOUBLE) AS revenue
+FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+""",
+)
+def cube_revenue_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = table(spark, sf_dir, "orders")
+    return (
+        Stream.from_dataframe(orders)
+        .cube(
+            "o_orderstatus",
+            "o_orderpriority",
+            n=F.count(F.lit(1)),
+            revenue=F.round(F.sum(F.col("o_totalprice").cast("decimal(18,6)")), 2).cast("double"),
+        )
+        .to_df()
+    )

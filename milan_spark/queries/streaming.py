@@ -233,3 +233,25 @@ def streaming_left_inner_enrichment_join_q(spark: SparkSession, sf_dir: str) -> 
     out = stateful.left_inner_enrichment_join(left, right, on="user_id")
     out = out.select("event_id", "user_id", "value", "view_event_id")
     return run_to_memory(out, "streaming_left_inner_enrichment_join")
+
+
+@register(
+    "streaming_session_window_gap",
+    doc="Session windows on the streaming backend (F.session_window + "
+    "watermark, complete mode): per-user 30-minute-gap sessions. Same "
+    "oracle as the batch twin.",
+    oracle=REGISTRY["session_window_gap"].oracle,
+)
+def streaming_session_window_gap_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events_stream(spark, sf_dir).withWatermark("ts", "30 minutes")
+    out = (
+        ev.groupBy(F.session_window("ts", "30 minutes").alias("__w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.col("__w.start").alias("session_start"),
+            F.col("__w.end").alias("session_end"),
+            "n_events",
+        )
+    )
+    return run_to_memory(out, "streaming_session_window_gap", output_mode="complete")
