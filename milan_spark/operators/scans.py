@@ -139,6 +139,36 @@ def scan(
     return df.groupBy(F.lit(1).alias("__g")).applyInPandas(run_group, schema=output_schema)
 
 
+def cum_fold(
+    df: DataFrame,
+    folds: dict[str, tuple[str, str, str | None]],
+    *,
+    keys: Sequence[str] = (),
+    seq: str = SEQ_COL,
+) -> DataFrame:
+    """Physical realization of the ``cum_window`` plan node (the target of
+    ``plans.rewrite.rule_scan_fold_to_window``): each recognized-associative
+    state field becomes a cumulative window aggregate in arrival order —
+    pure JVM window exec, one shuffle+sort per key, no Python worker.
+
+    ``folds`` maps state-field name → (kind, arg_sql, init_sql) with
+    kind ∈ {sum, max, min}. A non-identity init folds in as
+    ``init ⊕ cum_agg`` (exact for associative ⊕). NULL arguments are ignored
+    per SQL aggregate semantics (documented divergence from a Python fold,
+    where ``s + None`` would raise).
+    """
+    w = _cum_window(keys, seq)
+    out = {}
+    for name, (kind, arg, init) in folds.items():
+        a = F.expr(arg)
+        agg = {"sum": F.sum, "max": F.max, "min": F.min}[kind](a).over(w)
+        if init is not None and init.strip() != "0":
+            combine = {"sum": lambda i, c: i + c, "max": F.greatest, "min": F.least}[kind]
+            agg = combine(F.expr(init), agg)
+        out[name] = agg
+    return df.withColumns(out)
+
+
 def last(
     df: DataFrame,
     *,

@@ -178,3 +178,107 @@ def embedding_near_dup_pairs(
     out = q.mapInPandas(block, schema="id_a long, id_b long, __cos double")
     # round in Spark SQL (HALF_UP, matching the SQL oracle) rather than numpy
     return out.select("id_a", "id_b", F.round("__cos", 6).alias("cosine"))
+
+
+# --- IVF (inverted-file) ANN -------------------------------------------------
+
+
+def _l2_int(a: Column, b: Column) -> Column:
+    """Exact-integer squared L2 distance (components ≤ 2^21 → sums < 2^48)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)), F.lit(0).cast("long"), lambda acc, v: acc + v
+    )
+
+
+def assign_cells(corpus_int: DataFrame, cells: DataFrame) -> DataFrame:
+    """Nearest-centroid assignment: (__vid, __v) × broadcast (cell, __cent)
+    → (__vid, cell, __d). Ties break on cell id ascending — deterministic."""
+    d = corpus_int.crossJoin(F.broadcast(cells)).withColumn("__d", _l2_int(F.col("__v"), F.col("__cent")))
+    w = W.partitionBy("__vid").orderBy("__d", "cell")
+    return d.withColumn("__rn", F.row_number().over(w)).filter(F.col("__rn") == 1).select("__vid", "cell")
+
+
+def kmeans_cells(corpus_int: DataFrame, n_cells: int, iters: int) -> DataFrame:
+    """Deterministic Lloyd k-means over quantized vectors, driven by the
+    Cycle operator (``Stream.iterate`` — Milan beginCycle/closeCycle,
+    lang/Stream.scala:143-147): the centroid set is the loop-carried stream.
+
+    Everything is exact-integer so any engine converges identically:
+    seeds = the first ``n_cells`` vector ids; the updated centroid component
+    is ``floor(sum/count)`` — the double quotient of exact integers is
+    correctly rounded and never within an ulp of a boundary (spacing ≥
+    1/count), so its floor is engine-independent. Returns (cell, __cent).
+    """
+    from milan_spark.stream import Stream
+
+    cent0 = corpus_int.filter(F.col("__vid") < n_cells).select(
+        F.col("__vid").alias("cell"), F.col("__v").alias("__cent")
+    )
+
+    def lloyd_step(s: "Stream") -> "Stream":
+        assign = assign_cells(corpus_int, s.to_df())
+        exploded = assign.join(corpus_int, "__vid").select("cell", F.posexplode("__v").alias("i", "x"))
+        per_dim = exploded.groupBy("cell", "i").agg(
+            F.floor(F.sum("x").cast("double") / F.count(F.lit(1))).cast("long").alias("w")
+        )
+        new_cent = per_dim.groupBy("cell").agg(
+            F.transform(F.array_sort(F.collect_list(F.struct("i", "w"))), lambda s_: s_["w"]).alias("__cent")
+        )
+        return Stream.from_dataframe(new_cent)
+
+    return Stream.from_dataframe(cent0).iterate(lloyd_step, max_iterations=iters).to_df()
+
+
+def ann_ivf(
+    corpus: DataFrame,
+    id_col: str,
+    vec_col: str,
+    query_ids,
+    k: int = 5,
+    n_cells: int = 8,
+    n_probe: int = 2,
+    iters: int = 2,
+) -> DataFrame:
+    """IVF approximate top-k: k-means coarse quantizer + nprobe cell search.
+
+    The second scale path for ANN (alongside :func:`ann_lsh`): train
+    ``n_cells`` centroids (:func:`kmeans_cells`), invert the corpus by
+    nearest cell, and let each query score only the members of its
+    ``n_probe`` nearest cells — a data-adaptive partition pruning that LSH's
+    fixed hyperplanes can't give. Centroids are tiny and broadcast; the
+    corpus never shuffles except the one groupBy per Lloyd iteration. At
+    real scale the corpus should be persisted by the caller (multi-pass) and
+    ``n_cells`` set ~sqrt(N) so each cell fits a task.
+
+    Fully deterministic (exact-integer distances, floor-mean centroids,
+    id-ascending tie-breaks) → oracle-checkable. Output: query_id,
+    neighbor_id, rank, cosine — same contract as the other ANN operators.
+    """
+    ci = corpus.select(F.col(id_col).alias("__vid"), quantize(vec_col).alias("__v")).persist()
+    cells = kmeans_cells(ci, n_cells, iters)
+
+    dist = ci.crossJoin(F.broadcast(cells)).withColumn("__d", _l2_int(F.col("__v"), F.col("__cent")))
+    w = W.partitionBy("__vid").orderBy("__d", "cell")
+    ranked = dist.withColumn("__rn", F.row_number().over(w))
+    assign = ranked.filter(F.col("__rn") == 1).select("__vid", "cell")
+    probes = (
+        ranked.filter(F.col("__vid").isin(list(query_ids)) & (F.col("__rn") <= n_probe))
+        .select(F.col("__vid").alias("query_id"), "cell")
+    )
+
+    members = ci.join(assign, "__vid").select("cell", F.col("__vid").alias("neighbor_id"), F.col("__v").alias("__cv"))
+    queries = ci.filter(F.col("__vid").isin(list(query_ids))).select(
+        F.col("__vid").alias("query_id"), F.col("__v").alias("__qv")
+    )
+    scored = (
+        probes.join(members, "cell")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .join(F.broadcast(queries), "query_id")
+        .withColumn("cosine", cosine(F.col("__qv"), F.col("__cv")))
+    )
+    wk = W.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(wk))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", F.round("cosine", 6).alias("cosine"))
+    )

@@ -202,6 +202,23 @@ def _compile_op(n: Node, spark: SparkSession, ins: list[DataFrame]) -> DataFrame
         from milan_spark.operators.scans import last
 
         return last(ins[0], keys=p.get("keys", []), seq=p.get("seq", "__seq"))
+    if n.op == "scan_fold":
+        raise ValueError(
+            "scan_fold is a logical-only node: run milan_spark.plans.rewrite.optimize() "
+            "to lower it to window aggregates before compiling (general non-associative "
+            "folds use Stream.scan, which is deliberately not plan-serializable)"
+        )
+    if n.op == "cum_window":
+        from milan_spark.operators.scans import cum_fold
+
+        return cum_fold(
+            ins[0],
+            {name: (s["kind"], s["arg"], s.get("init")) for name, s in p["cols"].items()},
+            keys=p.get("keys", []),
+            seq=p.get("seq", "__seq"),
+        )
+    if n.op == "hint":
+        return ins[0].hint(p["name"])
     if n.op == "distinct":
         return ins[0].dropDuplicates(p.get("subset"))
     if n.op == "order_limit":

@@ -133,3 +133,48 @@ def scan_threshold_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         keys=["user_id"],
         seq="event_id",
     )
+
+
+@register(
+    "scan_threshold_rewritten",
+    doc="The optimizer's scan-to-window rule end-to-end (SURVEY §4 'optional "
+    "Rule[LogicalPlan]'): the same threshold fold as scan_threshold, declared "
+    "as a serializable scan_fold plan node, JSON round-tripped, then lowered "
+    "by plans.rewrite.optimize to cumulative window aggregates — no Python "
+    "fold in the physical plan. Same oracle as the applyInPandas version.",
+    oracle="""
+SELECT event_id, user_id, acc_cents
+FROM (
+  SELECT event_id, user_id,
+         SUM(CAST(floor(value * 100 + 0.5) AS BIGINT)) OVER
+           (PARTITION BY user_id ORDER BY event_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS acc_cents
+  FROM events
+)
+WHERE acc_cents > 500000
+""",
+)
+def scan_threshold_rewritten_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from milan_spark.plans.nodes import Node, compile_node, from_json, to_json
+    from milan_spark.plans.rewrite import optimize
+
+    plan = Node(
+        "scan_fold",
+        {
+            "state": {"acc": "CAST(0 AS BIGINT)"},
+            "update": {"acc": "acc + CAST(floor(value * 100 + 0.5) AS BIGINT)"},
+            "output": {"event_id": "event_id", "user_id": "user_id", "acc_cents": "acc"},
+            "emit_when": "acc > 500000",
+            "keys": ["user_id"],
+            "seq": "event_id",
+        },
+        [
+            Node(
+                "map",
+                {"exprs": ["event_id", "user_id", "value"]},
+                [Node("parquet_source", {"path": f"{sf_dir}/events.parquet"})],
+            )
+        ],
+    )
+    plan = from_json(to_json(plan))  # portability: the logical plan survives serialization
+    return compile_node(optimize(plan, spark), spark)

@@ -329,6 +329,52 @@ class Stream:
         df = scan_op(self.df, fold, initial_state=initial_state, output_schema=output_schema, keys=keys)
         return Stream(df, Node("scan", serializable=False, inputs=[self.node]))
 
+    def scan_fold(
+        self,
+        state: dict[str, str | None],
+        update: dict[str, str],
+        *,
+        output: dict[str, str],
+        emit_when: str | None = None,
+        keys: Sequence[str] = (),
+        seq: str = SEQ_COL,
+    ) -> "Stream":
+        """Declarative Scan: per-key fold whose state updates are SQL strings.
+
+        ``state`` maps field → init SQL literal (None = aggregate identity);
+        ``update`` maps field → its per-record update in the associative
+        grammar (``s + expr`` / ``greatest(s, expr)`` / ``least(s, expr)``);
+        ``output`` maps output column → SQL over state fields + record
+        columns; rows emit only when ``emit_when`` (over the *new* state)
+        holds — Milan's Option-output contract.
+
+        Unlike :meth:`scan` this keeps the plan serializable and lets the
+        optimizer (``plans.rewrite``) lower it to cumulative window
+        aggregates — JVM window exec instead of a Python fold. Updates
+        outside the grammar raise immediately; use :meth:`scan` for those.
+        """
+        from milan_spark.operators.scans import cum_fold
+        from milan_spark.plans.rewrite import recognize_update
+
+        params = {
+            "state": dict(state),
+            "update": dict(update),
+            "output": dict(output),
+            "emit_when": emit_when,
+            "keys": list(keys),
+            "seq": seq,
+        }
+        names = set(state)
+        folds = {}
+        for name, upd in update.items():
+            kind, arg = recognize_update(name, names, upd)
+            folds[name] = (kind, arg, state[name])
+        df = cum_fold(self.df, folds, keys=keys, seq=seq)
+        if emit_when:
+            df = df.filter(emit_when)
+        df = df.selectExpr(*[f"{e} AS {a}" for a, e in output.items()])
+        return Stream(df, Node("scan_fold", params, [self.node]))
+
     def last(self, keys: Sequence[str] = ()) -> "Stream":
         """Milan Last (lang/Stream.scala:123)."""
         from milan_spark.operators.scans import last as last_op
