@@ -387,3 +387,74 @@ def multimodal_features_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = table(spark, sf_dir, "documents")
     packed = M.attach_binary_payload(docs, "text")
     return M.extract_features(packed, "doc_id").select("doc_id", "byte_len", "checksum")
+
+
+def _ivf_oracle(n_cells: int = 8, n_probe: int = 2, iters: int = 2, k: int = 5, n_queries: int = 10) -> str:
+    """Unrolled deterministic k-means + IVF probe as one DuckDB query.
+
+    Mirrors operators.similarity.ann_ivf exactly: integer squared-L2
+    assignment with (d, cell) tie-break, floor(sum/count) centroid updates,
+    ``iters`` Lloyd rounds from seeds vec_id < n_cells. The iteration is
+    unrolled into CTE chains (dist{t}/assign{t}/cent{t+1}) because the loop
+    count is a compile-time constant of the operator."""
+    parts = [
+        _SQL_VEC_EX.rstrip(),
+        f""", cent0 AS (
+  SELECT vec_id AS c, i, x AS w FROM ex WHERE vec_id < {n_cells}
+)""",
+    ]
+    for t in range(iters + 1):
+        parts.append(f""", dist{t} AS (
+  SELECT e.vec_id, ct.c, SUM((e.x - ct.w) * (e.x - ct.w)) AS d
+  FROM ex e JOIN cent{t} ct ON e.i = ct.i GROUP BY 1, 2
+), assign{t} AS (
+  SELECT vec_id, c FROM (
+    SELECT vec_id, c, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d, c) AS rn FROM dist{t}
+  ) WHERE rn = 1
+)""")
+        if t < iters:
+            parts.append(f""", cent{t + 1} AS (
+  SELECT a.c, e.i, CAST(floor(CAST(SUM(e.x) AS DOUBLE) / COUNT(*)) AS BIGINT) AS w
+  FROM assign{t} a JOIN ex e ON a.vec_id = e.vec_id GROUP BY 1, 2
+)""")
+    parts.append(f""", probe AS (
+  SELECT vec_id AS query_id, c FROM (
+    SELECT vec_id, c, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d, c) AS rn
+    FROM dist{iters} WHERE vec_id < {n_queries}
+  ) WHERE rn <= {n_probe}
+), cand AS (
+  SELECT p.query_id, a.vec_id AS neighbor_id
+  FROM probe p JOIN assign{iters} a ON p.c = a.c
+  WHERE a.vec_id != p.query_id
+), pairs AS (
+  SELECT c.query_id, c.neighbor_id, SUM(qe.x * ne.x) AS dot
+  FROM cand c
+  JOIN ex qe ON qe.vec_id = c.query_id
+  JOIN ex ne ON ne.vec_id = c.neighbor_id AND ne.i = qe.i
+  GROUP BY 1, 2
+), scored AS (
+  SELECT query_id, neighbor_id,
+         dot / (sqrt(CAST(nq.nn AS DOUBLE)) * sqrt(CAST(nc.nn AS DOUBLE))) AS cosine
+  FROM pairs JOIN norms nq ON query_id = nq.vec_id JOIN norms nc ON neighbor_id = nc.vec_id
+)
+SELECT query_id, neighbor_id, rank, round(cosine, 6) AS cosine
+FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
+  FROM scored
+)
+WHERE rank <= {k}""")
+    return "".join(parts)
+
+
+@register(
+    "ann_ivf",
+    doc="IVF approximate top-5: deterministic Lloyd k-means coarse quantizer "
+    "(8 cells, 2 iterations, exact-integer distances and floor-mean "
+    "centroids) trained via the Cycle operator (Stream.iterate), corpus "
+    "inverted by nearest cell, queries scoring only their 2 nearest cells. "
+    "The data-adaptive scale path beside ann_lsh's fixed hyperplanes.",
+    oracle=_ivf_oracle(),
+)
+def ann_ivf_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = table(spark, sf_dir, "embeddings")
+    return S.ann_ivf(emb, "vec_id", "embedding", query_ids=range(10), k=5, n_cells=8, n_probe=2, iters=2)

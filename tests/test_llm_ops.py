@@ -91,6 +91,46 @@ def test_ann_lsh_subset_of_bucket(spark):
         assert sorted(rs) == list(range(1, len(rs) + 1))
 
 
+def test_ann_ivf_structure_and_recall(spark):
+    import numpy as np
+
+    rng = np.random.RandomState(3)
+    # Two well-separated clusters so the coarse quantizer has structure to find
+    vecs = np.concatenate(
+        [rng.randn(25, 8) * 0.1 + 0.5, rng.randn(25, 8) * 0.1 - 0.5]
+    ).astype("float32")
+    emb = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(50)], "vec_id long, embedding array<float>"
+    )
+    ivf = S.ann_ivf(emb, "vec_id", "embedding", query_ids=[0, 30], k=5, n_cells=4, n_probe=2, iters=2)
+    exact = S.ann_brute_force(emb, "vec_id", "embedding", query_ids=[0, 30], k=5)
+    got = {}
+    for r in ivf.collect():
+        assert r["neighbor_id"] != r["query_id"]
+        got.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    want = {}
+    for r in exact.collect():
+        want.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    # clusters are tight vs the gap, so probing 2 of 4 cells keeps high recall
+    for q in (0, 30):
+        assert len(got[q] & want[q]) >= 4
+
+
+def test_kmeans_cells_deterministic(spark):
+    import numpy as np
+
+    rng = np.random.RandomState(5)
+    vecs = (rng.randn(40, 8) * 0.3).astype("float32")
+    emb = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(40)], "vec_id long, embedding array<float>"
+    )
+    ci = emb.select(F.col("vec_id").alias("__vid"), S.quantize("embedding").alias("__v"))
+    a = sorted(map(tuple, S.kmeans_cells(ci, 4, 2).collect()))
+    b = sorted(map(tuple, S.kmeans_cells(ci, 4, 2).collect()))
+    assert a == b and 1 <= len(a) <= 4
+    assert all(len(cent) == 8 for _, cent in a)
+
+
 def test_lang_id_markers(spark):
     rows = [
         (1, "the cat and the dog of the house"),
