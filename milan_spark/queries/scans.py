@@ -178,3 +178,47 @@ def scan_threshold_rewritten_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     plan = from_json(to_json(plan))  # portability: the logical plan survives serialization
     return compile_node(optimize(plan, spark), spark)
+
+
+@register(
+    "running_mean_by",
+    doc="Milan's documented-but-unimplemented MeanBy "
+    "(doc/Milan Operations.md:134-140) via the declarative scan_fold DSL: "
+    "two associative state fields (cents sum + count) lowered by the "
+    "optimizer to one cumulative window; the mean is floor(acc/n) on exact "
+    "integers (engine-independent, same argument as the k-means centroids).",
+    oracle="""
+SELECT event_id, user_id, n,
+       CAST(floor(CAST(acc AS DOUBLE) / n) AS BIGINT) AS mean_cents
+FROM (
+  SELECT event_id, user_id,
+         SUM(CAST(floor(value * 100 + 0.5) AS BIGINT)) OVER
+           (PARTITION BY user_id ORDER BY event_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS acc,
+         COUNT(*) OVER
+           (PARTITION BY user_id ORDER BY event_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS n
+  FROM events
+)
+""",
+)
+def running_mean_by_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from milan_spark.stream import Stream
+
+    ev = table(spark, sf_dir, "events").select("event_id", "user_id", "value")
+    return (
+        Stream.from_dataframe(ev)
+        .scan_fold(
+            state={"acc": None, "n": None},
+            update={"acc": "acc + CAST(floor(value * 100 + 0.5) AS BIGINT)", "n": "n + 1"},
+            output={
+                "event_id": "event_id",
+                "user_id": "user_id",
+                "n": "n",
+                "mean_cents": "CAST(floor(CAST(acc AS DOUBLE) / n) AS BIGINT)",
+            },
+            keys=["user_id"],
+            seq="event_id",
+        )
+        .to_df()
+    )

@@ -255,3 +255,20 @@ def streaming_session_window_gap_q(spark: SparkSession, sf_dir: str) -> DataFram
         )
     )
     return run_to_memory(out, "streaming_session_window_gap", output_mode="complete")
+
+
+@register(
+    "streaming_unique_dedup",
+    doc="unique/uniqueBy on the streaming backend: streaming aggregation in "
+    "complete mode keeping the last record per (user_id, event_type) — the "
+    "survivor choice that is consistent under arrival order. Same oracle as "
+    "the batch twin.",
+    oracle=REGISTRY["unique_dedup"].oracle,
+)
+def streaming_unique_dedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events_stream(spark, sf_dir)
+    out = ev.groupBy("user_id", "event_type").agg(
+        F.max("event_id").alias("last_event_id"),
+        F.max_by("value", "event_id").alias("last_value"),
+    )
+    return run_to_memory(out, "streaming_unique_dedup", output_mode="complete")
