@@ -26,9 +26,22 @@ def main() -> None:
     spark = get_spark("milan_spark_bench")
     qs = queries()
 
-    # warm the JVM + parquet footers once with the flagship query
+    # warm the JVM + parquet footers once with the flagship query, and the
+    # Python worker pool (spark.python.worker.reuse is on — a long-lived
+    # cluster pays daemon fork + Arrow init once, not per query)
     try:
         qs["q1_pricing_summary"](spark, sf_dir).write.format("noop").mode("overwrite").save()
+        import pandas as pd
+        from pyspark.sql.functions import col, pandas_udf
+
+        @pandas_udf("long")
+        def _warm(s: pd.Series) -> pd.Series:
+            return s
+
+        ncpu = spark.sparkContext.defaultParallelism
+        spark.range(0, ncpu * 4, 1, ncpu).select(_warm(col("id"))).write.format(
+            "noop"
+        ).mode("overwrite").save()
     except Exception as e:
         print(f"bench warmup error: {e}", file=sys.stderr)
 

@@ -27,14 +27,18 @@ def connected_components(
     """Min-label propagation to a fixpoint: every node ends up labeled with
     the smallest node id in its component. Returns (node, label).
 
-    Each round is one distributed join + min-aggregate; convergence is
-    checked with a count of changed labels. Rounds needed = graph diameter —
-    near-duplicate clusters are dense and shallow (diameter ≲ 3), so this
-    beats the O(log n) large-star/small-star alternation in constant factors
-    while staying a two-line plan. Lineage is truncated every round
+    Each round is one distributed job (message aggregate + label join);
+    rounds needed = graph diameter — near-duplicate clusters are dense and
+    shallow (diameter ≲ 3), so this beats the O(log n) large-star/small-star
+    alternation in constant factors while staying a two-line plan. The
+    convergence check rides the round's own job as a ``CollectMetrics``
+    observation (count of improved labels), so no separate driver-blocking
+    count job runs per round. Lineage is truncated every round
     (``Stream.iterate`` localCheckpoints), so plans stay flat regardless of
     iteration count.
     """
+    from pyspark.sql import Observation
+
     from milan_spark.stream import Stream
 
     fwd = pairs.select(F.col(a_col).alias("u"), F.col(b_col).alias("v"))
@@ -43,26 +47,28 @@ def connected_components(
     ).persist()
     labels = edges.select(F.col("u").alias("n")).distinct().withColumn("l", F.col("n"))
 
+    holder: dict[str, Observation] = {}
+
     def body(s: Stream) -> Stream:
         lab = s.df
-        msgs = edges.join(lab, edges["v"] == lab["n"]).select(
-            edges["u"].alias("n"), lab["l"].alias("l")
+        msgs = (
+            edges.join(lab, edges["v"] == lab["n"])
+            .groupBy(edges["u"].alias("n"))
+            .agg(F.min(lab["l"]).alias("__ml"))
         )
-        new = (
-            lab.unionByName(msgs).groupBy("n").agg(F.min("l").alias("l"))
+        # least() skips nulls: nodes with no incoming message keep their label
+        new = lab.join(msgs, "n", "left").select(
+            "n", F.least("l", "__ml").alias("l"), (F.col("__ml") < F.col("l")).alias("__imp")
         )
-        return Stream.from_dataframe(new)
-
-    rounds = {"n": 0}
+        obs = Observation()
+        holder["obs"] = obs
+        new = new.observe(obs, F.sum(F.col("__imp").cast("long")).alias("changed"))
+        return Stream.from_dataframe(new.drop("__imp"))
 
     def converged(old: DataFrame, new: DataFrame) -> bool:
-        # round 1 always changes (labels start at self); skip its check —
-        # one fewer driver-blocking count job on the common shallow graphs
-        rounds["n"] += 1
-        if rounds["n"] < 2:
-            return False
-        o = old.select("n", F.col("l").alias("__lo"))
-        return new.join(o, "n").filter(F.col("l") != F.col("__lo")).count() == 0
+        # the eager localCheckpoint in iterate() already ran the job; the
+        # observation result is available without another action
+        return (holder["obs"].get["changed"] or 0) == 0
 
     out = Stream.from_dataframe(labels).iterate(body, max_iterations, converged)
     return out.to_df().select(F.col("n").alias("node"), F.col("l").alias("label"))

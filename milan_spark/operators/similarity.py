@@ -190,15 +190,28 @@ def _l2_int(a: Column, b: Column) -> Column:
     )
 
 
-def assign_cells(corpus_int: DataFrame, cells: DataFrame) -> DataFrame:
-    """Nearest-centroid assignment: (__vid, __v) × broadcast (cell, __cent)
-    → (__vid, cell, __d). Ties break on cell id ascending — deterministic."""
+def _best_cell(corpus_int: DataFrame, cells: DataFrame) -> DataFrame:
+    """Nearest-centroid assignment as ONE partial-aggregatable shuffle:
+    (__vid, __v) × broadcast (cell, __cent) → min(struct(__d, cell, __v))
+    per __vid. Ties break on cell id ascending (struct order) —
+    deterministic. Carrying __v through the struct avoids re-joining the
+    corpus afterward. Returns (__vid, cell, __v)."""
     d = corpus_int.crossJoin(F.broadcast(cells)).withColumn("__d", _l2_int(F.col("__v"), F.col("__cent")))
-    w = W.partitionBy("__vid").orderBy("__d", "cell")
-    return d.withColumn("__rn", F.row_number().over(w)).filter(F.col("__rn") == 1).select("__vid", "cell")
+    best = d.groupBy("__vid").agg(F.min(F.struct("__d", "cell", "__v")).alias("__m"))
+    return best.select("__vid", F.col("__m.cell").alias("cell"), F.col("__m.__v").alias("__v"))
 
 
-def kmeans_cells(corpus_int: DataFrame, n_cells: int, iters: int) -> DataFrame:
+def assign_cells(corpus_int: DataFrame, cells: DataFrame) -> DataFrame:
+    """Nearest-centroid assignment → (__vid, cell); see :func:`_best_cell`."""
+    return _best_cell(corpus_int, cells).select("__vid", "cell")
+
+
+def _dim_of(corpus_int: DataFrame, vec_col: str = "__v") -> int:
+    row = corpus_int.select(F.array_size(vec_col).alias("d")).first()
+    return int(row["d"])
+
+
+def kmeans_cells(corpus_int: DataFrame, n_cells: int, iters: int, dim: int | None = None) -> DataFrame:
     """Deterministic Lloyd k-means over quantized vectors, driven by the
     Cycle operator (``Stream.iterate`` — Milan beginCycle/closeCycle,
     lang/Stream.scala:143-147): the centroid set is the loop-carried stream.
@@ -208,22 +221,31 @@ def kmeans_cells(corpus_int: DataFrame, n_cells: int, iters: int) -> DataFrame:
     is ``floor(sum/count)`` — the double quotient of exact integers is
     correctly rounded and never within an ulp of a boundary (spacing ≥
     1/count), so its floor is engine-independent. Returns (cell, __cent).
+
+    Each Lloyd round is exactly two map-side-combinable shuffles: the
+    min-struct assignment (:func:`_best_cell`) and a fixed-width per-dimension
+    sum (``dim`` scalar aggregates — the embedding dimension is a plan-time
+    constant, so no posexplode row blowup and no second collect pass).
     """
     from milan_spark.stream import Stream
 
+    if dim is None:
+        dim = _dim_of(corpus_int)
     cent0 = corpus_int.filter(F.col("__vid") < n_cells).select(
         F.col("__vid").alias("cell"), F.col("__v").alias("__cent")
     )
 
+    # one SQL string instead of `dim` Column objects: building 64 F.sum/F.floor
+    # columns costs hundreds of driver py4j round trips (~1 s/round measured);
+    # a single parameterized-SQL parse is JVM-side and keeps the partial agg
+    comps = ", ".join(
+        f"cast(floor(cast(sum(__v[{i}]) as double) / count(1)) as bigint)" for i in range(dim)
+    )
+    update_sql = f"SELECT cell, array({comps}) AS __cent FROM {{best}} GROUP BY cell"
+
     def lloyd_step(s: "Stream") -> "Stream":
-        assign = assign_cells(corpus_int, s.to_df())
-        exploded = assign.join(corpus_int, "__vid").select("cell", F.posexplode("__v").alias("i", "x"))
-        per_dim = exploded.groupBy("cell", "i").agg(
-            F.floor(F.sum("x").cast("double") / F.count(F.lit(1))).cast("long").alias("w")
-        )
-        new_cent = per_dim.groupBy("cell").agg(
-            F.transform(F.array_sort(F.collect_list(F.struct("i", "w"))), lambda s_: s_["w"]).alias("__cent")
-        )
+        best = _best_cell(corpus_int, s.to_df())
+        new_cent = best.sparkSession.sql(update_sql, best=best)
         return Stream.from_dataframe(new_cent)
 
     return Stream.from_dataframe(cent0).iterate(lloyd_step, max_iterations=iters).to_df()
@@ -255,23 +277,32 @@ def ann_ivf(
     neighbor_id, rank, cosine — same contract as the other ANN operators.
     """
     ci = corpus.select(F.col(id_col).alias("__vid"), quantize(vec_col).alias("__v")).persist()
-    cells = kmeans_cells(ci, n_cells, iters)
+    dim = _dim_of(ci)
+    cells = kmeans_cells(ci, n_cells, iters, dim=dim)
 
-    dist = ci.crossJoin(F.broadcast(cells)).withColumn("__d", _l2_int(F.col("__v"), F.col("__cent")))
+    # corpus inversion: one min-struct shuffle carrying the vector (the
+    # window-rank formulation would sort N×n_cells rows; only the tiny query
+    # side needs ranks beyond 1 for its n_probe cells)
+    members = _best_cell(ci, cells).select(
+        "cell", F.col("__vid").alias("neighbor_id"), F.col("__v").alias("__cv")
+    )
+    dist_q = (
+        ci.filter(F.col("__vid").isin(list(query_ids)))
+        .crossJoin(F.broadcast(cells))
+        .withColumn("__d", _l2_int(F.col("__v"), F.col("__cent")))
+    )
     w = W.partitionBy("__vid").orderBy("__d", "cell")
-    ranked = dist.withColumn("__rn", F.row_number().over(w))
-    assign = ranked.filter(F.col("__rn") == 1).select("__vid", "cell")
     probes = (
-        ranked.filter(F.col("__vid").isin(list(query_ids)) & (F.col("__rn") <= n_probe))
+        dist_q.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= n_probe)
         .select(F.col("__vid").alias("query_id"), "cell")
     )
 
-    members = ci.join(assign, "__vid").select("cell", F.col("__vid").alias("neighbor_id"), F.col("__v").alias("__cv"))
     queries = ci.filter(F.col("__vid").isin(list(query_ids))).select(
         F.col("__vid").alias("query_id"), F.col("__v").alias("__qv")
     )
     scored = (
-        probes.join(members, "cell")
+        members.join(F.broadcast(probes), "cell")
         .filter(F.col("neighbor_id") != F.col("query_id"))
         .join(F.broadcast(queries), "query_id")
         .withColumn("cosine", cosine(F.col("__qv"), F.col("__cv")))

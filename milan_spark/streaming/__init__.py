@@ -25,6 +25,7 @@ Stateful per-record operators (enrichment joins, scans) live in
 
 from __future__ import annotations
 
+import os
 import tempfile
 from typing import Callable, Mapping, Sequence
 
@@ -63,19 +64,42 @@ def run_to_memory(
     *,
     output_mode: str = "append",
     timeout_sec: int = 300,
+    state_partitions: int | None = None,
 ) -> DataFrame:
     """Run a streaming DataFrame to completion into an in-memory table and
     return it (ref: SingletonMemorySink.scala:17-45 — tests write to a
     process-global sink then await expected counts; availableNow + await
     replaces the polling).
+
+    ``state_partitions`` sizes the query's state stores (a streaming query
+    pins its state-store count to ``spark.sql.shuffle.partitions`` at start,
+    for the life of the checkpoint). That count should be an explicit choice
+    sized to key cardinality and cluster width — not inherited from batch
+    shuffle sizing, which optimizes a different trade-off (every extra state
+    partition costs a store open/commit per microbatch). Default comes from
+    ``SPARK_GRAFT_STREAM_PARTITIONS`` (8 — right for local test volumes; a
+    1000-executor deployment sets it to cores×executors before first start).
+    The reference makes the same decision per-operator via Flink parallelism,
+    pinning sources to 1 (DataSourceUtil.scala:58-60) — here every operator
+    stays fully parallel.
     """
-    q = (
-        sdf.writeStream.format("memory")
-        .queryName(name)
-        .outputMode(output_mode)
-        .trigger(availableNow=True)
-        .start()
-    )
+    spark = sdf.sparkSession
+    if state_partitions is None:
+        state_partitions = int(os.environ.get("SPARK_GRAFT_STREAM_PARTITIONS", "8"))
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(state_partitions))
+    try:
+        # the query clones the session conf at start(); restoring right after
+        # leaves batch sizing untouched
+        q = (
+            sdf.writeStream.format("memory")
+            .queryName(name)
+            .outputMode(output_mode)
+            .trigger(availableNow=True)
+            .start()
+        )
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
     q.awaitTermination(timeout_sec)
     return sdf.sparkSession.table(name)
 
