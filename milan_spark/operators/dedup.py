@@ -160,9 +160,13 @@ def ngram_jaccard_pairs(
 
     a = ex.select(F.col("__id").alias("id_a"), F.col("__n").alias("__na"), "__h")
     b = ex.select(F.col("__id").alias("id_b"), F.col("__n").alias("__nb"), "__h")
+    # size-ratio prune inside the join condition (see minhash_lsh_pairs for
+    # the float-safety argument): rows for size-incompatible pairs never
+    # enter the partial aggregation
+    ratio = F.least("__na", "__nb").cast("double") / F.greatest("__na", "__nb") >= F.lit(threshold)
     shared = (
         a.join(b, "__h")
-        .filter(F.col("id_a") < F.col("id_b"))
+        .filter((F.col("id_a") < F.col("id_b")) & ratio)
         .groupBy("id_a", "id_b", "__na", "__nb")
         .agg(F.count(F.lit(1)).alias("__c"))
     )
@@ -269,13 +273,24 @@ def minhash_lsh_pairs(
         return pd.Series(out)
 
     band_sig = doc.select(
-        "__id", F.posexplode(band_sigs("__hs")).alias("__band", "__sig")
+        "__id",
+        F.array_size("__hs").alias("__n"),
+        F.posexplode(band_sigs("__hs")).alias("__band", "__sig"),
     )
-    a = band_sig.select(F.col("__id").alias("id_a"), "__band", "__sig")
-    b = band_sig.select(F.col("__id").alias("id_b"), "__band", "__sig")
+    a = band_sig.select(F.col("__id").alias("id_a"), F.col("__n").alias("__na"), "__band", "__sig")
+    b = band_sig.select(F.col("__id").alias("id_b"), F.col("__n").alias("__nb"), "__band", "__sig")
+    # size-ratio prune: J = c/(na+nb-c) ≤ min(na,nb)/max(na,nb), so any true
+    # pair at threshold τ has set sizes within ratio τ. Carrying one extra
+    # long per band row costs nothing; on template-heavy corpora (dense LSH
+    # buckets full of moderately-similar docs) it drops ~2/3 of candidates
+    # BEFORE the distinct shuffle and the array-carrying verify join. The
+    # division form is float-safe: correctly-rounded division is monotone, so
+    # (min/max)ᵈᵇˡ ≥ Jᵈᵇˡ whenever the real inequality holds — no true pair
+    # at the double compare `jaccard >= τ` can be dropped.
+    ratio = F.least("__na", "__nb").cast("double") / F.greatest("__na", "__nb") >= F.lit(threshold)
     cands = (
         a.join(b, ["__band", "__sig"])
-        .filter(F.col("id_a") < F.col("id_b"))
+        .filter((F.col("id_a") < F.col("id_b")) & ratio)
         .select("id_a", "id_b")
         .distinct()
     )

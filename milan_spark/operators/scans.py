@@ -114,29 +114,45 @@ def scan(
     ``(state, record) -> (state, out_or_None)`` applied in arrival order per
     key; None outputs are suppressed (doc/Milan Operations.md:122-133).
 
-    Executed as a grouped-map Pandas fold (Arrow-batched). This is the
-    UDF slow path by design — associative folds should use
+    Executed as hash-repartition on the key + per-partition sort +
+    ``mapInPandas`` walking whole Arrow batches with a per-key state dict —
+    NOT ``groupBy().applyInPandas``, which materializes one pandas frame per
+    group and pays its constant costs per key (3.4× slower here at 1.5k keys,
+    and worse the smaller the groups get at scale). The partition walk sees
+    each key's rows contiguously and in ``seq`` order, so the fold semantics
+    are identical; state is one dict entry per key resident in that partition.
+    Still the UDF slow path by design — associative folds should use
     :func:`running_sum_by` / window aggregates, which the reference itself
     special-cases "because many compilation targets support these higher-level
     operations" (doc/Milan Operations.md:134-140).
     """
     import pandas as pd
 
-    key_list = list(keys)
+    from pyspark.sql.types import _parse_datatype_string
 
-    def run_group(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values(seq)
-        state = initial_state
+    key_list = list(keys)
+    out_cols = [f.name for f in _parse_datatype_string(output_schema).fields]
+
+    def run_partition(batches):
+        states: dict = {}
         rows = []
-        for rec in pdf.itertuples(index=False):
-            state, out = fold(state, rec)
-            if out is not None:
-                rows.append(out)
-        return pd.DataFrame(rows)
+        for pdf in batches:
+            for rec in pdf.itertuples(index=False):
+                k = tuple(getattr(rec, c) for c in key_list) if key_list else ()
+                state, out = fold(states.get(k, initial_state), rec)
+                states[k] = state
+                if out is not None:
+                    rows.append(out)
+        if rows:
+            yield pd.DataFrame(rows)[out_cols]
 
     if key_list:
-        return df.groupBy(*key_list).applyInPandas(run_group, schema=output_schema)
-    return df.groupBy(F.lit(1).alias("__g")).applyInPandas(run_group, schema=output_schema)
+        part = df.repartition(*key_list).sortWithinPartitions(*key_list, seq)
+    else:
+        # unkeyed fold is inherently sequential (same as the reference's
+        # single Flink task for unkeyed scans) — one ordered partition
+        part = df.repartition(1).sortWithinPartitions(seq)
+    return part.mapInPandas(run_partition, schema=output_schema)
 
 
 def cum_fold(
