@@ -126,11 +126,17 @@ def ngram_jaccard_pairs(
     threshold. Corpus-adaptive between two exact plans, chosen from measured
     index statistics (vocabulary size V, corpus size N):
 
-    - **Inverted-index counting** (default): explode shingles, self-join the
-      index, and count shared shingles in the join's partial aggregation —
-      J = c/(na+nb-c) from counts alone, so the shuffle never carries shingle
-      arrays per pair. Fan-out on a shingle with doc-frequency f is f²; fine
-      for natural corpora where V is large and f small.
+    - **Prefix-filtered inverted index** (default): a doc's *prefix* is its
+      ``|s| - floor(τ·|s|) + 1`` globally-rarest shingles (ascending
+      doc-frequency, hash tie-break). Any pair with J ≥ τ shares ≥ τ·max(na,
+      nb) shingles, so by pigeonhole each side's prefix contains a shared
+      shingle — joining the FULL index against the PREFIX-only index finds
+      every true pair (Bayardo et al., "Scaling Up All Pairs Similarity
+      Search", WWW'07). Fan-out on a shingle with doc-frequency f drops from
+      f² to f·g with g ≪ f its prefix-frequency — stop-shingles are indexed
+      by almost no prefixes, exactly the rows that blow up the naive
+      self-join. Candidates (size-ratio pruned) are verified with the exact
+      array-intersect Jaccard.
     - **Dense intersection matmul** (when V·N ≤ ``dense_max_cells``):
       templated/boilerplate corpora invert the regime — V tiny, every shingle
       a stop-shingle with f ≈ N, so the index self-join degenerates to ~V·N²
@@ -150,30 +156,42 @@ def ngram_jaccard_pairs(
     ex = sets.select(
         "__id", F.array_size("__sh").alias("__n"), F.explode("__sh").alias("__h")
     )
-    # the shingle pipeline feeds the stats probe, both sides of the self-join,
-    # and (dense path) two more passes — persist the small index, not the text
+    # the shingle pipeline feeds the stats probe, both sides of the join, and
+    # (dense path) two more passes — persist the small index, not the text
     ex = ex.persist()
-    freq = ex.groupBy("__h").agg(F.count(F.lit(1)).alias("__f")).filter(F.col("__f") >= 2)
-    v, n_docs = freq.count(), df.count()
+    freq = ex.groupBy("__h").agg(F.count(F.lit(1)).alias("__f"))
+    nontrivial = freq.filter(F.col("__f") >= 2)
+    v, n_docs = nontrivial.count(), df.count()
     if v * n_docs <= dense_max_cells:
-        return _jaccard_dense(ex, freq, v, threshold)
+        return _jaccard_dense(ex, nontrivial, v, threshold)
 
+    sets = sets.persist()  # verify join reuses the shingle arrays
+    # prefix size n - floor(τ·n) + 1: floor (not the textbook ceil) absorbs
+    # the float representation of τ — floor(τᵈᵇˡ·n) never exceeds the real
+    # ⌈τ·n⌉, so the prefix is at worst one element longer than optimal and
+    # never unsafely short
+    ranked = ex.join(freq, "__h").withColumn(
+        "__rk", F.row_number().over(W.partitionBy("__id").orderBy("__f", "__h"))
+    )
+    prefix = ranked.filter(
+        F.col("__rk") <= F.col("__n") - F.floor(F.lit(threshold) * F.col("__n")) + 1
+    )
     a = ex.select(F.col("__id").alias("id_a"), F.col("__n").alias("__na"), "__h")
-    b = ex.select(F.col("__id").alias("id_b"), F.col("__n").alias("__nb"), "__h")
+    b = prefix.select(F.col("__id").alias("id_b"), F.col("__n").alias("__nb"), "__h")
     # size-ratio prune inside the join condition (see minhash_lsh_pairs for
-    # the float-safety argument): rows for size-incompatible pairs never
-    # enter the partial aggregation
+    # the float-safety argument); the full⋈prefix join sees each true pair
+    # from both directions, so normalize before the distinct
     ratio = F.least("__na", "__nb").cast("double") / F.greatest("__na", "__nb") >= F.lit(threshold)
-    shared = (
+    cands = (
         a.join(b, "__h")
-        .filter((F.col("id_a") < F.col("id_b")) & ratio)
-        .groupBy("id_a", "id_b", "__na", "__nb")
-        .agg(F.count(F.lit(1)).alias("__c"))
+        .filter((F.col("id_a") != F.col("id_b")) & ratio)
+        .select(
+            F.least("id_a", "id_b").alias("id_a"),
+            F.greatest("id_a", "id_b").alias("id_b"),
+        )
+        .distinct()
     )
-    jac = F.col("__c") / (F.col("__na") + F.col("__nb") - F.col("__c"))
-    return shared.filter(jac >= threshold).select(
-        "id_a", "id_b", F.round(jac, 6).alias("jaccard")
-    )
+    return _verify_jaccard(cands, sets, threshold)
 
 
 def _jaccard_dense(ex: DataFrame, freq: DataFrame, v: int, threshold: float) -> DataFrame:

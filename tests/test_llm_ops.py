@@ -35,6 +35,26 @@ def test_ngram_jaccard_finds_near_dups(spark, docs):
     assert not any(3 in p for p in pairs)
 
 
+def test_ngram_sparse_prefix_path_matches_dense(spark):
+    """The prefix-filtered inverted index (sparse regime) and the broadcast
+    matmul (dense regime) are two physical plans for the same exact operator:
+    forcing each must give identical pairs. Corpus mixes templated near-dups,
+    exact dups, size-incompatible docs, and <n-token docs."""
+    rows = [(i, f"alpha beta gamma delta epsilon zeta eta theta doc {i % 7}") for i in range(20)]
+    rows += [(100, "one two three"), (101, "one two three four five six seven eight nine ten")]
+    rows += [(102, "short"), (103, "totally unrelated content lives here okay")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    for thr in (0.5, 0.8):
+        dense = {tuple(r) for r in D.ngram_jaccard_pairs(docs, "doc_id", "text", threshold=thr).collect()}
+        sparse = {
+            tuple(r)
+            for r in D.ngram_jaccard_pairs(
+                docs, "doc_id", "text", threshold=thr, dense_max_cells=0
+            ).collect()
+        }
+        assert sparse == dense and dense  # same pairs, and non-trivially many
+
+
 def test_minhash_matches_exact(spark, docs):
     exact = {(r["id_a"], r["id_b"], r["jaccard"]) for r in D.ngram_jaccard_pairs(docs, "doc_id", "text", threshold=0.6).collect()}
     lsh = {(r["id_a"], r["id_b"], r["jaccard"]) for r in D.minhash_lsh_pairs(docs, "doc_id", "text", threshold=0.6).collect()}
