@@ -177,8 +177,9 @@ def exact_dedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "ngram_jaccard_dedup",
-    doc="Exact near-dup pairs: Jaccard over distinct word bigrams >= 0.8 via "
-    "the inverted shingle index (explode -> self-join -> shared counts).",
+    doc="Exact near-dup pairs: Jaccard over distinct word bigrams >= 0.8, "
+    "corpus-adaptive between the prefix-filtered inverted index (natural "
+    "corpora) and the broadcast dense matmul (templated corpora).",
     oracle=_SQL_EXACT_JACCARD_PAIRS,
 )
 def ngram_jaccard_dedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
