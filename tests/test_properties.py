@@ -136,3 +136,40 @@ def test_left_inner_join_buffers_until_first_right(spark, evs):
         elif after:
             want[i] = after[0]
     assert got == want
+
+
+# documents: 1-8 docs of 0-10 words over a 6-word vocabulary — adversarially
+# collision-heavy (many identical/near-identical shingle sets, many docs
+# below the bigram minimum)
+docs_corpus = st.lists(
+    st.lists(st.sampled_from("red blue green gold lazy dog".split()), max_size=10),
+    min_size=1,
+    max_size=8,
+)
+
+
+@given(docs_corpus, st.sampled_from([0.4, 0.6, 0.8]))
+@settings(**SETTINGS)
+def test_ngram_jaccard_both_regimes_match_model(spark, corpus, thr):
+    """Prefix-filtered inverted index (sparse) and broadcast matmul (dense)
+    both equal the definitional per-pair Jaccard on random corpora."""
+    from milan_spark.operators.dedup import ngram_jaccard_pairs
+
+    df = spark.createDataFrame(
+        [(i, " ".join(ws)) for i, ws in enumerate(corpus)], "doc_id long, text string"
+    )
+    def model():
+        sets = {i: {(ws[j], ws[j + 1]) for j in range(len(ws) - 1)} for i, ws in enumerate(corpus) if len(ws) >= 2}
+        out = set()
+        for a in sets:
+            for b in sets:
+                if a < b and sets[a] | sets[b]:
+                    j = len(sets[a] & sets[b]) / len(sets[a] | sets[b])
+                    if j >= thr:
+                        out.add((a, b, round(j, 6)))
+        return out
+
+    want = model()
+    for cells in (0, 10**9):  # force sparse, then dense
+        got = {tuple(r) for r in ngram_jaccard_pairs(df, "doc_id", "text", threshold=thr, dense_max_cells=cells).collect()}
+        assert got == want
