@@ -297,3 +297,44 @@ def left_windowed_join_apply(
             continue
         out = out.drop(grouped[rc])
     return out
+
+
+def range_join(
+    facts: DataFrame,
+    ranges: DataFrame,
+    value_col: str,
+    lo_col: str,
+    hi_col: str,
+    *,
+    bucket_width: float,
+    how: str = "inner",
+) -> DataFrame:
+    """Interval-containment join: each fact row pairs with every range row
+    whose ``[lo, hi)`` contains its value (overlapping ranges emit multiple
+    pairs). Beyond the reference's equi-key joins — the classic custom
+    operator Spark lacks a native physical strategy for.
+
+    Naive Spark plans this as BroadcastNestedLoopJoin (every fact × every
+    range) — quadratic, and the usual 100 TB cliff. Here each range explodes
+    into the width-``bucket_width`` buckets it overlaps and each fact hashes
+    to its one bucket, so Catalyst sees an ordinary hash equi-join on the
+    bucket id followed by the exact containment filter. Shuffle volume is
+    |facts| + Σ(range span / width): pick ``bucket_width`` near the median
+    range width so each range explodes into O(1) buckets. Bucket arithmetic
+    only generates candidates — the final filter re-checks the real bounds,
+    so float bucketing cannot change results.
+    """
+    b = F.floor(F.col(value_col) / F.lit(bucket_width))
+    rb = ranges.withColumn(
+        "__bucket",
+        F.explode(
+            F.sequence(
+                F.floor(F.col(lo_col) / F.lit(bucket_width)),
+                F.floor(F.col(hi_col) / F.lit(bucket_width)),
+            )
+        ),
+    )
+    out = facts.withColumn("__bucket", b).join(rb, "__bucket", how)
+    return out.filter(
+        (F.col(value_col) >= F.col(lo_col)) & (F.col(value_col) < F.col(hi_col))
+    ).drop("__bucket")

@@ -1,0 +1,78 @@
+"""Sketches for cardinality at scale (beyond the reference's operator set —
+the training-pipeline tier alongside dedup/similarity in SURVEY.md §7
+phase 6).
+
+KMV (k-minimum-values) distinct-count sketch: hash every value with a
+uniform hash into [0, P); the k-th smallest distinct hash m_k estimates the
+cardinality as (k-1)·P/m_k (Bar-Yossef et al. 2002; Beyer et al. SIGMOD'07
+for the unbiased (k-1) form). Unlike HyperLogLog the whole computation is a
+pure function of the input SET — no implementation-defined registers — so
+with a portable hash the estimate is bit-for-bit reproducible in ANSI SQL
+and oracle-checkable, while still shipping only k longs per group out of the
+shuffle.
+
+Scale shape: hash + per-group rank is one shuffle; only rows with rank ≤ k
+survive the partial window (a k-row stream per group feeds the final
+aggregate). For the global (ungrouped) variant Spark plans the k smallest
+as TakeOrderedAndProject — per-partition top-k, merged on the driver, no
+global sort shuffle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window as W, functions as F
+
+from milan_spark.operators.text import P31, char_fold_hash
+
+# Fibonacci-style multiplicative scrambler: the base-31 fold of a short
+# string is small (a 4-char value folds below 2^21), so its k smallest
+# values are nowhere near uniform in [0,P). Multiplying by a large odd
+# constant mod P equidistributes them; product < 2^63, exact in int64 in
+# both Spark and DuckDB.
+_SCRAMBLE = 2_654_435_761
+
+
+def _kmv_hash(col):
+    return (char_fold_hash(col, 31, P31) * F.lit(_SCRAMBLE)) % F.lit(P31) + 1
+
+
+def kmv_distinct(
+    df: DataFrame,
+    value_col: str,
+    *,
+    k: int = 256,
+    keys=(),
+) -> DataFrame:
+    """Per-group KMV distinct-count estimate of ``value_col``.
+
+    Output: keys + (n_hashes, kth_min_hash, distinct_est) where
+    ``distinct_est = (k-1)·P/m_k`` when the group holds ≥ k distinct hashes,
+    else the exact distinct count (the sketch is lossless below k — standard
+    KMV small-range behavior). Estimate is a correctly-rounded double of two
+    exact integers, so it is engine-independent.
+    """
+    key_list = list(keys)
+    h = _kmv_hash(F.col(value_col).cast("string"))
+    hashed = df.select(*key_list, h.alias("__h")).distinct()
+    if key_list:
+        ranked = hashed.withColumn(
+            "__rk", F.row_number().over(W.partitionBy(*key_list).orderBy("__h"))
+        )
+        topk = ranked.filter(F.col("__rk") <= k)
+        grouped = topk.groupBy(*key_list)
+    else:
+        # TakeOrderedAndProject: per-partition top-k merged at the driver —
+        # no single-partition window over every distinct hash
+        topk = hashed.orderBy("__h").limit(k)
+        grouped = topk.groupBy()
+    agg = grouped.agg(
+        F.count(F.lit(1)).alias("n_hashes"),
+        F.max("__h").alias("kth_min_hash"),
+    )
+    est = F.when(
+        F.col("n_hashes") < k,
+        F.col("n_hashes").cast("double"),
+    ).otherwise(
+        F.lit(float(k - 1)) * F.lit(float(P31)) / F.col("kth_min_hash")
+    )
+    return agg.withColumn("distinct_est", F.round(est, 4))

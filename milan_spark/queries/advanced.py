@@ -268,3 +268,71 @@ def cube_revenue_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .to_df()
     )
+
+
+@register(
+    "range_join_tiers",
+    doc="Interval-containment join via bucketized equi-join (operators."
+    "joins.range_join): events land in value tiers [lo, hi), overlapping "
+    "tiers emit twice; ranges explode into width-50 buckets so Catalyst "
+    "plans a hash join + exact filter, never BroadcastNestedLoopJoin.",
+    oracle="""
+SELECT tier, COUNT(*) AS n_events,
+       SUM(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS cents
+FROM events
+JOIN (VALUES ('low', 0.0, 50.0), ('mid', 50.0, 200.0),
+             ('high', 200.0, 500.0), ('vip', 400.0, 500.0)) tiers(tier, lo, hi)
+  ON value >= lo AND value < hi
+GROUP BY tier
+""",
+)
+def range_join_tiers_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from milan_spark.operators.joins import range_join
+
+    ev = table(spark, sf_dir, "events").select("event_id", "value")
+    tiers = spark.createDataFrame(
+        [("low", 0.0, 50.0), ("mid", 50.0, 200.0), ("high", 200.0, 500.0), ("vip", 400.0, 500.0)],
+        "tier string, lo double, hi double",
+    )
+    joined = range_join(ev, tiers, "value", "lo", "hi", bucket_width=50.0)
+    return joined.groupBy("tier").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.floor(F.col("value") * 100 + 0.5).cast("long")).alias("cents"),
+    )
+
+
+_SQL_KMV_HASH = (
+    "(list_reduce(list_transform(regexp_extract_all(CAST({s} AS VARCHAR), '.'),"
+    " c -> CAST(ascii(c) AS BIGINT)), (a, c) -> (a * 31 + c) % 2147483647)"
+    " * 2654435761) % 2147483647 + 1"
+)
+
+
+@register(
+    "kmv_distinct_users",
+    doc="KMV distinct-count sketch (operators.sketch.kmv_distinct, k=64): "
+    "k-th smallest scrambled hash per event_type estimates distinct users as "
+    "(k-1)*P/m_k — deterministic set function, so the oracle replicates it "
+    "bit-for-bit (unlike HLL's implementation-defined registers).",
+    oracle=f"""
+WITH hashed AS (
+  SELECT DISTINCT event_type, {_SQL_KMV_HASH.format(s='user_id')} AS h
+  FROM events
+), ranked AS (
+  SELECT event_type, h, ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY h) AS rk
+  FROM hashed
+), agg AS (
+  SELECT event_type, COUNT(*) AS n_hashes, MAX(h) AS kth_min_hash
+  FROM ranked WHERE rk <= 64 GROUP BY event_type
+)
+SELECT event_type, n_hashes, kth_min_hash,
+       round(CASE WHEN n_hashes < 64 THEN CAST(n_hashes AS DOUBLE)
+                  ELSE 63.0 * 2147483647.0 / kth_min_hash END, 4) AS distinct_est
+FROM agg
+""",
+)
+def kmv_distinct_users_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from milan_spark.operators.sketch import kmv_distinct
+
+    ev = table(spark, sf_dir, "events")
+    return kmv_distinct(ev, "user_id", k=64, keys=["event_type"])
