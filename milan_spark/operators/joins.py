@@ -338,3 +338,63 @@ def range_join(
     return out.filter(
         (F.col(value_col) >= F.col(lo_col)) & (F.col(value_col) < F.col(hi_col))
     ).drop("__bucket")
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on=None,
+    *,
+    left_on: Sequence[str] = (),
+    right_on: Sequence[str] = (),
+    left_ord: str,
+    right_ord: str,
+    tolerance: int | None = None,
+    direction: str = "backward",
+    right_prefix: str = "r_",
+) -> DataFrame:
+    """Time-based as-of join: each left row pairs with the nearest right row
+    for its key at-or-before (``backward``) or at-or-after (``forward``) its
+    ``left_ord`` position, optionally within ``tolerance`` (same units as the
+    ord columns); right side null otherwise. Every left row survives.
+
+    The generalization of :func:`left_enrichment_join` from arrival sequence
+    to an arbitrary numeric time axis (callers convert timestamps with
+    ``F.unix_micros``). Same scale shape: ONE shuffle + ONE sort per key over
+    the tagged union — never a per-row range probe. Ties on the ord pair with
+    the right row (both directions). Rights sharing an (key, ord) position
+    must be pre-deduplicated for determinism — enforced nowhere, documented
+    here, done with ``max_by`` in the catalog query.
+    """
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be backward|forward, got {direction!r}")
+    left_on, right_on = _normalize_on(on, left_on, right_on)
+    u, lcols, rcols = _union_sides(left, right, left_on, right_on, left_ord, right_ord)
+    keys = [f"{_KEY}{i}" for i in range(len(left_on))]
+    r_ord = F.when(F.col(_SIDE) == 0, F.col(_ORD))
+    if direction == "backward":
+        # right sorts before left at equal ord -> equal-ts right is in frame
+        w = W.partitionBy(*keys).orderBy(_ORD, _SIDE).rowsBetween(W.unboundedPreceding, W.currentRow)
+        pick_r, pick_o = F.last(_R, ignorenulls=True), F.last(r_ord, ignorenulls=True)
+        gap = F.col(_ORD) - F.col("__r_ord")
+    else:
+        w = (
+            W.partitionBy(*keys)
+            .orderBy(_ORD, F.desc(_SIDE))
+            .rowsBetween(W.currentRow, W.unboundedFollowing)
+        )
+        pick_r, pick_o = F.first(_R, ignorenulls=True), F.first(r_ord, ignorenulls=True)
+        gap = F.col("__r_ord") - F.col(_ORD)
+    paired = (
+        u.withColumn("__m_r", pick_r.over(w))
+        .withColumn("__r_ord", pick_o.over(w))
+        .filter(F.col(_SIDE) == 1)
+        .drop(_R)
+        .withColumnRenamed("__m_r", _R)
+    )
+    if tolerance is not None:
+        paired = paired.withColumn(
+            _R, F.when(gap <= F.lit(tolerance), F.col(_R))
+        )
+    out, _ = _pair_output(paired.drop("__r_ord"), lcols, rcols, right_prefix, left_on, right_on)
+    return out

@@ -187,6 +187,20 @@ def _compile_op(n: Node, spark: SparkSession, ins: list[DataFrame]) -> DataFrame
     if n.op == "relational_join":
         how = p.get("how", "inner")
         return ins[0].join(ins[1], on=p["on"], how=how)
+    if n.op == "asof_join":
+        from milan_spark.operators.joins import asof_join
+
+        return asof_join(
+            ins[0],
+            ins[1],
+            left_on=p["left_on"],
+            right_on=p["right_on"],
+            left_ord=p["left_ord"],
+            right_ord=p["right_ord"],
+            tolerance=p.get("tolerance"),
+            direction=p.get("direction", "backward"),
+            right_prefix=p.get("right_prefix", "r_"),
+        )
     if n.op == "running_sum_by":
         from milan_spark.operators.scans import running_sum_by
 

@@ -336,3 +336,60 @@ def kmv_distinct_users_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = table(spark, sf_dir, "events")
     return kmv_distinct(ev, "user_id", k=64, keys=["event_type"])
+
+
+@register(
+    "hypertable_rollup",
+    doc="Hypertable-style time-hierarchy rollup: one pass over events "
+    "produces day-level, (day, hour)-level, and grand-total aggregates via "
+    "ROLLUP on truncated time columns — partial aggregation covers all "
+    "levels in a single shuffle.",
+    oracle="""
+SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+       CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour,
+       COUNT(*) AS n,
+       SUM(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS cents
+FROM events GROUP BY ROLLUP (day, hour)
+""",
+)
+def hypertable_rollup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events").select(
+        F.date_trunc("day", "ts").alias("day"),
+        F.date_trunc("hour", "ts").alias("hour"),
+        "value",
+    )
+    return (
+        Stream.from_dataframe(ev)
+        .rollup(
+            "day",
+            "hour",
+            n=F.count(F.lit(1)),
+            cents=F.sum(F.floor(F.col("value") * 100 + 0.5).cast("long")),
+        )
+        .to_df()
+    )
+
+
+@register(
+    "bpe_pretoken_count",
+    doc="BPE-style pretokenizer counts: split text the way byte-pair "
+    "tokenizers pre-segment it (letter runs | digit runs | single "
+    "non-alnum-non-space) and count segments and unique segments per doc - "
+    "the token-budget estimator for corpus curation.",
+    oracle="""
+SELECT doc_id,
+       len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\\s]')) AS n_pretokens,
+       len(list_distinct(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\\s]'))) AS n_unique,
+       len(regexp_extract_all(lower(text), '[0-9]+')) AS n_number_runs
+FROM documents
+""",
+)
+def bpe_pretoken_count_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    toks = F.regexp_extract_all(F.lower("text"), F.lit(r"[a-z]+|[0-9]+|[^a-z0-9\s]"), 0)
+    return docs.select(
+        "doc_id",
+        F.array_size(toks).alias("n_pretokens"),
+        F.array_size(F.array_distinct(toks)).alias("n_unique"),
+        F.array_size(F.regexp_extract_all(F.lower("text"), F.lit(r"[0-9]+"), 0)).alias("n_number_runs"),
+    )

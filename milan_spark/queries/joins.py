@@ -253,3 +253,60 @@ def windowed_join_apply_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "event_id", "user_id", "value", F.coalesce("n_errors", F.lit(0)).alias("n_errors"), "error_sum"
     )
+
+
+@register(
+    "asof_join_purchase_view",
+    doc="Time-axis as-of join with tolerance (operators.joins.asof_join): "
+    "each purchase pairs with the user's latest view at-or-before it and "
+    "within 3 days, else null — one shuffle + one sort per key over the "
+    "tagged union, never a per-row range probe. Views pre-deduplicated per "
+    "(user, ts) with max_by for determinism.",
+    oracle="""
+WITH base AS (
+  SELECT event_id, user_id, event_type, epoch_ns(ts) // 1000 AS ts_us FROM events
+), p AS (
+  SELECT event_id, user_id, ts_us FROM base WHERE event_type = 'purchase'
+), v AS (
+  SELECT user_id, ts_us, MAX(event_id) AS event_id
+  FROM base WHERE event_type = 'view' GROUP BY 1, 2
+), m AS (
+  SELECT p.event_id, p.user_id, p.ts_us,
+         (SELECT MAX(v.ts_us) FROM v
+          WHERE v.user_id = p.user_id AND v.ts_us <= p.ts_us
+            AND v.ts_us >= p.ts_us - 259200000000) AS mts
+  FROM p
+)
+SELECT m.event_id, m.user_id,
+       v.event_id AS view_event_id,
+       m.ts_us - m.mts AS gap_us
+FROM m LEFT JOIN v ON v.user_id = m.user_id AND v.ts_us = m.mts
+""",
+)
+def asof_join_purchase_view_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from milan_spark.operators.joins import asof_join
+
+    base = table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", F.unix_micros("ts").alias("ts_us")
+    )
+    purch = base.filter(F.col("event_type") == "purchase").select("event_id", "user_id", "ts_us")
+    views = (
+        base.filter(F.col("event_type") == "view")
+        .groupBy("user_id", "ts_us")
+        .agg(F.max("event_id").alias("event_id"))
+        .select("event_id", "user_id", "ts_us")
+    )
+    out = asof_join(
+        purch,
+        views,
+        on="user_id",
+        left_ord="ts_us",
+        right_ord="ts_us",
+        tolerance=3 * 86_400 * 10**6,
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        F.col("r_event_id").alias("view_event_id"),
+        (F.col("ts_us") - F.col("r_ts_us")).alias("gap_us"),
+    )

@@ -276,6 +276,52 @@ class Stream:
             Node("relational_join", {"on": on, "how": how}, [self.node, other.node]),
         )
 
+    def asof_join(
+        self,
+        other: "Stream",
+        on=None,
+        *,
+        left_on=(),
+        right_on=(),
+        left_ord: str,
+        right_ord: str,
+        tolerance: int | None = None,
+        direction: str = "backward",
+        right_prefix: str = "r_",
+    ) -> "Stream":
+        """Time-axis as-of join with tolerance — the enrichment join
+        generalized from arrival sequence to any numeric time column."""
+        from milan_spark.operators.joins import asof_join
+
+        df = asof_join(
+            self.df,
+            other.df,
+            on,
+            left_on=left_on,
+            right_on=right_on,
+            left_ord=left_ord,
+            right_ord=right_ord,
+            tolerance=tolerance,
+            direction=direction,
+            right_prefix=right_prefix,
+        )
+        lo = [on] if isinstance(on, str) else list(on or left_on)
+        ro = [on] if isinstance(on, str) else list(on or right_on)
+        node = Node(
+            "asof_join",
+            {
+                "left_on": lo,
+                "right_on": ro,
+                "left_ord": left_ord,
+                "right_ord": right_ord,
+                "tolerance": tolerance,
+                "direction": direction,
+                "right_prefix": right_prefix,
+            },
+            [self.node, other.node],
+        )
+        return Stream(df, node)
+
     def left_windowed_join(
         self, other: "Stream", on=None, *, left_on=(), right_on=(), aggs: Sequence[Column] = ()
     ) -> "Stream":
