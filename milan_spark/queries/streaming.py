@@ -272,3 +272,83 @@ def streaming_unique_dedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max_by("value", "event_id").alias("last_value"),
     )
     return run_to_memory(out, "streaming_unique_dedup", output_mode="complete")
+
+
+@register(
+    "streaming_stream_max_by",
+    doc="Milan MaxBy emit-on-improvement on the streaming backend "
+    "(ArgCompareProcessFunctions.scala): per-user value state holds the "
+    "running max; an arrival is emitted only when it strictly beats it - the "
+    "reference's every-element trigger, literally. Same oracle as the batch "
+    "twin.",
+    oracle=REGISTRY["stream_max_by"].oracle,
+)
+def streaming_stream_max_by_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events_stream(spark, sf_dir).select(
+        "event_id", "user_id", "value", F.col("event_id").alias("__seq")
+    )
+
+    def fold(state, rec):
+        if state is None or rec.value > state:
+            return rec.value, {"event_id": rec.event_id, "user_id": rec.user_id, "value": rec.value}
+        return state, None
+
+    out = stateful.scan(
+        ev,
+        fold,
+        initial_state=None,
+        output_schema="event_id long, user_id long, value double",
+        keys=["user_id"],
+        seq="event_id",
+    )
+    return run_to_memory(out, "streaming_stream_max_by")
+
+
+@register(
+    "streaming_last_per_key",
+    doc="Milan Last keyed on the streaming backend (LastOperators.scala:85): "
+    "complete-mode aggregation keeping the highest-sequence record per user - "
+    "parallel across keys, unlike the reference's parallelism-1 unkeyed "
+    "variant. Same oracle as the batch twin.",
+    oracle=REGISTRY["last_per_key"].oracle,
+)
+def streaming_last_per_key_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events_stream(spark, sf_dir)
+    out = ev.groupBy("user_id").agg(
+        F.max("event_id").alias("event_id"),
+        F.max_by("event_type", "event_id").alias("event_type"),
+        F.max_by("value", "event_id").alias("value"),
+    )
+    return run_to_memory(out, "streaming_last_per_key", output_mode="complete")
+
+
+@register(
+    "streaming_asof_purchase_view",
+    doc="As-of join on the streaming backend: the event stream arrives in "
+    "timestamp order (verified: zero ts inversions in the corpus), so the "
+    "per-key last-right value state IS the backward as-of match; the 3-day "
+    "tolerance nulls stale matches at emission. Equal-ts ties would pair "
+    "only an earlier-arrived right (no such ties exist in the corpus). Same "
+    "oracle as the batch twin.",
+    oracle=REGISTRY["asof_join_purchase_view"].oracle,
+)
+def streaming_asof_purchase_view_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events_stream(spark, sf_dir).select(
+        "event_id", "user_id", "event_type", F.unix_micros("ts").alias("ts_us")
+    )
+    purch = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts_us", F.col("event_id").alias("__seq")
+    )
+    views = ev.filter(F.col("event_type") == "view").select(
+        "event_id", "user_id", "ts_us", F.col("event_id").alias("__seq")
+    )
+    joined = stateful.left_enrichment_join(purch, views, on="user_id")
+    tol = 3 * 86_400 * 10**6
+    gap = F.col("ts_us") - F.col("r_ts_us")
+    out = joined.select(
+        "event_id",
+        "user_id",
+        F.when(gap <= tol, F.col("r_event_id")).alias("view_event_id"),
+        F.when(gap <= tol, gap).alias("gap_us"),
+    )
+    return run_to_memory(out, "streaming_asof_purchase_view")
