@@ -47,3 +47,18 @@ def test_non_serializable_plan_rejected(spark):
     assert not s.node.is_serializable
     with pytest.raises(ValueError):
         to_json(s.node)
+
+
+def test_roundtrip_asof_join(spark):
+    ev = "/root/testdata/sf0.001/events.parquet"
+    left = Stream.from_parquet(spark, ev).where("event_type = 'purchase'").map(
+        "user_id", "event_id", "event_id * 10 AS t"
+    )
+    right = Stream.from_parquet(spark, ev).where("event_type = 'view'").map(
+        "user_id", "event_id", "event_id * 10 AS t"
+    )
+    joined = left.asof_join(right, on="user_id", left_ord="t", right_ord="t", tolerance=500)
+    text = to_json(joined.node)
+    df2 = compile_node(from_json(text), spark)
+    assert {tuple(r) for r in df2.collect()} == {tuple(r) for r in joined.to_list()}
+    assert to_json(from_json(text)) == text
