@@ -31,13 +31,11 @@ def main() -> None:
     # cluster pays daemon fork + Arrow init once, not per query)
     try:
         qs["q1_pricing_summary"](spark, sf_dir).write.format("noop").mode("overwrite").save()
-        import pandas as pd
         from pyspark.sql.functions import col, pandas_udf
 
-        @pandas_udf("long")
-        def _warm(s: pd.Series) -> pd.Series:
-            return s
-
+        # no type hints: under PEP 563 a stringified `pd.Series` annotation
+        # would fail to resolve inside this function scope and kill the warmup
+        _warm = pandas_udf(lambda s: s, "long")
         ncpu = spark.sparkContext.defaultParallelism
         spark.range(0, ncpu * 4, 1, ncpu).select(_warm(col("id"))).write.format(
             "noop"

@@ -159,7 +159,9 @@ def ngram_jaccard_pairs(
     # the shingle pipeline feeds the stats probe, both sides of the join, and
     # (dense path) two more passes — persist the small index, not the text
     ex = ex.persist()
-    freq = ex.groupBy("__h").agg(F.count(F.lit(1)).alias("__f"))
+    # persisted: the regime probe counts it, and the sparse path re-joins it
+    # for prefix ranking — one row per distinct shingle, tiny
+    freq = ex.groupBy("__h").agg(F.count(F.lit(1)).alias("__f")).persist()
     nontrivial = freq.filter(F.col("__f") >= 2)
     v, n_docs = nontrivial.count(), df.count()
     if v * n_docs <= dense_max_cells:

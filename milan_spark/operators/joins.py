@@ -66,21 +66,29 @@ def _union_sides(
     right_on: Sequence[str],
     left_seq: str,
     right_seq: str,
+    ord_cast: str | None = "long",
 ) -> tuple[DataFrame, list[str], list[str]]:
     lcols = [c for c in left.columns]
     rcols = [c for c in right.columns]
+
+    def _ord(c):
+        # enrichment joins order on an integer arrival sequence (cast pins
+        # the type across sides); asof_join passes ord_cast=None to keep
+        # fractional time axes exact
+        return F.col(c).cast(ord_cast) if ord_cast else F.col(c)
+
     l = left.select(
         F.struct(*lcols).alias(_L),
         F.lit(None).cast(right.select(F.struct(*rcols).alias("s")).schema["s"].dataType).alias(_R),
         *[F.col(c).alias(f"{_KEY}{i}") for i, c in enumerate(left_on)],
-        F.col(left_seq).cast("long").alias(_ORD),
+        _ord(left_seq).alias(_ORD),
         F.lit(1).alias(_SIDE),
     )
     r = right.select(
         F.lit(None).cast(left.select(F.struct(*lcols).alias("s")).schema["s"].dataType).alias(_L),
         F.struct(*rcols).alias(_R),
         *[F.col(c).alias(f"{_KEY}{i}") for i, c in enumerate(right_on)],
-        F.col(right_seq).cast("long").alias(_ORD),
+        _ord(right_seq).alias(_ORD),
         F.lit(0).alias(_SIDE),
     )
     return l.unionByName(r), lcols, rcols
@@ -318,15 +326,22 @@ def range_join(
     range) — quadratic, and the usual 100 TB cliff. Here each range explodes
     into the width-``bucket_width`` buckets it overlaps and each fact hashes
     to its one bucket, so Catalyst sees an ordinary hash equi-join on the
-    bucket id followed by the exact containment filter. Shuffle volume is
-    |facts| + Σ(range span / width): pick ``bucket_width`` near the median
-    range width so each range explodes into O(1) buckets. Bucket arithmetic
-    only generates candidates — the final filter re-checks the real bounds,
-    so float bucketing cannot change results.
+    bucket id with the exact containment check as a join-side predicate.
+    Shuffle volume is |facts| + Σ(range span / width): pick ``bucket_width``
+    near the median range width so each range explodes into O(1) buckets.
+    Bucket arithmetic only generates candidates — containment re-checks the
+    real bounds, so float bucketing cannot change results.
+
+    Containment rides the JOIN CONDITION, not a post-join filter, so
+    ``how='left'`` keeps unmatched facts null-extended (a post-join filter
+    would silently turn any outer join back into inner). A fact's matching
+    range always shares its bucket, so the equi-key never hides a match.
     """
-    b = F.floor(F.col(value_col) / F.lit(bucket_width))
+    if how not in ("inner", "left"):
+        raise ValueError(f"range_join supports inner|left, got {how!r}")
+    fb = facts.withColumn("__fbucket", F.floor(F.col(value_col) / F.lit(bucket_width)))
     rb = ranges.withColumn(
-        "__bucket",
+        "__rbucket",
         F.explode(
             F.sequence(
                 F.floor(F.col(lo_col) / F.lit(bucket_width)),
@@ -334,10 +349,12 @@ def range_join(
             )
         ),
     )
-    out = facts.withColumn("__bucket", b).join(rb, "__bucket", how)
-    return out.filter(
-        (F.col(value_col) >= F.col(lo_col)) & (F.col(value_col) < F.col(hi_col))
-    ).drop("__bucket")
+    cond = (
+        (fb["__fbucket"] == rb["__rbucket"])
+        & (fb[value_col] >= rb[lo_col])
+        & (fb[value_col] < rb[hi_col])
+    )
+    return fb.join(rb, cond, how).drop("__fbucket", "__rbucket")
 
 
 def asof_join(
@@ -369,7 +386,12 @@ def asof_join(
     if direction not in ("backward", "forward"):
         raise ValueError(f"direction must be backward|forward, got {direction!r}")
     left_on, right_on = _normalize_on(on, left_on, right_on)
-    u, lcols, rcols = _union_sides(left, right, left_on, right_on, left_ord, right_ord)
+    # ord_cast=None: fractional time axes stay exact (both ord columns must
+    # share one numeric type; a long cast here would silently collapse
+    # sub-integer ordering and mis-pair matches)
+    u, lcols, rcols = _union_sides(
+        left, right, left_on, right_on, left_ord, right_ord, ord_cast=None
+    )
     keys = [f"{_KEY}{i}" for i in range(len(left_on))]
     r_ord = F.when(F.col(_SIDE) == 0, F.col(_ORD))
     if direction == "backward":

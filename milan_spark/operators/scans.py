@@ -113,6 +113,8 @@ def scan(
     """Milan Scan (StreamExpressions.scala:505): general user-stateful fold
     ``(state, record) -> (state, out_or_None)`` applied in arrival order per
     key; None outputs are suppressed (doc/Milan Operations.md:122-133).
+    ``out`` must be a dict keyed by the output-schema field names (same
+    contract as the streaming twin); records arrive as named tuples.
 
     Executed as hash-repartition on the key + per-partition sort +
     ``mapInPandas`` walking whole Arrow batches with a per-key state dict —
@@ -135,16 +137,20 @@ def scan(
 
     def run_partition(batches):
         states: dict = {}
-        rows = []
         for pdf in batches:
+            rows = []
             for rec in pdf.itertuples(index=False):
                 k = tuple(getattr(rec, c) for c in key_list) if key_list else ()
                 state, out = fold(states.get(k, initial_state), rec)
                 states[k] = state
                 if out is not None:
                     rows.append(out)
-        if rows:
-            yield pd.DataFrame(rows)[out_cols]
+            # emitted rows are final the moment they are produced — flush per
+            # Arrow batch so worker memory is bounded by batch output, not
+            # partition output (a high-emit fold over a large partition would
+            # otherwise buffer the whole partition's result in one list)
+            if rows:
+                yield pd.DataFrame(rows)[out_cols]
 
     if key_list:
         part = df.repartition(*key_list).sortWithinPartitions(*key_list, seq)

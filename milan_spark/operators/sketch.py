@@ -53,7 +53,12 @@ def kmv_distinct(
     """
     key_list = list(keys)
     h = _kmv_hash(F.col(value_col).cast("string"))
-    hashed = df.select(*key_list, h.alias("__h")).distinct()
+    # NULL is not a value (COUNT DISTINCT convention) — and Spark's ascending
+    # window sort is NULLS FIRST while SQL engines default NULLS LAST, so an
+    # unfiltered null hash would also poison the top-k disagreement-free
+    hashed = (
+        df.filter(F.col(value_col).isNotNull()).select(*key_list, h.alias("__h")).distinct()
+    )
     if key_list:
         ranked = hashed.withColumn(
             "__rk", F.row_number().over(W.partitionBy(*key_list).orderBy("__h"))

@@ -317,7 +317,7 @@ _SQL_KMV_HASH = (
     oracle=f"""
 WITH hashed AS (
   SELECT DISTINCT event_type, {_SQL_KMV_HASH.format(s='user_id')} AS h
-  FROM events
+  FROM events WHERE user_id IS NOT NULL
 ), ranked AS (
   SELECT event_type, h, ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY h) AS rk
   FROM hashed

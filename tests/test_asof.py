@@ -73,3 +73,14 @@ def test_asof_matches_model(spark, lefts, rights, tol, direction):
     out = asof_join(ldf, rdf, on="k", left_ord="t", right_ord="t", tolerance=tol, direction=direction)
     got = {r["id"]: r["r_id"] for r in out.collect()}
     assert got == _model(lefts, rrows, tol, direction)
+
+
+def test_asof_fractional_ord_not_truncated(spark):
+    """Regression: a long cast on the ord axis would collapse 1.5/1.9/1.95
+    into one tick and pair a backward join with a FUTURE right row."""
+    ldf = spark.createDataFrame([(1, 0, 1.9)], "id long, k long, t double")
+    rdf = spark.createDataFrame([(10, 0, 1.5), (11, 0, 1.95)], "id long, k long, t double")
+    out = asof_join(ldf, rdf, on="k", left_ord="t", right_ord="t")
+    assert out.first()["r_id"] == 10
+    fwd = asof_join(ldf, rdf, on="k", left_ord="t", right_ord="t", direction="forward")
+    assert fwd.first()["r_id"] == 11

@@ -74,3 +74,25 @@ def test_kmv_grouped_matches_global(spark):
     assert abs(got["t1"]["distinct_est"] - 300) / 300 < 0.35
     # same members in both groups -> t2's hashes are a subset; sanity only
     assert got["t1"]["n_hashes"] == 64
+
+
+def test_range_join_left_keeps_unmatched_facts(spark):
+    """Regression: containment must ride the join condition — a post-join
+    filter silently turns how='left' back into inner."""
+    facts = spark.createDataFrame([(1, 5.0), (2, 25.0)], "id long, v double")
+    out = range_join(facts, _ranges(spark), "v", "lo", "hi", bucket_width=4.0, how="left")
+    got = {(r["id"], r["tier"]) for r in out.collect()}
+    assert got == {(1, "a"), (1, "ab"), (2, None)}
+    import pytest
+
+    with pytest.raises(ValueError):
+        range_join(facts, _ranges(spark), "v", "lo", "hi", bucket_width=4.0, how="full")
+
+
+def test_kmv_ignores_nulls(spark):
+    """NULL is not a value: it must not occupy a top-k slot (Spark windows
+    sort NULLS FIRST; SQL engines default NULLS LAST — both excluded)."""
+    rows = [(f"u{i}",) for i in range(10)] + [(None,)] * 5
+    df = spark.createDataFrame(rows, "u string")
+    row = kmv_distinct(df, "u", k=8).first()
+    assert row["n_hashes"] == 8 and row["kth_min_hash"] is not None
