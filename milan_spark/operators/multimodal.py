@@ -92,3 +92,70 @@ def extract_features(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
 
     schema = f"{id_col} long, features array<long>, byte_len long, checksum long"
     return df.select(id_col, "payload").mapInPandas(run, schema=schema)
+
+
+def _fake_resize(payload: bytes, width: int, height: int) -> bytes:
+    """Deterministic stand-in for a real resize: tile/truncate the payload to
+    exactly width*height bytes. Preserves the real operator's contract —
+    fixed output size, pure function of (payload, w, h) — so the Spark
+    plumbing (schema, batch shape, partition sizing) is exercised for real;
+    swap :func:`resize_image` in when an imaging library is present."""
+    n = width * height
+    if not payload:
+        return bytes(n)
+    reps = -(-n // len(payload))
+    return (payload * reps)[:n]
+
+
+def resize_payloads(df: DataFrame, width: int, height: int, id_col: str = "doc_id") -> DataFrame:
+    """mapInPandas resize over payload batches: (id, payload) → (id, resized
+    payload + refreshed meta). Narrow — pipelines with the scan; output rows
+    are fixed-size so downstream partition sizing is exact
+    (rows_per_partition = maxPartitionBytes / (width*height))."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col],
+                    "payload": pdf["payload"].map(lambda p: _fake_resize(p, width, height)),
+                }
+            )
+
+    out = df.select(id_col, "payload").mapInPandas(run, schema=f"{id_col} long, payload binary")
+    return out.withColumn(
+        "meta",
+        F.struct(
+            F.lit("image").alias("modality"),
+            F.length("payload").cast("long").alias("byte_len"),
+            F.lit("image/raw").alias("mime"),
+        ),
+    )
+
+
+def sample_frame_payloads(
+    df: DataFrame, frame_bytes: int, every_n: int, id_col: str = "doc_id"
+) -> DataFrame:
+    """mapInPandas frame sampling: the payload is treated as a sequence of
+    fixed-size frames; every n-th frame is emitted as one output ROW
+    (id, frame_no, frame) — the exploding shape a real video pipeline needs
+    (output rows ≫ input rows), so this is where
+    ``spark.sql.files.maxPartitionBytes`` matters most: a partition's output
+    is its payload bytes / every_n. Deterministic fake of the ffmpeg path."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, nos, frames = [], [], []
+            for rid, payload in zip(pdf[id_col], pdf["payload"]):
+                if payload is None:
+                    continue
+                total = len(payload) // frame_bytes
+                for fno in range(0, total, every_n):
+                    ids.append(rid)
+                    nos.append(fno)
+                    frames.append(payload[fno * frame_bytes : (fno + 1) * frame_bytes])
+            yield pd.DataFrame({id_col: ids, "frame_no": nos, "frame": frames})
+
+    return df.select(id_col, "payload").mapInPandas(
+        run, schema=f"{id_col} long, frame_no long, frame binary"
+    )

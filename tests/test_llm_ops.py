@@ -194,3 +194,25 @@ def test_decode_stubs_raise(spark):
         M.decode_image(b"xx")
     with pytest.raises(NotImplementedError):
         M.decode_audio(b"xx")
+
+
+def test_resize_payload_plumbing(spark, docs):
+    packed = M.attach_binary_payload(docs, "text")
+    out = M.resize_payloads(packed, 8, 4).collect()
+    assert all(len(r["payload"]) == 32 for r in out)
+    assert all(r["meta"]["byte_len"] == 32 for r in out)
+    # deterministic: same payload -> same resized bytes (docs 1 and 4 identical)
+    by_id = {r["doc_id"]: bytes(r["payload"]) for r in out}
+    assert by_id[1] == by_id[4]
+
+
+def test_frame_sample_plumbing(spark, docs):
+    packed = M.attach_binary_payload(docs, "text")
+    out = M.sample_frame_payloads(packed, frame_bytes=4, every_n=2).collect()
+    assert out and all(len(r["frame"]) == 4 for r in out)
+    # every other 4-byte frame, starting at 0
+    nos = sorted(r["frame_no"] for r in out if r["doc_id"] == 1)
+    assert nos[:3] == [0, 2, 4]
+    text = "the quick brown fox jumps over the lazy dog".encode()
+    first = next(bytes(r["frame"]) for r in out if r["doc_id"] == 1 and r["frame_no"] == 2)
+    assert first == text[8:12]
