@@ -354,7 +354,10 @@ def range_join(
         & (fb[value_col] >= rb[lo_col])
         & (fb[value_col] < rb[hi_col])
     )
-    return fb.join(rb, cond, how).drop("__fbucket", "__rbucket")
+    # ranges are the dimension side; without the hint Catalyst can pick
+    # BuildLeft off a locally-built ranges relation's unknown size stats and
+    # broadcast the FACT side — exactly backwards at scale
+    return fb.join(F.broadcast(rb), cond, how).drop("__fbucket", "__rbucket")
 
 
 def asof_join(
