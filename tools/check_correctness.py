@@ -98,6 +98,10 @@ def main() -> int:
             print(f"FAIL {name}: spark error: {e}")
             failures += 1
             continue
+        finally:
+            # multi-pass operators persist intermediates; don't let 68
+            # queries' caches stack up in one session
+            spark.catalog.clearCache()
         if name not in oracles:
             print(f"ok?  {name}: rows={len(sdf)} (no oracle — rows-only check)")
             continue
