@@ -1,0 +1,380 @@
+"""Relational-analytics and training-pipeline queries: TPC-H classic shapes,
+window-function analytics, pivot, exact moments/quantiles, deterministic
+splits/samples, TF-IDF.
+
+These exceed the reference's operator surface (SURVEY.md §2.7 notes Milan has
+no sorts/limits/pivots and no scalar library at all — everything here would be
+user ``ApplyFunction`` code there); they are the queries a user of a general
+analytics engine runs daily, expressed through the same library primitives.
+
+Float discipline (see ``milan_spark.catalog``): every double is derived from
+exact DECIMAL/integer quantities by an identical IEEE expression tree on both
+engines; magnitudes stay under 2^53 so decimal→double casts are exact.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F
+
+from milan_spark import functions as mf
+from milan_spark.catalog import register
+from milan_spark.operators.sampling import hash_split, stratified_sample
+from milan_spark.sources import table
+
+DEC = "decimal(18,6)"
+
+# Oracle fragments: the same polynomial folds used by operators/text.py and
+# operators/sampling.py, in DuckDB list_reduce form.
+_H31 = (
+    "list_reduce(list_transform(regexp_extract_all({s}, '.'), c -> CAST(ascii(c) AS BIGINT)),"
+    " (a, c) -> (a * 31 + c) % 2147483647)"
+)
+_H131 = (
+    "list_reduce(list_transform(regexp_extract_all({s}, '.'), c -> CAST(ascii(c) AS BIGINT)),"
+    " (a, c) -> (a * 131 + c) % 2147483647)"
+)
+# XOR mix (see operators/sampling.py hash_bucket: linear mixes collapse
+# mod n for short numeric keys)
+_BUCKET = f"(xor({_H31}, ({_H131} * 65537) % 2147483647) % {{n}})"
+
+
+@register(
+    "q3_shipping_priority",
+    doc="TPC-H Q3 shape: segment-filtered customer ⋈ orders ⋈ lineitem, "
+    "revenue per order, top 10. The filtered dimension broadcasts; the fact "
+    "table never shuffles before aggregation (plan audited in "
+    "tests/test_plan_shapes.py).",
+    oracle="""
+SELECT l_orderkey,
+       CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,6)) * (1 - CAST(l_discount AS DECIMAL(18,6)))), 2) AS DOUBLE) AS revenue,
+       o_orderdate
+FROM customer, orders, lineitem
+WHERE c_mktsegment = 'BUILDING'
+  AND c_custkey = o_custkey
+  AND l_orderkey = o_orderkey
+  AND o_orderdate < TIMESTAMP '1998-06-01'
+  AND l_shipdate > TIMESTAMP '1998-06-01'
+GROUP BY l_orderkey, o_orderdate
+ORDER BY revenue DESC, l_orderkey
+LIMIT 10
+""",
+)
+def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = table(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    orders = table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1998-06-01").cast("timestamp")
+    )
+    li = table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1998-06-01").cast("timestamp")
+    )
+    price = F.col("l_extendedprice").cast(DEC)
+    disc = F.col("l_discount").cast(DEC)
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate")
+        .agg(F.round(mf.agg_sum(price * (F.lit(1) - disc)), 2).cast("double").alias("revenue"))
+        .select("l_orderkey", "revenue", "o_orderdate")
+        .orderBy(F.col("revenue").desc(), F.col("l_orderkey"))
+        .limit(10)
+    )
+
+
+@register(
+    "q6_revenue_forecast",
+    doc="TPC-H Q6 shape: pure filter + global aggregate — every predicate "
+    "pushes to the parquet scan, the aggregate is map-side partial; the "
+    "whole query is one scan and a 1-row exchange.",
+    oracle="""
+SELECT CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,6)) * CAST(l_discount AS DECIMAL(18,6))), 2) AS DOUBLE) AS revenue,
+       COUNT(*) AS n_items
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+  AND l_discount BETWEEN 0.05 AND 0.07
+  AND l_quantity < 24
+""",
+)
+def q6_revenue_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    sd = F.col("l_shipdate")
+    return (
+        li.filter(
+            (sd >= F.lit("1996-01-01").cast("timestamp"))
+            & (sd < F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_discount") >= 0.05)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.round(
+                mf.agg_sum(F.col("l_extendedprice").cast(DEC) * F.col("l_discount").cast(DEC)), 2
+            )
+            .cast("double")
+            .alias("revenue"),
+            mf.agg_count().alias("n_items"),
+        )
+    )
+
+
+@register(
+    "order_gap_lag_lead",
+    doc="Window-function analytics (absent in the reference — ordering exists "
+    "only inside scans): per-customer order timeline with lag/lead/rank. One "
+    "shuffle + one sort per customer partition.",
+    oracle="""
+SELECT o_custkey, o_orderkey,
+       CAST(epoch(o_orderdate) AS BIGINT)
+         - lag(CAST(epoch(o_orderdate) AS BIGINT)) OVER w AS gap_seconds,
+       lead(o_totalprice) OVER w AS next_price,
+       rank() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS price_rank
+FROM orders
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+""",
+)
+def order_gap_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = table(spark, sf_dir, "orders")
+    wt = W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    wp = W.partitionBy("o_custkey").orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+    # parquet stores TIMESTAMP_NTZ; go through session-tz timestamp (UTC) to
+    # epoch seconds — identical to DuckDB's epoch()
+    ts = F.col("o_orderdate").cast("timestamp").cast("long")
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        (ts - F.lag(ts).over(wt)).alias("gap_seconds"),
+        F.lead("o_totalprice").over(wt).alias("next_price"),
+        F.rank().over(wp).alias("price_rank"),
+    )
+
+
+@register(
+    "pivot_revenue_matrix",
+    doc="Pivot (groupBy().pivot() — no reference analog): linestatus × "
+    "returnflag revenue matrix. Plans as one hash aggregate over composite "
+    "keys then a width-3 projection — no extra shuffle versus the flat agg.",
+    oracle="""
+SELECT l_linestatus,
+       CAST(ROUND(SUM(CASE WHEN l_returnflag = 'A' THEN CAST(l_extendedprice AS DECIMAL(18,6)) END), 2) AS DOUBLE) AS "A",
+       CAST(ROUND(SUM(CASE WHEN l_returnflag = 'N' THEN CAST(l_extendedprice AS DECIMAL(18,6)) END), 2) AS DOUBLE) AS "N",
+       CAST(ROUND(SUM(CASE WHEN l_returnflag = 'R' THEN CAST(l_extendedprice AS DECIMAL(18,6)) END), 2) AS DOUBLE) AS "R"
+FROM lineitem
+GROUP BY l_linestatus
+""",
+)
+def pivot_revenue_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    pivoted = (
+        li.groupBy("l_linestatus")
+        .pivot("l_returnflag", ["A", "N", "R"])
+        .agg(F.round(mf.agg_sum(F.col("l_extendedprice").cast(DEC)), 2).cast("double"))
+    )
+    return pivoted
+
+
+@register(
+    "stats_moments",
+    doc="Statistical aggregates (stddev/covar/corr — absent in the reference) "
+    "computed from exact DECIMAL power sums by an identical IEEE double "
+    "formula on both engines: order-independent under parallel aggregation, "
+    "unlike native stddev/corr whose float accumulation order varies.",
+    oracle="""
+WITH sums AS (
+  SELECT l_returnflag,
+         CAST(COUNT(*) AS DOUBLE) AS n,
+         CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(18,6))), 6) AS DOUBLE) AS sq,
+         CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(18,6)) * CAST(l_quantity AS DECIMAL(18,6))), 6) AS DOUBLE) AS sqq,
+         CAST(ROUND(SUM(CAST(l_discount AS DECIMAL(18,6))), 6) AS DOUBLE) AS sd,
+         CAST(ROUND(SUM(CAST(l_discount AS DECIMAL(18,6)) * CAST(l_discount AS DECIMAL(18,6))), 6) AS DOUBLE) AS sdd,
+         CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(18,6)) * CAST(l_discount AS DECIMAL(18,6))), 6) AS DOUBLE) AS sqd
+  FROM lineitem GROUP BY l_returnflag
+)
+SELECT l_returnflag,
+       CAST(n AS BIGINT) AS n_rows,
+       sq / n AS mean_qty,
+       sqrt((sqq - sq * sq / n) / (n - 1)) AS stddev_qty,
+       (sqd - sq * sd / n) / (n - 1) AS covar_qty_disc,
+       ((sqd - sq * sd / n) / (n - 1))
+         / (sqrt((sqq - sq * sq / n) / (n - 1)) * sqrt((sdd - sd * sd / n) / (n - 1))) AS corr_qty_disc
+FROM sums
+""",
+)
+def stats_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    q = F.col("l_quantity").cast(DEC)
+    d = F.col("l_discount").cast(DEC)
+
+    def dsum(c, name):
+        return F.round(mf.agg_sum(c), 6).cast("double").alias(name)
+
+    sums = li.groupBy("l_returnflag").agg(
+        mf.agg_count().cast("double").alias("n"),
+        dsum(q, "sq"),
+        dsum(q * q, "sqq"),
+        dsum(d, "sd"),
+        dsum(d * d, "sdd"),
+        dsum(q * d, "sqd"),
+    )
+    n, sq, sqq, sd, sdd, sqd = (F.col(c) for c in ["n", "sq", "sqq", "sd", "sdd", "sqd"])
+    var_q = (sqq - sq * sq / n) / (n - 1)
+    var_d = (sdd - sd * sd / n) / (n - 1)
+    covar = (sqd - sq * sd / n) / (n - 1)
+    return sums.select(
+        "l_returnflag",
+        n.cast("long").alias("n_rows"),
+        (sq / n).alias("mean_qty"),
+        F.sqrt(var_q).alias("stddev_qty"),
+        covar.alias("covar_qty_disc"),
+        (covar / (F.sqrt(var_q) * F.sqrt(var_d))).alias("corr_qty_disc"),
+    )
+
+
+@register(
+    "quantile_disc_prices",
+    doc="Exact discrete quantiles per key — value at rank ceil(p·n), computed "
+    "entirely in integer arithmetic (no float quantile interpolation, which "
+    "is engine-specific). One sort per key partition + a broadcast of the "
+    "4-row-per-key target table.",
+    oracle="""
+WITH ranked AS (
+  SELECT l_returnflag, l_extendedprice,
+         ROW_NUMBER() OVER (PARTITION BY l_returnflag
+                            ORDER BY l_extendedprice, l_orderkey, l_linenumber) AS rn
+  FROM lineitem
+), counts AS (
+  SELECT l_returnflag, COUNT(*) AS n FROM lineitem GROUP BY l_returnflag
+), targets AS (
+  SELECT l_returnflag, p, (num * n + den - 1) // den AS target_rn
+  FROM counts, (VALUES ('p25', 1, 4), ('p50', 1, 2), ('p75', 3, 4), ('p95', 19, 20)) q(p, num, den)
+)
+SELECT r.l_returnflag, t.p, r.l_extendedprice AS q_value
+FROM ranked r JOIN targets t
+  ON r.l_returnflag = t.l_returnflag AND r.rn = t.target_rn
+""",
+)
+def quantile_disc_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    w = W.partitionBy("l_returnflag").orderBy("l_extendedprice", "l_orderkey", "l_linenumber")
+    ranked = li.select(
+        "l_returnflag", "l_extendedprice", F.row_number().over(w).alias("rn")
+    )
+    counts = li.groupBy("l_returnflag").agg(mf.agg_count().alias("n"))
+    ps = F.array(
+        *[
+            F.struct(
+                F.lit(p).alias("p"), F.lit(num).cast("long").alias("num"), F.lit(den).cast("long").alias("den")
+            )
+            for p, num, den in [("p25", 1, 4), ("p50", 1, 2), ("p75", 3, 4), ("p95", 19, 20)]
+        ]
+    )
+    targets = (
+        counts.select("l_returnflag", "n", F.explode(ps).alias("q"))
+        .select(
+            F.col("l_returnflag").alias("t_flag"),
+            F.col("q.p").alias("p"),
+            F.expr("(q.num * n + q.den - 1) div q.den").alias("target_rn"),
+        )
+    )
+    return (
+        ranked.join(
+            F.broadcast(targets),
+            (ranked.l_returnflag == F.col("t_flag")) & (ranked.rn == F.col("target_rn")),
+        )
+        .select("l_returnflag", "p", F.col("l_extendedprice").alias("q_value"))
+    )
+
+
+@register(
+    "hash_split_train_test",
+    doc="Deterministic 80/10/10 train/val/test split of the document corpus "
+    "(operators/sampling.py): assignment is a pure function of doc_id — "
+    "stable under repartitioning, retries, and corpus growth, unlike "
+    "randomSplit. No shuffle at all: the label is a narrow projection.",
+    oracle=f"""
+WITH b AS (
+  SELECT doc_id, {_BUCKET.format(s="CAST(doc_id AS VARCHAR)", n=100)} AS bucket FROM documents
+)
+SELECT doc_id, bucket,
+       CASE WHEN bucket < 80 THEN 'train' WHEN bucket < 90 THEN 'val' ELSE 'test' END AS split
+FROM b
+""",
+)
+def hash_split_train_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    from milan_spark.operators.sampling import hash_bucket
+
+    return hash_split(docs, "doc_id").select(
+        "doc_id", hash_bucket("doc_id", 100).alias("bucket"), "split"
+    )
+
+
+@register(
+    "stratified_sample_events",
+    doc="Exact-size stratified sample: 5 events per event_type, chosen by "
+    "deterministic hash order (operators/sampling.py) — a reproducible "
+    "uniform sample with no RNG. One shuffle + per-stratum sort.",
+    oracle=f"""
+SELECT event_id, event_type, sample_rank FROM (
+  SELECT event_id, event_type,
+         ROW_NUMBER() OVER (PARTITION BY event_type
+                            ORDER BY {_BUCKET.format(s="CAST(event_id AS VARCHAR)", n=1073741824)}, event_id) AS sample_rank
+  FROM events
+)
+WHERE sample_rank <= 5
+""",
+)
+def stratified_sample_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    return stratified_sample(ev, ["event_type"], 5, "event_id").select(
+        "event_id", "event_type", "sample_rank"
+    )
+
+
+@register(
+    "tfidf_top_terms",
+    doc="TF-IDF salience, integer-exact: score = tf · ((N·1e6) div df) — the "
+    "floor-scaled idf keeps both engines bit-identical (ln() is libm-"
+    "dependent) while preserving tf/idf ordering. Top-3 terms per document. "
+    "Token explode is a narrow op; the two aggregations are the only "
+    "shuffles; the df side joins broadcast (vocabulary ≪ corpus).",
+    oracle="""
+WITH toks AS (
+  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term FROM documents
+), tf AS (
+  SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY doc_id, term
+), df AS (
+  SELECT term, COUNT(*) AS df FROM tf GROUP BY term
+), n AS (
+  SELECT COUNT(*) AS n_docs FROM documents
+), scored AS (
+  SELECT tf.doc_id, tf.term, tf.tf, df.df,
+         tf.tf * ((n.n_docs * 1000000) // df.df) AS score
+  FROM tf, df, n WHERE tf.term = df.term
+)
+SELECT doc_id, term, tf, df, score, rk FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY score DESC, term) AS rk FROM scored
+)
+WHERE rk <= 3
+""",
+)
+def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.explode(F.regexp_extract_all(F.lower(F.col("text")), F.lit("[a-z0-9]+"), 0)).alias("term"),
+    )
+    tf = toks.groupBy("doc_id", "term").agg(mf.agg_count().alias("tf"))
+    df_ = tf.groupBy("term").agg(mf.agg_count().alias("df"))
+    n = docs.agg(mf.agg_count().alias("n_docs"))
+    scored = (
+        tf.join(F.broadcast(df_), "term")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "doc_id",
+            "term",
+            "tf",
+            "df",
+            F.expr("tf * ((n_docs * 1000000) div df)").alias("score"),
+        )
+    )
+    w = W.partitionBy("doc_id").orderBy(F.col("score").desc(), F.col("term"))
+    return scored.withColumn("rk", F.row_number().over(w)).filter(F.col("rk") <= 3)

@@ -96,3 +96,47 @@ def test_exact_dedup_partial_aggregates(spark):
     p = plan(q("exact_dedup", spark))
     assert "partial_min" in p or "Functions [partial_" in p
     assert n_nodes(p, "Exchange") == 1
+
+
+def test_q3_broadcasts_dims_fact_never_preshuffled(spark):
+    p = plan(q("q3_shipping_priority", spark))
+    # both dimension joins are broadcasts; lineitem reaches the aggregate
+    # without a join shuffle
+    assert n_nodes(p, "BroadcastHashJoin") >= 1
+    assert "SortMergeJoin" not in p
+    # date filters push to every scan
+    assert p.count("PushedFilters: [IsNotNull") >= 2
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+
+
+def test_q6_single_scan_all_predicates_pushed(spark):
+    p = plan(q("q6_revenue_forecast", spark))
+    for pushed in ("GreaterThanOrEqual(l_shipdate", "LessThan(l_quantity,24", "GreaterThanOrEqual(l_discount"):
+        assert pushed in p, pushed
+    # global agg: partial + final, single exchange
+    assert n_nodes(p, "HashAggregate") == 2
+    assert n_nodes(p, "Exchange") == 1
+
+
+def test_lag_lead_rank_share_one_partitioning(spark):
+    # both window specs partition by o_custkey; only the sort differs, so the
+    # plan needs exactly one hash exchange
+    p = plan(q("order_gap_lag_lead", spark))
+    assert n_nodes(p, "Exchange") == 1
+    assert n_nodes(p, "Window") == 2
+
+
+def test_hash_split_is_narrow(spark):
+    # split labeling is a pure projection: no shuffle, no Python
+    p = plan(q("hash_split_train_test", spark))
+    assert n_nodes(p, "Exchange") == 0
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+
+
+def test_tfidf_df_and_ndocs_broadcast(spark):
+    p = plan(q("tfidf_top_terms", spark))
+    # vocabulary (df) and the 1-row corpus count join as broadcasts; the only
+    # sort-merge-free shuffles are the two aggregations + the top-k window
+    assert n_nodes(p, "BroadcastHashJoin") >= 1
+    assert n_nodes(p, "BroadcastNestedLoopJoin") == 1
+    assert "SortMergeJoin" not in p

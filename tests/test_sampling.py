@@ -1,0 +1,68 @@
+"""Unit tests for the deterministic sampling/splitting operators
+(operators/sampling.py) — properties the oracle hash-match can't express:
+stability under repartitioning and corpus growth, and exact stratum sizes."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from milan_spark.operators.sampling import hash_bucket, hash_split, stratified_sample
+from milan_spark.sources import table
+from tests.conftest import SF_SMOKE
+
+
+def test_hash_split_partitions_and_sums(spark):
+    docs = table(spark, SF_SMOKE, "documents")
+    out = hash_split(docs, "doc_id")
+    counts = {r["split"]: r["n"] for r in out.groupBy("split").agg(F.count("*").alias("n")).collect()}
+    assert sum(counts.values()) == docs.count()
+    # every record got exactly one label; train is the large bucket
+    assert set(counts) <= {"train", "val", "test"}
+    assert counts["train"] > counts.get("val", 0)
+    assert counts["train"] > counts.get("test", 0)
+
+
+def test_hash_split_stable_under_repartition_and_growth(spark):
+    docs = table(spark, SF_SMOKE, "documents")
+    base = {r["doc_id"]: r["split"] for r in hash_split(docs, "doc_id").select("doc_id", "split").collect()}
+    # repartitioning must not move any record between splits
+    rep = {
+        r["doc_id"]: r["split"]
+        for r in hash_split(docs.repartition(7), "doc_id").select("doc_id", "split").collect()
+    }
+    assert rep == base
+    # a subset corpus assigns identically (incremental-refresh safety)
+    half = docs.filter(F.col("doc_id") % 2 == 0)
+    sub = {r["doc_id"]: r["split"] for r in hash_split(half, "doc_id").select("doc_id", "split").collect()}
+    assert all(base[k] == v for k, v in sub.items())
+
+
+def test_hash_split_validates_widths(spark):
+    docs = table(spark, SF_SMOKE, "documents")
+    import pytest
+
+    with pytest.raises(ValueError):
+        hash_split(docs, "doc_id", splits={"train": 50, "test": 10})
+
+
+def test_stratified_sample_exact_sizes(spark):
+    ev = table(spark, SF_SMOKE, "events")
+    out = stratified_sample(ev, ["event_type"], 5, "event_id")
+    sizes = {r["event_type"]: r["n"] for r in out.groupBy("event_type").agg(F.count("*").alias("n")).collect()}
+    per_type = {r["event_type"]: r["n"] for r in ev.groupBy("event_type").agg(F.count("*").alias("n")).collect()}
+    for t, n in per_type.items():
+        assert sizes[t] == min(5, n)
+    # deterministic: same sample on re-run
+    again = stratified_sample(ev, ["event_type"], 5, "event_id")
+    assert sorted(r["event_id"] for r in out.collect()) == sorted(r["event_id"] for r in again.collect())
+
+
+def test_hash_bucket_range_and_spread(spark):
+    ev = table(spark, SF_SMOKE, "events")
+    b = ev.select(hash_bucket("event_id", 100).alias("b"))
+    stats = b.agg(
+        F.min("b").alias("lo"), F.max("b").alias("hi"), F.countDistinct("b").alias("nd")
+    ).collect()[0]
+    assert stats["lo"] >= 0 and stats["hi"] < 100
+    # 1000 keys into 100 buckets should hit most buckets
+    assert stats["nd"] > 80
