@@ -459,3 +459,79 @@ WHERE rank <= {k}""")
 def ann_ivf_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = table(spark, sf_dir, "embeddings")
     return S.ann_ivf(emb, "vec_id", "embedding", query_ids=range(10), k=5, n_cells=8, n_probe=2, iters=2)
+
+
+# --- end-to-end curation ----------------------------------------------------
+
+_STOP_IN = ", ".join("'" + w + "'" for w in T.STOPWORDS)
+
+
+@register(
+    "corpus_curation_pipeline",
+    doc="Flagship composite: the full training-corpus curation flow in ONE "
+    "declarative plan — quality scoring + language ID (narrow projections), "
+    "quality/lang gate, exact dedup (earliest survivor), deterministic "
+    "train/val/test split, per-split audit stats. At 100 TB this is scan → "
+    "one dedup shuffle → one 3-row aggregate; every filter runs before the "
+    "shuffle, and the split label adds zero shuffles (operators/sampling.py).",
+    oracle=f"""
+WITH t AS (
+  SELECT doc_id, text, {_SQL_TOKENS} AS tokens FROM documents
+), f AS (
+  SELECT doc_id, text,
+         len(tokens) AS n_tokens,
+         CAST(len(list_filter(tokens, x -> x IN ({_STOP_IN}))) AS DOUBLE)
+           / greatest(len(tokens), 1) * 0.4
+           + (1.0 - CAST(len(regexp_extract_all(text, '[.,;:!?]')) AS DOUBLE) / greatest(length(text), 1)) * 0.2
+           + CAST(least(len(tokens), 64) AS DOUBLE) / 64.0 * 0.4 AS quality_score,
+         len(list_filter(tokens, x -> x IN ({', '.join("'" + w + "'" for w in T.LANG_MARKERS['en'])}))) AS s_en,
+         len(list_filter(tokens, x -> x IN ({', '.join("'" + w + "'" for w in T.LANG_MARKERS['es'])}))) AS s_es,
+         len(list_filter(tokens, x -> x IN ({', '.join("'" + w + "'" for w in T.LANG_MARKERS['fr'])}))) AS s_fr,
+         len(list_filter(tokens, x -> x IN ({', '.join("'" + w + "'" for w in T.LANG_MARKERS['de'])}))) AS s_de
+  FROM t
+), kept AS (
+  SELECT * FROM f
+  WHERE quality_score >= 0.55 AND n_tokens >= 8
+    AND greatest(s_en, s_es, s_fr, s_de) > 0 AND s_en = greatest(s_en, s_es, s_fr, s_de)
+), surv AS (
+  SELECT arg_min(doc_id, doc_id) AS doc_id,
+         arg_min(n_tokens, doc_id) AS n_tokens,
+         arg_min(quality_score, doc_id) AS quality_score
+  FROM kept GROUP BY text
+), labeled AS (
+  SELECT *, CASE WHEN {{b}} < 80 THEN 'train' WHEN {{b}} < 90 THEN 'val' ELSE 'test' END AS split
+  FROM surv
+)
+SELECT split, COUNT(*) AS n_docs, SUM(n_tokens) AS total_tokens,
+       MIN(quality_score) AS min_quality, MAX(quality_score) AS max_quality
+FROM labeled GROUP BY split
+""".replace(
+        "{b}",
+        "(xor(" + _SQL_H31.format(s="CAST(doc_id AS VARCHAR)")
+        + ", (" + _SQL_H131.format(s="CAST(doc_id AS VARCHAR)") + " * 65537) % 2147483647) % 100)",
+    ),
+)
+def corpus_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from milan_spark.operators.sampling import hash_split
+
+    docs = table(spark, sf_dir, "documents")
+    toks = T.tokenize("text")
+    enriched = T.quality_features(docs, "text").withColumn("lang_pred", T.lang_id(toks))
+    kept = enriched.filter(
+        (F.col("quality_score") >= 0.55) & (F.col("n_tokens") >= 8) & (F.col("lang_pred") == "en")
+    )
+    surv = (
+        kept.groupBy("text")
+        .agg(F.min_by(F.struct("doc_id", "n_tokens", "quality_score"), F.col("doc_id")).alias("r"))
+        .select("r.doc_id", "r.n_tokens", "r.quality_score")
+    )
+    return (
+        hash_split(surv, "doc_id")
+        .groupBy("split")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tokens").alias("total_tokens"),
+            F.min("quality_score").alias("min_quality"),
+            F.max("quality_score").alias("max_quality"),
+        )
+    )

@@ -140,3 +140,21 @@ def test_tfidf_df_and_ndocs_broadcast(spark):
     assert n_nodes(p, "BroadcastHashJoin") >= 1
     assert n_nodes(p, "BroadcastNestedLoopJoin") == 1
     assert "SortMergeJoin" not in p
+
+
+def test_curation_pipeline_two_shuffles_filters_first(spark):
+    # the whole curation flow is scan -> filter -> dedup exchange -> split
+    # projection -> 3-row aggregate exchange; quality/lang gates never cross
+    # a shuffle, and nothing runs in Python
+    p = plan(q("corpus_curation_pipeline", spark))
+    assert n_nodes(p, "Exchange") == 2
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+    # the quality gate sits below both shuffles: formatted-plan node ids are
+    # assigned bottom-up, so the Filter's id must be smaller than every
+    # Exchange's id
+    import re
+
+    filter_ids = [int(n) for n in re.findall(r"\((\d+)\) Filter\b", p)]
+    exchange_ids = [int(n) for n in re.findall(r"\((\d+)\) Exchange\b", p)]
+    assert filter_ids and exchange_ids
+    assert min(filter_ids) < min(exchange_ids)
