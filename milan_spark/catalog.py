@@ -91,4 +91,8 @@ def _ensure_loaded():
         from milan_spark.queries import analytics  # noqa: F401
     except ImportError:
         pass
+    try:
+        from milan_spark.queries import subqueries  # noqa: F401
+    except ImportError:
+        pass
     _loaded = True

@@ -1,0 +1,189 @@
+"""Correlated-subquery / decorrelation shapes (TPC-H Q4/Q17/Q18/Q22 analogs).
+
+The reference has no subqueries at all — its only join is the keyed enrichment
+join (SURVEY.md §2.3, ``milan/.../JoinExpressions.scala``), so every shape here
+is "exceeds-parity" relational depth: EXISTS → left-semi join, NOT EXISTS →
+left-anti join, correlated scalar aggregate → aggregate-then-join. We express
+the decorrelated plan directly in the DataFrame API (what Catalyst's
+``RewriteCorrelatedScalarSubquery`` / ``RewritePredicateSubquery`` would emit),
+which keeps the physical plan explicit and auditable: the aggregated/deduped
+side is always the small side and is broadcast.
+
+Exactness discipline: correlated comparisons against averages are rewritten to
+multiply-through form (``qty * n < sum`` in DECIMAL/ BIGINT arithmetic) so both
+engines compare exact quantities — no float division on the comparison path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from milan_spark import functions as mf
+from milan_spark.catalog import register
+from milan_spark.sources import table
+
+DEC = "decimal(18,6)"
+
+
+@register(
+    "q4_priority_exists",
+    doc="TPC-H Q4 shape (EXISTS → left-semi join): count orders per priority "
+    "that had at least one line shipped more than 30 days after the order "
+    "date. The semi join keeps at most one match per order (no fan-out), "
+    "shuffles both sides once on l_orderkey, and AQE can turn it into a "
+    "broadcast when the filtered orders side is small.",
+    oracle="""
+SELECT o_orderpriority, COUNT(*) AS n_orders
+FROM orders o
+WHERE EXISTS (
+  SELECT 1 FROM lineitem l
+  WHERE l.l_orderkey = o.o_orderkey
+    AND l.l_shipdate > o.o_orderdate + INTERVAL 30 DAY
+)
+GROUP BY o_orderpriority
+""",
+)
+def q4_priority_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = table(spark, sf_dir, "orders")
+    li = table(spark, sf_dir, "lineitem")
+    cond = (li.l_orderkey == orders.o_orderkey) & (
+        li.l_shipdate > orders.o_orderdate + F.expr("INTERVAL 30 DAYS")
+    )
+    return (
+        orders.join(li, cond, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(mf.agg_count().alias("n_orders"))
+    )
+
+
+@register(
+    "q17_small_quantity_revenue",
+    doc="TPC-H Q17 shape (correlated scalar avg → aggregate-then-join): "
+    "revenue from lines of one brand whose quantity is below half the "
+    "part's average quantity. Decorrelated: per-part (sum, count) aggregate "
+    "— one row per part, broadcast back to the fact side; the avg compare "
+    "is multiplied through (2·qty·n < sum) so it is DECIMAL-exact on both "
+    "engines. At 100 TB: the brand filter prunes the part dim before the "
+    "broadcast join, and the per-part agg is map-side partial.",
+    oracle="""
+WITH pq AS (
+  SELECT l_partkey,
+         SUM(CAST(l_quantity AS DECIMAL(18,6))) AS sum_qty,
+         COUNT(*) AS n_lines
+  FROM lineitem GROUP BY l_partkey
+)
+SELECT CAST(ROUND(SUM(CAST(l.l_extendedprice AS DECIMAL(18,6))), 2) AS DOUBLE) AS below_avg_revenue,
+       COUNT(*) AS n_small_lines
+FROM lineitem l, part p, pq
+WHERE p.p_partkey = l.l_partkey
+  AND pq.l_partkey = l.l_partkey
+  AND p.p_brand = 'Brand#1'
+  AND 2 * CAST(l.l_quantity AS DECIMAL(18,6)) * pq.n_lines < pq.sum_qty
+""",
+)
+def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    part = table(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#1")
+    pq = li.groupBy(F.col("l_partkey").alias("pq_partkey")).agg(
+        mf.agg_sum(F.col("l_quantity").cast(DEC)).alias("sum_qty"),
+        mf.agg_count().alias("n_lines"),
+    )
+    qty = F.col("l_quantity").cast(DEC)
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(F.broadcast(pq), li.l_partkey == F.col("pq_partkey"))
+        .filter(F.lit(2) * qty * F.col("n_lines") < F.col("sum_qty"))
+        .agg(
+            F.round(mf.agg_sum(F.col("l_extendedprice").cast(DEC)), 2)
+            .cast("double")
+            .alias("below_avg_revenue"),
+            mf.agg_count().alias("n_small_lines"),
+        )
+    )
+
+
+@register(
+    "q18_large_volume_orders",
+    doc="TPC-H Q18 shape (HAVING subquery → aggregate-then-semi-join): orders "
+    "whose total line quantity exceeds a threshold, enriched with customer "
+    "name and total price. The HAVING aggregate produces few rows, so it "
+    "broadcasts into the orders join; the customer dim broadcasts too — the "
+    "only big shuffle is the per-order quantity aggregate.",
+    oracle="""
+WITH big AS (
+  SELECT l_orderkey, SUM(CAST(l_quantity AS DECIMAL(18,6))) AS total_qty
+  FROM lineitem GROUP BY l_orderkey
+  HAVING SUM(CAST(l_quantity AS DECIMAL(18,6))) > 220
+)
+SELECT c.c_name, o.o_orderkey, o.o_orderdate, o.o_totalprice,
+       CAST(big.total_qty AS DOUBLE) AS total_qty
+FROM orders o, customer c, big
+WHERE o.o_orderkey = big.l_orderkey AND c.c_custkey = o.o_custkey
+""",
+)
+def q18_large_volume_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    orders = table(spark, sf_dir, "orders")
+    cust = table(spark, sf_dir, "customer")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(mf.agg_sum(F.col("l_quantity").cast(DEC)).alias("total_qty"))
+        .filter(F.col("total_qty") > 220)
+    )
+    return (
+        orders.join(F.broadcast(big), orders.o_orderkey == big.l_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .select(
+            "c_name",
+            "o_orderkey",
+            "o_orderdate",
+            "o_totalprice",
+            F.col("total_qty").cast("double").alias("total_qty"),
+        )
+    )
+
+
+@register(
+    "q22_idle_rich_customers",
+    doc="TPC-H Q22 shape (global scalar subquery + NOT EXISTS → broadcast "
+    "scalar + left-anti join): customers with above-average account balance "
+    "who have never placed a large (>300k) order, counted per nation. The "
+    "global avg is a 1-row broadcast (multiply-through compare: bal·n > "
+    "sum, exact DECIMAL); NOT EXISTS is a left-anti join on custkey whose "
+    "orders side is filtered-then-projected to one column, so the anti "
+    "join's shuffle is narrow and the filter pushes to the parquet scan.",
+    oracle="""
+WITH avg_bal AS (
+  SELECT SUM(CAST(c_acctbal AS DECIMAL(18,6))) AS sum_bal, COUNT(*) AS n
+  FROM customer WHERE c_acctbal > 0
+)
+SELECT c.c_nationkey, COUNT(*) AS n_customers,
+       CAST(ROUND(SUM(CAST(c.c_acctbal AS DECIMAL(18,6))), 2) AS DOUBLE) AS total_bal
+FROM customer c, avg_bal
+WHERE CAST(c.c_acctbal AS DECIMAL(18,6)) * avg_bal.n > avg_bal.sum_bal
+  AND NOT EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 300000)
+GROUP BY c.c_nationkey
+""",
+)
+def q22_idle_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = table(spark, sf_dir, "customer")
+    orders = table(spark, sf_dir, "orders")
+    bal = F.col("c_acctbal").cast(DEC)
+    avg_bal = cust.filter(F.col("c_acctbal") > 0).agg(
+        mf.agg_sum(bal).alias("sum_bal"), mf.agg_count().alias("n")
+    )
+    return (
+        cust.crossJoin(F.broadcast(avg_bal))
+        .filter(bal * F.col("n") > F.col("sum_bal"))
+        .join(
+            orders.filter(F.col("o_totalprice") > 300000).select("o_custkey"),
+            cust.c_custkey == F.col("o_custkey"),
+            "left_anti",
+        )
+        .groupBy("c_nationkey")
+        .agg(
+            mf.agg_count().alias("n_customers"),
+            F.round(mf.agg_sum(bal), 2).cast("double").alias("total_bal"),
+        )
+    )
