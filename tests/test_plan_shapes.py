@@ -158,3 +158,32 @@ def test_curation_pipeline_two_shuffles_filters_first(spark):
     exchange_ids = [int(n) for n in re.findall(r"\((\d+)\) Exchange\b", p)]
     assert filter_ids and exchange_ids
     assert min(filter_ids) < min(exchange_ids)
+
+
+def test_q4_exists_is_semi_join_no_python(spark):
+    p = plan(q("q4_priority_exists", spark))
+    assert "LeftSemi" in p
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+
+
+def test_q17_correlated_avg_broadcasts_both_sides(spark):
+    # the brand dim and the per-part aggregate both broadcast; the fact
+    # table is scanned once per branch and never shuffles for the join
+    p = plan(q("q17_small_quantity_revenue", spark))
+    assert n_nodes(p, "BroadcastHashJoin") == 2
+    assert "SortMergeJoin" not in p
+
+
+def test_q18_having_subquery_broadcasts(spark):
+    p = plan(q("q18_large_volume_orders", spark))
+    assert n_nodes(p, "BroadcastHashJoin") == 2
+    assert "SortMergeJoin" not in p
+
+
+def test_q22_anti_join_narrow_and_pushed(spark):
+    p = plan(q("q22_idle_rich_customers", spark))
+    assert "LeftAnti" in p
+    # the >300k filter reaches the orders parquet scan, which reads only
+    # the custkey + totalprice columns
+    assert "GreaterThan(o_totalprice,300000" in p
+    assert "o_orderdate" not in p
