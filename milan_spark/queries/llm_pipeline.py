@@ -535,3 +535,73 @@ def corpus_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("quality_score").alias("max_quality"),
         )
     )
+
+
+# --- sequence packing & mixture composition ---------------------------------
+
+_SQL_DOC_ORD = (
+    "(xor(" + _SQL_H31.format(s="CAST(doc_id AS VARCHAR)")
+    + ", (" + _SQL_H131.format(s="CAST(doc_id AS VARCHAR)") + " * 65537) % 2147483647) % 1073741824)"
+)
+
+
+@register(
+    "pack_sequences_512",
+    doc="Concat-and-chunk sequence packing (operators/packing.py): the corpus "
+    "laid out in deterministic hash order and cut into 512-token training "
+    "sequences. The global exclusive prefix sum is the two-phase scan — "
+    "order-aligned range buckets, parallel within-bucket windows, O(buckets) "
+    "offsets broadcast back — so no task ever scans the whole corpus, unlike "
+    "the naive single-partition SUM() OVER (ORDER BY …).",
+    oracle=f"""
+WITH t AS (
+  SELECT doc_id, len({_SQL_TOKENS}) AS n_tokens, {_SQL_DOC_ORD} AS ord
+  FROM documents
+), p AS (
+  SELECT doc_id, n_tokens,
+         COALESCE(SUM(n_tokens) OVER (ORDER BY ord, doc_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS e
+  FROM t
+)
+SELECT doc_id, n_tokens, e // 512 AS seq_id, e % 512 AS seq_offset,
+       (n_tokens > 0 AND (e + n_tokens - 1) // 512 <> e // 512) AS spans_boundary
+FROM p
+""",
+)
+def pack_sequences_512(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from milan_spark.operators.packing import pack_sequences
+
+    docs = table(spark, sf_dir, "documents")
+    return pack_sequences(docs, "doc_id", T.token_count("text"), budget=512).select(
+        "doc_id", "n_tokens", "seq_id", "seq_offset", "spans_boundary"
+    )
+
+
+@register(
+    "token_budget_mixture_sources",
+    doc="Token-quota mixture composition (operators/packing.py): per source, "
+    "take documents in deterministic hash order until an 800-token quota is "
+    "reached (kept iff the document STARTS inside the quota). One keyed "
+    "window shuffle; the kept set is a pure function of the corpus, so "
+    "mixture re-runs and incremental refreshes are auditable.",
+    oracle=f"""
+WITH t AS (
+  SELECT doc_id, source, len({_SQL_TOKENS}) AS n_tokens, {_SQL_DOC_ORD} AS ord
+  FROM documents
+), p AS (
+  SELECT *, COALESCE(SUM(n_tokens) OVER (PARTITION BY source ORDER BY ord, doc_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS e
+  FROM t
+)
+SELECT source, COUNT(*) AS n_docs, SUM(n_tokens) AS total_tokens
+FROM p WHERE e < 800 GROUP BY source
+""",
+)
+def token_budget_mixture_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from milan_spark.operators.packing import token_budget_mixture
+
+    docs = table(spark, sf_dir, "documents").withColumn("n_tokens", T.token_count("text"))
+    kept = token_budget_mixture(docs, "source", "n_tokens", 800, key="doc_id")
+    return kept.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"), F.sum("n_tokens").alias("total_tokens")
+    )
