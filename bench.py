@@ -65,17 +65,56 @@ def main() -> None:
     total = round(sum(t for t in timings.values() if t >= 0), 4)
     m = re.search(r"sf([0-9.]+)", sf_dir)
     sf = float(m.group(1)) if m else None
-    print(
-        json.dumps(
-            {
-                "metric": "total_catalog_query_wall_time",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf,
-            }
-        )
+
+    # Full per-query map + regression ratios vs the round-1 bench go to a
+    # file; the driver's stdout capture keeps only the last 2000 chars, so the
+    # FINAL line must be a short JSON (round 1 lost its bench to a truncated
+    # 84-entry line). The short line carries the slowest 15 queries so the
+    # hot set is visible even without the detail file.
+    here = os.path.dirname(os.path.abspath(__file__))
+    detail: dict = {
+        "metric": "total_catalog_query_wall_time",
+        "value": total,
+        "unit": "sec",
+        "sf": sf,
+        "queries": timings,
+    }
+    baseline_path = os.path.join(here, "BENCH_r01.json")
+    try:
+        with open(baseline_path) as f:
+            tail = json.load(f).get("tail", "")
+        prev = {
+            k: float(v)
+            for k, v in re.findall(r'"([a-z0-9_]+)": ([0-9.]+)', tail)
+            if k not in ("metric", "value", "sf")
+        }
+        detail["vs_r01"] = {
+            k: {"r01": prev[k], "now": t, "ratio": round(t / prev[k], 2)}
+            for k, t in timings.items()
+            if k in prev and prev[k] > 0 and t >= 0
+        }
+    except Exception:
+        pass
+    with open(os.path.join(here, "BENCH_DETAIL.json"), "w") as f:
+        json.dump(detail, f, indent=1, sort_keys=True)
+
+    slowest = dict(
+        sorted(((k, v) for k, v in timings.items() if v >= 0), key=lambda kv: -kv[1])[:15]
     )
+    failed = sorted(k for k, v in timings.items() if v < 0)
+    summary = {
+        "metric": "total_catalog_query_wall_time",
+        "value": total,
+        "unit": "sec",
+        "sf": sf,
+        "n_queries": len(timings),
+        "n_failed": len(failed),
+        "queries": slowest,
+        "detail": "BENCH_DETAIL.json",
+    }
+    if failed:
+        summary["failed"] = failed[:10]
+    print(json.dumps(summary))
 
 
 if __name__ == "__main__":

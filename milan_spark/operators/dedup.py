@@ -242,13 +242,33 @@ def _jaccard_dense(ex: DataFrame, freq: DataFrame, v: int, threshold: float) -> 
     return out.select("id_a", "id_b", F.round("__j", 6).alias("jaccard"))
 
 
+def derive_banding(num_hashes: int, threshold: float, max_miss: float = 1e-6) -> int:
+    """Pick bands for an LSH banding scheme from the requested threshold.
+
+    Returns the band count b (rows per band r = num_hashes // b) with the
+    LARGEST r — fewest sub-threshold candidate collisions — whose
+    false-negative probability at jaccard = threshold, (1 − τ^r)^b, stays
+    under ``max_miss``. Precision and recall trade off through r: r=4 at
+    τ=0.8 gives P[miss] ≈ 5e-8, but at τ=0.6 it would miss ~1.2% of true
+    pairs — which is why banding must follow the threshold rather than sit
+    at a fixed default (a τ=0.6 caller silently lost recall before this).
+    """
+    for r in (8, 4, 2, 1):
+        if num_hashes % r:
+            continue
+        b = num_hashes // r
+        if (1.0 - threshold**r) ** b <= max_miss:
+            return b
+    return num_hashes  # r=1: every hash its own band — never misses
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     id_col: str,
     text_col: str,
     n: int = 2,
     num_hashes: int = 128,
-    bands: int = 32,
+    bands: int | None = None,
     threshold: float = 0.8,
 ) -> DataFrame:
     """MinHash+LSH near-duplicate pairs, exact-verified.
@@ -256,27 +276,32 @@ def minhash_lsh_pairs(
     Permutations are affine maps h_i(x) = ((2i+1)·x + i²+17) mod 2^31-1 over
     xxhash64 shingle hashes (candidates are exact-verified, so the hash needs
     no SQL-oracle twin); band signature folds its rows into one long join key.
-    With 32 bands × 4 rows, P[miss] at jaccard τ is (1-τ⁴)^32 — 5e-8 at
-    τ=0.8, 1e-14 at τ=0.9 — and every candidate is verified exactly, so
-    output = exact pairs. Rows-per-band is the precision knob: at r=2 a
-    j=0.3 pair still collides with ~95% probability, which floods the
-    candidate join with sub-threshold pairs (measured 173k candidates for
-    256 true pairs on the 5k-doc test corpus); r=4 drops that pair's
-    collision odds to ~23% while the extra 64 permutation minima cost one
-    more vectorized numpy pass. At corpus scale the candidate count — not
-    the signature build — is the term that decides feasibility.
+    ``bands=None`` derives the banding from the threshold via
+    :func:`derive_banding` (τ=0.8 → 32×4, τ=0.6 → 64×2), keeping
+    P[missing a true pair] ≤ 1e-6 while maximizing rows-per-band — the
+    precision knob: at r=2 a j=0.3 pair still collides with ~95% probability,
+    flooding the candidate join with sub-threshold pairs (measured 173k
+    candidates for 256 true pairs on the 5k-doc test corpus); r=4 drops that
+    pair's collision odds to ~23%. Every candidate is verified exactly, so
+    output = exact pairs at any banding. At corpus scale the candidate
+    count — not the signature build — decides feasibility.
 
     Signature stage: shingle hashing stays JVM-side (``xxhash64`` per
-    shingle); the 64 permutation-minima + band folds are ONE vectorized
-    Pandas UDF pass (a (num_hashes × |set|) numpy broadcast per doc) —
-    the expression formulation (64 ``array_min(transform(...))`` columns)
-    evaluates interpreted per element and costs seconds of Janino compile.
+    shingle); the permutation-minima + band folds are ONE vectorized numpy
+    kernel over the whole Arrow batch — all docs' shingle sets concatenate
+    into a flat vector, the (num_hashes × total) affine map evaluates as one
+    matrix op, and per-doc minima come from ``np.minimum.reduceat`` over the
+    segment starts. No per-document Python dispatch (a per-doc loop was the
+    top entry of the round-1 bench), and the flat vector is tiled so the
+    kernel's working set stays bounded regardless of batch shape.
     Signatures shuffle only at the (band, sig) candidate join, whose keys
     are uniform by construction; band-fold collisions only add candidates,
     which exact verification removes.
     """
     import numpy as np
 
+    if bands is None:
+        bands = derive_banding(num_hashes, threshold)
     rows_per_band = num_hashes // bands
     # reused by the signature build and both sides of the verify join
     sets = _shingle_sets(df, id_col, text_col, n).persist()
@@ -284,21 +309,40 @@ def minhash_lsh_pairs(
     doc = sets.select("__id", hs.alias("__hs"))
     coef_a = 2 * np.arange(num_hashes, dtype=np.int64)[:, None] + 1
     coef_b = (np.arange(num_hashes, dtype=np.int64) ** 2 + 17)[:, None]
+    # tile budget: num_hashes × TILE int64s ≈ 128 × 262144 × 8 = 256 MB peak
+    tile_cells = 262_144
 
     @F.pandas_udf("array<long>")
     def band_sigs(hss: pd.Series) -> pd.Series:
-        out = []
-        for arr in hss:
-            h = np.asarray(arr, np.int64)
-            if h.size == 0:
-                out.append(None)
-                continue
+        sizes = np.fromiter((len(a) if a is not None else 0 for a in hss), np.int64, len(hss))
+        nonempty = np.nonzero(sizes)[0]
+        out = [None] * len(hss)
+        if nonempty.size == 0:
+            return pd.Series(out)
+        flat = np.concatenate([np.asarray(hss.iloc[i], np.int64) for i in nonempty])
+        starts = np.zeros(nonempty.size, np.int64)
+        np.cumsum(sizes[nonempty][:-1], out=starts[1:])
+        # per-doc minima across docs at once; tile boundaries fall on doc
+        # starts so each reduceat segment is contained in one tile
+        mins = np.empty((num_hashes, nonempty.size), np.int64)
+        lo = 0
+        while lo < nonempty.size:
+            hi = lo
+            end = starts[lo] + tile_cells
+            while hi < nonempty.size and (
+                hi == lo or starts[hi] + sizes[nonempty[hi]] <= end
+            ):
+                hi += 1
+            seg = flat[starts[lo] : starts[hi] if hi < nonempty.size else flat.size]
             # (2i+1)·h + i²+17 stays < 2^39 — exact in int64
-            mh = ((coef_a * h[None, :] + coef_b) % P31).min(axis=1)
-            acc = np.zeros(bands, np.int64)
-            for j in range(rows_per_band):
-                acc = (acc * 37 + mh[j::rows_per_band][: bands]) % P31
-            out.append(acc)
+            vals = (coef_a * seg[None, :] + coef_b) % P31
+            mins[:, lo:hi] = np.minimum.reduceat(vals, starts[lo:hi] - starts[lo], axis=1)
+            lo = hi
+        acc = np.zeros((bands, nonempty.size), np.int64)
+        for j in range(rows_per_band):
+            acc = (acc * 37 + mins[j::rows_per_band][:bands]) % P31
+        for k, i in enumerate(nonempty):
+            out[i] = acc[:, k]
         return pd.Series(out)
 
     band_sig = doc.select(
@@ -328,26 +372,29 @@ def minhash_lsh_pairs(
 
 def simhash(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """62-bit SimHash fingerprint per document: for each bit, majority vote of
-    token-hash bits (with multiplicity); bit set iff strictly more ones."""
+    token-hash bits (with multiplicity); bit set iff strictly more ones.
+
+    One row per token occurrence, ONE groupBy with 62 conditional sums — no
+    per-bit explode (the earlier formulation pushed a 62× row blowup through
+    the shuffle; here the map-side combine reduces each doc to 62 partial
+    longs regardless of token count). The fingerprint reassembles JVM-side as
+    Σ (vote_b > 0) << b — whole-stage codegen, no Python.
+    """
     toks = df.select(F.col(id_col).alias("__id"), F.explode(tokenize(text_col)).alias("__t"))
     hashed = toks.select("__id", token_hash62(F.col("__t")).alias("__h"))
-    bits = hashed.select(
-        "__id",
-        "__h",
-        F.explode(F.sequence(F.lit(0), F.lit(61))).alias("__b"),
-    ).withColumn(
-        # shift amount is a column, so go through SQL (F.shiftright needs a literal)
-        "__vote",
-        F.expr("CASE WHEN (shiftright(__h, __b) & 1) = 1 THEN 1 ELSE -1 END"),
-    )
-    return (
-        bits.groupBy("__id", "__b")
-        .agg(F.sum("__vote").alias("__v"))
-        .withColumn("__bit", F.when(F.col("__v") > 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long")))
-        .groupBy("__id")
-        .agg(F.sum(F.expr("shiftleft(__bit, __b)")).alias("simhash"))
-        .select(F.col("__id").alias(id_col), "simhash")
-    )
+    votes = [
+        F.sum(
+            F.when(F.expr(f"(shiftright(__h, {b}) & 1) = 1"), F.lit(1)).otherwise(F.lit(-1))
+        ).alias(f"__v{b}")
+        for b in range(62)
+    ]
+    per_doc = hashed.groupBy("__id").agg(*votes)
+    fp = F.lit(0).cast("long")
+    for b in range(62):
+        fp = fp + F.when(F.col(f"__v{b}") > 0, F.lit(1 << b).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+    return per_doc.select(F.col("__id").alias(id_col), fp.alias("simhash"))
 
 
 def simhash_pairs(

@@ -114,7 +114,9 @@ def compile_node(node: Node, spark: SparkSession) -> DataFrame:
 def _compile_op(n: Node, spark: SparkSession, ins: list[DataFrame]) -> DataFrame:
     p = n.params
     if n.op == "parquet_source":
-        return spark.read.parquet(p["path"])
+        from milan_spark.sources import ensure_read_conf
+
+        return ensure_read_conf(spark).read.parquet(p["path"])
     if n.op == "file_source":
         from milan_spark.sources import file_source
 

@@ -112,7 +112,7 @@ def udf_escape_hatch_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     "Doubles survive because Spark writes shortest round-trip decimal forms.",
     oracle="""
 SELECT event_type, COUNT(*) AS n,
-       SUM(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS cents
+       CAST(SUM(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS cents
 FROM events GROUP BY 1
 """,
 )
@@ -229,7 +229,7 @@ def rollup_revenue_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     "write events as JSON lines, read back with an explicit schema, aggregate.",
     oracle="""
 SELECT event_type, COUNT(*) AS n,
-       SUM(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS cents
+       CAST(SUM(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS cents
 FROM events GROUP BY 1
 """,
 )
@@ -278,7 +278,7 @@ def cube_revenue_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     "plans a hash join + exact filter, never BroadcastNestedLoopJoin.",
     oracle="""
 SELECT tier, COUNT(*) AS n_events,
-       SUM(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS cents
+       CAST(SUM(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS cents
 FROM events
 JOIN (VALUES ('low', 0.0, 50.0), ('mid', 50.0, 200.0),
              ('high', 200.0, 500.0), ('vip', 400.0, 500.0)) tiers(tier, lo, hi)
@@ -348,7 +348,7 @@ def kmv_distinct_users_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
        CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour,
        COUNT(*) AS n,
-       SUM(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS cents
+       CAST(SUM(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS cents
 FROM events GROUP BY ROLLUP (day, hour)
 """,
 )

@@ -380,7 +380,7 @@ def multimodal_metadata_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 SELECT doc_id,
        length(text) AS byte_len,
-       list_sum(list_transform(regexp_extract_all(text, '.'), c -> CAST(ascii(c) AS BIGINT))) % 997 AS checksum
+       CAST(list_sum(list_transform(regexp_extract_all(text, '.'), c -> CAST(ascii(c) AS BIGINT))) % 997 AS BIGINT) AS checksum
 FROM documents
 """,
 )
@@ -502,7 +502,7 @@ WITH t AS (
   SELECT *, CASE WHEN {{b}} < 80 THEN 'train' WHEN {{b}} < 90 THEN 'val' ELSE 'test' END AS split
   FROM surv
 )
-SELECT split, COUNT(*) AS n_docs, SUM(n_tokens) AS total_tokens,
+SELECT split, COUNT(*) AS n_docs, CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
        MIN(quality_score) AS min_quality, MAX(quality_score) AS max_quality
 FROM labeled GROUP BY split
 """.replace(
@@ -563,7 +563,7 @@ WITH t AS (
                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS e
   FROM t
 )
-SELECT doc_id, n_tokens, e // 512 AS seq_id, e % 512 AS seq_offset,
+SELECT doc_id, n_tokens, CAST(e // 512 AS BIGINT) AS seq_id, CAST(e % 512 AS BIGINT) AS seq_offset,
        (n_tokens > 0 AND (e + n_tokens - 1) // 512 <> e // 512) AS spans_boundary
 FROM p
 """,
@@ -593,7 +593,7 @@ WITH t AS (
             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS e
   FROM t
 )
-SELECT source, COUNT(*) AS n_docs, SUM(n_tokens) AS total_tokens
+SELECT source, COUNT(*) AS n_docs, CAST(SUM(n_tokens) AS BIGINT) AS total_tokens
 FROM p WHERE e < 800 GROUP BY source
 """,
 )

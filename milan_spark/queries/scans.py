@@ -105,7 +105,7 @@ def last_per_key_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     "once the running total crosses 5000.00; executed as an ordered "
     "applyInPandas fold (the UDF slow path the Scan op is specified to be).",
     oracle="""
-SELECT event_id, user_id, acc_cents
+SELECT event_id, user_id, CAST(acc_cents AS BIGINT) AS acc_cents
 FROM (
   SELECT event_id, user_id,
          SUM(CAST(floor(value * 100 + 0.5) AS BIGINT)) OVER
@@ -143,7 +143,7 @@ def scan_threshold_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     "by plans.rewrite.optimize to cumulative window aggregates — no Python "
     "fold in the physical plan. Same oracle as the applyInPandas version.",
     oracle="""
-SELECT event_id, user_id, acc_cents
+SELECT event_id, user_id, CAST(acc_cents AS BIGINT) AS acc_cents
 FROM (
   SELECT event_id, user_id,
          SUM(CAST(floor(value * 100 + 0.5) AS BIGINT)) OVER

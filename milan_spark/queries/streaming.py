@@ -46,13 +46,12 @@ def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     link = os.path.join(stage, "events.parquet")
     if not os.path.exists(link):
         os.symlink(os.path.abspath(path), link)
+    from milan_spark.sources import _normalize_events_ts, ensure_read_conf
+
+    ensure_read_conf(spark)
     schema = spark.read.parquet(path).schema
     sdf = spark.readStream.schema(schema).parquet(stage)
-    if dict(sdf.dtypes).get("ts") == "bigint":
-        sdf = sdf.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000"))).select(
-            "event_id", "ts", "user_id", "event_type", "value", "props"
-        )
-    return sdf
+    return _normalize_events_ts(sdf)
 
 
 def _stream_side(spark, sf_dir, event_type, cols):

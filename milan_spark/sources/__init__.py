@@ -79,6 +79,7 @@ def file_source(
     CSV options mirror CsvDataInputFormat's ``skipHeader``/``columnSeparator``/
     ``nullIdentifier`` via Spark's ``header``/``sep``/``nullValue``.
     """
+    ensure_read_conf(spark)
     reader = spark.read.format(fmt)
     if schema is not None:
         reader = reader.schema(schema)
@@ -95,6 +96,7 @@ def file_stream_source(
     options: Mapping[str, str] | None = None,
 ) -> DataFrame:
     """Continuous directory monitor (ref: FileDataSource ReadMode.Continuous)."""
+    ensure_read_conf(spark)
     reader = spark.readStream.format(fmt)
     if schema is not None:
         reader = reader.schema(schema)
@@ -103,23 +105,54 @@ def file_stream_source(
     return reader.load(path)
 
 
+def ensure_read_conf(spark: SparkSession) -> SparkSession:
+    """Make any SparkSession able to read the driver's parquet, idempotently.
+
+    ``events.parquet`` stores TIMESTAMP(NANOS), which Spark rejects outright
+    unless ``spark.sql.legacy.parquet.nanosAsLong`` is set. Our own session
+    builder sets it, but callers (the correctness driver, a user's notebook)
+    build their own sessions — so every read path re-asserts it at runtime.
+    The conf is runtime-settable; setting it twice is a no-op.
+    """
+    try:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    except Exception:
+        pass  # pinned-static in some builds; session builder already set it
+    return spark
+
+
 def load_tables(spark: SparkSession, sf_dir: str, tables: Sequence[str] = TPCH_TABLES) -> dict[str, DataFrame]:
     """Load the driver-provided parquet tables for a scale factor."""
     return {t: table(spark, sf_dir, t) for t in tables}
 
 
-def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    """Read one driver-provided table, normalizing nanosecond timestamps.
+def _normalize_events_ts(df: DataFrame) -> DataFrame:
+    """Normalize the events ``ts`` column to a session-tz TIMESTAMP.
 
-    ``events.parquet`` stores TIMESTAMP(NANOS), which Spark reads only as a
-    raw long (``spark.sql.legacy.parquet.nanosAsLong``); convert back to a
-    microsecond timestamp so downstream semantics (and the DuckDB oracle,
-    whose values are micro-precision) line up.
+    The driver's generator has stored ``ts`` two ways across rounds:
+    TIMESTAMP(NANOS) — readable only as a raw long under
+    ``nanosAsLong`` — and TIMESTAMP(MICROS, isAdjustedToUTC=false), which
+    Spark reads as TIMESTAMP_NTZ. Both normalize to the LTZ micros
+    timestamp the operators and the DuckDB oracle (naive micros, UTC
+    session) were validated against; the cast is value-preserving because
+    every session here runs UTC.
     """
-    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+    dt = dict(df.dtypes).get("ts")
+    if dt == "bigint":
         # integer division: double division would lose precision on epoch-nanos
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-        # keep original column order
-        df = df.select("event_id", "ts", "user_id", "event_type", "value", "props")
+    elif dt == "timestamp_ntz":
+        df = df.withColumn("ts", F.col("ts").cast("timestamp"))
+    else:
+        return df
+    # keep original column order
+    return df.select("event_id", "ts", "user_id", "event_type", "value", "props")
+
+
+def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Read one driver-provided table, normalizing the events timestamp."""
+    ensure_read_conf(spark)
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    if name == "events":
+        df = _normalize_events_ts(df)
     return df

@@ -44,7 +44,9 @@ class Stream:
 
     @staticmethod
     def from_parquet(spark: SparkSession, path: str) -> "Stream":
-        return Stream(spark.read.parquet(path), Node("parquet_source", {"path": path}))
+        from milan_spark.sources import ensure_read_conf
+
+        return Stream(ensure_read_conf(spark).read.parquet(path), Node("parquet_source", {"path": path}))
 
     @staticmethod
     def from_file(spark: SparkSession, path: str, fmt: str = "parquet", options: dict | None = None) -> "Stream":
