@@ -43,25 +43,32 @@ def main() -> None:
     except Exception as e:
         print(f"bench warmup error: {e}", file=sys.stderr)
 
-    # two passes, report per-query min: pass 1 pays per-query codegen/JIT
-    # warmup a long-lived cluster amortizes; min-of-2 approximates steady
-    # state and cuts machine-load jitter between rounds
-    timings: dict[str, float] = {}
-    for _pass in range(2):
+    # three passes, report per-query MEDIAN with the full per-pass spread in
+    # the detail file: pass 1 pays per-query codegen/JIT warmup a long-lived
+    # cluster amortizes; median-of-3 separates real regressions from machine
+    # jitter (round-2 lesson: several apparent streaming regressions were
+    # environmental and indistinguishable without a spread)
+    n_passes = int(os.environ.get("SPARK_GRAFT_BENCH_PASSES", "3"))
+    samples: dict[str, list[float]] = {}
+    for _pass in range(n_passes):
         for name, build in qs.items():
             start = time.perf_counter()
             try:
                 build(spark, sf_dir).write.format("noop").mode("overwrite").save()
-                t = round(time.perf_counter() - start, 4)
-                prev = timings.get(name)
-                timings[name] = t if prev is None or prev < 0 else min(prev, t)
+                samples.setdefault(name, []).append(round(time.perf_counter() - start, 4))
             except Exception as e:  # a failing query must not hide the others
-                timings.setdefault(name, -1.0)
+                samples.setdefault(name, [])
                 print(f"bench error in {name}: {e}", file=sys.stderr)
             # multi-pass operators persist intermediates internally; drop them
             # so later queries aren't measured under accumulated heap pressure
             spark.catalog.clearCache()
 
+    def median(xs: list[float]) -> float:
+        s = sorted(xs)
+        n = len(s)
+        return s[n // 2] if n % 2 else round((s[n // 2 - 1] + s[n // 2]) / 2, 4)
+
+    timings = {k: (median(v) if v else -1.0) for k, v in samples.items()}
     total = round(sum(t for t in timings.values() if t >= 0), 4)
     m = re.search(r"sf([0-9.]+)", sf_dir)
     sf = float(m.group(1)) if m else None
@@ -77,7 +84,14 @@ def main() -> None:
         "value": total,
         "unit": "sec",
         "sf": sf,
+        "n_passes": n_passes,
         "queries": timings,
+        # per-query raw pass times: spread = (max-min) distinguishes real
+        # regressions from machine jitter when comparing rounds
+        "passes": samples,
+        "spread": {
+            k: round(max(v) - min(v), 4) for k, v in samples.items() if v
+        },
     }
     baseline_path = os.path.join(here, "BENCH_r01.json")
     try:
@@ -93,8 +107,9 @@ def main() -> None:
             for k, t in timings.items()
             if k in prev and prev[k] > 0 and t >= 0
         }
-    except Exception:
-        pass
+    except (OSError, json.JSONDecodeError, KeyError, ValueError) as e:
+        # a missing/renamed baseline must be visible, not silently dropped
+        detail["vs_r01_error"] = str(e)
     with open(os.path.join(here, "BENCH_DETAIL.json"), "w") as f:
         json.dump(detail, f, indent=1, sort_keys=True)
 
@@ -109,7 +124,11 @@ def main() -> None:
         "sf": sf,
         "n_queries": len(timings),
         "n_failed": len(failed),
+        # "queries" kept for the driver contract; "slowest" is the honest
+        # name — it is the 15 slowest only, NOT all timings (sum != value);
+        # the full map lives in BENCH_DETAIL.json
         "queries": slowest,
+        "slowest": slowest,
         "detail": "BENCH_DETAIL.json",
     }
     if failed:

@@ -168,7 +168,9 @@ DRIVER_WINDOW: tuple[str, ...] = (
 
 
 def _reorder_registry() -> None:
-    global REGISTRY
+    # mutate REGISTRY in place: modules that did `from ... import REGISTRY`
+    # hold an alias, and rebinding the global would strand them on the stale
+    # pre-reorder dict
     ordered: dict[str, QuerySpec] = {}
     for name in DRIVER_WINDOW:
         if name in REGISTRY:
@@ -176,4 +178,5 @@ def _reorder_registry() -> None:
     for name, spec in REGISTRY.items():
         if name not in ordered:
             ordered[name] = spec
-    REGISTRY = ordered
+    REGISTRY.clear()
+    REGISTRY.update(ordered)

@@ -259,7 +259,16 @@ def derive_banding(num_hashes: int, threshold: float, max_miss: float = 1e-6) ->
         b = num_hashes // r
         if (1.0 - threshold**r) ** b <= max_miss:
             return b
-    return num_hashes  # r=1: every hash its own band — never misses
+    # r=1 fallback is best-effort, not exact: P[miss] = (1-τ)^num_hashes > 0
+    # (e.g. 1.4e-6 at τ=0.1 with 128 hashes — can exceed max_miss); no finer
+    # banding exists, so warn rather than fail
+    import warnings
+
+    warnings.warn(
+        f"derive_banding: even r=1 cannot meet max_miss={max_miss} at "
+        f"threshold={threshold}; P[miss]={(1.0 - threshold) ** num_hashes:.2e}"
+    )
+    return num_hashes
 
 
 def minhash_lsh_pairs(

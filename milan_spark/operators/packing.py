@@ -45,33 +45,43 @@ def bucketed_prefix_sum(
     order_cols: list,
     bucket: Column | str,
     alias: str = "__prefix",
+    group_cols: list | None = None,
 ) -> DataFrame:
-    """EXCLUSIVE prefix sum of ``value`` in the total order (bucket, *order_cols).
+    """EXCLUSIVE prefix sum of ``value`` in the total order (bucket, *order_cols),
+    independently per group when ``group_cols`` is given.
 
     ``bucket`` must be an order-aligned coarse prefix of the order (every row
-    of bucket b precedes every row of bucket b+1). Plans as: one exchange on
-    the bucket + parallel within-bucket cumulative windows; per-bucket totals
-    aggregate map-side to O(buckets) rows, get exclusive-cumsum'd by a tiny
-    single-partition window (bounded by bucket count, never data), and
-    broadcast-join back. No single task ever sees more than one bucket.
+    of bucket b precedes every row of bucket b+1 within its group). Plans as:
+    one exchange on (group, bucket) + parallel within-bucket cumulative
+    windows; per-(group, bucket) totals aggregate map-side to
+    O(groups × buckets) rows, get exclusive-cumsum'd by a per-group window
+    over that tiny aggregate (bounded by bucket count, never data), and
+    broadcast-join back. No single task ever sees more than one
+    (group, bucket) slice — the composite key is what keeps a giant group
+    from serializing on one task, which a plain per-group window would do
+    (AQE skew handling splits join/agg partitions, NOT window exchanges).
     """
+    groups = [g if isinstance(g, str) else g for g in (group_cols or [])]
     bucket = _c(bucket)
     value = _c(value)
     w = (
-        W.partitionBy(bucket)
+        W.partitionBy(*groups, bucket)
         .orderBy(*order_cols)
         .rowsBetween(W.unboundedPreceding, -1)
     )
     local = df.withColumn("__bkt", bucket).withColumn(
         "__local", F.coalesce(F.sum(value).over(w), F.lit(0).cast("long"))
     )
-    totals = df.groupBy(bucket.alias("__bkt")).agg(F.sum(value).alias("__tot"))
-    off_w = W.orderBy("__bkt").rowsBetween(W.unboundedPreceding, -1)
+    totals = df.groupBy(*groups, bucket.alias("__bkt")).agg(F.sum(value).alias("__tot"))
+    off_w = (
+        (W.partitionBy(*groups) if groups else W).orderBy("__bkt")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
     offsets = totals.select(
-        "__bkt", F.coalesce(F.sum("__tot").over(off_w), F.lit(0).cast("long")).alias("__off")
+        *groups, "__bkt", F.coalesce(F.sum("__tot").over(off_w), F.lit(0).cast("long")).alias("__off")
     )
     return (
-        local.join(F.broadcast(offsets), "__bkt")
+        local.join(F.broadcast(offsets), [*groups, "__bkt"])
         .withColumn(alias, F.col("__local") + F.col("__off"))
         .drop("__bkt", "__local", "__off")
     )
@@ -137,23 +147,32 @@ def token_budget_mixture(
     inside the budget, so each domain overshoots by at most one document).
 
     ``budget`` is either one quota for every domain or a per-domain dict
-    (missing domains get quota 0 — dropped). The exclusive cumsum is a keyed
-    window — one shuffle, domains sort in parallel; heavy domains are split
-    by AQE skew handling like any other keyed window. Deterministic: the kept
-    set is a pure function of the corpus, so mixture re-runs are auditable
-    and incremental refreshes reproducible.
+    (missing domains get quota 0 — dropped). The exclusive cumsum routes
+    through :func:`bucketed_prefix_sum` with a composite
+    (domain, order-range-bucket) partition key: a plain per-domain window
+    would sort an ENTIRE domain in one task (AQE skew handling splits
+    join/agg partitions, not window exchanges), whereas the composite key
+    caps any task at one domain×bucket slice — ~1/``n_range_buckets`` of the
+    heaviest domain. Deterministic: the kept set is a pure function of the
+    corpus, so mixture re-runs are auditable and incremental refreshes
+    reproducible.
     """
     keyc = F.col(key)
-    w = (
-        W.partitionBy(domain_col)
-        .orderBy(hash_bucket(keyc, ORD_SPACE), keyc)
-        .rowsBetween(W.unboundedPreceding, -1)
+    ordk = hash_bucket(keyc, ORD_SPACE).cast("long")
+    step = ORD_SPACE // 256
+    out = df.withColumn("__ord", ordk)
+    out = bucketed_prefix_sum(
+        out,
+        _c(token_col).cast("long"),
+        [F.col("__ord"), keyc],
+        F.expr(f"__ord div {step}"),
+        alias="__e",
+        group_cols=[domain_col],
     )
-    e = F.coalesce(F.sum(_c(token_col).cast("long")).over(w), F.lit(0).cast("long"))
     if isinstance(budget, dict):
         quota = F.lit(0).cast("long")
         for dom, b in sorted(budget.items()):
             quota = F.when(F.col(domain_col) == dom, F.lit(b).cast("long")).otherwise(quota)
     else:
         quota = F.lit(budget).cast("long")
-    return df.withColumn("__e", e).filter(F.col("__e") < quota).drop("__e")
+    return out.filter(F.col("__e") < quota).drop("__e", "__ord")

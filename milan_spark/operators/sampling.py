@@ -44,6 +44,7 @@ def hash_split(
     splits: dict[str, int] | None = None,
     n_buckets: int = 100,
     label_col: str = "split",
+    null_label: str | None = None,
 ) -> DataFrame:
     """Label every record with a split name by deterministic hash bucket.
 
@@ -52,6 +53,11 @@ def hash_split(
     removing other records never moves a record between splits (unlike
     ``randomSplit``), which is what makes incremental corpus refreshes safe —
     yesterday's training shard stays a subset of today's.
+
+    A NULL split key has no hash bucket; silently labeling it NULL would make
+    the record vanish from every per-split audit. By default the job FAILS on
+    the first NULL key (``raise_error``); pass ``null_label`` to route NULL
+    keys to an explicit, auditable split instead.
     """
     if splits is None:
         splits = {"train": 80, "val": 10, "test": 10}
@@ -64,6 +70,12 @@ def hash_split(
         cond = bucket < F.lit(lo + width)
         expr = F.when(cond, name) if expr is None else expr.when(cond, name)
         lo += width
+    # the when-chain is exhaustive over non-NULL buckets (widths sum to
+    # n_buckets), so the otherwise branch is reached iff the key is NULL
+    if null_label is None:
+        expr = expr.otherwise(F.raise_error(F.lit("hash_split: NULL split key")))
+    else:
+        expr = expr.otherwise(F.lit(null_label))
     return df.withColumn(label_col, expr)
 
 
@@ -78,10 +90,33 @@ def stratified_sample(
 
     Ranking by (hash(key), key) is a deterministic pseudo-random permutation
     per stratum — a uniform sample without RNG, reproducible across engines
-    and runs. One shuffle + one per-key sort (rank window); at scale the
-    heavy strata sort in parallel across their hash partitions after AQE
-    skew-split of the preceding exchange.
+    and runs. NOTE: a window partition is one task — AQE skew handling splits
+    join/agg partitions, NOT window exchanges — so a single-window
+    formulation would serialize a giant stratum on one task. Instead the
+    top-n runs in two phases on a composite key: phase 1 ranks within
+    (stratum, hash-slice) — ``n_slices`` deterministic slices of the hash
+    order, so no task sorts more than ~1/n_slices of the heaviest stratum —
+    and keeps each slice's top ``n_per_stratum``; phase 2 ranks the
+    ≤ n_per_stratum × n_slices survivors per stratum (tiny). Any row in a
+    stratum's true top-n is in its slice's top-n, so the result is exact and
+    independent of ``n_slices``.
     """
     keyc = F.col(key) if isinstance(key, str) else key
-    w = W.partitionBy(*strata).orderBy(hash_bucket(keyc, 1 << 30), keyc)
-    return df.withColumn(rank_col, F.row_number().over(w)).filter(F.col(rank_col) <= n_per_stratum)
+    n_slices = 32
+    out = df.withColumn("__ordh", hash_bucket(keyc, 1 << 30).cast("long"))
+    slice_step = (1 << 30) // n_slices
+    w1 = (
+        W.partitionBy(*strata, F.expr(f"__ordh div {slice_step}"))
+        .orderBy("__ordh", keyc)
+    )
+    pruned = (
+        out.withColumn("__r1", F.row_number().over(w1))
+        .filter(F.col("__r1") <= n_per_stratum)
+        .drop("__r1")
+    )
+    w = W.partitionBy(*strata).orderBy("__ordh", keyc)
+    return (
+        pruned.withColumn(rank_col, F.row_number().over(w))
+        .filter(F.col(rank_col) <= n_per_stratum)
+        .drop("__ordh")
+    )

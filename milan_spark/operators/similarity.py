@@ -133,49 +133,80 @@ def embedding_near_dup_pairs(
     id_col: str,
     vec_col: str,
     threshold: float = 0.45,
+    n_blocks: int = 8,
 ) -> DataFrame:
     """All pairs with cosine ≥ threshold (embedding near-duplicate dedup).
 
-    Executed as a **broadcast block matmul**: the quantized corpus matrix
-    (8 MB per million rows per dim — small side by construction) broadcasts
-    to every task; each partition multiplies its block against it with one
-    vectorized int64 matmul and keeps only above-threshold pairs, so the
-    shuffle carries results, not pairs. Exactness is preserved: int64 dot
-    products are exact, and every |dot| < 2^53 converts to float64 exactly,
-    so cosines are bit-identical to the SQL formulation.
+    Executed as a **distributed block-nested-loop** — nothing ever collects
+    to the driver and nothing broadcasts:
 
-    When the corpus outgrows a broadcast, tile the right side (outer loop
-    over broadcast-sized column blocks) or switch to :func:`ann_lsh`
-    bucketing — the per-block kernel is unchanged.
+    1. every row gets a deterministic id-hash block in [0, n_blocks);
+    2. each row is replicated to every unordered block pair it belongs to
+       (``n_blocks`` copies through ONE shuffle on the (ba, bb) pair key);
+    3. each of the n_blocks·(n_blocks+1)/2 pair-groups computes its two
+       blocks' cosines in one vectorized int64 matmul and keeps only
+       above-threshold pairs, so only results leave the task.
+
+    Exactness is preserved: int64 dot products are exact, and every
+    |dot| < 2^53 converts to float64 exactly, so cosines are bit-identical
+    to the SQL formulation regardless of blocking (the result is independent
+    of ``n_blocks``).
+
+    At scale, size ``n_blocks`` so one block (N/n_blocks × dim × 8 B) fits a
+    task: memory per task is two blocks, shuffle volume is n_blocks × corpus.
+    All-pairs is inherently O(N²) compute; when that is the binding cost,
+    generate candidates through :func:`ann_lsh` buckets and exact-verify
+    instead — this operator is the exact small/medium-corpus path.
     """
     import numpy as np
 
+    B = int(n_blocks)
     q = corpus.select(F.col(id_col).alias("__vid"), quantize(vec_col).alias("__v"))
-    local = q.toPandas()
-    ids = np.asarray(local["__vid"], dtype=np.int64)
-    mat = np.asarray([np.asarray(v, dtype=np.int64) for v in local["__v"]])
-    norms = np.sqrt((mat * mat).sum(axis=1).astype(np.float64))
-    sc = corpus.sparkSession.sparkContext
-    b_ids, b_mat, b_norms = sc.broadcast(ids), sc.broadcast(mat), sc.broadcast(norms)
+    rep = (
+        q.withColumn("__blk", F.pmod(F.xxhash64(F.col("__vid")), F.lit(B)))
+        .withColumn("__j", F.explode(F.sequence(F.lit(0), F.lit(B - 1))))
+        .withColumn("__ba", F.least("__blk", "__j"))
+        .withColumn("__bb", F.greatest("__blk", "__j"))
+        .drop("__j")
+    )
 
-    def block(batches):
+    def pair_block(key, pdf):
         import pandas as pd
 
-        for pdf in batches:
-            if pdf.empty:
-                continue
-            blk = np.asarray([np.asarray(v, dtype=np.int64) for v in pdf["__v"]])
-            blk_ids = np.asarray(pdf["__vid"], dtype=np.int64)
-            blk_norms = np.sqrt((blk * blk).sum(axis=1).astype(np.float64))
-            # exact int64 dots; < 2^53 so the float64 conversion is exact
-            dots = blk @ b_mat.value.T
-            cos = dots.astype(np.float64) / (blk_norms[:, None] * b_norms.value[None, :])
-            li, ri = np.nonzero((cos >= threshold) & (blk_ids[:, None] < b_ids.value[None, :]))
-            yield pd.DataFrame(
-                {"id_a": blk_ids[li], "id_b": b_ids.value[ri], "__cos": cos[li, ri]}
-            )
+        ba, bb = int(key[0]), int(key[1])
 
-    out = q.mapInPandas(block, schema="id_a long, id_b long, __cos double")
+        def to_mat(sub):
+            ids = sub["__vid"].to_numpy(np.int64)
+            m = np.asarray([np.asarray(v, np.int64) for v in sub["__v"]])
+            return ids, m, np.sqrt((m * m).sum(axis=1).astype(np.float64))
+
+        if ba == bb:
+            ids, m, nrm = to_mat(pdf)
+            # exact int64 dots; < 2^53 so the float64 conversion is exact
+            cos = (m @ m.T).astype(np.float64) / (nrm[:, None] * nrm[None, :])
+            li, ri = np.nonzero((cos >= threshold) & (ids[:, None] < ids[None, :]))
+            return pd.DataFrame({"id_a": ids[li], "id_b": ids[ri], "__cos": cos[li, ri]})
+        a_sub, b_sub = pdf[pdf["__blk"] == ba], pdf[pdf["__blk"] == bb]
+        if a_sub.empty or b_sub.empty:  # one block of the pair may be empty
+            return pd.DataFrame({"id_a": [], "id_b": [], "__cos": []}).astype(
+                {"id_a": np.int64, "id_b": np.int64, "__cos": np.float64}
+            )
+        a_ids, a_m, a_n = to_mat(a_sub)
+        b_ids, b_m, b_n = to_mat(b_sub)
+        cos = (a_m @ b_m.T).astype(np.float64) / (a_n[:, None] * b_n[None, :])
+        li, ri = np.nonzero(cos >= threshold)
+        ia, ib = a_ids[li], b_ids[ri]
+        return pd.DataFrame(
+            {
+                "id_a": np.minimum(ia, ib),
+                "id_b": np.maximum(ia, ib),
+                "__cos": cos[li, ri],
+            }
+        )
+
+    out = rep.groupBy("__ba", "__bb").applyInPandas(
+        pair_block, schema="id_a long, id_b long, __cos double"
+    )
     # round in Spark SQL (HALF_UP, matching the SQL oracle) rather than numpy
     return out.select("id_a", "id_b", F.round("__cos", 6).alias("cosine"))
 

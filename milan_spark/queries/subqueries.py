@@ -63,8 +63,11 @@ def q4_priority_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
     "part's average quantity. Decorrelated: per-part (sum, count) aggregate "
     "— one row per part, broadcast back to the fact side; the avg compare "
     "is multiplied through (2·qty·n < sum) so it is DECIMAL-exact on both "
-    "engines. At 100 TB: the brand filter prunes the part dim before the "
-    "broadcast join, and the per-part agg is map-side partial.",
+    "engines. At 100 TB: the brand filter prunes the part dim AND (via a "
+    "broadcast semi-join pushed below the aggregate) the per-part aggregate "
+    "itself, so the broadcast carries only the ~1/25 surviving partkeys "
+    "instead of all ~20M, and the map-side partial agg touches only brand "
+    "lines.",
     oracle="""
 WITH pq AS (
   SELECT l_partkey,
@@ -84,9 +87,17 @@ WHERE p.p_partkey = l.l_partkey
 def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = table(spark, sf_dir, "lineitem")
     part = table(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#1")
-    pq = li.groupBy(F.col("l_partkey").alias("pq_partkey")).agg(
-        mf.agg_sum(F.col("l_quantity").cast(DEC)).alias("sum_qty"),
-        mf.agg_count().alias("n_lines"),
+    # prune the per-part aggregate to brand partkeys BEFORE aggregating and
+    # broadcasting: the unpruned aggregate would broadcast every partkey
+    # (~20M rows at SF100) when only the brand's ~1/25 survive the join
+    brand_keys = part.select("p_partkey")
+    pq = (
+        li.join(F.broadcast(brand_keys), li.l_partkey == brand_keys.p_partkey, "semi")
+        .groupBy(F.col("l_partkey").alias("pq_partkey"))
+        .agg(
+            mf.agg_sum(F.col("l_quantity").cast(DEC)).alias("sum_qty"),
+            mf.agg_count().alias("n_lines"),
+        )
     )
     qty = F.col("l_quantity").cast(DEC)
     return (

@@ -6,12 +6,14 @@ int128, which hash-mismatches Spark's int64 even when every value agrees
 aggregate must CAST back to BIGINT.
 """
 
+import os
+
 import duckdb
 import pytest
 
 import milan_spark.catalog as cat
 
-SF_DIR = "/root/testdata/sf0.001"
+SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
 TABLES = (
     "region nation customer supplier part orders lineitem events documents embeddings"
 ).split()
@@ -19,6 +21,10 @@ TABLES = (
 
 @pytest.fixture(scope="module")
 def con():
+    if not os.path.isdir(SF_DIR):
+        pytest.skip(
+            f"test data dir {SF_DIR} absent — set SPARK_GRAFT_TEST_SF_DIR to run the HUGEINT guard"
+        )
     c = duckdb.connect()
     for t in TABLES:
         c.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF_DIR}/{t}.parquet')")

@@ -45,6 +45,22 @@ def test_hash_split_validates_widths(spark):
         hash_split(docs, "doc_id", splits={"train": 50, "test": 10})
 
 
+def test_hash_split_null_key_raises_by_default(spark):
+    import pytest
+
+    df = spark.createDataFrame([(1,), (None,)], "k long")
+    with pytest.raises(Exception) as ei:
+        hash_split(df, "k").collect()
+    assert "NULL split key" in str(ei.value)
+
+
+def test_hash_split_null_key_explicit_label(spark):
+    df = spark.createDataFrame([(1,), (None,)], "k long")
+    out = {r["k"]: r["split"] for r in hash_split(df, "k", null_label="__null__").collect()}
+    assert out[None] == "__null__"
+    assert out[1] in {"train", "val", "test"}
+
+
 def test_stratified_sample_exact_sizes(spark):
     ev = table(spark, SF_SMOKE, "events")
     out = stratified_sample(ev, ["event_type"], 5, "event_id")
