@@ -3,9 +3,9 @@
 Four families, all shuffle-scalable DataFrame plans (no driver-side loops):
 
 - exact       — hash group-by on content, earliest id survives;
-- n-gram Jaccard — exact pairwise similarity, corpus-adaptive between an
-  inverted-index count join and a broadcast dense-intersection matmul (see
-  :func:`ngram_jaccard_pairs`);
+- n-gram Jaccard — exact pairwise similarity, corpus-adaptive between a
+  prefix-filtered inverted index and a distributed dense-intersection block
+  matmul (see :func:`ngram_jaccard_pairs`);
 - MinHash+LSH — signature = min over shingle hashes under k affine
   permutations; banding buckets candidates (join on a single band-hash long),
   candidates are verified with the exact Jaccard so the output contains no
@@ -142,17 +142,17 @@ def ngram_jaccard_pairs(
     - **Dense intersection matmul** (when V·N ≤ ``dense_max_cells``):
       templated/boilerplate corpora invert the regime — V tiny, every shingle
       a stop-shingle with f ≈ N, so the index self-join degenerates to ~V·N²
-      rows. Instead each doc becomes a V-wide 0/1 row; a broadcast BLAS
-      matmul yields ALL pairwise intersection counts exactly (counts < 2²⁴
-      are exact in float32). Shingles with f = 1 are dropped from the vocab
-      (they intersect nothing); true set sizes still drive the union term.
+      rows. Instead each doc becomes a V-wide 0/1 row; a distributed
+      block-pair BLAS matmul (:func:`_jaccard_dense` — no driver collect, no
+      corpus broadcast) yields ALL pairwise intersection counts exactly
+      (counts < 2²⁴ are exact in float32). Shingles with f = 1 are dropped
+      from the vocab (they intersect nothing); true set sizes still drive
+      the union term.
 
     Both plans emit identical results; thresholds/rounding match the SQL
-    formulation bit-for-bit. At larger N with small V, tile the broadcast
-    side block-by-block (the per-block kernel is unchanged); when neither
-    regime is tractable the corpus is pathologically self-similar and the
-    approximate paths (:func:`minhash_lsh_pairs`, :func:`simhash_pairs`) are
-    the scale answer.
+    formulation bit-for-bit. When neither regime is tractable the corpus is
+    pathologically self-similar and the approximate paths
+    (:func:`minhash_lsh_pairs`, :func:`simhash_pairs`) are the scale answer.
     """
     sets = _shingle_sets(df, id_col, text_col, n)
     ex = sets.select(
@@ -165,9 +165,19 @@ def ngram_jaccard_pairs(
     # for prefix ranking — one row per distinct shingle, tiny
     freq = ex.groupBy("__h").agg(F.count(F.lit(1)).alias("__f")).persist()
     nontrivial = freq.filter(F.col("__f") >= 2)
-    v, n_docs = nontrivial.count(), df.count()
+    # regime probe: ONE action/job over the persisted index (the round-2
+    # two-action probe — nontrivial.count() + df.count() — paid two job
+    # launches and re-scanned the source; both stats ride one job here).
+    # n_docs counts docs with ≥1 shingle — shingle-less docs never pair, so
+    # they are irrelevant to both the regime choice and the dense matrix size
+    probe = (
+        nontrivial.agg(F.count(F.lit(1)).alias("__v"))
+        .crossJoin(ex.agg(F.count_distinct("__id").alias("__nd")))
+        .first()
+    )
+    v, n_docs = probe["__v"], probe["__nd"]
     if v * n_docs <= dense_max_cells:
-        return _jaccard_dense(ex, nontrivial, v, threshold)
+        return _jaccard_dense(ex, nontrivial, threshold)
 
     sets = sets.persist()  # verify join reuses the shingle arrays
     # prefix size n - floor(τ·n) + 1: floor (not the textbook ceil) absorbs
@@ -198,10 +208,23 @@ def ngram_jaccard_pairs(
     return _verify_jaccard(cands, sets, threshold)
 
 
-def _jaccard_dense(ex: DataFrame, freq: DataFrame, v: int, threshold: float) -> DataFrame:
-    """All-pairs exact Jaccard via broadcast 0/1 matmul (small-vocab regime)."""
+def _jaccard_dense(
+    ex: DataFrame, freq: DataFrame, threshold: float, n_blocks: int = 8
+) -> DataFrame:
+    """All-pairs exact Jaccard via a distributed 0/1 block matmul (small-vocab
+    regime). Same block-nested-loop shape as
+    ``similarity.embedding_near_dup_pairs``: rows replicate to their
+    unordered block pairs through ONE shuffle; each of the
+    n_blocks·(n_blocks+1)/2 pair-groups multiplies its two doc×vocab 0/1
+    matrices in one task (intersection counts < 2²⁴ are exact in float32).
+    Nothing collects to the driver and nothing broadcasts except the tiny
+    vocab; the result is independent of ``n_blocks``. Shingles with f = 1
+    are dropped from the vocab (they intersect nothing); true set sizes
+    ``__n`` still drive the union term.
+    """
     import numpy as np
 
+    B = int(n_blocks)
     vocab = freq.select("__h").withColumn(
         "__ix", F.row_number().over(W.orderBy("__h")) - 1
     )
@@ -209,36 +232,55 @@ def _jaccard_dense(ex: DataFrame, freq: DataFrame, v: int, threshold: float) -> 
         ex.join(F.broadcast(vocab), "__h")
         .groupBy("__id", "__n")
         .agg(F.collect_list("__ix").alias("__ixs"))
-    ).persist()  # driver broadcast pass + distributed block pass
-
-    def to_mat(pdf):
-        ids = pdf["__id"].to_numpy(np.int64)
-        ns = pdf["__n"].to_numpy(np.int64)
-        m = np.zeros((len(ids), v), np.float32)
-        for i, ixs in enumerate(pdf["__ixs"]):
-            m[i, np.asarray(ixs, np.int64)] = 1.0
-        return ids, ns, m
-
-    local = docs.toPandas()
-    b_ids, b_ns, b_mat = (
-        docs.sparkSession.sparkContext.broadcast(x) for x in to_mat(local)
+    )
+    rep = (
+        docs.withColumn("__blk", F.pmod(F.xxhash64(F.col("__id")), F.lit(B)))
+        .withColumn("__j", F.explode(F.sequence(F.lit(0), F.lit(B - 1))))
+        .withColumn("__ba", F.least("__blk", "__j"))
+        .withColumn("__bb", F.greatest("__blk", "__j"))
+        .drop("__j")
     )
 
-    def block(batches):
-        import pandas as pd
+    def pair_block(key, pdf):
+        ba, bb = int(key[0]), int(key[1])
+        # per-group matrix width: indexes absent from the group contribute 0
+        # to every intersection, so clipping the width to the group's max
+        # index changes nothing and bounds memory
+        width = 1 + int(max((max(x) for x in pdf["__ixs"] if len(x)), default=0))
 
-        for pdf in batches:
-            if pdf.empty:
-                continue
+        def to_mat(sub):
+            ids = sub["__id"].to_numpy(np.int64)
+            ns = sub["__n"].to_numpy(np.int64)
+            m = np.zeros((len(ids), width), np.float32)
+            for i, ixs in enumerate(sub["__ixs"]):
+                m[i, np.asarray(ixs, np.int64)] = 1.0
+            return ids, ns, m
+
+        empty = pd.DataFrame({"id_a": [], "id_b": [], "__j": []}).astype(
+            {"id_a": np.int64, "id_b": np.int64, "__j": np.float64}
+        )
+        if ba == bb:
             ids, ns, m = to_mat(pdf)
-            c = (m @ b_mat.value.T).astype(np.float64)  # exact: counts < 2^24
-            jac = c / (ns[:, None] + b_ns.value[None, :] - c)
-            li, ri = np.nonzero((jac >= threshold) & (ids[:, None] < b_ids.value[None, :]))
-            yield pd.DataFrame(
-                {"id_a": ids[li], "id_b": b_ids.value[ri], "__j": jac[li, ri]}
-            )
+            c = (m @ m.T).astype(np.float64)  # exact: counts < 2^24
+            jac = c / (ns[:, None] + ns[None, :] - c)
+            li, ri = np.nonzero((jac >= threshold) & (ids[:, None] < ids[None, :]))
+            return pd.DataFrame({"id_a": ids[li], "id_b": ids[ri], "__j": jac[li, ri]})
+        a_sub, b_sub = pdf[pdf["__blk"] == ba], pdf[pdf["__blk"] == bb]
+        if a_sub.empty or b_sub.empty:  # one block of the pair may be empty
+            return empty
+        a_ids, a_ns, a_m = to_mat(a_sub)
+        b_ids, b_ns, b_m = to_mat(b_sub)
+        c = (a_m @ b_m.T).astype(np.float64)
+        jac = c / (a_ns[:, None] + b_ns[None, :] - c)
+        li, ri = np.nonzero(jac >= threshold)
+        ia, ib = a_ids[li], b_ids[ri]
+        return pd.DataFrame(
+            {"id_a": np.minimum(ia, ib), "id_b": np.maximum(ia, ib), "__j": jac[li, ri]}
+        )
 
-    out = docs.mapInPandas(block, schema="id_a long, id_b long, __j double")
+    out = rep.groupBy("__ba", "__bb").applyInPandas(
+        pair_block, schema="id_a long, id_b long, __j double"
+    )
     return out.select("id_a", "id_b", F.round("__j", 6).alias("jaccard"))
 
 
@@ -354,11 +396,13 @@ def minhash_lsh_pairs(
             out[i] = acc[:, k]
         return pd.Series(out)
 
+    # persisted: both sides of the candidate self-join read it — without the
+    # persist the signature pandas UDF would run once per side
     band_sig = doc.select(
         "__id",
         F.array_size("__hs").alias("__n"),
         F.posexplode(band_sigs("__hs")).alias("__band", "__sig"),
-    )
+    ).persist()
     a = band_sig.select(F.col("__id").alias("id_a"), F.col("__n").alias("__na"), "__band", "__sig")
     b = band_sig.select(F.col("__id").alias("id_b"), F.col("__n").alias("__nb"), "__band", "__sig")
     # size-ratio prune: J = c/(na+nb-c) ≤ min(na,nb)/max(na,nb), so any true

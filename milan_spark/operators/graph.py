@@ -45,7 +45,15 @@ def connected_components(
     edges = fwd.unionByName(
         fwd.select(F.col("v").alias("u"), F.col("u").alias("v"))
     ).persist()
-    labels = edges.select(F.col("u").alias("n")).distinct().withColumn("l", F.col("n"))
+    # initialize with the FIRST propagation round already applied — the
+    # distinct-nodes aggregate and round 1's message aggregate are the same
+    # shuffle, so starting from min(self, min neighbor) saves one full
+    # iterate round (one join + one checkpoint job) for free
+    labels = (
+        edges.groupBy(F.col("u").alias("n"))
+        .agg(F.min("v").alias("__mv"))
+        .select("n", F.least("n", "__mv").alias("l"))
+    )
 
     holder: dict[str, Observation] = {}
 

@@ -136,9 +136,9 @@ def csv_roundtrip_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "dedup_clusters",
     doc="Milan Cycle (StreamExpressions.scala:141, lang/Stream.scala:143-147) "
-    "driving min-label propagation to a fixpoint: near-duplicate pairs "
-    "(MinHash-LSH, exact-verified) collapsed into dedup clusters — "
-    "cluster_id = smallest doc_id in the connected component.",
+    "driving min-label propagation to a fixpoint: exact near-duplicate pairs "
+    "(corpus-adaptive n-gram Jaccard generator) collapsed into dedup "
+    "clusters — cluster_id = smallest doc_id in the connected component.",
     oracle=_SQL_SHINGLES.replace("WITH toks", "WITH RECURSIVE toks", 1)
     + """
 , ex AS (
@@ -165,10 +165,14 @@ SELECT u AS doc_id, LEAST(u, MIN(v)) AS cluster_id FROM reach GROUP BY u
 """,
 )
 def dedup_clusters_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from milan_spark.operators.dedup import minhash_lsh_pairs
+    from milan_spark.operators.dedup import ngram_jaccard_pairs
 
     docs = table(spark, sf_dir, "documents")
-    pairs = minhash_lsh_pairs(docs, "doc_id", "text", n=2, threshold=0.8)
+    # the corpus-adaptive exact generator (identical output to the verified
+    # MinHash-LSH path, which the oracle also equals) — on template-heavy
+    # corpora its dense block matmul avoids materializing the huge candidate
+    # set an LSH banding would flood the pair join with
+    pairs = ngram_jaccard_pairs(docs, "doc_id", "text", n=2, threshold=0.8)
     cc = connected_components(pairs, "id_a", "id_b")
     return cc.select(F.col("node").alias("doc_id"), F.col("label").alias("cluster_id"))
 
