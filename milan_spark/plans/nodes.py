@@ -224,6 +224,13 @@ def _compile_op(n: Node, spark: SparkSession, ins: list[DataFrame]) -> DataFrame
             "to lower it to window aggregates before compiling (general non-associative "
             "folds use Stream.scan, which is deliberately not plan-serializable)"
         )
+    if n.op == "grouped_rank":
+        raise ValueError(
+            "grouped_rank is a logical-only node: run milan_spark.plans.rewrite.optimize() "
+            "to lower it to a row_number() window before compiling (general grouped "
+            "transforms use GroupedStream.flat_map, which is deliberately not "
+            "plan-serializable)"
+        )
     if n.op == "cum_window":
         from milan_spark.operators.scans import cum_fold
 

@@ -18,6 +18,12 @@ Python-opaque stateful operators:
     compilation targets support these higher-level operations",
     ``doc/Milan Operations.md:134-140``).
 
+``rule_grouped_rank_to_window``
+    The second half of the same SURVEY §4 rewrite: a rank-shaped grouped
+    flat-map (per-group arrival index, the ``grouped_rank`` node) lowers to
+    a ``row_number()`` window projection — JVM window exec instead of an
+    ``applyInPandas`` grouped-map.
+
 ``rule_push_filter_into_left_enrichment``
     Predicate pushdown *through the enrichment join*. The batch enrichment
     join is an opaque composite (window-over-union) and its streaming twin is
@@ -122,6 +128,26 @@ def rule_scan_fold_to_window(node: Node, spark=None) -> Node | None:
     return out
 
 
+# --- grouped arrival-index → row_number window -------------------------------
+
+
+def rule_grouped_rank_to_window(node: Node, spark=None) -> Node | None:
+    """Lower a rank-shaped grouped flat-map (``grouped_rank`` node — per-group
+    arrival index) to a ``row_number()`` window projection: JVM window exec
+    with whole-stage codegen instead of an ``applyInPandas`` Python
+    grouped-map. This is the second half of SURVEY §4's optional rewrite
+    rule (the first half is ``rule_scan_fold_to_window``): the reference's
+    GroupedStream FlatMap examples are almost all rank/arrival-index folds
+    that a window function expresses exactly."""
+    if node.op != "grouped_rank":
+        return None
+    p = node.params
+    part = ", ".join(p["keys"])
+    order = ", ".join(p["order_by"])
+    expr = f"row_number() OVER (PARTITION BY {part} ORDER BY {order}) AS {p['alias']}"
+    return Node("map", {"exprs": ["*", expr]}, [node.inputs[0]])
+
+
 # --- predicate pushdown through the enrichment join -------------------------
 
 _SQL_KEYWORDS = frozenset(
@@ -214,6 +240,7 @@ def rule_broadcast_small_join_side(node: Node, spark=None, threshold: int = DEFA
 
 RULES: list[Callable[[Node, object], Node | None]] = [
     rule_scan_fold_to_window,
+    rule_grouped_rank_to_window,
     rule_push_filter_into_left_enrichment,
     rule_broadcast_small_join_side,
 ]

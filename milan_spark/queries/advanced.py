@@ -23,7 +23,11 @@ from milan_spark.stream import Stream
     "grouped_flat_map",
     doc="Milan GroupedStream FlatMap (StreamExpressions.scala:327, doc/Milan "
     "Operations.md:79-97): per-user transform of the group's sub-stream "
-    "(arrival index per user), groups merged back into one stream.",
+    "(arrival index per user), groups merged back into one stream. Declared "
+    "as the rank-shaped grouped_rank node and lowered by the optimizer "
+    "(plans.rewrite.rule_grouped_rank_to_window — SURVEY §4's optional rule, "
+    "second half) to a row_number() window: JVM window exec, no Python "
+    "grouped-map in the physical plan.",
     oracle="""
 SELECT user_id, event_id,
        ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY event_id) AS idx
@@ -31,19 +35,15 @@ FROM events
 """,
 )
 def grouped_flat_map_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = table(spark, sf_dir, "events").select("user_id", "event_id")
+    from milan_spark.plans.nodes import compile_node, from_json, to_json
+    from milan_spark.plans.rewrite import optimize
 
-    def arrival_index(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values("event_id").copy()
-        pdf["idx"] = range(1, len(pdf) + 1)
-        return pdf
-
-    return (
-        Stream.from_dataframe(ev)
-        .group_by("user_id")
-        .flat_map(arrival_index, "user_id long, event_id long, idx long")
-        .to_df()
-    )
+    s = Stream.from_file(spark, f"{sf_dir}/events.parquet").map("user_id", "event_id")
+    ranked = s.group_by("user_id").ranked("event_id", alias="idx")
+    # portability: the logical plan survives serialization, then the
+    # optimizer replaces the applyInPandas fold with the window projection
+    plan = from_json(to_json(ranked.node))
+    return compile_node(optimize(plan, spark), spark)
 
 
 @register(

@@ -576,6 +576,43 @@ class GroupedStream:
         distinction (key dropped vs preserved) is the caller's output schema."""
         return self.map_group(fn, output_schema)
 
+    def ranked(self, order_by, alias: str = "idx") -> Stream:
+        """Arrival-index FlatMap — the rank-shaped special case of
+        :meth:`flat_map` (doc/Milan Operations.md:79-97): every record gets
+        its arrival position within the group's sub-stream.
+
+        Unlike the opaque-callable ``flat_map``, this records a serializable
+        ``grouped_rank`` plan node that the optimizer
+        (``plans.rewrite.rule_grouped_rank_to_window`` — the second half of
+        SURVEY §4's optional rewrite) lowers to a JVM ``row_number()``
+        window, replacing the Python grouped-map with whole-stage-codegen
+        window exec. The direct realization here is the same
+        ``applyInPandas`` fold ``flat_map`` uses, so naive and optimized
+        plans agree row-for-row. ``order_by`` must be column names (the
+        naive fold sorts the pandas frame by them).
+        """
+        from pyspark.sql.types import LongType, StructField, StructType
+
+        order = [order_by] if isinstance(order_by, str) else list(order_by)
+        keys = list(self.keys)
+
+        def arrival(pdf):
+            pdf = pdf.sort_values(order).copy()
+            pdf[alias] = range(1, len(pdf) + 1)
+            return pdf
+
+        # fresh StructType: .add would MUTATE the DataFrame's cached schema
+        out_schema = StructType(
+            list(self.parent.df.schema.fields) + [StructField(alias, LongType())]
+        )
+        df = self.parent.df.groupBy(*keys).applyInPandas(arrival, schema=out_schema)
+        node = Node(
+            "grouped_rank",
+            {"keys": keys, "order_by": order, "alias": alias},
+            [self.parent.node],
+        )
+        return Stream(df, node)
+
     def record_window(self, n: int, aggs: dict[str, Column | str] | None = None, seq: str = SEQ_COL) -> Stream:
         """Milan SlidingRecordWindow on a grouped stream (lang/GroupedStream.scala:46)."""
         from milan_spark.operators.windows import record_window

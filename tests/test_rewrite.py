@@ -145,6 +145,49 @@ def test_stream_scan_fold_dsl(spark):
         )
 
 
+# --- grouped_rank lowering ---------------------------------------------------
+
+
+def _grouped_rank_plan(sf_dir: str) -> Node:
+    return Node(
+        "grouped_rank",
+        {"keys": ["user_id"], "order_by": ["event_id"], "alias": "idx"},
+        [
+            Node(
+                "map",
+                {"exprs": ["user_id", "event_id"]},
+                [Node("parquet_source", {"path": f"{sf_dir}/events.parquet"})],
+            )
+        ],
+    )
+
+
+def test_grouped_rank_is_logical_only(spark):
+    with pytest.raises(ValueError, match="logical-only"):
+        compile_node(_grouped_rank_plan(SF_SMOKE), spark)
+
+
+def test_grouped_rank_lowered_structure():
+    plan = R.optimize(_grouped_rank_plan(SF_SMOKE))  # pure plan rule
+    assert _ops(plan) == ["map", "map", "parquet_source"]
+
+
+def test_grouped_rank_matches_python_flat_map(spark):
+    from milan_spark.sources import table
+
+    plan = from_json(to_json(_grouped_rank_plan(SF_SMOKE)))
+    fast = compile_node(R.optimize(plan, spark), spark)
+    # the naive realization on the Stream itself is the applyInPandas fold
+    ev = table(spark, SF_SMOKE, "events").select("user_id", "event_id")
+    slow = Stream.from_dataframe(ev).group_by("user_id").ranked("event_id", alias="idx").to_df()
+    cols = ["user_id", "event_id", "idx"]
+    assert sorted(map(tuple, fast.select(cols).collect())) == sorted(
+        map(tuple, slow.select(cols).collect())
+    )
+    # the optimized physical plan must not contain a Python grouped-map
+    assert "FlatMapGroupsInPandas" not in fast._jdf.queryExecution().executedPlan().toString()
+
+
 # --- predicate pushdown through the enrichment join -------------------------
 
 
