@@ -499,11 +499,13 @@ class Stream:
 
     def iterate(self, body: Callable[["Stream"], "Stream"], max_iterations: int, converged: Callable[[DataFrame, DataFrame], bool] | None = None) -> "Stream":
         """Milan Cycle (beginCycle/closeCycle, lang/Stream.scala:143-147) —
-        batch realization as a driver-side fixpoint loop; the streaming backend
-        rejects cycles exactly like the reference's event compiler
-        (EventHandlerClassGenerator.scala:23). Each iteration is a full
-        distributed plan; ``localCheckpoint`` truncates lineage between
-        rounds so plans don't grow unboundedly."""
+        batch realization as a driver-side fixpoint loop. Each iteration is a
+        full distributed plan; ``localCheckpoint`` truncates lineage between
+        rounds so plans don't grow unboundedly. The streaming realization is
+        ``milan_spark.streaming.cycle.streaming_cycle`` — the sink-to-source
+        feedback emulation the reference's Boda sample documents
+        (milan-samples/.../bodaboda/BodaApp.scala:60-69; the Flink compiler's
+        true feedback edge is GeneratorContext.scala:349-357)."""
         cur = self
         for _ in range(max_iterations):
             nxt = body(cur)

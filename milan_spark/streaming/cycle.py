@@ -1,0 +1,148 @@
+"""Streaming feedback cycle — sink-to-source emulation (SURVEY.md §2.7).
+
+The reference has two streaming realizations of the Cycle operator
+(``beginCycle``/``closeCycle``, lang/Stream.scala:143-147):
+
+- the Flink compiler wires a true feedback edge
+  (``flink/generator/GeneratorContext.scala:122-130,349-357`` — Flink
+  ``iterate()``/``closeWith``);
+- the Boda sample documents the portable emulation: write the loop stream to
+  a sink location that is *also* registered as a source of the same job
+  (``milan-samples/.../bodaboda/BodaApp.scala:60-69``).
+
+Structured Streaming has no feedback edges, so this module implements the
+second realization exactly: a file-stream source reads the feedback
+directory, each microbatch applies the loop body, and records the body
+emits are appended to the same directory — which the *running query itself*
+then discovers as new input. ``processAllAvailable`` returns precisely when
+a microbatch emits nothing new, i.e. at the fixpoint.
+
+Termination is the caller's contract, as in any feedback topology: the body
+must be *productive-finite* (emit only novel records drawn from a finite
+space). :func:`streaming_cycle` enforces the novelty half mechanically when
+``dedupe=True`` (default) by anti-joining each batch's emissions against the
+full feedback history — monotone bodies over a finite lattice (label
+propagation, reachability, closure computation) then terminate by
+construction. A ``max_batches`` fuse guards against non-monotone bodies.
+
+At scale this is the standard pattern: the feedback directory is object
+storage, each hop is one distributed microbatch, and state never
+concentrates on the driver.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+from typing import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+class CycleDiverged(RuntimeError):
+    pass
+
+
+def streaming_cycle(
+    spark: SparkSession,
+    seed: DataFrame,
+    body: Callable[[DataFrame], DataFrame],
+    *,
+    feedback_dir: str | None = None,
+    dedupe: bool = True,
+    max_batches: int = 100,
+    timeout_sec: int = 300,
+) -> DataFrame:
+    """Run ``body`` to a fixpoint on the streaming backend; return the full
+    feedback stream contents (seed + every emitted record) as a batch
+    DataFrame.
+
+    ``body`` maps one microbatch of feedback records to the records to feed
+    back next; returning an empty DataFrame ends the loop. With ``dedupe``
+    (default) emissions already present in the feedback history are dropped
+    before writing, so monotone bodies terminate by construction.
+    """
+    feedback_dir = feedback_dir or tempfile.mkdtemp(prefix="milan_cycle_")
+    ckpt = tempfile.mkdtemp(prefix="milan_cycle_ckpt_")
+    schema = seed.schema
+    cols = seed.columns
+    seed.write.mode("overwrite").parquet(feedback_dir)
+
+    batches = {"n": 0}
+
+    def handle(batch_df: DataFrame, batch_id: int) -> None:
+        if batches["n"] >= max_batches:
+            raise CycleDiverged(
+                f"streaming_cycle exceeded max_batches={max_batches}; "
+                "body is not converging"
+            )
+        batches["n"] += 1
+        out = body(batch_df).select(*cols)
+        if dedupe:
+            history = spark.read.schema(schema).parquet(feedback_dir)
+            out = out.join(history, on=cols, how="left_anti").distinct()
+        # localCheckpoint decides emptiness and materializes BEFORE the write
+        # starts appending (reading the history while appending to it would
+        # race); an empty write would still create a part file — a "new file"
+        # that would re-trigger the source forever
+        rows = out.localCheckpoint(eager=True)
+        if rows.limit(1).count() > 0:
+            rows.write.mode("append").parquet(feedback_dir)
+
+    src = spark.readStream.schema(schema).parquet(feedback_dir)
+    q = (
+        src.writeStream.foreachBatch(handle)
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    try:
+        # returns when a microbatch produced no new files — the fixpoint
+        q.processAllAvailable()
+    finally:
+        q.stop()
+        q.awaitTermination(timeout_sec)
+    return spark.read.schema(schema).parquet(feedback_dir)
+
+
+def streaming_min_label_components(
+    spark: SparkSession,
+    edges: DataFrame,
+    *,
+    feedback_dir: str | None = None,
+    max_batches: int = 100,
+) -> DataFrame:
+    """Incremental connected components on the streaming backend: the
+    canonical cycle workload (same semantics as
+    ``operators.graph.connected_components``, realized as a feedback stream
+    of (node, label) improvement messages instead of a driver loop).
+
+    Seed = every node labeled with itself; each hop forwards a node's known
+    labels to its neighbors; the history anti-join keeps only novel
+    (node, label) facts, so the loop drains once no smaller label can reach
+    any node. Final answer = min label seen per node.
+    """
+    from pyspark.sql import functions as F
+
+    fwd = edges.select(F.col("u").alias("u"), F.col("v").alias("v"))
+    sym = fwd.unionByName(fwd.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    sym = sym.localCheckpoint(eager=True)  # static side, reused every hop
+    seed = (
+        sym.select(F.col("u").alias("node"))
+        .distinct()
+        .withColumn("label", F.col("node"))
+    )
+
+    def hop(msgs: DataFrame) -> DataFrame:
+        # forward each incoming (node, label) to the node's neighbors; only
+        # labels that improve on the neighbor's own id can matter
+        return (
+            msgs.join(sym, msgs["node"] == sym["u"])
+            .filter(F.col("label") < F.col("v"))
+            .select(F.col("v").alias("node"), F.col("label"))
+            .distinct()
+        )
+
+    hist = streaming_cycle(
+        spark, seed, hop, feedback_dir=feedback_dir, max_batches=max_batches
+    )
+    return hist.groupBy("node").agg(F.min("label").alias("label"))

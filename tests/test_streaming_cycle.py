@@ -1,0 +1,63 @@
+"""Streaming Cycle (milan_spark.streaming.cycle) — the sink-to-source
+feedback emulation: fixpoint reached, history complete, and the canonical
+incremental-label-propagation workload matching the batch Cycle result."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from milan_spark.streaming.cycle import (
+    CycleDiverged,
+    streaming_cycle,
+    streaming_min_label_components,
+)
+
+
+def test_streaming_cycle_countdown(spark, tmp_path):
+    seed = spark.createDataFrame([(10, 3), (20, 2)], "id long, n long")
+
+    def body(batch):
+        return batch.filter(F.col("n") > 0).select("id", (F.col("n") - 1).alias("n"))
+
+    hist = streaming_cycle(
+        spark, seed, body, feedback_dir=str(tmp_path / "fb"), max_batches=20
+    )
+    rows = sorted(map(tuple, hist.collect()))
+    assert rows == sorted(
+        [(10, 3), (10, 2), (10, 1), (10, 0), (20, 2), (20, 1), (20, 0)]
+    )
+
+
+def test_streaming_cycle_diverging_body_trips_fuse(spark, tmp_path):
+    seed = spark.createDataFrame([(0,)], "x long")
+
+    def body(batch):  # always novel → never converges
+        return batch.select((F.col("x") + 1).alias("x"))
+
+    with pytest.raises(Exception) as ei:
+        streaming_cycle(
+            spark, seed, body, feedback_dir=str(tmp_path / "fb"), max_batches=5
+        )
+    assert "max_batches" in str(ei.value) or isinstance(ei.value, CycleDiverged)
+
+
+def test_streaming_components_match_batch_cycle(spark, tmp_path):
+    # two chains and a singleton-free triangle: {1-2-3-4}, {10-11}, {20-21-22}
+    pair_rows = [(1, 2), (2, 3), (3, 4), (10, 11), (20, 21), (21, 22), (20, 22)]
+    edges = spark.createDataFrame(pair_rows, "u long, v long")
+
+    out = streaming_min_label_components(
+        spark, edges, feedback_dir=str(tmp_path / "fb")
+    )
+    got = {r["node"]: r["label"] for r in out.collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 20: 20, 21: 20, 22: 20}
+
+    # agrees with the batch Cycle realization on the same pairs
+    from milan_spark.operators.graph import connected_components
+
+    pairs = spark.createDataFrame(pair_rows, "id_a long, id_b long")
+    batch = {
+        r["node"]: r["label"] for r in connected_components(pairs).collect()
+    }
+    assert got == batch
