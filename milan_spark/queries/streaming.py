@@ -351,3 +351,35 @@ def streaming_asof_purchase_view_q(spark: SparkSession, sf_dir: str) -> DataFram
         F.when(gap <= tol, gap).alias("gap_us"),
     )
     return run_to_memory(out, "streaming_asof_purchase_view")
+
+
+@register(
+    "streaming_tumbling_window_per_record",
+    doc="Per-record emission for windowed aggregates — the reference's "
+    "every-element trigger (RecordWrapperEveryElementTrigger.scala:15-19), "
+    "which the plain streaming windowed agg relaxes to per-microbatch: a "
+    "(window) value-state machine emits the refined daily count/total on "
+    "EVERY event. The oracle checks the full refinement history (cumulative "
+    "window per day in arrival order), not just final window states.",
+    oracle="""
+SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS window_start, event_id AS seq,
+       CAST(COUNT(*) OVER w AS BIGINT) AS n,
+       CAST(SUM(cents) OVER w AS BIGINT) AS total_cents
+FROM (SELECT ts, event_id, CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents FROM events)
+WINDOW w AS (PARTITION BY date_trunc('day', ts) ORDER BY event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+""",
+)
+def streaming_tumbling_window_per_record_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events_stream(spark, sf_dir)
+    out = stateful.windowed_agg_per_record(
+        ev,
+        "ts",
+        "1 day",
+        {
+            "n": ("count", "1"),
+            "total_cents": ("sum", "cast(floor(value * 100 + 0.5) as bigint)"),
+        },
+        seq="event_id",
+    )
+    return run_to_memory(out, "streaming_tumbling_window_per_record")

@@ -11,13 +11,15 @@ plans compile to Structured Streaming queries. Mapping:
 | ConsoleDataSink (ConsoleDataSink.scala:15)        | :func:`console_sink`  |
 | LogSink / plugin sinks (DataSinkGenerator.scala:22-37) | :func:`foreach_batch_sink` |
 | watermark = window size (WindowedStreamsGenerator.scala:129-130) | :func:`windowed_agg` default |
-| every-element trigger (RecordWrapperEveryElementTrigger.scala:15-19) | update/complete mode per microbatch (documented relaxation) |
+| every-element trigger (RecordWrapperEveryElementTrigger.scala:15-19) | ``stateful.windowed_agg_per_record`` (exact cadence); :func:`windowed_agg` relaxes to per-microbatch |
 
 Emission-cadence equivalence: the reference emits a refined aggregate on
-*every record*; Structured Streaming emits per *microbatch*. Our correctness
-contract is final-state equality plus (for scans/enrichment joins, which emit
-per record by construction) exact per-record outputs — the same relaxation
-SURVEY.md §4 documents.
+*every record*. ``stateful.windowed_agg_per_record`` reproduces that cadence
+exactly (a (window, key) value-state machine emitting per arrival, oracle =
+the full refinement history); the built-in-aggregate path
+(:func:`windowed_agg`) keeps Structured Streaming's per-microbatch emission —
+final-state-equal, and the cheaper plan when the refinement stream itself
+isn't consumed. Scans/enrichment joins emit per record by construction.
 
 Stateful per-record operators (enrichment joins, scans) live in
 ``milan_spark.streaming.stateful``.

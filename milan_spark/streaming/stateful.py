@@ -12,6 +12,8 @@ key-grouped stream:
 - :func:`left_inner_enrichment_join` — ``flink/runtime/LeftInnerJoinKeyedCoProcessFunction.scala:40-103``
   (ListState buffers lefts until the first right arrives; each left emits once).
 - :func:`scan` — general user fold, ``flink/runtime/ScanProcessFunction.scala:17,66``.
+- :func:`windowed_agg_per_record` — the every-element window trigger,
+  ``flink/runtime/RecordWrapperEveryElementTrigger.scala:15-19``.
 
 Design: both sides are tagged and unioned into one keyed stream (the analog of
 Flink ``connect().keyBy()``); rows are carried as JSON structs so one state
@@ -39,7 +41,7 @@ from typing import Callable, Iterator, Sequence
 
 from pyspark.sql import Column, DataFrame, functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
-from pyspark.sql.types import StringType, StructField, StructType
+from pyspark.sql.types import LongType, StringType, StructField, StructType
 
 from milan_spark.operators.joins import _normalize_on, _prefixed
 from milan_spark.session import SEQ_COL
@@ -357,6 +359,87 @@ def record_window_apply(
             yield pd.DataFrame(rows, columns=[f.name for f in out_schema.fields])
 
     return grouped.applyInPandasWithState(
+        run, out_schema, _STATE_1, "append", GroupStateTimeout.NoTimeout
+    )
+
+
+def windowed_agg_per_record(
+    sdf: DataFrame,
+    ts: str,
+    size: str,
+    aggs: dict[str, tuple[str, str]],
+    *,
+    keys: Sequence[str] = (),
+    seq: str = SEQ_COL,
+) -> DataFrame:
+    """Per-record emission for windowed aggregates — the reference's
+    every-element trigger (``flink/runtime/RecordWrapperEveryElementTrigger.scala:15-19``):
+    instead of the per-microbatch relaxation ``streaming.windowed_agg``
+    documents, EVERY arriving record updates its (window, key) aggregate
+    state and emits the refined aggregate immediately, tagged with the
+    record's arrival seq.
+
+    ``aggs`` maps output column → (kind, sql_expr), kind ∈ sum|count|min|max.
+    The argument expression evaluates JVM-side (whole-stage codegen) before
+    the state machine and must be integer-valued: the fold is then exact,
+    and the full emission history is ANSI-SQL expressible — a cumulative
+    window over (window, arrival order) — so even the refinement stream is
+    oracle-checkable.
+
+    State per (window, key) is the fixed-width aggregate struct (the same
+    size the reference's window ValueState holds); emission volume is one
+    row per record — exactly the reference's cadence.
+    """
+    import pandas as pd
+
+    kinds = {kind for kind, _ in aggs.values()}
+    if not kinds <= {"sum", "count", "min", "max"}:
+        raise ValueError(f"unsupported agg kinds: {kinds - {'sum', 'count', 'min', 'max'}}")
+    key_list = list(keys)
+    win = F.window(F.col(ts), size)
+    base = sdf.select(
+        win.start.alias("window_start"),
+        *[F.col(k) for k in key_list],
+        F.col(seq).cast("long").alias("__seq_out"),
+        *[
+            F.expr(arg).cast("long").alias(f"__a_{name}")
+            for name, (_kind, arg) in aggs.items()
+        ],
+    )
+    out_schema = StructType(
+        [base.schema["window_start"]]
+        + [base.schema[k] for k in key_list]
+        + [StructField("seq", LongType())]
+        + [StructField(name, LongType()) for name in aggs]
+    )
+
+    def run(key, pdf_iter: Iterator["pd.DataFrame"], state: GroupState):
+        chunks = [p for p in pdf_iter if len(p)]
+        if not chunks:
+            return
+        pdf = pd.concat(chunks) if len(chunks) > 1 else chunks[0]
+        pdf = pdf.sort_values("__seq_out", kind="stable")
+        st = json.loads(state.get[0]) if state.exists else {name: None for name in aggs}
+        head = {"window_start": key[0], **{k: key[i + 1] for i, k in enumerate(key_list)}}
+        rows = []
+        for rec in pdf.to_dict("records"):
+            for name, (kind, _arg) in aggs.items():
+                cur = st[name]
+                if kind == "count":
+                    st[name] = (cur or 0) + 1
+                    continue
+                a = int(rec[f"__a_{name}"])
+                if kind == "sum":
+                    st[name] = (cur or 0) + a
+                elif kind == "min":
+                    st[name] = a if cur is None else min(cur, a)
+                else:
+                    st[name] = a if cur is None else max(cur, a)
+            rows.append({**head, "seq": rec["__seq_out"], **{n: st[n] for n in aggs}})
+        state.update((json.dumps(st),))
+        yield pd.DataFrame(rows, columns=[f.name for f in out_schema.fields])
+
+    return base.groupBy("window_start", *key_list).applyInPandasWithState(
         run, out_schema, _STATE_1, "append", GroupStateTimeout.NoTimeout
     )
 
