@@ -9,6 +9,7 @@ parallelize natively; we deliberately do not reproduce that bottleneck.
 | reference                              | here                         |
 |----------------------------------------|------------------------------|
 | ListDataSource (ListDataSource.scala:22)   | :func:`list_source`      |
+| DelayedListDataSource (testing/DelayedListDataSource.scala:68) | :class:`DelayedListSourceBuilder` |
 | FileDataSource Once (FileDataSource.scala:22) | :func:`file_source`   |
 | FileDataSource Continuous (:60-75)     | :func:`file_stream_source`   |
 | S3DataSource (S3DataSource.scala:21)   | same readers on ``s3a://``   |
@@ -65,6 +66,98 @@ def list_source(
         rdd = df.rdd.zipWithIndex().map(lambda t: tuple(t[0]) + (t[1],))
         return spark.createDataFrame(rdd, schema=new_schema)
     return spark.createDataFrame(rows, schema=schema)
+
+
+class DelayedListSourceBuilder:
+    """Timed in-memory streaming source — the reference's
+    ``DelayedListDataSource`` (testing/DelayedListDataSource.scala:68: a list
+    of item-or-delay entries built with ``.add(item)`` / ``.wait(delay)``).
+
+    What a streaming job can *observe* from the timed source is which records
+    arrive together and in what order — the delays exist to split the list
+    into separate arrivals. The default realization is therefore
+    deterministic: each delay-separated segment becomes one file in a staged
+    directory (mtimes strictly increasing, ``maxFilesPerTrigger=1``), so the
+    running query sees exactly one segment per microbatch, in list order —
+    the same batch boundaries the wall-clock delays would induce, without
+    sleeping. ``real_time=True`` keeps the actual sleeps: a feeder thread
+    writes each segment after its recorded delay while the query runs.
+    """
+
+    def __init__(self):
+        self._segments: list[list] = [[]]
+        self._delays: list[float] = []  # seconds to wait BEFORE segment i+1
+
+    def add(self, item) -> "DelayedListSourceBuilder":
+        self._segments[-1].append(item)
+        return self
+
+    def wait(self, delay_sec: float) -> "DelayedListSourceBuilder":
+        self._segments.append([])
+        self._delays.append(float(delay_sec))
+        return self
+
+    def build(
+        self,
+        spark: SparkSession,
+        schema,
+        *,
+        staging_dir: str | None = None,
+        with_seq: bool = False,
+        real_time: bool = False,
+    ) -> DataFrame:
+        import glob
+        import os
+        import shutil
+        import tempfile
+        import threading
+        import time
+
+        stage = staging_dir or tempfile.mkdtemp(prefix="milan_delayed_src_")
+        os.makedirs(stage, exist_ok=True)
+        segments = [s for s in self._segments if s]
+        if with_seq and isinstance(schema, str):
+            schema = f"{schema}, {SEQ_COL} long"
+        seq = 0
+
+        def write_segment(i: int, seg: list) -> None:
+            nonlocal seq
+            rows = seg
+            if with_seq:
+                rows = [tuple(r) + (seq + j,) for j, r in enumerate(seg)]
+            sdf = spark.createDataFrame(rows, schema=schema)
+            tmpd = os.path.join(stage, f"_tmp_{i}")
+            sdf.coalesce(1).write.mode("overwrite").parquet(tmpd)
+            part = glob.glob(os.path.join(tmpd, "part-*.parquet"))[0]
+            final = os.path.join(stage, f"seg_{i:05d}.parquet")
+            os.rename(part, final)
+            shutil.rmtree(tmpd)
+            # strictly increasing mtimes fix the file-source processing order
+            os.utime(final, times=(1_000_000_000 + i, 1_000_000_000 + i))
+            seq += len(seg)
+
+        if real_time:
+            def feed():
+                for i, seg in enumerate(segments):
+                    if i > 0:
+                        time.sleep(self._delays[i - 1] if i - 1 < len(self._delays) else 0)
+                    write_segment(i, seg)
+
+            threading.Thread(target=feed, daemon=True).start()
+        else:
+            for i, seg in enumerate(segments):
+                write_segment(i, seg)
+
+        return (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(stage)
+        )
+
+
+def delayed_list_source() -> DelayedListSourceBuilder:
+    """ref: DelayedListDataSource.builder() (testing/DelayedListDataSource.scala:47)."""
+    return DelayedListSourceBuilder()
 
 
 def file_source(
