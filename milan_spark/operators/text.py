@@ -50,6 +50,26 @@ def token_count(col) -> Column:
     return F.array_size(tokenize(col))
 
 
+# GPT-2-style pre-tokenizer split, simplified to a lookahead-free form (RE2 —
+# the SQL-oracle engine — has no lookahead): contraction suffixes, then
+# space-prefixed letter runs, digit runs, and symbol runs. Ordered alternation
+# behaves identically in Java regex and RE2's default leftmost-first mode.
+BPE_SPLIT_RE = r"'(?:s|t|re|ve|m|ll|d)| ?[a-z]+| ?[0-9]+| ?[^a-z0-9\s']+"
+
+
+def bpe_like_tokens(col) -> Column:
+    """BPE-ish pre-tokenization over lowercased text: the segmentation a
+    byte-pair tokenizer starts from (token-budget estimates, packing inputs).
+    Unlike :func:`tokenize` it keeps punctuation/symbol runs and contraction
+    suffixes as their own tokens, so counts track real tokenizer inputs far
+    more closely than whitespace words."""
+    return F.regexp_extract_all(F.lower(_c(col)), F.lit(BPE_SPLIT_RE), 0)
+
+
+def bpe_token_count(col) -> Column:
+    return F.array_size(bpe_like_tokens(col))
+
+
 def punct_count(col) -> Column:
     return F.array_size(F.regexp_extract_all(_c(col), F.lit(PUNCT_RE), 0))
 

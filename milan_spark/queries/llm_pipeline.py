@@ -605,3 +605,26 @@ def token_budget_mixture_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kept.groupBy("source").agg(
         F.count(F.lit(1)).alias("n_docs"), F.sum("n_tokens").alias("total_tokens")
     )
+
+
+@register(
+    "token_counts",
+    doc="Token counting for budget estimation: whitespace-word count vs "
+    "BPE-ish pre-tokenization count (GPT-2-style split simplified to a "
+    "lookahead-free ordered alternation — identical in Java regex and RE2). "
+    "All JVM-side regexp; the BPE-ish count is what token-budget operators "
+    "(pack_sequences, token_budget_mixture) should feed on real corpora.",
+    oracle=r"""
+SELECT doc_id,
+       len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS n_ws_tokens,
+       len(regexp_extract_all(lower(text), '''(?:s|t|re|ve|m|ll|d)| ?[a-z]+| ?[0-9]+| ?[^a-z0-9\s'']+')) AS n_bpe_tokens
+FROM documents
+""",
+)
+def token_counts_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        T.token_count("text").alias("n_ws_tokens"),
+        T.bpe_token_count("text").alias("n_bpe_tokens"),
+    )
