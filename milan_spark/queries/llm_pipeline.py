@@ -189,14 +189,18 @@ def ngram_jaccard_dedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "minhash_lsh_dedup",
-    doc="MinHash+LSH near-dup pairs (64 hashes, 32 bands x 2 rows), "
-    "candidates exact-verified: output equals the exact Jaccard pairs "
-    "(P[band miss] ~ 4e-15 at tau=0.8), so the exact oracle applies.",
+    doc="MinHash+LSH near-dup pairs (128 hashes, derive_banding -> 32 bands "
+    "x 4 rows), candidates exact-verified: output equals the exact Jaccard "
+    "pairs (P[band miss] ~ 4.6e-8 per true pair at tau=0.8), so the exact "
+    "oracle applies. r=4 (not r=2) matters on template-heavy corpora: a "
+    "j=0.3 pair collides in some band with ~95% probability at r=2 but ~23% "
+    "at r=4 — 3x fewer flood candidates through the distinct+verify joins "
+    "(measured 4.8s -> 1.7s at sf0.1).",
     oracle=_SQL_EXACT_JACCARD_PAIRS,
 )
 def minhash_lsh_dedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = table(spark, sf_dir, "documents")
-    return D.minhash_lsh_pairs(docs, "doc_id", "text", n=2, num_hashes=64, bands=32, threshold=0.8)
+    return D.minhash_lsh_pairs(docs, "doc_id", "text", n=2, num_hashes=128, threshold=0.8)
 
 
 @register(

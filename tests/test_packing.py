@@ -95,3 +95,25 @@ def test_pack_plan_has_no_single_partition_data_window(spark):
     assert len(re.findall(r"\(\d+\) Window\b", p)) == 2
     # exactly one single-partition exchange — the bucket-totals side
     assert p.count("SinglePartition") == 1
+
+
+def test_mixture_plan_uses_composite_key_windows(spark):
+    # per-domain cumsum must NOT plan a per-domain single-task window: the
+    # data-path window partitions on (domain, range bucket); only the tiny
+    # per-(domain,bucket) totals window partitions on domain alone, after an
+    # aggregate. A giant domain therefore never serializes on one task.
+    from milan_spark.operators.packing import token_budget_mixture
+
+    df = token_budget_mixture(_docs(spark, 5000), "source", "n_tokens", 800, key="doc_id")
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        df.explain(mode="formatted")
+    p = buf.getvalue()
+    import re
+
+    # two windows total (data-path cumsum + totals offsets), none single-partition
+    assert len(re.findall(r"\(\d+\) Window\b", p)) == 2
+    assert "SinglePartition" not in p
+    # the data window's exchange hashes on the composite (domain, bucket) key —
+    # Spark names the extracted bucket expression _wN in the window spec
+    assert re.search(r"hashpartitioning\(source#\d+, _w\d+", p)
