@@ -397,3 +397,59 @@ def bpe_pretoken_count_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array_size(F.array_distinct(toks)).alias("n_unique"),
         F.array_size(F.regexp_extract_all(F.lower("text"), F.lit(r"[0-9]+"), 0)).alias("n_number_runs"),
     )
+
+
+@register(
+    "fuzzy_dedup_pipeline",
+    doc="Flagship composite #2 — fuzzy dedup end-to-end: exact n-gram "
+    "Jaccard pair generation (corpus-adaptive), Cycle-driven connected "
+    "components, survivor selection (min doc_id per cluster), per-source "
+    "audit. The oracle re-derives the whole pipeline in SQL, clusters via a "
+    "recursive CTE.",
+    oracle=_SQL_SHINGLES.replace("WITH toks", "WITH RECURSIVE toks", 1)
+    + """
+, ex AS (
+  SELECT doc_id, unnest(shingles) AS s FROM sh
+), jpairs AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS shared
+  FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+), sizes AS (SELECT doc_id, len(shingles) AS n FROM sh
+), edges0 AS (
+  SELECT id_a, id_b
+  FROM jpairs JOIN sizes sa ON id_a = sa.doc_id JOIN sizes sb ON id_b = sb.doc_id
+  WHERE shared * 1.0 / (sa.n + sb.n - shared) >= 0.8
+), edges AS (
+  SELECT id_a AS u, id_b AS v FROM edges0
+  UNION
+  SELECT id_b, id_a FROM edges0
+), reach AS (
+  SELECT u, v FROM edges
+  UNION
+  SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u
+), dupes AS (
+  SELECT u AS doc_id FROM reach GROUP BY u HAVING LEAST(u, MIN(v)) < u
+)
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(CASE WHEN d.doc_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       CAST(SUM(CASE WHEN d.doc_id IS NULL THEN n_chars ELSE 0 END) AS BIGINT) AS kept_chars
+FROM documents LEFT JOIN dupes d USING (doc_id)
+GROUP BY source
+""",
+)
+def fuzzy_dedup_pipeline_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from milan_spark.operators.dedup import ngram_jaccard_pairs
+
+    docs = table(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(docs, "doc_id", "text", n=2, threshold=0.8)
+    cc = connected_components(pairs, "id_a", "id_b")
+    # docs to drop: cluster members that are not their cluster's min id;
+    # the anti-join keeps singletons (never in any pair) for free
+    dupes = cc.filter(F.col("node") != F.col("label")).select(F.col("node").alias("doc_id"))
+    flagged = docs.join(dupes.withColumn("__dup", F.lit(1)), "doc_id", "left")
+    return flagged.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.when(F.col("__dup").isNull(), 1).otherwise(0)).alias("n_kept"),
+        F.sum(F.when(F.col("__dup").isNull(), F.col("n_chars")).otherwise(0)).alias("kept_chars"),
+    )
