@@ -432,9 +432,16 @@ def simhash(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     the shuffle; here the map-side combine reduces each doc to 62 partial
     longs regardless of token count). The fingerprint reassembles JVM-side as
     Σ (vote_b > 0) << b — whole-stage codegen, no Python.
+
+    Token hashes come from a **dictionary join**: the per-character polynomial
+    fold (kept SQL-expressible for the oracle) is evaluated once per DISTINCT
+    token, not once per occurrence — natural corpora repeat tokens thousands
+    of times, so this removes ~99% of the hash work; AQE turns the dictionary
+    join into a broadcast at runtime when the vocabulary is small.
     """
     toks = df.select(F.col(id_col).alias("__id"), F.explode(tokenize(text_col)).alias("__t"))
-    hashed = toks.select("__id", token_hash62(F.col("__t")).alias("__h"))
+    vocab = toks.select("__t").distinct().withColumn("__h", token_hash62(F.col("__t")))
+    hashed = toks.join(vocab, "__t").select("__id", "__h")
     votes = [
         F.sum(
             F.when(F.expr(f"(shiftright(__h, {b}) & 1) = 1"), F.lit(1)).otherwise(F.lit(-1))
