@@ -2,9 +2,12 @@
 
 Images/audio/video are opaque ``binary`` payload columns with a typed
 metadata struct alongside. The Spark-side plumbing — schemas, Arrow batch
-shapes, mapInPandas operators, partition sizing — is real and tested; the
-actual codec calls are stubbed (the image/audio libraries are not in this
-container) behind clearly marked NotImplementedError / deterministic fakes.
+shapes, mapInPandas operators, partition sizing — is real and tested. The
+AUDIO codec is real: :func:`decode_audio` parses RIFF/WAVE 16-bit PCM with
+stdlib struct + numpy (no external library), and :func:`audio_features`
+runs payloads through it with an exact SQL oracle. Image/video codecs are
+stubbed (PIL/ffmpeg not in this container) behind clearly marked
+NotImplementedError / deterministic fakes.
 
 Layout convention:
     payload  BINARY                 -- raw encoded bytes
@@ -49,8 +52,52 @@ def decode_image(payload: bytes):
     raise NotImplementedError("image decoding requires PIL/libjpeg; not available in this container")
 
 
-def decode_audio(payload: bytes):
-    raise NotImplementedError("audio decoding requires soundfile/ffmpeg; not available in this container")
+def encode_wav_pcm16(samples, rate: int = 8000, channels: int = 1) -> bytes:
+    """Minimal RIFF/WAVE encoder for 16-bit PCM — stdlib only. The inverse of
+    :func:`decode_audio`; used to synthesize real WAV payloads in tests and
+    oracle queries."""
+    import struct
+
+    import numpy as np
+
+    pcm = np.asarray(samples, dtype="<i2").tobytes()
+    block_align = channels * 2
+    fmt = struct.pack("<HHIIHH", 1, channels, rate, rate * block_align, block_align, 16)
+    chunks = b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+    chunks += b"data" + struct.pack("<I", len(pcm)) + pcm
+    return b"RIFF" + struct.pack("<I", len(chunks)) + chunks
+
+
+def decode_audio(payload: bytes) -> dict:
+    """REAL audio decode for RIFF/WAVE 16-bit PCM — stdlib ``struct`` +
+    numpy, no external codec needed (compressed formats would need
+    soundfile/ffmpeg; this parses the container format a training pipeline
+    most often stores raw audio in). Walks the chunk list (tolerating extra
+    chunks), validates PCM/16-bit, and returns
+    ``{rate, channels, samples: np.int16 array (frames × channels flattened)}``.
+    """
+    import struct
+
+    import numpy as np
+
+    if payload is None or len(payload) < 12 or payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    pos, fmt, data = 12, None, None
+    while pos + 8 <= len(payload):
+        cid = payload[pos : pos + 4]
+        (size,) = struct.unpack("<I", payload[pos + 4 : pos + 8])
+        body = payload[pos + 8 : pos + 8 + size]
+        if cid == b"fmt ":
+            fmt = struct.unpack("<HHIIHH", body[:16])
+        elif cid == b"data":
+            data = body
+        pos += 8 + size + (size & 1)  # chunks are word-aligned
+    if fmt is None or data is None:
+        raise ValueError("WAVE payload missing fmt/data chunk")
+    audio_format, channels, rate, _br, _ba, bits = fmt
+    if audio_format != 1 or bits != 16:
+        raise NotImplementedError("only 16-bit PCM WAV is supported without external codecs")
+    return {"rate": rate, "channels": channels, "samples": np.frombuffer(data, dtype="<i2")}
 
 
 def sample_frames(payload: bytes, every_n: int = 10):
@@ -91,6 +138,31 @@ def extract_features(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
             )
 
     schema = f"{id_col} long, features array<long>, byte_len long, checksum long"
+    return df.select(id_col, "payload").mapInPandas(run, schema=schema)
+
+
+def audio_features(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """mapInPandas audio feature extraction through the REAL WAV codec
+    (:func:`decode_audio`): per payload — sample count, rate, peak amplitude,
+    and total energy (sum of squares; int16² × count < 2⁶³, so the int64 sum
+    is exact and oracle-checkable). Narrow: pipelines with the scan, same
+    batch shape a soundfile-based decoder would use."""
+    import numpy as np
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {id_col: [], "n_samples": [], "sample_rate": [], "peak": [], "energy": []}
+            for rid, payload in zip(pdf[id_col], pdf["payload"]):
+                dec = decode_audio(payload)
+                s = dec["samples"].astype(np.int64)
+                rows[id_col].append(rid)
+                rows["n_samples"].append(len(s))
+                rows["sample_rate"].append(dec["rate"])
+                rows["peak"].append(int(np.abs(s).max()) if len(s) else 0)
+                rows["energy"].append(int((s * s).sum()))
+            yield pd.DataFrame(rows)
+
+    schema = f"{id_col} long, n_samples long, sample_rate long, peak long, energy long"
     return df.select(id_col, "payload").mapInPandas(run, schema=schema)
 
 

@@ -632,3 +632,47 @@ def token_counts_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         T.token_count("text").alias("n_ws_tokens"),
         T.bpe_token_count("text").alias("n_bpe_tokens"),
     )
+
+
+@register(
+    "audio_wav_features",
+    doc="REAL audio codec path: deterministic 16-bit PCM WAV payloads are "
+    "synthesized per document (encode_wav_pcm16), then round-tripped through "
+    "the stdlib RIFF/WAVE parser (decode_audio) inside mapInPandas to "
+    "extract sample count, rate, peak, and exact int64 energy. The oracle "
+    "recomputes the features from the same deterministic sample formula — "
+    "so a header-parse or frame-decode bug breaks the hash match.",
+    oracle="""
+WITH d AS (SELECT doc_id, (doc_id % 50) + 10 AS n FROM documents),
+s AS (
+  SELECT doc_id, n, ((doc_id * 31 + r.i * 7) % 65536) - 32768 AS v
+  FROM d, range(60) r(i) WHERE r.i < n
+)
+SELECT doc_id,
+       CAST(n AS BIGINT) AS n_samples,
+       CAST(8000 AS BIGINT) AS sample_rate,
+       CAST(MAX(ABS(v)) AS BIGINT) AS peak,
+       CAST(SUM(v * v) AS BIGINT) AS energy
+FROM s GROUP BY doc_id, n
+""",
+)
+def audio_wav_features_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import numpy as np
+    import pandas as pd
+
+    from milan_spark.operators.multimodal import audio_features, encode_wav_pcm16
+
+    docs = table(spark, sf_dir, "documents").select("doc_id")
+
+    def synth(batches):
+        for pdf in batches:
+            payloads = []
+            for did in pdf["doc_id"]:
+                n = int(did) % 50 + 10
+                i = np.arange(n, dtype=np.int64)
+                v = (int(did) * 31 + i * 7) % 65536 - 32768
+                payloads.append(encode_wav_pcm16(v, rate=8000))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+    wav = docs.mapInPandas(synth, "doc_id long, payload binary")
+    return audio_features(wav)
