@@ -378,3 +378,88 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     w = W.partitionBy("doc_id").orderBy(F.col("score").desc(), F.col("term"))
     return scored.withColumn("rk", F.row_number().over(w)).filter(F.col("rk") <= 3)
+
+
+@register(
+    "q5_local_supplier_volume",
+    doc="TPC-H Q5 shape: six-table join (customer ⋈ orders ⋈ lineitem ⋈ "
+    "supplier ⋈ nation ⋈ region) with the local-supplier condition "
+    "(customer and supplier share a nation), revenue per nation for one "
+    "region-year. Topology: nation/region/supplier broadcast (tiny and "
+    "1%-of-customers dims); the only big shuffles are the fact-side "
+    "order/customer equi-joins and the final per-nation aggregate — at "
+    "SF100 the same plan holds because the broadcast sides grow with SF "
+    "only linearly in supplier (0.01×lineitem).",
+    oracle="""
+SELECT n_name,
+       CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,6)) * (1 - CAST(l_discount AS DECIMAL(18,6)))), 2) AS DOUBLE) AS revenue
+FROM customer, orders, lineitem, supplier, nation, region
+WHERE c_custkey = o_custkey
+  AND l_orderkey = o_orderkey
+  AND l_suppkey = s_suppkey
+  AND c_nationkey = s_nationkey
+  AND s_nationkey = n_nationkey
+  AND n_regionkey = r_regionkey
+  AND r_name = 'ASIA'
+  AND o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate < TIMESTAMP '1997-01-01'
+GROUP BY n_name
+""",
+)
+def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    region = table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    nation = table(spark, sf_dir, "nation").join(
+        F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey")
+    )
+    supp = table(spark, sf_dir, "supplier").join(
+        F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey")
+    )
+    cust = table(spark, sf_dir, "customer")
+    orders = table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    li = table(spark, sf_dir, "lineitem")
+    price = F.col("l_extendedprice").cast(DEC)
+    disc = F.col("l_discount").cast(DEC)
+    return (
+        li.join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .filter(F.col("c_nationkey") == F.col("s_nationkey"))
+        .groupBy("n_name")
+        .agg(F.round(mf.agg_sum(price * (F.lit(1) - disc)), 2).cast("double").alias("revenue"))
+    )
+
+
+@register(
+    "q16_supplier_part_variety",
+    doc="TPC-H Q16 shape: anti-join exclusion (negative-balance suppliers "
+    "excluded via NOT IN -> broadcast anti-join; this testdata has no "
+    "s_comment column, so acctbal<0 stands in for the complaints predicate) "
+    "+ distinct-count aggregate per part attribute group. The excluded set "
+    "is tiny -> broadcast anti; partsupp is simulated by the lineitem "
+    "(partkey, suppkey) projection — count(distinct suppkey) exercises the "
+    "two-phase distinct aggregate.",
+    oracle="""
+SELECT p_brand, p_type,
+       CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+FROM part, lineitem
+WHERE p_partkey = l_partkey
+  AND p_brand <> 'Brand#1'
+  AND l_suppkey NOT IN (
+    SELECT s_suppkey FROM supplier WHERE s_acctbal < 0
+  )
+GROUP BY p_brand, p_type
+""",
+)
+def q16_supplier_part_variety(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = table(spark, sf_dir, "part").filter(F.col("p_brand") != "Brand#1")
+    li = table(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
+    bad = table(spark, sf_dir, "supplier").filter(F.col("s_acctbal") < 0).select("s_suppkey")
+    return (
+        li.join(F.broadcast(bad), li.l_suppkey == bad.s_suppkey, "left_anti")
+        .join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("p_brand", "p_type")
+        .agg(F.count_distinct("l_suppkey").alias("supplier_cnt"))
+    )
