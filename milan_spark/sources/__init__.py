@@ -115,7 +115,19 @@ class DelayedListSourceBuilder:
 
         stage = staging_dir or tempfile.mkdtemp(prefix="milan_delayed_src_")
         os.makedirs(stage, exist_ok=True)
-        segments = [s for s in self._segments if s]
+        # Collapse empty segments (consecutive .wait() calls) while summing
+        # their delays into the next non-empty segment's wait, so real_time
+        # pairs each kept segment with the full accumulated delay before it.
+        segments: list[list] = []
+        delays: list[float] = []  # delays[i] = seconds to wait BEFORE segments[i]
+        acc = 0.0
+        for i, seg in enumerate(self._segments):
+            if i > 0:
+                acc += self._delays[i - 1] if i - 1 < len(self._delays) else 0.0
+            if seg:
+                segments.append(seg)
+                delays.append(acc)
+                acc = 0.0
         if with_seq and isinstance(schema, str):
             schema = f"{schema}, {SEQ_COL} long"
         seq = 0
@@ -139,8 +151,8 @@ class DelayedListSourceBuilder:
         if real_time:
             def feed():
                 for i, seg in enumerate(segments):
-                    if i > 0:
-                        time.sleep(self._delays[i - 1] if i - 1 < len(self._delays) else 0)
+                    if delays[i]:
+                        time.sleep(delays[i])
                     write_segment(i, seg)
 
             threading.Thread(target=feed, daemon=True).start()

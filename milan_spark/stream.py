@@ -589,17 +589,35 @@ class GroupedStream:
         SURVEY §4's optional rewrite) lowers to a JVM ``row_number()``
         window, replacing the Python grouped-map with whole-stage-codegen
         window exec. The direct realization here is the same
-        ``applyInPandas`` fold ``flat_map`` uses, so naive and optimized
-        plans agree row-for-row. ``order_by`` must be column names (the
-        naive fold sorts the pandas frame by them).
+        ``applyInPandas`` fold ``flat_map`` uses. ``order_by`` must be column
+        names (the naive fold sorts the pandas frame by them).
+
+        Ties in ``order_by`` within a group would make the window's
+        row_number assignment nondeterministic (and potentially disagree with
+        the pandas sort), so BOTH realizations append the remaining
+        atomic-typed columns as a deterministic tie-break; naive and
+        optimized plans then agree row-for-row whenever the full
+        (order_by + tie-break) tuple is unique per group.
         """
-        from pyspark.sql.types import LongType, StructField, StructType
+        from pyspark.sql.types import (
+            AtomicType,
+            LongType,
+            StructField,
+            StructType,
+        )
 
         order = [order_by] if isinstance(order_by, str) else list(order_by)
         keys = list(self.keys)
+        taken = set(keys) | set(order)
+        tie_break = [
+            f.name
+            for f in self.parent.df.schema.fields
+            if f.name not in taken and isinstance(f.dataType, AtomicType)
+        ]
+        full_order = order + tie_break
 
         def arrival(pdf):
-            pdf = pdf.sort_values(order).copy()
+            pdf = pdf.sort_values(full_order, kind="stable").copy()
             pdf[alias] = range(1, len(pdf) + 1)
             return pdf
 
@@ -610,7 +628,7 @@ class GroupedStream:
         df = self.parent.df.groupBy(*keys).applyInPandas(arrival, schema=out_schema)
         node = Node(
             "grouped_rank",
-            {"keys": keys, "order_by": order, "alias": alias},
+            {"keys": keys, "order_by": full_order, "alias": alias},
             [self.parent.node],
         )
         return Stream(df, node)

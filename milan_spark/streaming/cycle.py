@@ -52,6 +52,7 @@ def streaming_cycle(
     dedupe: bool = True,
     max_batches: int = 100,
     timeout_sec: int = 300,
+    stats: dict | None = None,
 ) -> DataFrame:
     """Run ``body`` to a fixpoint on the streaming backend; return the full
     feedback stream contents (seed + every emitted record) as a batch
@@ -60,8 +61,20 @@ def streaming_cycle(
     ``body`` maps one microbatch of feedback records to the records to feed
     back next; returning an empty DataFrame ends the loop. With ``dedupe``
     (default) emissions already present in the feedback history are dropped
-    before writing, so monotone bodies terminate by construction.
+    before writing (null-safe comparison, so NULL-bearing records dedupe
+    too), so monotone bodies terminate by construction.
+
+    Note: :class:`CycleDiverged` is raised inside ``foreachBatch``, so Spark
+    surfaces it to the caller wrapped in a ``StreamingQueryException`` —
+    catch that and inspect its cause/message for ``CycleDiverged``.
+
+    ``stats``, if given, is filled in place with ``batches`` (hops run) and
+    ``history_file_reads`` (times the feedback dir was scanned for dedup —
+    always ≤1: the seed scan; per-hop dedup runs against block-manager-cached
+    deltas, so history I/O does not grow with the feedback directory).
     """
+    import functools
+
     feedback_dir = feedback_dir or tempfile.mkdtemp(prefix="milan_cycle_")
     ckpt = tempfile.mkdtemp(prefix="milan_cycle_ckpt_")
     schema = seed.schema
@@ -69,6 +82,19 @@ def streaming_cycle(
     seed.write.mode("overwrite").parquet(feedback_dir)
 
     batches = {"n": 0}
+    if stats is not None:
+        stats["history_file_reads"] = 0
+    # History lives as a list of localCheckpoint-materialized deltas in the
+    # block manager (distributed, lineage-truncated) — the anti-join scans
+    # cached blocks, NOT the growing feedback directory. Per-hop file I/O is
+    # therefore bounded by the microbatch's own new files; the feedback dir
+    # is read exactly once here (the seed) and once at the end (the result).
+    deltas: list[DataFrame] = []
+    if dedupe:
+        init = spark.read.schema(schema).parquet(feedback_dir)
+        deltas.append(init.localCheckpoint(eager=True))
+        if stats is not None:
+            stats["history_file_reads"] = 1
 
     def handle(batch_df: DataFrame, batch_id: int) -> None:
         if batches["n"] >= max_batches:
@@ -79,8 +105,16 @@ def streaming_cycle(
         batches["n"] += 1
         out = body(batch_df).select(*cols)
         if dedupe:
-            history = spark.read.schema(schema).parquet(feedback_dir)
-            out = out.join(history, on=cols, how="left_anti").distinct()
+            history = functools.reduce(DataFrame.unionByName, deltas)
+            # null-safe equality: a plain `on=cols` anti-join never matches
+            # NULL-bearing history rows (SQL null semantics), which would
+            # re-emit them every microbatch and defeat monotone termination
+            o, h = out.alias("o"), history.alias("h")
+            cond = None
+            for c in cols:
+                eq = o[c].eqNullSafe(h[c])
+                cond = eq if cond is None else (cond & eq)
+            out = o.join(h, on=cond, how="left_anti").distinct()
         # localCheckpoint decides emptiness and materializes BEFORE the write
         # starts appending (reading the history while appending to it would
         # race); an empty write would still create a part file — a "new file"
@@ -88,6 +122,10 @@ def streaming_cycle(
         rows = out.localCheckpoint(eager=True)
         if rows.limit(1).count() > 0:
             rows.write.mode("append").parquet(feedback_dir)
+            if dedupe:
+                deltas.append(rows)
+        if stats is not None:
+            stats["batches"] = batches["n"]
 
     src = spark.readStream.schema(schema).parquet(feedback_dir)
     q = (

@@ -190,10 +190,13 @@ def test_multimodal_plumbing(spark):
 
 
 def test_decode_stubs_raise(spark):
-    with pytest.raises(NotImplementedError):
-        M.decode_image(b"xx")
-    with pytest.raises(NotImplementedError):
+    # decode_audio is a real RIFF/WAVE parser since r3: junk bytes are a
+    # format error (ValueError), not a missing implementation.
+    with pytest.raises(ValueError):
         M.decode_audio(b"xx")
+    # video frame sampling remains a declared stub.
+    with pytest.raises(NotImplementedError):
+        M.sample_frames(b"xx", 4)
 
 
 def test_resize_payload_plumbing(spark, docs):

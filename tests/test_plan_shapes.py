@@ -167,10 +167,12 @@ def test_q4_exists_is_semi_join_no_python(spark):
 
 
 def test_q17_correlated_avg_broadcasts_both_sides(spark):
-    # the brand dim and the per-part aggregate both broadcast; the fact
-    # table is scanned once per branch and never shuffles for the join
+    # the brand dim and the per-part aggregate both broadcast, and the
+    # per-part average branch is semi-join-pruned to brand part keys
+    # (third broadcast); the fact table never shuffles for the join
     p = plan(q("q17_small_quantity_revenue", spark))
-    assert n_nodes(p, "BroadcastHashJoin") == 2
+    assert n_nodes(p, "BroadcastHashJoin") == 3
+    assert "LeftSemi" in p
     assert "SortMergeJoin" not in p
 
 

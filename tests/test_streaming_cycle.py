@@ -61,3 +61,39 @@ def test_streaming_components_match_batch_cycle(spark, tmp_path):
         r["node"]: r["label"] for r in connected_components(pairs).collect()
     }
     assert got == batch
+
+
+def test_streaming_cycle_history_io_bounded(spark, tmp_path):
+    # per-hop dedup must NOT re-read the growing feedback dir: history file
+    # scans stay at 1 (the seed) no matter how many hops run
+    seed = spark.createDataFrame([(1, 5)], "id long, n long")
+
+    def body(batch):
+        return batch.filter(F.col("n") > 0).select("id", (F.col("n") - 1).alias("n"))
+
+    stats = {}
+    hist = streaming_cycle(
+        spark, seed, body, feedback_dir=str(tmp_path / "fb"),
+        max_batches=20, stats=stats,
+    )
+    assert hist.count() == 6
+    assert stats["batches"] >= 5
+    assert stats["history_file_reads"] == 1
+
+
+def test_streaming_cycle_null_rows_dedupe(spark, tmp_path):
+    # NULL-bearing records must dedupe against history (null-safe equality);
+    # with plain equality this body re-emits (1, NULL) forever and trips the
+    # fuse instead of converging in 2 hops
+    seed = spark.createDataFrame([(1, "a")], "id long, tag string")
+
+    def body(batch):
+        return batch.filter(F.col("tag").isNotNull()).select(
+            "id", F.lit(None).cast("string").alias("tag")
+        )
+
+    hist = streaming_cycle(
+        spark, seed, body, feedback_dir=str(tmp_path / "fb"), max_batches=6
+    )
+    rows = sorted(hist.collect(), key=lambda r: (r["id"], r["tag"] or ""))
+    assert [(r["id"], r["tag"]) for r in rows] == [(1, None), (1, "a")]
