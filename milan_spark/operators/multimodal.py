@@ -3,11 +3,13 @@
 Images/audio/video are opaque ``binary`` payload columns with a typed
 metadata struct alongside. The Spark-side plumbing — schemas, Arrow batch
 shapes, mapInPandas operators, partition sizing — is real and tested. The
-AUDIO codec is real: :func:`decode_audio` parses RIFF/WAVE 16-bit PCM with
-stdlib struct + numpy (no external library), and :func:`audio_features`
-runs payloads through it with an exact SQL oracle. Image/video codecs are
-stubbed (PIL/ffmpeg not in this container) behind clearly marked
-NotImplementedError / deterministic fakes.
+AUDIO and IMAGE codecs are real: :func:`decode_audio` parses RIFF/WAVE
+16-bit PCM and :func:`decode_image` parses uncompressed 24-bit BMP, both
+with stdlib struct + numpy (no external library); :func:`audio_features`,
+:func:`image_features`, and :func:`resize_images` run payloads through
+them with exact SQL oracles. Only the VIDEO codec is stubbed (ffmpeg not
+in this container) behind a clearly marked NotImplementedError /
+deterministic fake.
 
 Layout convention:
     payload  BINARY                 -- raw encoded bytes
@@ -44,12 +46,63 @@ def attach_binary_payload(df: DataFrame, content_col: str, modality: str = "text
     )
 
 
-def decode_image(payload: bytes):
-    """Real image decode — requires an imaging library not present in this
-    container. The Spark-side plumbing calls :func:`extract_features`'s
-    deterministic fake instead; swap this in when PIL/turbojpeg is available.
-    """
-    raise NotImplementedError("image decoding requires PIL/libjpeg; not available in this container")
+def encode_bmp(pixels) -> bytes:
+    """Minimal 24-bit uncompressed BMP encoder (BITMAPFILEHEADER +
+    BITMAPINFOHEADER, BI_RGB) — stdlib struct + numpy, the inverse of
+    :func:`decode_image`. Input is an (H, W, 3) uint8 RGB array; output is a
+    bottom-up BGR pixel array with rows padded to 4-byte boundaries, i.e. a
+    file any BMP reader accepts."""
+    import struct
+
+    import numpy as np
+
+    px = np.asarray(pixels, dtype=np.uint8)
+    if px.ndim != 3 or px.shape[2] != 3:
+        raise ValueError("encode_bmp expects an (H, W, 3) RGB array")
+    h, w = px.shape[:2]
+    row = w * 3
+    stride = (row + 3) & ~3
+    img_size = stride * h
+    header = struct.pack("<2sIHHI", b"BM", 14 + 40 + img_size, 0, 0, 14 + 40)
+    info = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, img_size, 2835, 2835, 0, 0)
+    rows = np.zeros((h, stride), dtype=np.uint8)
+    rows[:, :row] = px[::-1, :, ::-1].reshape(h, row)  # bottom-up, RGB→BGR
+    return header + info + rows.tobytes()
+
+
+def decode_image(payload: bytes) -> dict:
+    """REAL image decode for uncompressed 24-bit BMP — stdlib ``struct`` +
+    numpy, no external library (compressed formats would need
+    PIL/libjpeg; BMP is the uncompressed container the WAV codec's pattern
+    maps onto for images). Validates the 'BM' magic and BI_RGB/24-bit
+    format, handles bottom-up (positive height) and top-down (negative
+    height) pixel arrays and 4-byte row padding, and returns
+    ``{width, height, pixels: (H, W, 3) uint8 RGB array}``."""
+    import struct
+
+    import numpy as np
+
+    if payload is None or len(payload) < 54 or payload[:2] != b"BM":
+        raise ValueError("not a BMP payload")
+    (data_off,) = struct.unpack_from("<I", payload, 10)
+    (hdr_size,) = struct.unpack_from("<I", payload, 14)
+    if hdr_size < 40:
+        raise ValueError("BITMAPCOREHEADER BMPs are not supported")
+    w, h_signed = struct.unpack_from("<ii", payload, 18)
+    _planes, bits = struct.unpack_from("<HH", payload, 26)
+    (compression,) = struct.unpack_from("<I", payload, 30)
+    if compression != 0 or bits != 24:
+        raise NotImplementedError("only uncompressed 24-bit BI_RGB BMP is supported without external codecs")
+    top_down = h_signed < 0
+    h = abs(h_signed)
+    stride = (w * 3 + 3) & ~3
+    if w <= 0 or h == 0 or len(payload) < data_off + stride * h:
+        raise ValueError("truncated BMP pixel array")
+    rows = np.frombuffer(payload, np.uint8, stride * h, data_off).reshape(h, stride)
+    rgb = rows[:, : w * 3].reshape(h, w, 3)[:, :, ::-1]  # BGR→RGB
+    if not top_down:
+        rgb = rgb[::-1]
+    return {"width": w, "height": h, "pixels": np.ascontiguousarray(rgb)}
 
 
 def encode_wav_pcm16(samples, rate: int = 8000, channels: int = 1) -> bytes:
@@ -104,8 +157,17 @@ def sample_frames(payload: bytes, every_n: int = 10):
     raise NotImplementedError("video frame sampling requires ffmpeg; not available in this container")
 
 
-def resize_image(payload: bytes, width: int, height: int):
-    raise NotImplementedError("image resize requires PIL/opencv; not available in this container")
+def resize_image(payload: bytes, width: int, height: int) -> bytes:
+    """REAL image resize: decode BMP, nearest-neighbor sample to
+    (width, height) with exact integer index math (out row y reads in row
+    ⌊y·H/height⌋), re-encode. Pure numpy — deterministic and
+    oracle-checkable in SQL with the same floor-division formula."""
+    import numpy as np
+
+    dec = decode_image(payload)
+    yi = (np.arange(height, dtype=np.int64) * dec["height"]) // height
+    xi = (np.arange(width, dtype=np.int64) * dec["width"]) // width
+    return encode_bmp(dec["pixels"][yi][:, xi])
 
 
 def _fake_features(payload: bytes) -> list[int]:
@@ -164,6 +226,57 @@ def audio_features(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
 
     schema = f"{id_col} long, n_samples long, sample_rate long, peak long, energy long"
     return df.select(id_col, "payload").mapInPandas(run, schema=schema)
+
+
+def image_features(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """mapInPandas image feature extraction through the REAL BMP codec
+    (:func:`decode_image`): per payload — width, height, exact int64 pixel
+    sum/max, and a channel-weighted sum (R·1 + G·2 + B·3 per pixel) that is
+    sensitive to BGR↔RGB ordering, so a channel-swap bug in the decoder
+    breaks the oracle hash. Narrow: pipelines with the scan."""
+    import numpy as np
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {id_col: [], "width": [], "height": [], "px_sum": [], "px_max": [], "wsum": []}
+            for rid, payload in zip(pdf[id_col], pdf["payload"]):
+                dec = decode_image(payload)
+                px = dec["pixels"].astype(np.int64)
+                rows[id_col].append(rid)
+                rows["width"].append(dec["width"])
+                rows["height"].append(dec["height"])
+                rows["px_sum"].append(int(px.sum()))
+                rows["px_max"].append(int(px.max()))
+                rows["wsum"].append(int((px * np.array([1, 2, 3])).sum()))
+            yield pd.DataFrame(rows)
+
+    schema = f"{id_col} long, width long, height long, px_sum long, px_max long, wsum long"
+    return df.select(id_col, "payload").mapInPandas(run, schema=schema)
+
+
+def resize_images(df: DataFrame, width: int, height: int, id_col: str = "doc_id") -> DataFrame:
+    """mapInPandas resize through the REAL BMP codec: decode → nearest
+    neighbor → re-encode per payload, refreshed meta. Narrow; fixed-size
+    output rows make downstream partition sizing exact."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col],
+                    "payload": pdf["payload"].map(lambda p: resize_image(p, width, height)),
+                }
+            )
+
+    out = df.select(id_col, "payload").mapInPandas(run, schema=f"{id_col} long, payload binary")
+    return out.withColumn(
+        "meta",
+        F.struct(
+            F.lit("image").alias("modality"),
+            F.length("payload").cast("long").alias("byte_len"),
+            F.lit("image/bmp").alias("mime"),
+        ),
+    )
 
 
 def _fake_resize(payload: bytes, width: int, height: int) -> bytes:

@@ -676,3 +676,58 @@ def audio_wav_features_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     wav = docs.mapInPandas(synth, "doc_id long, payload binary")
     return audio_features(wav)
+
+
+@register(
+    "image_bmp_features",
+    doc="REAL image codec path: deterministic 24-bit BMP payloads (varying "
+    "width/height, so row padding and bottom-up order are exercised) are "
+    "synthesized per document (encode_bmp), nearest-neighbor resized to 4x4 "
+    "through decode->resize->re-encode (resize_images), then decoded again "
+    "for exact int64 pixel stats (image_features). The oracle recomputes "
+    "the stats from the same pixel formula INCLUDING the floor-division "
+    "resize index math; wsum weights channels 1/2/3 so a BGR<->RGB swap "
+    "anywhere in the codec breaks the hash.",
+    oracle="""
+WITH d AS (SELECT doc_id, (doc_id % 7) + 2 AS w, (doc_id % 5) + 2 AS h FROM documents),
+px AS (
+  SELECT doc_id, c.i AS c,
+         (doc_id * 7 + ((yo.i * h) // 4) * 31 + ((xo.i * w) // 4) * 5 + c.i * 3) % 256 AS v
+  FROM d, range(4) yo(i), range(4) xo(i), range(3) c(i)
+)
+SELECT doc_id,
+       CAST(4 AS BIGINT) AS width,
+       CAST(4 AS BIGINT) AS height,
+       CAST(SUM(v) AS BIGINT) AS px_sum,
+       CAST(MAX(v) AS BIGINT) AS px_max,
+       CAST(SUM(v * (c + 1)) AS BIGINT) AS wsum
+FROM px GROUP BY doc_id
+""",
+)
+def image_bmp_features_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import numpy as np
+    import pandas as pd
+
+    from milan_spark.operators.multimodal import (
+        encode_bmp,
+        image_features,
+        resize_images,
+    )
+
+    docs = table(spark, sf_dir, "documents").select("doc_id")
+
+    def synth(batches):
+        for pdf in batches:
+            payloads = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                w, h = did % 7 + 2, did % 5 + 2
+                y = np.arange(h).reshape(h, 1, 1)
+                x = np.arange(w).reshape(1, w, 1)
+                c = np.arange(3).reshape(1, 1, 3)
+                px = ((did * 7 + y * 31 + x * 5 + c * 3) % 256).astype(np.uint8)
+                payloads.append(encode_bmp(px))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+    bmp = docs.mapInPandas(synth, "doc_id long, payload binary")
+    return image_features(resize_images(bmp, 4, 4))
