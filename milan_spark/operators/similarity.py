@@ -291,6 +291,7 @@ def ann_ivf(
     n_cells: int = 8,
     n_probe: int = 2,
     iters: int = 2,
+    dim: int | None = None,
 ) -> DataFrame:
     """IVF approximate top-k: k-means coarse quantizer + nprobe cell search.
 
@@ -308,7 +309,10 @@ def ann_ivf(
     neighbor_id, rank, cosine — same contract as the other ANN operators.
     """
     ci = corpus.select(F.col(id_col).alias("__vid"), quantize(vec_col).alias("__v")).persist()
-    dim = _dim_of(ci)
+    # dim is a table property — callers that know it skip the probe job
+    # (`_dim_of` is a separate Spark action per invocation otherwise)
+    if dim is None:
+        dim = _dim_of(ci)
     cells = kmeans_cells(ci, n_cells, iters, dim=dim)
 
     # corpus inversion: one min-struct shuffle carrying the vector (the

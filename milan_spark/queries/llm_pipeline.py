@@ -462,7 +462,9 @@ WHERE rank <= {k}""")
 )
 def ann_ivf_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = table(spark, sf_dir, "embeddings")
-    return S.ann_ivf(emb, "vec_id", "embedding", query_ids=range(10), k=5, n_cells=8, n_probe=2, iters=2)
+    # dim=64 is a property of the embeddings table; passing it skips the
+    # per-invocation _dim_of probe job
+    return S.ann_ivf(emb, "vec_id", "embedding", query_ids=range(10), k=5, n_cells=8, n_probe=2, iters=2, dim=64)
 
 
 # --- end-to-end curation ----------------------------------------------------

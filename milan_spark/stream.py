@@ -517,7 +517,23 @@ class Stream:
 
     # --- sinks (SURVEY §2.1) -----------------------------------------------
 
-    def to_df(self) -> DataFrame:
+    def to_df(self, optimized: bool = True) -> DataFrame:
+        """Compile the stream to a DataFrame. By default the recorded logical
+        plan runs through the engine's rewrite pipeline
+        (``plans.rewrite.optimize`` — scan-fold→window, grouped-rank→
+        row_number, filter pushdown into enrichment joins, small-side
+        broadcast) whenever the whole plan is serializable, so user programs
+        get the rewrites without opting in. Plans holding opaque
+        Column/callable nodes — or ``optimized=False`` — return the
+        directly-composed DataFrame unchanged."""
+        if optimized and self.node.is_serializable:
+            from milan_spark.plans.nodes import compile_node
+            from milan_spark.plans.rewrite import optimize
+
+            spark = self.df.sparkSession
+            opt = optimize(self.node, spark)
+            if opt is not self.node:  # a rule fired; compile the better plan
+                return compile_node(opt, spark)
         return self.df
 
     def to_list(self) -> list:

@@ -267,3 +267,21 @@ def test_no_broadcast_hint_when_both_small(spark):
     )
     opt = R.optimize(plan, spark, rules=[R.rule_broadcast_small_join_side])
     assert "hint" not in _ops(opt)
+
+
+def test_to_df_optimizes_by_default(spark):
+    # Stream.group_by().ranked() on a serializable plan lowers to the
+    # row_number() window automatically — no opt-in optimize() call
+    s = Stream.from_file(spark, f"{SF_SMOKE}/events.parquet").map("user_id", "event_id")
+    ranked = s.group_by("user_id").ranked("event_id", alias="idx")
+    fast = ranked.to_df()
+    phys = fast._jdf.queryExecution().executedPlan().toString()
+    assert "FlatMapGroupsInPandas" not in phys
+    # escape hatch and opaque plans keep the direct realization
+    naive = ranked.to_df(optimized=False)
+    naive_phys = naive._jdf.queryExecution().executedPlan().toString()
+    assert "FlatMapGroupsInPandas" in naive_phys
+    cols = ["user_id", "event_id", "idx"]
+    assert sorted(map(tuple, fast.select(cols).collect())) == sorted(
+        map(tuple, naive.select(cols).collect())
+    )
