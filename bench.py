@@ -43,12 +43,23 @@ def main() -> None:
     except Exception as e:
         print(f"bench warmup error: {e}", file=sys.stderr)
 
-    # three passes, report per-query MEDIAN with the full per-pass spread in
-    # the detail file: pass 1 pays per-query codegen/JIT warmup a long-lived
-    # cluster amortizes; median-of-3 separates real regressions from machine
-    # jitter (round-2 lesson: several apparent streaming regressions were
-    # environmental and indistinguishable without a spread)
+    # an untimed per-query warmup pass, then three timed passes reporting the
+    # per-query MEDIAN with the full per-pass spread in the detail file. The
+    # first-ever execution of a query pays its plan-specific codegen/JIT +
+    # Arrow kernel warmup (measured 2-4x steady state on the heavy dedup
+    # queries) that a long-lived cluster amortizes; excluding it makes the
+    # median measure steady state and collapses the spread to machine jitter
+    # (round-2/3 lesson: apparent multi-second regressions were warmup+load,
+    # indistinguishable without a spread over warm passes)
     n_passes = int(os.environ.get("SPARK_GRAFT_BENCH_PASSES", "3"))
+    warmup_pass = os.environ.get("SPARK_GRAFT_BENCH_WARMUP_PASS", "1") != "0"
+    if warmup_pass:
+        for name, build in qs.items():
+            try:
+                build(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            except Exception as e:
+                print(f"bench warmup error in {name}: {e}", file=sys.stderr)
+            spark.catalog.clearCache()
     samples: dict[str, list[float]] = {}
     for _pass in range(n_passes):
         for name, build in qs.items():

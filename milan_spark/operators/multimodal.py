@@ -3,13 +3,15 @@
 Images/audio/video are opaque ``binary`` payload columns with a typed
 metadata struct alongside. The Spark-side plumbing — schemas, Arrow batch
 shapes, mapInPandas operators, partition sizing — is real and tested. The
-AUDIO and IMAGE codecs are real: :func:`decode_audio` parses RIFF/WAVE
-16-bit PCM and :func:`decode_image` parses uncompressed 24-bit BMP, both
-with stdlib struct + numpy (no external library); :func:`audio_features`,
-:func:`image_features`, and :func:`resize_images` run payloads through
-them with exact SQL oracles. Only the VIDEO codec is stubbed (ffmpeg not
-in this container) behind a clearly marked NotImplementedError /
-deterministic fake.
+AUDIO, IMAGE, and VIDEO codecs are all real: :func:`decode_audio` parses
+RIFF/WAVE 16-bit PCM, :func:`decode_image` parses uncompressed 24-bit BMP,
+and :func:`decode_video` parses AVI with uncompressed 24-bit DIB frames —
+all with stdlib struct + numpy (no external library). Compressed formats
+(JPEG/MP3/H.264) would need PIL/ffmpeg and raise clearly from the same
+entry points; the uncompressed-container paths are exercised end-to-end by
+oracle-checked catalog queries (:func:`audio_features`,
+:func:`image_features`/:func:`resize_images`,
+:func:`video_frame_features`).
 
 Layout convention:
     payload  BINARY                 -- raw encoded bytes
@@ -153,8 +155,109 @@ def decode_audio(payload: bytes) -> dict:
     return {"rate": rate, "channels": channels, "samples": np.frombuffer(data, dtype="<i2")}
 
 
-def sample_frames(payload: bytes, every_n: int = 10):
-    raise NotImplementedError("video frame sampling requires ffmpeg; not available in this container")
+def encode_avi(frames, fps: int = 25) -> bytes:
+    """Minimal AVI encoder for uncompressed 24-bit DIB video — stdlib struct
+    + numpy, the inverse of :func:`decode_video`. ``frames`` is a sequence of
+    (H, W, 3) uint8 RGB arrays (all the same shape). Emits the standard RIFF
+    'AVI ' layout: LIST hdrl (avih + LIST strl (strh 'vids'/'DIB ' + strf
+    BITMAPINFOHEADER)) then LIST movi with one '00db' chunk per frame, each a
+    bottom-up BGR pixel array with 4-byte-padded rows (the BMP pixel layout,
+    sans file header)."""
+    import struct
+
+    import numpy as np
+
+    fr = [np.asarray(f, dtype=np.uint8) for f in frames]
+    if not fr or any(f.ndim != 3 or f.shape[2] != 3 for f in fr) or len({f.shape for f in fr}) != 1:
+        raise ValueError("encode_avi expects 1+ equally-shaped (H, W, 3) RGB frames")
+    h, w = fr[0].shape[:2]
+    stride = (w * 3 + 3) & ~3
+    frame_size = stride * h
+
+    def chunk(cid: bytes, body: bytes) -> bytes:
+        return cid + struct.pack("<I", len(body)) + body + (b"\x00" * (len(body) & 1))
+
+    def lst(kind: bytes, body: bytes) -> bytes:
+        return chunk(b"LIST", kind + body)
+
+    def dib(px: "np.ndarray") -> bytes:
+        rows = np.zeros((h, stride), dtype=np.uint8)
+        rows[:, : w * 3] = px[::-1, :, ::-1].reshape(h, w * 3)  # bottom-up, BGR
+        return rows.tobytes()
+
+    avih = struct.pack(
+        "<14I", 1_000_000 // fps, frame_size * fps, 0, 0, len(fr), 0, 1, frame_size, w, h, 0, 0, 0, 0
+    )
+    strh = struct.pack("<4s4sIHHIIIIIIIi4H", b"vids", b"DIB ", 0, 0, 0, 0, 1, fps, 0, len(fr), frame_size, 10_000, 0, 0, 0, w, h)
+    strf = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, frame_size, 2835, 2835, 0, 0)
+    hdrl = lst(b"hdrl", chunk(b"avih", avih) + lst(b"strl", chunk(b"strh", strh) + chunk(b"strf", strf)))
+    movi = lst(b"movi", b"".join(chunk(b"00db", dib(f)) for f in fr))
+    return b"RIFF" + struct.pack("<I", 4 + len(hdrl) + len(movi)) + b"AVI " + hdrl + movi
+
+
+def _riff_chunks(buf: bytes, pos: int, end: int):
+    """Walk a RIFF chunk sequence yielding (fourcc, body_start, body_size);
+    LIST chunks yield their list-kind as fourcc with the inner body span."""
+    import struct
+
+    while pos + 8 <= end:
+        cid = buf[pos : pos + 4]
+        (size,) = struct.unpack_from("<I", buf, pos + 4)
+        body, nxt = pos + 8, pos + 8 + size + (size & 1)  # word-aligned
+        if cid == b"LIST" and size >= 4:
+            yield buf[body : body + 4], body + 4, size - 4
+        else:
+            yield cid, body, size
+        pos = nxt
+
+
+def decode_video(payload: bytes) -> dict:
+    """REAL video decode for AVI with uncompressed 24-bit DIB frames —
+    stdlib ``struct`` + numpy (compressed codecs would need ffmpeg; this
+    parses the container + raw frame layout). Walks the RIFF tree: 'avih'
+    gives dimensions, the 'movi' list's '00db'/'00dc' chunks are bottom-up
+    BGR frames with padded rows. Returns
+    ``{width, height, n_frames, frames: [(H, W, 3) uint8 RGB, ...]}``."""
+    import struct
+
+    import numpy as np
+
+    if payload is None or len(payload) < 12 or payload[:4] != b"RIFF" or payload[8:12] != b"AVI ":
+        raise ValueError("not a RIFF/AVI payload")
+    w = h = None
+    frames: list = []
+
+    def walk(pos: int, end: int) -> None:
+        nonlocal w, h
+        for cc, body, size in _riff_chunks(payload, pos, end):
+            if cc in (b"hdrl", b"strl", b"movi"):
+                walk(body, body + size)
+            elif cc == b"avih" and size >= 40:
+                vals = struct.unpack_from("<14I", payload, body)
+                w, h = vals[8], vals[9]
+            elif cc in (b"00db", b"00dc"):
+                frames.append((body, size))
+
+    walk(12, len(payload))
+    if w is None or not w or not h:
+        raise ValueError("AVI payload missing avih header")
+    stride = (w * 3 + 3) & ~3
+    out = []
+    for body, size in frames:
+        if size < stride * h:
+            raise ValueError("truncated AVI frame chunk")
+        rows = np.frombuffer(payload, np.uint8, stride * h, body).reshape(h, stride)
+        out.append(np.ascontiguousarray(rows[:, : w * 3].reshape(h, w, 3)[::-1, :, ::-1]))
+    return {"width": w, "height": h, "n_frames": len(out), "frames": out}
+
+
+def sample_frames(payload: bytes, every_n: int = 10) -> list:
+    """REAL video frame sampling through :func:`decode_video`: every n-th
+    frame of an uncompressed-DIB AVI, as (frame_no, (H, W, 3) uint8 RGB)
+    tuples. Compressed codecs still need ffmpeg — this covers the container
+    + raw-frame path the WAV/BMP codecs established."""
+    dec = decode_video(payload)
+    return [(i, dec["frames"][i]) for i in range(0, dec["n_frames"], every_n)]
 
 
 def resize_image(payload: bytes, width: int, height: int) -> bytes:
@@ -277,6 +380,33 @@ def resize_images(df: DataFrame, width: int, height: int, id_col: str = "doc_id"
             F.lit("image/bmp").alias("mime"),
         ),
     )
+
+
+def video_frame_features(df: DataFrame, every_n: int = 2, id_col: str = "doc_id") -> DataFrame:
+    """mapInPandas frame sampling through the REAL AVI codec
+    (:func:`sample_frames`): every n-th frame decodes to exact int64 pixel
+    stats — one output ROW per sampled frame (the exploding row shape a real
+    video pipeline has; output rows ≫ input rows, so partition sizing is by
+    payload bytes / every_n). ``wsum`` weights channels 1/2/3, catching
+    BGR↔RGB bugs like the image path."""
+    import numpy as np
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {id_col: [], "frame_no": [], "width": [], "height": [], "px_sum": [], "wsum": []}
+            for rid, payload in zip(pdf[id_col], pdf["payload"]):
+                for fno, frame in sample_frames(payload, every_n):
+                    px = frame.astype(np.int64)
+                    rows[id_col].append(rid)
+                    rows["frame_no"].append(fno)
+                    rows["height"].append(frame.shape[0])
+                    rows["width"].append(frame.shape[1])
+                    rows["px_sum"].append(int(px.sum()))
+                    rows["wsum"].append(int((px * np.array([1, 2, 3])).sum()))
+            yield pd.DataFrame(rows)
+
+    schema = f"{id_col} long, frame_no long, width long, height long, px_sum long, wsum long"
+    return df.select(id_col, "payload").mapInPandas(run, schema=schema)
 
 
 def _fake_resize(payload: bytes, width: int, height: int) -> bytes:

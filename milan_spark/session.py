@@ -45,7 +45,12 @@ def get_spark(app_name: str = "milan_spark", shuffle_partitions: int | None = No
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
-        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        # local mode: the driver JVM IS the executor, so this is the whole
+        # heap for all N concurrent tasks. 8g measurably GC-throttled the
+        # text-dedup operators at 10x sf0.1 (ngram_jaccard 60s -> 19s at a
+        # bigger heap; see SCALE.md); ~0.75g/core is the floor for 32 cores.
+        # On a real cluster spark-submit sizes executors and this is unused.
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g"))
         .config("spark.ui.enabled", "false")
         .config("spark.ui.showConsoleProgress", "false")
     )

@@ -1,0 +1,171 @@
+"""Weak-scaling evidence for the heavy LLM operators (SCALE.md §Measured).
+
+Synthesizes an R×-scale corpus from a base sf dir by replicating documents
+and embeddings R times in a similarity-preserving, replica-disjoint,
+LENGTH-PRESERVING way:
+
+- documents: replica k's text goes through a per-replica letter rotation
+  (``translate(text, 'a..z', rot_k('a..z'))`` + same for upper case) — byte
+  length, token boundaries, and within-replica shingle/token structure are
+  identical to the base corpus, while cross-replica vocabulary overlap is
+  (near-)zero. The scaled corpus is R independent copies of the base
+  workload: candidate pairs, clusters, and survivors all scale exactly R×,
+  and total text bytes scale exactly R× — so a plan whose wall time scales
+  ~R× is doing O(N) work. (An earlier token-prefix scheme inflated text
+  bytes 1.5×, confounding the ratios.)
+- embeddings: replica k's vectors are circularly shifted by k·7 mod dim —
+  norms and within-replica cosines are preserved exactly; cross-replica
+  cosines decorrelate. embedding_near_dup is an all-pairs block plan, so
+  its COMPUTE scales R² by design — the measurement documents that; the
+  scale path for large corpora is LSH/IVF candidate generation.
+
+Each (query, scale) measurement runs in a FRESH subprocess: long-lived
+local[32] sessions accumulate localCheckpoint blocks and GC state across
+queries, which contaminated same-process measurements by up to 10×.
+
+Usage:
+  PYTHONPATH=/root/repo python tools/scale_bench.py [replicas] [base_sf_dir]
+  PYTHONPATH=/root/repo python tools/scale_bench.py --one <sf_dir> <query> <passes>
+
+Writes /tmp/milan_scale{R}x and prints one JSON line + a markdown table for
+SCALE.md. Per-query timing: median over `passes` after one untimed warmup
+pass, same discipline as bench.py.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import subprocess
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+QUERIES = [
+    "minhash_lsh_dedup",
+    "ngram_jaccard_dedup",
+    "simhash_dedup",
+    "dedup_clusters",
+    "embedding_near_dup",
+    "pack_sequences_512",
+]
+
+_ALPHA = "abcdefghijklmnopqrstuvwxyz"
+
+
+def build_scaled(spark, base: str, out: str, replicas: int) -> None:
+    from pyspark.sql import functions as F
+
+    if os.path.exists(out):
+        shutil.rmtree(out)
+    os.makedirs(out)
+    rep = F.explode(F.sequence(F.lit(0), F.lit(replicas - 1))).alias("__rep")
+
+    docs = spark.read.parquet(f"{base}/documents.parquet")
+    n_docs = docs.count()
+    # per-replica letter rotation: rot(k*3+1) keeps replica 0 ≡ base corpus
+    # only for k=0 (shift 1 ≠ 0 — shift k*3 so k=0 is identity)
+    rot = F.col("text")
+    for k in range(1, replicas):
+        s = (k * 3) % 26 or 1
+        tgt = _ALPHA[s:] + _ALPHA[:s]
+        rot_k = F.translate(F.translate("text", _ALPHA, tgt), _ALPHA.upper(), tgt.upper())
+        rot = F.when(F.col("__rep") == k, rot_k).otherwise(rot)
+    scaled_docs = docs.select("*", rep).select(
+        (F.col("doc_id") + F.col("__rep") * n_docs).alias("doc_id"),
+        rot.alias("text"),
+        "lang",
+        "source",
+        "n_chars",
+    )
+    scaled_docs.repartition(32).write.parquet(f"{out}/documents.parquet")
+
+    emb = spark.read.parquet(f"{base}/embeddings.parquet")
+    n_emb = emb.count()
+    dim = len(emb.select("embedding").first()[0])
+    shift = (F.col("__rep") * 7) % dim
+    rotated = F.concat(
+        F.slice("embedding", shift + 1, F.lit(dim) - shift),
+        F.slice("embedding", 1, shift),
+    )
+    (
+        emb.select("*", rep)
+        .select(
+            (F.col("vec_id") + F.col("__rep") * n_emb).alias("vec_id"),
+            rotated.alias("embedding"),
+            "label",
+        )
+        .repartition(32)
+        .write.parquet(f"{out}/embeddings.parquet")
+    )
+
+
+def measure_one(sf_dir: str, name: str, passes: int) -> None:
+    from milan_spark.catalog import queries
+    from milan_spark.session import get_spark
+
+    spark = get_spark("milan_scale_one")
+    q = queries()[name]
+    samples = []
+    for p in range(passes + 1):  # pass 0 = untimed warmup
+        start = time.perf_counter()
+        q(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        if p > 0:
+            samples.append(time.perf_counter() - start)
+        spark.catalog.clearCache()
+    med = round(sorted(samples)[len(samples) // 2], 2)
+    print(json.dumps({"query": name, "sf_dir": sf_dir, "median": med, "passes": [round(s, 2) for s in samples]}))
+
+
+def time_queries(sf_dir: str, passes: int) -> dict[str, float]:
+    out: dict[str, float] = {}
+    for name in QUERIES:
+        r = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--one", sf_dir, name, str(passes)],
+            capture_output=True,
+            text=True,
+            env={**os.environ, "PYTHONPATH": REPO},
+        )
+        line = r.stdout.strip().splitlines()[-1] if r.stdout.strip() else ""
+        try:
+            rec = json.loads(line)
+        except json.JSONDecodeError:
+            print(f"  {sf_dir} {name}: FAILED\n{r.stderr[-2000:]}", flush=True)
+            out[name] = -1.0
+            continue
+        out[name] = rec["median"]
+        print(f"  {sf_dir} {name}: {rec['median']}s (passes: {rec['passes']})", flush=True)
+    return out
+
+
+def main() -> None:
+    if len(sys.argv) > 1 and sys.argv[1] == "--one":
+        measure_one(sys.argv[2], sys.argv[3], int(sys.argv[4]))
+        return
+    replicas = int(sys.argv[1]) if len(sys.argv) > 1 else 10
+    base = sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.1"
+    passes = int(os.environ.get("SCALE_BENCH_PASSES", "2"))
+    out_dir = f"/tmp/milan_scale{replicas}x"
+
+    from milan_spark.session import get_spark
+
+    gen = get_spark("milan_scale_gen")
+    build_scaled(gen, base, out_dir, replicas)
+    gen.stop()  # free the generator JVM before the measured subprocesses
+    base_t = time_queries(base, passes)
+    scaled_t = time_queries(out_dir, passes)
+
+    print(json.dumps({"replicas": replicas, "base": base_t, "scaled": scaled_t}))
+    print(f"\n| query | base (s) | {replicas}x (s) | ratio |")
+    print("|---|---|---|---|")
+    for name in QUERIES:
+        b, s = base_t[name], scaled_t[name]
+        ratio = round(s / b, 1) if b > 0 and s > 0 else None
+        print(f"| {name} | {b} | {s} | {ratio}x |")
+
+
+if __name__ == "__main__":
+    main()
