@@ -190,12 +190,13 @@ def test_multimodal_plumbing(spark):
 
 
 def test_decode_stubs_raise(spark):
-    # decode_audio is a real RIFF/WAVE parser since r3: junk bytes are a
-    # format error (ValueError), not a missing implementation.
+    # All three codecs are real parsers now (BMP r4, WAV r3, AVI r4): junk
+    # bytes are a format error (ValueError), not a missing implementation.
     with pytest.raises(ValueError):
         M.decode_audio(b"xx")
-    # video frame sampling remains a declared stub.
-    with pytest.raises(NotImplementedError):
+    with pytest.raises(ValueError):
+        M.decode_image(b"xx")
+    with pytest.raises(ValueError):
         M.sample_frames(b"xx", 4)
 
 
