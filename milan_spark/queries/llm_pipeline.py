@@ -733,3 +733,64 @@ def image_bmp_features_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     bmp = docs.mapInPandas(synth, "doc_id long, payload binary")
     return image_features(resize_images(bmp, 4, 4))
+
+
+@register(
+    "video_avi_features",
+    doc="REAL video codec path: deterministic multi-frame AVI payloads "
+    "(varying width/height/frame-count, so row padding, word alignment, and "
+    "the RIFF LIST tree are all exercised) are synthesized per document "
+    "(encode_avi), then every-2nd frame is sampled through the stdlib "
+    "RIFF/AVI parser (sample_frames via video_frame_features) for exact "
+    "int64 per-frame pixel stats — one row per sampled frame, the exploding "
+    "shape a real video pipeline has. The oracle recomputes the stats from "
+    "the same pixel formula restricted to even frame numbers; wsum weights "
+    "channels 1/2/3 so a BGR<->RGB swap or bottom-up row flip anywhere in "
+    "the container round-trip breaks the hash.",
+    oracle="""
+WITH d AS (
+  SELECT doc_id, (doc_id % 6) + 2 AS w, (doc_id % 4) + 2 AS h,
+         (doc_id % 5) + 2 AS nf
+  FROM documents
+),
+fr AS (
+  SELECT doc_id, w, h, f.i AS frame_no
+  FROM d, range(6) f(i) WHERE f.i < nf AND f.i % 2 = 0
+),
+px AS (
+  SELECT doc_id, frame_no, w, h, c.i AS c,
+         (doc_id * 7 + frame_no * 11 + y.i * 31 + x.i * 5 + c.i * 3) % 256 AS v
+  FROM fr, range(5) y(i), range(7) x(i), range(3) c(i)
+  WHERE y.i < h AND x.i < w
+)
+SELECT doc_id, frame_no,
+       CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
+       CAST(SUM(v) AS BIGINT) AS px_sum,
+       CAST(SUM(v * (c + 1)) AS BIGINT) AS wsum
+FROM px GROUP BY doc_id, frame_no, w, h
+""",
+)
+def video_avi_features_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import numpy as np
+    import pandas as pd
+
+    from milan_spark.operators.multimodal import encode_avi, video_frame_features
+
+    docs = table(spark, sf_dir, "documents").select("doc_id")
+
+    def synth(batches):
+        for pdf in batches:
+            payloads = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                w, h, nf = did % 6 + 2, did % 4 + 2, did % 5 + 2
+                f = np.arange(nf).reshape(nf, 1, 1, 1)
+                y = np.arange(h).reshape(1, h, 1, 1)
+                x = np.arange(w).reshape(1, 1, w, 1)
+                c = np.arange(3).reshape(1, 1, 1, 3)
+                px = ((did * 7 + f * 11 + y * 31 + x * 5 + c * 3) % 256).astype(np.uint8)
+                payloads.append(encode_avi(list(px)))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+    avi = docs.mapInPandas(synth, "doc_id long, payload binary")
+    return video_frame_features(avi, every_n=2)
