@@ -21,7 +21,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     from milan_spark.catalog import queries
-    from milan_spark.session import get_spark
+    from milan_spark.session import get_spark, release_cached
 
     spark = get_spark("milan_spark_bench")
     qs = queries()
@@ -59,7 +59,7 @@ def main() -> None:
                 build(spark, sf_dir).write.format("noop").mode("overwrite").save()
             except Exception as e:
                 print(f"bench warmup error in {name}: {e}", file=sys.stderr)
-            spark.catalog.clearCache()
+            release_cached(spark)
     samples: dict[str, list[float]] = {}
     for _pass in range(n_passes):
         for name, build in qs.items():
@@ -72,7 +72,7 @@ def main() -> None:
                 print(f"bench error in {name}: {e}", file=sys.stderr)
             # multi-pass operators persist intermediates internally; drop them
             # so later queries aren't measured under accumulated heap pressure
-            spark.catalog.clearCache()
+            release_cached(spark)
 
     def median(xs: list[float]) -> float:
         s = sorted(xs)

@@ -463,3 +463,187 @@ def q16_supplier_part_variety(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("p_brand", "p_type")
         .agg(F.count_distinct("l_suppkey").alias("supplier_cnt"))
     )
+
+
+@register(
+    "q7_nation_trade_flows",
+    doc="TPC-H Q7 shape: bidirectional trade volume between two nations per "
+    "ship year. The fact table reaches TWO independent nation lookups — "
+    "supplier-side and customer-side — so the plan has two broadcast dim "
+    "chains feeding one fact pipeline; the symmetric nation-pair predicate "
+    "is a residual filter on the joined row. The only big shuffles are the "
+    "lineitem⋈orders and orders⋈customer equi-joins; at SF100 both sides of "
+    "every broadcast stay dim-sized, and the final (nation, nation, year) "
+    "aggregate is 2×|years| rows.",
+    oracle="""
+SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+       CAST(year(l_shipdate) AS BIGINT) AS l_year,
+       CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,6)) * (1 - CAST(l_discount AS DECIMAL(18,6)))), 2) AS DOUBLE) AS revenue
+FROM lineitem, orders, customer, supplier, nation n1, nation n2
+WHERE l_orderkey = o_orderkey
+  AND o_custkey = c_custkey
+  AND l_suppkey = s_suppkey
+  AND s_nationkey = n1.n_nationkey
+  AND c_nationkey = n2.n_nationkey
+  AND ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+    OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+GROUP BY n1.n_name, n2.n_name, year(l_shipdate)
+""",
+)
+def q7_nation_trade_flows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    n1 = table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("cust_nation")
+    )
+    supp = table(spark, sf_dir, "supplier").join(
+        F.broadcast(n1), F.col("s_nationkey") == F.col("n1_key")
+    )
+    cust = table(spark, sf_dir, "customer").join(
+        F.broadcast(n2), F.col("c_nationkey") == F.col("n2_key")
+    )
+    orders = table(spark, sf_dir, "orders")
+    li = table(spark, sf_dir, "lineitem")
+    price = F.col("l_extendedprice").cast(DEC)
+    disc = F.col("l_discount").cast(DEC)
+    pair = (
+        (F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2")
+    ) | ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1"))
+    return (
+        li.join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .filter(pair)
+        .groupBy("supp_nation", "cust_nation", F.year("l_shipdate").cast("long").alias("l_year"))
+        .agg(F.round(mf.agg_sum(price * (F.lit(1) - disc)), 2).cast("double").alias("revenue"))
+    )
+
+
+@register(
+    "q10_returned_items",
+    doc="TPC-H Q10 shape: top-20 customers by revenue lost to returned lines "
+    "(l_returnflag = 'R'), enriched with nation. Ordering ties are broken "
+    "by c_custkey so the top-20 cut is deterministic on both engines. The "
+    "revenue aggregate shuffles on custkey AFTER the returnflag filter has "
+    "pruned ~2/3 of the fact table at the scan (predicate pushed to "
+    "parquet); customer and nation broadcast into the enrich join; the "
+    "global top-20 is a driver-side sort of the per-customer aggregate — "
+    "TakeOrderedAndProject, no full sort at scale.",
+    oracle="""
+SELECT c.c_custkey, c.c_name,
+       CAST(ROUND(SUM(CAST(l.l_extendedprice AS DECIMAL(18,6)) * (1 - CAST(l.l_discount AS DECIMAL(18,6)))), 2) AS DOUBLE) AS revenue,
+       c.c_acctbal, n.n_name
+FROM customer c, orders o, lineitem l, nation n
+WHERE c.c_custkey = o.o_custkey
+  AND l.l_orderkey = o.o_orderkey
+  AND l.l_returnflag = 'R'
+  AND c.c_nationkey = n.n_nationkey
+GROUP BY c.c_custkey, c.c_name, c.c_acctbal, n.n_name
+ORDER BY revenue DESC, c.c_custkey
+LIMIT 20
+""",
+)
+def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = table(spark, sf_dir, "customer")
+    orders = table(spark, sf_dir, "orders")
+    li = table(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    nation = table(spark, sf_dir, "nation")
+    price = F.col("l_extendedprice").cast(DEC)
+    disc = F.col("l_discount").cast(DEC)
+    return (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        .agg(F.round(mf.agg_sum(price * (F.lit(1) - disc)), 2).cast("double").alias("revenue"))
+        .select("c_custkey", "c_name", "revenue", "c_acctbal", "n_name")
+        .orderBy(F.col("revenue").desc(), "c_custkey")
+        .limit(20)
+    )
+
+
+@register(
+    "q14_promo_revenue",
+    doc="TPC-H Q14 shape: promotion revenue share — a conditional aggregate "
+    "ratio over one join. Both the promo numerator and the total "
+    "denominator come out of ONE pass (two conditional DECIMAL sums in the "
+    "same aggregate, each rounded to an exact double before the final "
+    "division, which is then bit-identical IEEE on both engines). part "
+    "broadcasts; the fact side aggregates map-side to a single row.",
+    oracle="""
+SELECT CAST(ROUND(SUM(CASE WHEN p_type = 'PROMO'
+                 THEN CAST(l_extendedprice AS DECIMAL(18,6)) * (1 - CAST(l_discount AS DECIMAL(18,6)))
+                 ELSE CAST(0 AS DECIMAL(18,6)) END), 2) AS DOUBLE) AS promo_revenue,
+       CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,6)) * (1 - CAST(l_discount AS DECIMAL(18,6)))), 2) AS DOUBLE) AS total_revenue,
+       100.0 * CAST(ROUND(SUM(CASE WHEN p_type = 'PROMO'
+                 THEN CAST(l_extendedprice AS DECIMAL(18,6)) * (1 - CAST(l_discount AS DECIMAL(18,6)))
+                 ELSE CAST(0 AS DECIMAL(18,6)) END), 2) AS DOUBLE)
+           / CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,6)) * (1 - CAST(l_discount AS DECIMAL(18,6)))), 2) AS DOUBLE) AS promo_pct
+FROM lineitem, part
+WHERE l_partkey = p_partkey
+""",
+)
+def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    part = table(spark, sf_dir, "part")
+    price = F.col("l_extendedprice").cast(DEC)
+    disc = F.col("l_discount").cast(DEC)
+    rev = price * (F.lit(1) - disc)
+    promo = F.when(F.col("p_type") == "PROMO", rev).otherwise(F.lit(0).cast(DEC))
+    out = (
+        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .agg(
+            F.round(mf.agg_sum(promo), 2).cast("double").alias("promo_revenue"),
+            F.round(mf.agg_sum(rev), 2).cast("double").alias("total_revenue"),
+        )
+    )
+    return out.select(
+        "promo_revenue",
+        "total_revenue",
+        (F.lit(100.0) * F.col("promo_revenue") / F.col("total_revenue")).alias("promo_pct"),
+    )
+
+
+@register(
+    "q15_top_supplier",
+    doc="TPC-H Q15 shape: the revenue view + scalar-max subquery — suppliers "
+    "whose quarter revenue equals the global maximum. The per-supplier "
+    "aggregate is computed ONCE and reused for both the max scalar and the "
+    "equality filter (self-referencing view decorrelated to a 1-row "
+    "broadcast cross-join); the comparison happens on the exact DECIMAL "
+    "sums, not on rounded doubles, so ties are decided identically on both "
+    "engines.",
+    oracle="""
+WITH rev AS (
+  SELECT l_suppkey,
+         SUM(CAST(l_extendedprice AS DECIMAL(18,6)) * (1 - CAST(l_discount AS DECIMAL(18,6)))) AS total
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1996-04-01'
+  GROUP BY l_suppkey
+)
+SELECT s.s_suppkey, s.s_name,
+       CAST(ROUND(rev.total, 2) AS DOUBLE) AS total_revenue
+FROM supplier s, rev
+WHERE s.s_suppkey = rev.l_suppkey
+  AND rev.total = (SELECT MAX(total) FROM rev)
+""",
+)
+def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
+    )
+    supp = table(spark, sf_dir, "supplier")
+    price = F.col("l_extendedprice").cast(DEC)
+    disc = F.col("l_discount").cast(DEC)
+    rev = li.groupBy("l_suppkey").agg(mf.agg_sum(price * (F.lit(1) - disc)).alias("total"))
+    top = rev.agg(F.max("total").alias("max_total"))
+    return (
+        rev.crossJoin(F.broadcast(top))
+        .filter(F.col("total") == F.col("max_total"))
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .select(
+            "s_suppkey", "s_name", F.round(F.col("total"), 2).cast("double").alias("total_revenue")
+        )
+    )

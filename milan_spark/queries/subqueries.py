@@ -198,3 +198,57 @@ def q22_idle_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(mf.agg_sum(bal), 2).cast("double").alias("total_bal"),
         )
     )
+
+
+@register(
+    "q21_sole_late_supplier",
+    doc="TPC-H Q21 shape (double-correlated EXISTS + NOT EXISTS → semi-join "
+    "+ anti-join with non-equi residuals): suppliers who were the ONLY late "
+    "shipper (> 60 days after order date) on a multi-supplier order, "
+    "counted per supplier. Working set is the DISTINCT (orderkey, suppkey) "
+    "pair projection, so line multiplicity cannot skew the count. Both "
+    "correlations share the equi-key (orderkey) — each is one shuffle-"
+    "colocated semi/anti join with the `suppkey <>` inequality left as a "
+    "residual on the matched pairs, never a nested loop; at SF100 all three "
+    "legs partition on orderkey and AQE can broadcast the late side, which "
+    "the 60-day filter has already cut to a small fraction.",
+    oracle="""
+WITH pairs AS (
+  SELECT DISTINCT l.l_orderkey AS ok, l.l_suppkey AS sk
+  FROM lineitem l, orders o
+  WHERE l.l_orderkey = o.o_orderkey
+    AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+),
+all_pairs AS (
+  SELECT DISTINCT l_orderkey AS ok, l_suppkey AS sk FROM lineitem
+)
+SELECT s.s_name, COUNT(*) AS numwait
+FROM pairs p, supplier s
+WHERE s.s_suppkey = p.sk
+  AND EXISTS (SELECT 1 FROM all_pairs a WHERE a.ok = p.ok AND a.sk <> p.sk)
+  AND NOT EXISTS (SELECT 1 FROM pairs p2 WHERE p2.ok = p.ok AND p2.sk <> p.sk)
+GROUP BY s.s_name
+""",
+)
+def q21_sole_late_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    orders = table(spark, sf_dir, "orders")
+    supp = table(spark, sf_dir, "supplier")
+    late = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .filter(F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS"))
+        .select(F.col("l_orderkey").alias("ok"), F.col("l_suppkey").alias("sk"))
+        .distinct()
+    )
+    all_pairs = li.select(F.col("l_orderkey").alias("ok"), F.col("l_suppkey").alias("sk")).distinct()
+    a = all_pairs.select(F.col("ok").alias("a_ok"), F.col("sk").alias("a_sk"))
+    p2 = late.select(F.col("ok").alias("p2_ok"), F.col("sk").alias("p2_sk"))
+    sole_late = (
+        late.join(a, (late.ok == a.a_ok) & (late.sk != a.a_sk), "left_semi")
+        .join(p2, (late.ok == F.col("p2_ok")) & (late.sk != F.col("p2_sk")), "left_anti")
+    )
+    return (
+        sole_late.join(F.broadcast(supp), F.col("sk") == F.col("s_suppkey"))
+        .groupBy("s_name")
+        .agg(mf.agg_count().alias("numwait"))
+    )

@@ -57,3 +57,26 @@ def get_spark(app_name: str = "milan_spark", shuffle_partitions: int | None = No
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     return spark
+
+
+def release_cached(spark: SparkSession) -> int:
+    """Blocking-release every cached block in the session: catalog-cached
+    DataFrames AND bare persisted/localCheckpoint RDDs.
+
+    ``spark.catalog.clearCache()`` drops cached *queries* but unpersists
+    asynchronously and never touches ``localCheckpoint`` RDDs (they are not
+    catalog entries), so a long-lived session that runs many multi-pass
+    operators (dedup indexes, Cycle fixpoints) accumulates dead blocks and
+    evicts live ones. Measured at 10x sf0.1: back-to-back passes of
+    ngram_jaccard_dedup degraded 22s -> 59s -> 78s without this; flat with
+    it. Harness layers (bench.py, tools/) call this between queries; user
+    code with one query per session never needs it. Returns the number of
+    RDDs released.
+    """
+    spark.catalog.clearCache()
+    sc = spark.sparkContext._jsc.sc()
+    jmap = spark._jvm.scala.collection.JavaConverters.mapAsJavaMap(sc.getPersistentRDDs())
+    rdds = list(jmap.values())
+    for rdd in rdds:
+        rdd.unpersist(True)  # blocking: blocks are gone before we return
+    return len(rdds)

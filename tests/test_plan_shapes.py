@@ -189,3 +189,47 @@ def test_q22_anti_join_narrow_and_pushed(spark):
     # the custkey + totalprice columns
     assert "GreaterThan(o_totalprice,300000" in p
     assert "o_orderdate" not in p
+
+
+def test_q7_two_nation_chains_broadcast(spark):
+    # both nation lookup chains broadcast; the fact side never broadcasts
+    p = plan(q("q7_nation_trade_flows", spark))
+    assert n_nodes(p, "BroadcastHashJoin") >= 2
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+
+
+def test_q10_returnflag_pushed_topk_no_global_sort(spark):
+    p = plan(q("q10_returned_items", spark))
+    # the returned-lines filter reaches the parquet scan
+    assert "EqualTo(l_returnflag,R)" in p
+    # global top-20 is TakeOrderedAndProject, never a full Sort+Exchange
+    assert "TakeOrderedAndProject" in p
+
+
+def test_q14_single_aggregate_pass(spark):
+    # numerator and denominator come from ONE aggregate: one partial + one
+    # final HashAggregate pair, part broadcasts
+    p = plan(q("q14_promo_revenue", spark))
+    assert n_nodes(p, "HashAggregate") == 2
+    assert n_nodes(p, "BroadcastHashJoin") == 1
+
+
+def test_q15_scalar_max_broadcasts(spark):
+    p = plan(q("q15_top_supplier", spark))
+    # the 1-row max and the supplier dim broadcast; the ship-window filter
+    # reaches the lineitem scan
+    assert "BroadcastNestedLoopJoin" in p or n_nodes(p, "BroadcastHashJoin") >= 1
+    assert "GreaterThanOrEqual(l_shipdate" in p
+
+
+def test_q21_semi_and_anti_share_orderkey(spark):
+    p = plan(q("q21_sole_late_supplier", spark))
+    assert "LeftSemi" in p and "LeftAnti" in p
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+
+
+def test_video_features_single_python_stage(spark):
+    # synth + decode are mapInPandas stages over a narrow pipeline: no
+    # shuffle at all in the whole plan
+    p = plan(q("video_avi_features", spark))
+    assert "Exchange" not in p

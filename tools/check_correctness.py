@@ -82,7 +82,7 @@ def main() -> int:
     only = set(sys.argv[2:])
 
     from milan_spark.catalog import oracle_sql, queries
-    from milan_spark.session import get_spark
+    from milan_spark.session import get_spark, release_cached
 
     spark = get_spark("check_correctness")
     con = duckdb_con(sf_dir)
@@ -101,7 +101,7 @@ def main() -> int:
         finally:
             # multi-pass operators persist intermediates; don't let 68
             # queries' caches stack up in one session
-            spark.catalog.clearCache()
+            release_cached(spark)
         if name not in oracles:
             print(f"ok?  {name}: rows={len(sdf)} (no oracle — rows-only check)")
             continue

@@ -105,7 +105,7 @@ def build_scaled(spark, base: str, out: str, replicas: int) -> None:
 
 def measure_one(sf_dir: str, name: str, passes: int) -> None:
     from milan_spark.catalog import queries
-    from milan_spark.session import get_spark
+    from milan_spark.session import get_spark, release_cached
 
     spark = get_spark("milan_scale_one")
     q = queries()[name]
@@ -115,7 +115,7 @@ def measure_one(sf_dir: str, name: str, passes: int) -> None:
         q(spark, sf_dir).write.format("noop").mode("overwrite").save()
         if p > 0:
             samples.append(time.perf_counter() - start)
-        spark.catalog.clearCache()
+        release_cached(spark)
     med = round(sorted(samples)[len(samples) // 2], 2)
     print(json.dumps({"query": name, "sf_dir": sf_dir, "median": med, "passes": [round(s, 2) for s in samples]}))
 
@@ -150,7 +150,7 @@ def main() -> None:
     passes = int(os.environ.get("SCALE_BENCH_PASSES", "2"))
     out_dir = f"/tmp/milan_scale{replicas}x"
 
-    from milan_spark.session import get_spark
+    from milan_spark.session import get_spark, release_cached
 
     gen = get_spark("milan_scale_gen")
     build_scaled(gen, base, out_dir, replicas)
