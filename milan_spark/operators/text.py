@@ -184,3 +184,48 @@ def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
         .withColumn("stopword_ratio", stop_ratio)
         .withColumn("quality_score", score)
     )
+
+
+def word_ngrams(col, n: int) -> Column:
+    """Array of space-joined word ``n``-grams over :func:`tokenize` tokens.
+
+    Guarded for short docs: fewer than ``n`` tokens yields an empty array
+    (``F.sequence(1, 0)`` would otherwise produce a DESCENDING sequence).
+    String grams (not hashes) so a DuckDB oracle can rebuild them verbatim
+    with ``list_transform(range(...)) + list slicing``; hash-shingle paths
+    for joins at corpus scale live in ``operators.dedup``.
+    """
+    toks = tokenize(col)
+    m = F.array_size(toks) - (n - 1)
+    idx = F.when(m >= 1, F.sequence(F.lit(1), m)).otherwise(F.array().cast("array<int>"))
+    return F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i, n)))
+
+
+def repetition_stats(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Per-document repetition signals (the Gopher/MassiveText rule family:
+    Rae et al. 2021, §A.1.1 'repetition removal'): the fraction of all word
+    bigrams / trigrams taken up by the single most frequent one.
+
+    ONE distributed pipeline for both gram sizes: grams of both orders tag
+    and explode together, one (doc, n, gram) count aggregate (map-side
+    combinable), then a conditional per-doc rollup — two shuffles total,
+    both on uniform keys; no per-doc Python anywhere. Returns
+    (id, n_bigrams, top_bigram_cnt, n_trigrams, top_trigram_cnt).
+    """
+    tagged = df.select(
+        F.col(id_col).alias("__id"),
+        F.explode(
+            F.array(
+                F.struct(F.lit(2).alias("n"), word_ngrams(text_col, 2).alias("g")),
+                F.struct(F.lit(3).alias("n"), word_ngrams(text_col, 3).alias("g")),
+            )
+        ).alias("t"),
+    ).select("__id", F.col("t.n").alias("__n"), F.explode("t.g").alias("__gram"))
+    counts = tagged.groupBy("__id", "__n", "__gram").agg(F.count(F.lit(1)).alias("__c"))
+    two = F.col("__n") == 2
+    return counts.groupBy("__id").agg(
+        F.sum(F.when(two, F.col("__c")).otherwise(F.lit(0))).alias("n_bigrams"),
+        F.max(F.when(two, F.col("__c")).otherwise(F.lit(0))).alias("top_bigram_cnt"),
+        F.sum(F.when(~two, F.col("__c")).otherwise(F.lit(0))).alias("n_trigrams"),
+        F.max(F.when(~two, F.col("__c")).otherwise(F.lit(0))).alias("top_trigram_cnt"),
+    )

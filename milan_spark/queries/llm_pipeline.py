@@ -794,3 +794,97 @@ def video_avi_features_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     avi = docs.mapInPandas(synth, "doc_id long, payload binary")
     return video_frame_features(avi, every_n=2)
+
+
+@register(
+    "gopher_repetition_gate",
+    doc="Gopher/MassiveText-style repetition filtering (Rae et al. 2021 "
+    "§A.1.1): per-document fraction of all word bigrams/trigrams taken by "
+    "the single most frequent one, with a keep/drop gate. One distributed "
+    "pipeline computes both gram orders (operators.text.repetition_stats): "
+    "tag+explode, ONE (doc, n, gram) count aggregate, ONE conditional "
+    "per-doc rollup — two map-side-combinable shuffles, no Python. "
+    "Fractions are double divisions of exact integers (identical IEEE both "
+    "engines); the gate uses strict < so both engines cut identically.",
+    oracle="""
+WITH t AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks FROM documents),
+g2 AS (SELECT doc_id, array_to_string(toks[r.i:r.i+1], ' ') AS gram
+       FROM t, range(512) r(i) WHERE r.i >= 1 AND r.i <= len(toks) - 1),
+g3 AS (SELECT doc_id, array_to_string(toks[r.i:r.i+2], ' ') AS gram
+       FROM t, range(512) r(i) WHERE r.i >= 1 AND r.i <= len(toks) - 2),
+c2 AS (SELECT doc_id, gram, COUNT(*) AS c FROM g2 GROUP BY doc_id, gram),
+c3 AS (SELECT doc_id, gram, COUNT(*) AS c FROM g3 GROUP BY doc_id, gram),
+s2 AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_bigrams, MAX(c) AS top_bigram_cnt
+       FROM c2 GROUP BY doc_id),
+s3 AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_trigrams, MAX(c) AS top_trigram_cnt
+       FROM c3 GROUP BY doc_id)
+SELECT s2.doc_id, s2.n_bigrams, s2.top_bigram_cnt,
+       COALESCE(s3.n_trigrams, 0) AS n_trigrams,
+       COALESCE(s3.top_trigram_cnt, 0) AS top_trigram_cnt,
+       CAST(s2.top_bigram_cnt AS DOUBLE) / CAST(s2.n_bigrams AS DOUBLE) AS top_bigram_frac,
+       (CAST(s2.top_bigram_cnt AS DOUBLE) / CAST(s2.n_bigrams AS DOUBLE) < 0.05
+        AND (s3.doc_id IS NULL OR
+             CAST(s3.top_trigram_cnt AS DOUBLE) / CAST(s3.n_trigrams AS DOUBLE) < 0.04)) AS keep
+FROM s2 LEFT JOIN s3 ON s2.doc_id = s3.doc_id
+""",
+)
+def gopher_repetition_gate_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from milan_spark.operators.text import repetition_stats
+
+    docs = table(spark, sf_dir, "documents")
+    st = repetition_stats(docs, "doc_id", "text")
+    bi_frac = F.col("top_bigram_cnt").cast("double") / F.col("n_bigrams").cast("double")
+    tri_frac = F.col("top_trigram_cnt").cast("double") / F.col("n_trigrams").cast("double")
+    return st.select(
+        F.col("__id").alias("doc_id"),
+        "n_bigrams",
+        "top_bigram_cnt",
+        "n_trigrams",
+        "top_trigram_cnt",
+        bi_frac.alias("top_bigram_frac"),
+        (
+            (bi_frac < 0.05)
+            & ((F.col("n_trigrams") == 0) | (tri_frac < 0.04))
+        ).alias("keep"),
+    )
+
+
+@register(
+    "decontaminate_ngram_overlap",
+    doc="Benchmark decontamination (the GPT-3/Gopher eval-overlap rule): "
+    "flag corpus documents sharing any word n-gram with a held-out "
+    "benchmark set (docs with doc_id % 97 == 0 stand in for the eval set; "
+    "n=3 plays the role 8-13-grams play on real corpora — this synthetic "
+    "corpus has ~50-token docs). Plan: the benchmark side is DISTINCT "
+    "grams of a tiny fixed set, so it BROADCASTS into a semi-join against "
+    "the exploded corpus grams — the corpus never shuffles for the match; "
+    "the per-doc distinct-overlap count is the only exchange. At 100 TB "
+    "the same topology holds because eval sets stay KBs while the corpus "
+    "grows; string grams here for oracle parity, hashed shingles "
+    "(operators.dedup) when the benchmark set itself is large.",
+    oracle="""
+WITH t AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks FROM documents),
+g AS (SELECT doc_id, array_to_string(toks[r.i:r.i+2], ' ') AS gram
+      FROM t, range(512) r(i) WHERE r.i >= 1 AND r.i <= len(toks) - 2),
+bench AS (SELECT DISTINCT gram FROM g WHERE doc_id % 97 = 0)
+SELECT doc_id, CAST(COUNT(DISTINCT gram) AS BIGINT) AS n_shared_grams
+FROM g
+WHERE doc_id % 97 <> 0 AND gram IN (SELECT gram FROM bench)
+GROUP BY doc_id
+""",
+)
+def decontaminate_ngram_overlap_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from milan_spark.operators.text import word_ngrams
+
+    docs = table(spark, sf_dir, "documents")
+    grams = docs.select(
+        "doc_id", F.explode(word_ngrams("text", 3)).alias("gram")
+    )
+    is_bench = F.col("doc_id") % 97 == 0
+    bench = grams.filter(is_bench).select("gram").distinct()
+    return (
+        grams.filter(~is_bench)
+        .join(F.broadcast(bench), "gram", "left_semi")
+        .groupBy("doc_id")
+        .agg(F.count_distinct("gram").alias("n_shared_grams"))
+    )

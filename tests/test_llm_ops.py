@@ -220,3 +220,32 @@ def test_frame_sample_plumbing(spark, docs):
     text = "the quick brown fox jumps over the lazy dog".encode()
     first = next(bytes(r["frame"]) for r in out if r["doc_id"] == 1 and r["frame_no"] == 2)
     assert first == text[8:12]
+
+
+def test_word_ngrams_short_doc_guard(spark):
+    from milan_spark.operators.text import word_ngrams
+
+    df = spark.createDataFrame(
+        [(1, "a b c d"), (2, "a b"), (3, "solo"), (4, "")],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r["g"] for r in df.select("doc_id", word_ngrams("text", 3).alias("g")).collect()}
+    assert rows[1] == ["a b c", "b c d"]
+    assert rows[2] == []  # < n tokens: empty, NOT a descending-sequence blowup
+    assert rows[3] == []
+    assert rows[4] == []
+
+
+def test_repetition_stats_counts(spark):
+    from milan_spark.operators.text import repetition_stats
+
+    df = spark.createDataFrame(
+        [(1, "go go go go stop"), (2, "all words differ here now")],
+        "doc_id long, text string",
+    )
+    out = {r["__id"]: r for r in repetition_stats(df).collect()}
+    # doc 1 bigrams: [go go, go go, go go, go stop] -> top 'go go' = 3 of 4
+    assert out[1]["n_bigrams"] == 4 and out[1]["top_bigram_cnt"] == 3
+    # doc 1 trigrams: [go go go]x2 + [go go stop] -> top = 2 of 3
+    assert out[1]["n_trigrams"] == 3 and out[1]["top_trigram_cnt"] == 2
+    assert out[2]["top_bigram_cnt"] == 1 and out[2]["top_trigram_cnt"] == 1
