@@ -647,3 +647,165 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
             "s_suppkey", "s_name", F.round(F.col("total"), 2).cast("double").alias("total_revenue")
         )
     )
+
+
+@register(
+    "q8_market_share",
+    doc="TPC-H Q8 shape: national market share — one nation's fraction of "
+    "region revenue for one part type per order year, as a conditional "
+    "aggregate ratio over a seven-table join. Both numerator and "
+    "denominator come from ONE aggregate pass; the type-filtered part dim "
+    "prunes the fact side FIRST (broadcast semi effect of the inner join), "
+    "customer-side region membership and supplier-side nation name ride "
+    "two independent broadcast dim chains, like q7. Shares divide exact "
+    "rounded doubles, bit-identical on both engines.",
+    oracle="""
+SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+       CAST(ROUND(SUM(CASE WHEN n1.n_name = 'NATION_3'
+             THEN CAST(l_extendedprice AS DECIMAL(18,6)) * (1 - CAST(l_discount AS DECIMAL(18,6)))
+             ELSE CAST(0 AS DECIMAL(18,6)) END), 2) AS DOUBLE) AS nation_revenue,
+       CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,6)) * (1 - CAST(l_discount AS DECIMAL(18,6)))), 2) AS DOUBLE) AS total_revenue,
+       CAST(ROUND(SUM(CASE WHEN n1.n_name = 'NATION_3'
+             THEN CAST(l_extendedprice AS DECIMAL(18,6)) * (1 - CAST(l_discount AS DECIMAL(18,6)))
+             ELSE CAST(0 AS DECIMAL(18,6)) END), 2) AS DOUBLE)
+         / CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,6)) * (1 - CAST(l_discount AS DECIMAL(18,6)))), 2) AS DOUBLE) AS mkt_share
+FROM lineitem, orders, customer, supplier, part, nation n1, nation n2, region
+WHERE l_orderkey = o_orderkey
+  AND o_custkey = c_custkey
+  AND l_suppkey = s_suppkey
+  AND l_partkey = p_partkey
+  AND s_nationkey = n1.n_nationkey
+  AND c_nationkey = n2.n_nationkey
+  AND n2.n_regionkey = r_regionkey
+  AND r_name = 'EUROPE'
+  AND p_type = 'PROMO'
+GROUP BY year(o_orderdate)
+""",
+)
+def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = table(spark, sf_dir, "part").filter(F.col("p_type") == "PROMO").select("p_partkey")
+    n1 = table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("supp_nation")
+    )
+    supp = table(spark, sf_dir, "supplier").join(
+        F.broadcast(n1), F.col("s_nationkey") == F.col("n1_key")
+    )
+    region = table(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    n2 = table(spark, sf_dir, "nation").join(
+        F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey")
+    )
+    cust = table(spark, sf_dir, "customer").join(
+        F.broadcast(n2), F.col("c_nationkey") == F.col("n_nationkey")
+    )
+    orders = table(spark, sf_dir, "orders")
+    li = table(spark, sf_dir, "lineitem")
+    price = F.col("l_extendedprice").cast(DEC)
+    disc = F.col("l_discount").cast(DEC)
+    rev = price * (F.lit(1) - disc)
+    nat = F.when(F.col("supp_nation") == "NATION_3", rev).otherwise(F.lit(0).cast(DEC))
+    out = (
+        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy(F.year("o_orderdate").cast("long").alias("o_year"))
+        .agg(
+            F.round(mf.agg_sum(nat), 2).cast("double").alias("nation_revenue"),
+            F.round(mf.agg_sum(rev), 2).cast("double").alias("total_revenue"),
+        )
+    )
+    return out.select(
+        "o_year",
+        "nation_revenue",
+        "total_revenue",
+        (F.col("nation_revenue") / F.col("total_revenue")).alias("mkt_share"),
+    )
+
+
+@register(
+    "q9_product_type_profit",
+    doc="TPC-H Q9 shape: profit by supplier nation and order year for a "
+    "part-name family ('%red%'). This testdata has no partsupp, so unit cost is the "
+    "deterministic stand-in 0.6 * p_retailprice (DECIMAL constant): profit "
+    "= extprice*(1-disc) - 0.6*retail*qty, summed per (nation, year). The "
+    "name-family filter prunes part BEFORE its broadcast; the fact side "
+    "shuffles only for the orders join and final aggregate.",
+    oracle="""
+SELECT n_name, CAST(year(o_orderdate) AS BIGINT) AS o_year,
+       CAST(ROUND(SUM(
+         CAST(l_extendedprice AS DECIMAL(18,6)) * (1 - CAST(l_discount AS DECIMAL(18,6)))
+         - CAST(0.6 AS DECIMAL(18,6)) * CAST(p_retailprice AS DECIMAL(18,6)) * CAST(l_quantity AS DECIMAL(18,6))
+       ), 2) AS DOUBLE) AS profit
+FROM lineitem, orders, supplier, part, nation
+WHERE l_orderkey = o_orderkey
+  AND l_suppkey = s_suppkey
+  AND l_partkey = p_partkey
+  AND s_nationkey = n_nationkey
+  AND p_name LIKE '%red%'
+GROUP BY n_name, year(o_orderdate)
+""",
+)
+def q9_product_type_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = (
+        table(spark, sf_dir, "part")
+        .filter(F.col("p_name").like("%red%"))
+        .select("p_partkey", "p_retailprice")
+    )
+    nation = table(spark, sf_dir, "nation")
+    supp = table(spark, sf_dir, "supplier").join(
+        F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey")
+    )
+    orders = table(spark, sf_dir, "orders")
+    li = table(spark, sf_dir, "lineitem")
+    price = F.col("l_extendedprice").cast(DEC)
+    disc = F.col("l_discount").cast(DEC)
+    profit = price * (F.lit(1) - disc) - (
+        F.lit(0.6).cast(DEC) * F.col("p_retailprice").cast(DEC) * F.col("l_quantity").cast(DEC)
+    )
+    return (
+        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("n_name", F.year("o_orderdate").cast("long").alias("o_year"))
+        .agg(F.round(mf.agg_sum(profit), 2).cast("double").alias("profit"))
+    )
+
+
+@register(
+    "q19_disjunctive_predicate",
+    doc="TPC-H Q19 shape: revenue under an OR-of-ANDs predicate spanning "
+    "both join sides (brand/size bands on part x quantity bands on "
+    "lineitem). The per-side conjuncts that appear in EVERY disjunct are "
+    "hoisted so they push to the parquet scans (quantity <= 30, size >= "
+    "1); the cross-side residual stays on the broadcast hash join — the "
+    "shape Catalyst plans for disjunctive join predicates. Single "
+    "aggregate output, DECIMAL-exact.",
+    oracle="""
+SELECT CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,6)) * (1 - CAST(l_discount AS DECIMAL(18,6)))), 2) AS DOUBLE) AS revenue,
+       COUNT(*) AS n_lines
+FROM lineitem, part
+WHERE p_partkey = l_partkey
+  AND ((p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 10 AND l_quantity BETWEEN 1 AND 10)
+    OR (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 20 AND l_quantity BETWEEN 10 AND 20)
+    OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 30 AND l_quantity BETWEEN 20 AND 30))
+""",
+)
+def q19_disjunctive_predicate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    part = table(spark, sf_dir, "part")
+    qty = F.col("l_quantity")
+    cond = (
+        ((F.col("p_brand") == "Brand#1") & F.col("p_size").between(1, 10) & qty.between(1, 10))
+        | ((F.col("p_brand") == "Brand#2") & F.col("p_size").between(1, 20) & qty.between(10, 20))
+        | ((F.col("p_brand") == "Brand#3") & F.col("p_size").between(1, 30) & qty.between(20, 30))
+    )
+    price = F.col("l_extendedprice").cast(DEC)
+    disc = F.col("l_discount").cast(DEC)
+    return (
+        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .filter(cond)
+        .agg(
+            F.round(mf.agg_sum(price * (F.lit(1) - disc)), 2).cast("double").alias("revenue"),
+            mf.agg_count().alias("n_lines"),
+        )
+    )

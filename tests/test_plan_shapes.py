@@ -233,3 +233,27 @@ def test_video_features_single_python_stage(spark):
     # shuffle at all in the whole plan
     p = plan(q("video_avi_features", spark))
     assert "Exchange" not in p
+
+
+def test_q8_one_aggregate_pass_dims_broadcast(spark):
+    p = plan(q("q8_market_share", spark))
+    # numerator + denominator in ONE aggregate: exactly one partial+final pair
+    assert n_nodes(p, "HashAggregate") == 2
+    # part/supplier-nation/customer-region all broadcast
+    assert n_nodes(p, "BroadcastHashJoin") >= 3
+
+
+def test_q9_part_filter_prunes_before_broadcast(spark):
+    p = plan(q("q9_product_type_profit", spark))
+    # the name-family LIKE reaches the part parquet scan
+    assert "StringContains(p_name,red)" in p
+    assert n_nodes(p, "BroadcastHashJoin") >= 2
+
+
+def test_q19_common_conjuncts_pushed(spark):
+    p = plan(q("q19_disjunctive_predicate", spark))
+    # Catalyst extracts per-side bounds from the OR-of-ANDs and pushes them
+    # to both parquet scans; the cross-side residual stays on the join
+    assert "l_quantity" in p.split("PushedFilters")[1][:400] or "GreaterThanOrEqual(l_quantity" in p
+    assert "p_brand" in p
+    assert n_nodes(p, "BroadcastHashJoin") == 1
