@@ -229,3 +229,30 @@ def repetition_stats(df: DataFrame, id_col: str = "doc_id", text_col: str = "tex
         F.sum(F.when(~two, F.col("__c")).otherwise(F.lit(0))).alias("n_trigrams"),
         F.max(F.when(~two, F.col("__c")).otherwise(F.lit(0))).alias("top_trigram_cnt"),
     )
+
+
+# PII patterns kept in the RE2-compatible subset (no lookahead/backrefs) so
+# the same pattern string runs identically under Java regex (Spark) and RE2
+# (DuckDB oracle). Pipelines scrub BEFORE tokenization so addresses/numbers
+# never reach the training corpus.
+EMAIL_RE = r"[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}"
+PHONE_RE = r"\b\d{3}-\d{3}-\d{4}\b"
+
+
+def pii_counts(col) -> tuple[Column, Column]:
+    """(n_emails, n_phones) found in a text column — JVM-side regexp."""
+    c = _c(col)
+    return (
+        F.array_size(F.regexp_extract_all(c, F.lit(EMAIL_RE), F.lit(0))),
+        F.array_size(F.regexp_extract_all(c, F.lit(PHONE_RE), F.lit(0))),
+    )
+
+
+def scrub_pii(col) -> Column:
+    """Replace emails/phones with typed placeholder tags. Order matters:
+    emails first (an email never contains a phone pattern, but scrubbing
+    phones first could split a numeric local-part mid-match)."""
+    c = _c(col)
+    return F.regexp_replace(
+        F.regexp_replace(c, EMAIL_RE, "<EMAIL>"), PHONE_RE, "<PHONE>"
+    )

@@ -888,3 +888,53 @@ def decontaminate_ngram_overlap_q(spark: SparkSession, sf_dir: str) -> DataFrame
         .groupBy("doc_id")
         .agg(F.count_distinct("gram").alias("n_shared_grams"))
     )
+
+
+@register(
+    "pii_scrub_audit",
+    doc="PII detection + scrubbing audit (the Common-Crawl-pipeline scrub "
+    "step): count emails/phone numbers per document and verify the "
+    "scrubbed text. The synthetic corpus has no PII, so deterministic PII "
+    "is injected first (docs % 3 get an email derived from doc_id, docs % "
+    "5 a phone number) — both engines derive the identical augmented text, "
+    "so the regex counts and the scrubbed lengths are exact. Patterns stay "
+    "in the RE2-compatible subset (no lookahead) so Java regex and RE2 "
+    "agree; everything is JVM-side regexp — a narrow pipeline with zero "
+    "shuffles (the scan feeds the project feeds the result).",
+    oracle=r"""
+WITH aug AS (
+  SELECT doc_id,
+         text
+         || CASE WHEN doc_id % 3 = 0 THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com' ELSE '' END
+         || CASE WHEN doc_id % 5 = 0 THEN ' call 555-' || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0') || '-0199' ELSE '' END
+         AS t
+  FROM documents
+)
+SELECT doc_id,
+       CAST(len(regexp_extract_all(t, '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}')) AS INT) AS n_emails,
+       CAST(len(regexp_extract_all(t, '\b\d{3}-\d{3}-\d{4}\b')) AS INT) AS n_phones,
+       length(regexp_replace(regexp_replace(t, '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}', '<EMAIL>', 'g'), '\b\d{3}-\d{3}-\d{4}\b', '<PHONE>', 'g')) AS scrubbed_len
+FROM aug
+""",
+)
+def pii_scrub_audit_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from milan_spark.operators.text import pii_counts, scrub_pii
+
+    docs = table(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    email = F.when(
+        did % 3 == 0,
+        F.concat(F.lit(" contact user"), did.cast("string"), F.lit("@example.com")),
+    ).otherwise(F.lit(""))
+    phone = F.when(
+        did % 5 == 0,
+        F.concat(F.lit(" call 555-"), F.lpad((did % 1000).cast("string"), 3, "0"), F.lit("-0199")),
+    ).otherwise(F.lit(""))
+    aug = docs.select("doc_id", F.concat("text", email, phone).alias("t"))
+    n_em, n_ph = pii_counts("t")
+    return aug.select(
+        "doc_id",
+        n_em.alias("n_emails"),
+        n_ph.alias("n_phones"),
+        F.length(scrub_pii("t")).alias("scrubbed_len"),
+    )

@@ -249,3 +249,22 @@ def test_repetition_stats_counts(spark):
     # doc 1 trigrams: [go go go]x2 + [go go stop] -> top = 2 of 3
     assert out[1]["n_trigrams"] == 3 and out[1]["top_trigram_cnt"] == 2
     assert out[2]["top_bigram_cnt"] == 1 and out[2]["top_trigram_cnt"] == 1
+
+
+def test_pii_scrub_and_counts(spark):
+    from milan_spark.operators.text import pii_counts, scrub_pii
+
+    df = spark.createDataFrame(
+        [
+            (1, "mail me at jane.doe+x@mail.example.org or call 555-123-4567 now"),
+            (2, "no pii here"),
+            (3, "two mails a@b.io c.d@e-f.co and 999-999-9999"),
+        ],
+        "doc_id long, t string",
+    )
+    n_em, n_ph = pii_counts("t")
+    out = {r["doc_id"]: r for r in df.select("doc_id", n_em.alias("e"), n_ph.alias("p"), scrub_pii("t").alias("s")).collect()}
+    assert (out[1]["e"], out[1]["p"]) == (1, 1)
+    assert out[1]["s"] == "mail me at <EMAIL> or call <PHONE> now"
+    assert (out[2]["e"], out[2]["p"]) == (0, 0)
+    assert (out[3]["e"], out[3]["p"]) == (2, 1)
