@@ -809,3 +809,37 @@ def q19_disjunctive_predicate(spark: SparkSession, sf_dir: str) -> DataFrame:
             mf.agg_count().alias("n_lines"),
         )
     )
+
+
+@register(
+    "training_shuffle_order",
+    doc="Deterministic epoch shuffle for training-data layout: every "
+    "document gets its global position in hash order (a reproducible "
+    "permutation — stable under repartitioning and retries, unlike any "
+    "RNG shuffle) plus a round-robin shard. The global rank is NOT a "
+    "single-partition ROW_NUMBER: position = exclusive bucketed prefix "
+    "sum of 1 over order-aligned hash-range buckets (hash >> 22 is an "
+    "order prefix of the 2^30 hash), so the plan is one exchange + "
+    "parallel per-bucket windows + an O(buckets) offset window — the same "
+    "skew-proof machinery as pack_sequences, reused for ordering itself.",
+    oracle=f"""
+SELECT doc_id,
+       ROW_NUMBER() OVER (ORDER BY {_BUCKET.format(s="CAST(doc_id AS VARCHAR)", n=1073741824)}, doc_id) - 1 AS position,
+       CAST((ROW_NUMBER() OVER (ORDER BY {_BUCKET.format(s="CAST(doc_id AS VARCHAR)", n=1073741824)}, doc_id) - 1) % 8 AS BIGINT) AS shard
+FROM documents
+""",
+)
+def training_shuffle_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from milan_spark.operators.packing import bucketed_prefix_sum
+    from milan_spark.operators.sampling import hash_bucket
+
+    docs = table(spark, sf_dir, "documents").select("doc_id")
+    h = docs.withColumn("__h", hash_bucket("doc_id", 1_073_741_824))
+    ranked = bucketed_prefix_sum(
+        h,
+        F.lit(1).cast("long"),
+        ["__h", "doc_id"],
+        F.shiftright("__h", 22),
+        alias="position",
+    )
+    return ranked.select("doc_id", "position", (F.col("position") % 8).alias("shard"))

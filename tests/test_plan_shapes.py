@@ -257,3 +257,12 @@ def test_q19_common_conjuncts_pushed(spark):
     assert "l_quantity" in p.split("PushedFilters")[1][:400] or "GreaterThanOrEqual(l_quantity" in p
     assert "p_brand" in p
     assert n_nodes(p, "BroadcastHashJoin") == 1
+
+
+def test_training_shuffle_no_single_partition_data_window(spark):
+    # the global hash-order rank must come from per-bucket windows on a hash
+    # exchange; the only SinglePartition window is the O(buckets) offset
+    # cumsum over the tiny per-bucket totals aggregate
+    p = plan(q("training_shuffle_order", spark))
+    assert n_nodes(p, "Window") == 2
+    assert p.count("SinglePartition") == 1
