@@ -938,3 +938,111 @@ def pii_scrub_audit_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_ph.alias("n_phones"),
         F.length(scrub_pii("t")).alias("scrubbed_len"),
     )
+
+
+@register(
+    "web_curation_pipeline",
+    doc="FineWeb-style end-to-end curation flagship composing this round's "
+    "operators in the order a production web-corpus pipeline runs them: "
+    "(1) Gopher repetition gate (top-bigram frac < 0.05, top-trigram < "
+    "0.04; docs too short to have bigrams drop), (2) PII scrub of the "
+    "survivors, (3) benchmark decontamination (drop any doc sharing a "
+    "trigram with the doc_id%97 eval set, which is itself excluded), "
+    "(4) exact dedup on the SCRUBBED text (min-doc_id survivor), "
+    "(5) per-language audit of what remains. Plan: the gate is the "
+    "two-shuffle repetition aggregate joined back on doc_id; "
+    "decontamination is a broadcast semi-join (corpus never shuffles for "
+    "the match); dedup is one map-side-combinable groupBy on the scrubbed "
+    "text; the audit is one more tiny aggregate. The oracle re-derives "
+    "the ENTIRE pipeline as chained CTEs, so a break in any stage or in "
+    "stage ORDER breaks the hash match.",
+    oracle="""
+WITH t AS (
+  SELECT doc_id, lang, text, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+  FROM documents WHERE doc_id % 97 <> 0
+),
+g2 AS (SELECT doc_id, array_to_string(toks[r.i:r.i+1], ' ') AS gram
+       FROM t, range(512) r(i) WHERE r.i >= 1 AND r.i <= len(toks) - 1),
+g3 AS (SELECT doc_id, array_to_string(toks[r.i:r.i+2], ' ') AS gram
+       FROM t, range(512) r(i) WHERE r.i >= 1 AND r.i <= len(toks) - 2),
+c2 AS (SELECT doc_id, gram, COUNT(*) AS c FROM g2 GROUP BY doc_id, gram),
+c3 AS (SELECT doc_id, gram, COUNT(*) AS c FROM g3 GROUP BY doc_id, gram),
+s2 AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS nb, MAX(c) AS tb FROM c2 GROUP BY doc_id),
+s3 AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS nt, MAX(c) AS tt FROM c3 GROUP BY doc_id),
+gated AS (
+  SELECT t.doc_id, t.lang, t.text, t.toks
+  FROM t JOIN s2 ON t.doc_id = s2.doc_id LEFT JOIN s3 ON t.doc_id = s3.doc_id
+  WHERE CAST(s2.tb AS DOUBLE) / CAST(s2.nb AS DOUBLE) < 0.05
+    AND (s3.doc_id IS NULL OR CAST(s3.tt AS DOUBLE) / CAST(s3.nt AS DOUBLE) < 0.04)
+),
+bench AS (
+  SELECT DISTINCT array_to_string(toks[r.i:r.i+2], ' ') AS gram
+  FROM (SELECT regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+        FROM documents WHERE doc_id % 97 = 0) b, range(512) r(i)
+  WHERE r.i >= 1 AND r.i <= len(toks) - 2
+),
+contaminated AS (
+  SELECT DISTINCT g.doc_id
+  FROM (SELECT doc_id, array_to_string(toks[r.i:r.i+2], ' ') AS gram
+        FROM gated, range(512) r(i) WHERE r.i >= 1 AND r.i <= len(toks) - 2) g
+  WHERE g.gram IN (SELECT gram FROM bench)
+),
+clean AS (
+  SELECT doc_id, lang,
+         regexp_replace(regexp_replace(text,
+           '[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}', '<EMAIL>', 'g'),
+           '\\b\\d{3}-\\d{3}-\\d{4}\\b', '<PHONE>', 'g') AS scrubbed
+  FROM gated WHERE doc_id NOT IN (SELECT doc_id FROM contaminated)
+),
+dedup AS (
+  SELECT MIN(doc_id) AS doc_id, scrubbed, arg_min(lang, doc_id) AS lang
+  FROM clean GROUP BY scrubbed
+)
+SELECT lang, COUNT(*) AS n_docs,
+       CAST(SUM(len(regexp_extract_all(lower(scrubbed), '[a-z0-9]+'))) AS BIGINT) AS total_tokens
+FROM dedup GROUP BY lang
+""",
+)
+def web_curation_pipeline_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from milan_spark.operators.text import (
+        repetition_stats,
+        scrub_pii,
+        token_count,
+        word_ngrams,
+    )
+
+    docs = table(spark, sf_dir, "documents")
+    corpus = docs.filter(F.col("doc_id") % 97 != 0).select("doc_id", "lang", "text")
+
+    # (1) repetition gate
+    st = repetition_stats(corpus, "doc_id", "text")
+    bi = F.col("top_bigram_cnt").cast("double") / F.col("n_bigrams").cast("double")
+    tri = F.col("top_trigram_cnt").cast("double") / F.col("n_trigrams").cast("double")
+    keep_ids = st.filter(
+        (bi < 0.05) & ((F.col("n_trigrams") == 0) | (tri < 0.04))
+    ).select(F.col("__id").alias("doc_id"))
+    gated = corpus.join(keep_ids, "doc_id", "left_semi")
+
+    # (3) decontamination: any shared trigram with the eval set drops the doc
+    bench = (
+        docs.filter(F.col("doc_id") % 97 == 0)
+        .select(F.explode(word_ngrams("text", 3)).alias("gram"))
+        .distinct()
+    )
+    grams = gated.select("doc_id", F.explode(word_ngrams("text", 3)).alias("gram"))
+    contaminated = (
+        grams.join(F.broadcast(bench), "gram", "left_semi").select("doc_id").distinct()
+    )
+    decon = gated.join(F.broadcast(contaminated), "doc_id", "left_anti")
+
+    # (2) PII scrub of survivors, then (4) exact dedup on scrubbed text
+    clean = decon.select("doc_id", "lang", scrub_pii("text").alias("scrubbed"))
+    dedup = clean.groupBy("scrubbed").agg(
+        F.min("doc_id").alias("doc_id"), F.min_by("lang", "doc_id").alias("lang")
+    )
+
+    # (5) per-language audit
+    return dedup.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(token_count("scrubbed")).alias("total_tokens"),
+    )
