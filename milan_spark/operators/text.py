@@ -189,16 +189,24 @@ def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
 def word_ngrams(col, n: int) -> Column:
     """Array of space-joined word ``n``-grams over :func:`tokenize` tokens.
 
-    Guarded for short docs: fewer than ``n`` tokens yields an empty array
-    (``F.sequence(1, 0)`` would otherwise produce a DESCENDING sequence).
+    Guarded for short docs: fewer than ``n`` tokens yields an empty array.
     String grams (not hashes) so a DuckDB oracle can rebuild them verbatim
     with ``list_transform(range(...)) + list slicing``; hash-shingle paths
     for joins at corpus scale live in ``operators.dedup``.
+
+    Built by zip_with over ``n`` shifted slices (the ``_shingle_sets``
+    layout), NOT ``transform(sequence, i -> slice(toks, i, n))``: the
+    per-position slice is O(len), making that shape O(len²) per doc in
+    interpreted higher-order expressions — measured 4× slower on the
+    repetition queries at sf0.1.
     """
     toks = tokenize(col)
     m = F.array_size(toks) - (n - 1)
-    idx = F.when(m >= 1, F.sequence(F.lit(1), m)).otherwise(F.array().cast("array<int>"))
-    return F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i, n)))
+    acc = F.slice(toks, 1, m)
+    for j in range(1, n):
+        nxt = F.slice(toks, j + 1, m)
+        acc = F.zip_with(acc, nxt, lambda a, b: F.concat_ws(" ", a, b))
+    return F.when(m >= 1, acc).otherwise(F.array().cast("array<string>"))
 
 
 def repetition_stats(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
