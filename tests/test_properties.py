@@ -173,3 +173,27 @@ def test_ngram_jaccard_both_regimes_match_model(spark, corpus, thr):
     for cells in (0, 10**9):  # force sparse, then dense
         got = {tuple(r) for r in ngram_jaccard_pairs(df, "doc_id", "text", threshold=thr, dense_max_cells=cells).collect()}
         assert got == want
+
+
+token_texts = st.lists(
+    st.text(alphabet="ab1 .,", min_size=0, max_size=30), min_size=1, max_size=8
+)
+
+
+@given(texts=token_texts)
+@settings(**SETTINGS)
+def test_word_ngrams_matches_python_model(spark, texts):
+    import re
+
+    from milan_spark.operators.text import word_ngrams
+
+    df = spark.createDataFrame(list(enumerate(texts)), "doc_id long, text string")
+    for n in (2, 3):
+        got = {
+            r["doc_id"]: r["g"]
+            for r in df.select("doc_id", word_ngrams("text", n).alias("g")).collect()
+        }
+        for i, t in enumerate(texts):
+            toks = re.findall(r"[a-z0-9]+", t.lower())
+            want = [" ".join(toks[j : j + n]) for j in range(len(toks) - n + 1)]
+            assert got[i] == want, (t, n)
