@@ -81,3 +81,66 @@ def kmv_distinct(
         F.lit(float(k - 1)) * F.lit(float(P31)) / F.col("kth_min_hash")
     )
     return agg.withColumn("distinct_est", F.round(est, 4))
+
+
+def kmv_sketch(
+    df: DataFrame,
+    value_col: str,
+    *,
+    k: int = 256,
+    keys=(),
+) -> DataFrame:
+    """Per-group MERGEABLE sketch representation: keys + ``sketch`` — the
+    sorted array of the group's (up to) k smallest distinct hashes.
+
+    This is the form sketches ship between stages/datasets: k longs per
+    group regardless of group size. Same pipeline as :func:`kmv_distinct`
+    but keeps the hash set instead of collapsing to the k-th min.
+    """
+    key_list = list(keys)
+    h = _kmv_hash(F.col(value_col).cast("string"))
+    hashed = (
+        df.filter(F.col(value_col).isNotNull()).select(*key_list, h.alias("__h")).distinct()
+    )
+    if key_list:
+        ranked = hashed.withColumn(
+            "__rk", F.row_number().over(W.partitionBy(*key_list).orderBy("__h"))
+        )
+        topk = ranked.filter(F.col("__rk") <= k).drop("__rk")
+    else:
+        topk = hashed.orderBy("__h").limit(k)
+    return topk.groupBy(*key_list).agg(F.sort_array(F.collect_list("__h")).alias("sketch"))
+
+
+def kmv_merge(df: DataFrame, *, k: int, keys=()) -> DataFrame:
+    """Merge KMV sketches: union the hash sets, keep the k smallest, apply
+    the same estimator. KMV's merge is EXACT: the k smallest of a union are
+    a subset of the union of each side's k smallest, so
+    ``merge(sketch(A), sketch(B)) == sketch(A ∪ B)`` — the estimate from
+    merged sketches is bit-identical to re-scanning the union (the property
+    the oracle checks). ``df`` holds (keys..., sketch) rows; sketches of the
+    same output key group merge together. Each sketch is ≤ k longs, so the
+    explode+rank runs over O(groups × k) rows, never the raw data.
+    """
+    key_list = list(keys)
+    ex = df.select(*key_list, F.explode("sketch").alias("__h")).distinct()
+    if key_list:
+        ranked = ex.withColumn(
+            "__rk", F.row_number().over(W.partitionBy(*key_list).orderBy("__h"))
+        )
+        topk = ranked.filter(F.col("__rk") <= k)
+        grouped = topk.groupBy(*key_list)
+    else:
+        topk = ex.orderBy("__h").limit(k)
+        grouped = topk.groupBy()
+    agg = grouped.agg(
+        F.count(F.lit(1)).alias("n_hashes"),
+        F.max("__h").alias("kth_min_hash"),
+    )
+    est = F.when(
+        F.col("n_hashes") < k,
+        F.col("n_hashes").cast("double"),
+    ).otherwise(
+        F.lit(float(k - 1)) * F.lit(float(P31)) / F.col("kth_min_hash")
+    )
+    return agg.withColumn("distinct_est", F.round(est, 4))

@@ -453,3 +453,36 @@ def fuzzy_dedup_pipeline_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.when(F.col("__dup").isNull(), 1).otherwise(0)).alias("n_kept"),
         F.sum(F.when(F.col("__dup").isNull(), F.col("n_chars")).otherwise(0)).alias("kept_chars"),
     )
+
+
+@register(
+    "kmv_union_distinct_users",
+    doc="KMV sketch MERGE (operators.sketch.kmv_sketch/kmv_merge, k=64): "
+    "distinct click-or-view users estimated by merging the two per-type "
+    "sketches — never re-scanning the raw union. KMV merge is exact "
+    "(the k smallest hashes of a union are a subset of the union of each "
+    "side's k smallest), so the oracle computes the estimate FROM THE RAW "
+    "UNION and the hash match proves merge(sketch(A), sketch(B)) == "
+    "sketch(A ∪ B) bit-for-bit. This is the algebra that lets per-partition "
+    "/ per-day sketches roll up without touching data again at 100 TB.",
+    oracle=f"""
+WITH hashed AS (
+  SELECT DISTINCT {_SQL_KMV_HASH.format(s='user_id')} AS h
+  FROM events WHERE user_id IS NOT NULL AND event_type IN ('click', 'view')
+), ranked AS (
+  SELECT h, ROW_NUMBER() OVER (ORDER BY h) AS rk FROM hashed
+), agg AS (
+  SELECT COUNT(*) AS n_hashes, MAX(h) AS kth_min_hash FROM ranked WHERE rk <= 64
+)
+SELECT n_hashes, kth_min_hash,
+       round(CASE WHEN n_hashes < 64 THEN CAST(n_hashes AS DOUBLE)
+                  ELSE 63.0 * 2147483647.0 / kth_min_hash END, 4) AS distinct_est
+FROM agg
+""",
+)
+def kmv_union_distinct_users_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from milan_spark.operators.sketch import kmv_merge, kmv_sketch
+
+    ev = table(spark, sf_dir, "events").filter(F.col("event_type").isin("click", "view"))
+    per_type = kmv_sketch(ev, "user_id", k=64, keys=["event_type"])
+    return kmv_merge(per_type.drop("event_type"), k=64)

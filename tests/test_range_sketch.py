@@ -96,3 +96,16 @@ def test_kmv_ignores_nulls(spark):
     df = spark.createDataFrame(rows, "u string")
     row = kmv_distinct(df, "u", k=8).first()
     assert row["n_hashes"] == 8 and row["kth_min_hash"] is not None
+
+
+def test_kmv_merge_equals_sketch_of_union(spark):
+    from milan_spark.operators.sketch import kmv_distinct, kmv_merge, kmv_sketch
+
+    rows = [(i % 3, f"user{i % 40}") for i in range(200)]
+    df = spark.createDataFrame(rows, "grp int, uid string")
+    per_grp = kmv_sketch(df, "uid", k=16, keys=["grp"])
+    merged = kmv_merge(per_grp.drop("grp"), k=16).collect()[0]
+    direct = kmv_distinct(df, "uid", k=16).collect()[0]
+    assert merged["n_hashes"] == direct["n_hashes"]
+    assert merged["kth_min_hash"] == direct["kth_min_hash"]
+    assert merged["distinct_est"] == direct["distinct_est"]
