@@ -843,3 +843,130 @@ def training_shuffle_order(spark: SparkSession, sf_dir: str) -> DataFrame:
         alias="position",
     )
     return ranked.select("doc_id", "position", (F.col("position") % 8).alias("shard"))
+
+
+@register(
+    "q12_late_priority_lines",
+    doc="TPC-H Q12 shape (conditional aggregation over a fact-fact join): "
+    "lines shipped more than 45 days after their order date, classified by "
+    "return flag (the schema's stand-in for shipmode), counting high- vs "
+    "low-priority orders per class. Both sides shuffle once on orderkey "
+    "(orders projected to 2 columns before the exchange); the CASE "
+    "aggregation is map-side combinable, so the post-join groupBy on the "
+    "3-value flag is a few-row exchange. At 100 TB the late-shipment filter "
+    "cannot push below the join (it correlates both sides), but the narrow "
+    "projection keeps the shuffle payload minimal.",
+    oracle="""
+SELECT l.l_returnflag AS ship_class,
+       SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS high_line_count,
+       SUM(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS low_line_count
+FROM orders o, lineitem l
+WHERE o.o_orderkey = l.l_orderkey
+  AND l.l_shipdate > o.o_orderdate + INTERVAL 45 DAY
+GROUP BY l.l_returnflag
+""",
+)
+def q12_late_priority_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_returnflag", "l_shipdate")
+    orders = table(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate", "o_orderpriority")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .filter(F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 45 DAYS"))
+        .groupBy(F.col("l_returnflag").alias("ship_class"))
+        .agg(
+            mf.agg_sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            mf.agg_sum(F.when(high, 0).otherwise(1)).alias("low_line_count"),
+        )
+    )
+
+
+@register(
+    "q13_customer_order_distribution",
+    doc="TPC-H Q13 shape (left outer join + count + distribution-of-counts): "
+    "how many customers placed exactly N qualifying orders, including N=0. "
+    "Scale plan: the orders side is aggregated to (custkey, count) BEFORE "
+    "the outer join — the classic Q13 plan that joins raw orders to "
+    "customer and then groups pays a fan-out shuffle of every order row; "
+    "aggregating first means the join carries one row per active customer, "
+    "and the final distribution groupBy is a few-hundred-row exchange. "
+    "COALESCE(cnt, 0) reinstates never-ordered customers.",
+    oracle="""
+WITH per_cust AS (
+  SELECT c.c_custkey,
+         COALESCE(oc.cnt, 0) AS n_orders
+  FROM customer c
+  LEFT JOIN (
+    SELECT o_custkey, COUNT(*) AS cnt
+    FROM orders
+    WHERE o_orderpriority <> '4-NOT SPECIFIED'
+    GROUP BY o_custkey
+  ) oc ON oc.o_custkey = c.c_custkey
+)
+SELECT n_orders, COUNT(*) AS n_customers
+FROM per_cust
+GROUP BY n_orders
+""",
+)
+def q13_customer_order_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = table(spark, sf_dir, "customer").select("c_custkey")
+    oc = (
+        table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderpriority") != "4-NOT SPECIFIED")
+        .groupBy("o_custkey")
+        .agg(mf.agg_count().alias("cnt"))
+    )
+    return (
+        cust.join(oc, cust.c_custkey == oc.o_custkey, "left")
+        .select(F.coalesce(F.col("cnt"), F.lit(0)).alias("n_orders"))
+        .groupBy("n_orders")
+        .agg(mf.agg_count().alias("n_customers"))
+    )
+
+
+@register(
+    "q11_important_part_value",
+    doc="TPC-H Q11 shape (HAVING against a global scalar subquery): per-part "
+    "shipped value restricted to suppliers of five nations, keeping parts "
+    "whose value exceeds 1/1200 of the scoped total. The schema has no "
+    "partsupp table, so shipped lineitem value stands in for stock value — "
+    "the plan shape is identical: scope (broadcast semi-join on the "
+    "filtered supplier dim) → per-key decimal aggregate → 1-row total "
+    "re-aggregated from the per-key subtree (identical on both sides, so "
+    "Spark's ReuseExchange serves it from the first shuffle's output) → "
+    "broadcast compare, multiplied through (value·1200 > total) so the "
+    "threshold is DECIMAL-exact. The per-part aggregate is the only "
+    "full-fact shuffle.",
+    oracle="""
+WITH scoped AS (
+  SELECT l.l_partkey, CAST(l.l_extendedprice AS DECIMAL(18,6)) AS v
+  FROM lineitem l, supplier s
+  WHERE s.s_suppkey = l.l_suppkey AND s.s_nationkey IN (0, 5, 10, 15, 20)
+),
+per_part AS (
+  SELECT l_partkey, SUM(v) AS pv FROM scoped GROUP BY l_partkey
+),
+tot AS (SELECT SUM(pv) AS total_v FROM per_part)
+SELECT per_part.l_partkey, CAST(ROUND(pv, 2) AS DOUBLE) AS part_value
+FROM per_part, tot
+WHERE pv * 1200 > tot.total_v
+""",
+)
+def q11_important_part_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey", "l_extendedprice")
+    supp_keys = (
+        table(spark, sf_dir, "supplier")
+        .filter(F.col("s_nationkey").isin(0, 5, 10, 15, 20))
+        .select("s_suppkey")
+    )
+    per_part = (
+        li.join(F.broadcast(supp_keys), li.l_suppkey == supp_keys.s_suppkey, "semi")
+        .groupBy("l_partkey")
+        .agg(mf.agg_sum(F.col("l_extendedprice").cast(DEC)).alias("pv"))
+    )
+    tot = per_part.agg(mf.agg_sum(F.col("pv")).alias("total_v"))
+    return (
+        per_part.crossJoin(F.broadcast(tot))
+        .filter(F.col("pv") * 1200 > F.col("total_v"))
+        .select("l_partkey", F.round(F.col("pv"), 2).cast("double").alias("part_value"))
+    )

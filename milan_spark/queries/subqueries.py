@@ -252,3 +252,141 @@ def q21_sole_late_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("s_name")
         .agg(mf.agg_count().alias("numwait"))
     )
+
+
+@register(
+    "q2_min_cost_supplier",
+    doc="TPC-H Q2 shape (correlated MIN subquery → aggregate-then-join): for "
+    "each STANDARD small part, the supplier(s) from one region offering the "
+    "minimum supply cost. The schema has no partsupp table, so the observed "
+    "minimum line price per (part, supplier) pair stands in for supply cost "
+    "— the plan shape is Q2's exactly: the correlated "
+    "``cost = (SELECT MIN ...)`` decorrelates to a per-part MIN aggregate "
+    "joined back on (partkey, cost). Scale plan: the part filter prunes the "
+    "pair aggregate BEFORE both MINs via a broadcast semi-join (q17's "
+    "pruned-broadcast discipline — without it the pair aggregate would "
+    "shuffle every partkey at SF100), the region filter prunes the supplier "
+    "dim through the nation chain, and cost equality compares exact "
+    "DECIMALs, never floats.",
+    oracle="""
+WITH sel_part AS (
+  SELECT p_partkey, p_brand FROM part WHERE p_type = 'STANDARD' AND p_size <= 10
+),
+sel_supp AS (
+  SELECT s.s_suppkey, s.s_name, s.s_acctbal
+  FROM supplier s, nation n
+  WHERE n.n_nationkey = s.s_nationkey AND n.n_regionkey = 0
+),
+ps AS (
+  SELECT l.l_partkey, l.l_suppkey, MIN(CAST(l.l_extendedprice AS DECIMAL(18,6))) AS cost
+  FROM lineitem l
+  WHERE l.l_partkey IN (SELECT p_partkey FROM sel_part)
+    AND l.l_suppkey IN (SELECT s_suppkey FROM sel_supp)
+  GROUP BY l.l_partkey, l.l_suppkey
+),
+best AS (
+  SELECT l_partkey AS bk, MIN(cost) AS min_cost FROM ps GROUP BY l_partkey
+)
+SELECT p.p_partkey, p.p_brand, s.s_name, s.s_acctbal,
+       CAST(ps.cost AS DOUBLE) AS supply_cost
+FROM ps, best, sel_part p, sel_supp s
+WHERE ps.l_partkey = best.bk AND ps.cost = best.min_cost
+  AND p.p_partkey = ps.l_partkey
+  AND s.s_suppkey = ps.l_suppkey
+""",
+)
+def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey", "l_extendedprice")
+    part = (
+        table(spark, sf_dir, "part")
+        .filter((F.col("p_type") == "STANDARD") & (F.col("p_size") <= 10))
+        .select("p_partkey", "p_brand")
+    )
+    nation = table(spark, sf_dir, "nation").filter(F.col("n_regionkey") == 0)
+    supp = (
+        table(spark, sf_dir, "supplier")
+        .join(F.broadcast(nation), F.col("s_nationkey") == nation.n_nationkey, "semi")
+        .select("s_suppkey", "s_name", "s_acctbal")
+    )
+    ps = (
+        li.join(F.broadcast(part.select("p_partkey")), li.l_partkey == F.col("p_partkey"), "semi")
+        .join(F.broadcast(supp.select("s_suppkey")), li.l_suppkey == F.col("s_suppkey"), "semi")
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(mf.agg_min(F.col("l_extendedprice").cast(DEC)).alias("cost"))
+    )
+    best = ps.groupBy(F.col("l_partkey").alias("bk")).agg(mf.agg_min("cost").alias("min_cost"))
+    return (
+        ps.join(F.broadcast(best), (ps.l_partkey == F.col("bk")) & (ps.cost == F.col("min_cost")))
+        .join(F.broadcast(part), ps.l_partkey == part.p_partkey)
+        .join(F.broadcast(supp), ps.l_suppkey == supp.s_suppkey)
+        .select(
+            "p_partkey",
+            "p_brand",
+            "s_name",
+            "s_acctbal",
+            F.col("cost").cast("double").alias("supply_cost"),
+        )
+    )
+
+
+@register(
+    "q20_excess_share_suppliers",
+    doc="TPC-H Q20 shape (nested IN subqueries over a correlated aggregate → "
+    "pruned aggregates + semi-join chain): suppliers who shipped more than "
+    "half of a 'small'-named part's total 1996-97 volume (the partsupp "
+    "availability test of Q20, restated over shipped quantity). "
+    "Decorrelated: per-(part, supplier) quantity and per-part total are two "
+    "stacked aggregates over the SAME name-and-date-pruned scan (the second "
+    "reuses the first's exchange); the 'more than half' correlation is a "
+    "DECIMAL multiply-through compare (2·pair > total) after a broadcast "
+    "join of the per-part totals; qualifying suppkeys then semi-join the "
+    "supplier dim. The date+name filters push to the scan, so at SF100 the "
+    "only wide shuffle carries the pruned pair aggregate.",
+    oracle="""
+WITH scoped AS (
+  SELECT l.l_partkey, l.l_suppkey, CAST(l.l_quantity AS DECIMAL(18,6)) AS q
+  FROM lineitem l
+  WHERE l.l_shipdate >= TIMESTAMP '1996-01-01'
+    AND l.l_shipdate < TIMESTAMP '1998-01-01'
+    AND l.l_partkey IN (SELECT p_partkey FROM part WHERE p_name LIKE 'small%')
+),
+pair AS (
+  SELECT l_partkey, l_suppkey, SUM(q) AS pair_qty FROM scoped GROUP BY l_partkey, l_suppkey
+),
+tot AS (
+  SELECT l_partkey AS tk, SUM(pair_qty) AS part_qty FROM pair GROUP BY l_partkey
+)
+SELECT s.s_suppkey, s.s_name, s.s_nationkey
+FROM supplier s
+WHERE s.s_suppkey IN (
+  SELECT pair.l_suppkey FROM pair, tot
+  WHERE tot.tk = pair.l_partkey AND pair.pair_qty * 2 > tot.part_qty
+)
+""",
+)
+def q20_excess_share_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    small_parts = (
+        table(spark, sf_dir, "part").filter(F.col("p_name").like("small%")).select("p_partkey")
+    )
+    scoped = (
+        table(spark, sf_dir, "lineitem")
+        .filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+        )
+        .join(F.broadcast(small_parts), F.col("l_partkey") == F.col("p_partkey"), "semi")
+        .select("l_partkey", "l_suppkey", F.col("l_quantity").cast(DEC).alias("q"))
+    )
+    pair = scoped.groupBy("l_partkey", "l_suppkey").agg(mf.agg_sum("q").alias("pair_qty"))
+    tot = pair.groupBy(F.col("l_partkey").alias("tk")).agg(
+        mf.agg_sum("pair_qty").alias("part_qty")
+    )
+    excess = (
+        pair.join(F.broadcast(tot), pair.l_partkey == F.col("tk"))
+        .filter(F.col("pair_qty") * 2 > F.col("part_qty"))
+        .select("l_suppkey")
+    )
+    supp = table(spark, sf_dir, "supplier")
+    return supp.join(excess, supp.s_suppkey == excess.l_suppkey, "semi").select(
+        "s_suppkey", "s_name", "s_nationkey"
+    )
