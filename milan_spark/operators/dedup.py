@@ -485,3 +485,56 @@ def simhash_pairs(
         .filter(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")
     )
+
+
+def duplicate_passage_spans(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    *,
+    k: int = 5,
+) -> DataFrame:
+    """Cross-document duplicated-passage detection at k-token resolution —
+    the distributed counterpart of suffix-array ExactSubstr dedup (Lee et
+    al., "Deduplicating Training Data Makes Language Models Better", ACL'22
+    §3.1): a passage duplicated across documents shows up as a run of
+    consecutive k-shingle positions whose shingles each occur in more than
+    one document, and a run of length r marks an exact shared substring of
+    r+k-1 tokens.
+
+    Plan (three shuffles, all on uniform keys, no suffix array and no
+    driver state):
+    1. positional shingles: narrow projection + bounded explode (one row
+       per token position);
+    2. shared-shingle set: map-side-combinable count of DISTINCT doc ids
+       per shingle, kept where > 1 — shuffles shingle keys once;
+    3. membership: semi-join positions against shared shingles (same
+       shingle-keyed exchange), then one per-document window to fold
+       consecutive positions into runs (pos - row_number() grouping).
+
+    Returns (id, n_dup_positions, n_dup_runs, max_dup_span_tokens) for
+    documents containing at least one shared shingle.
+    """
+    from pyspark.sql import Window as W
+
+    from milan_spark.operators.text import word_ngrams
+
+    grams = df.select(
+        F.col(id_col).alias("__id"),
+        F.posexplode(word_ngrams(text_col, k)).alias("__pos", "__gram"),
+    )
+    shared = (
+        grams.groupBy("__gram")
+        .agg(F.count_distinct("__id").alias("__nd"))
+        .filter(F.col("__nd") > 1)
+        .select("__gram")
+    )
+    dup = grams.join(shared, "__gram", "left_semi")
+    w = W.partitionBy("__id").orderBy("__pos")
+    runs = dup.withColumn("__grp", F.col("__pos") - F.row_number().over(w))
+    run_sizes = runs.groupBy("__id", "__grp").agg(F.count(F.lit(1)).alias("__run"))
+    return run_sizes.groupBy("__id").agg(
+        F.sum("__run").alias("n_dup_positions"),
+        F.count(F.lit(1)).alias("n_dup_runs"),
+        (F.max("__run") + F.lit(k - 1)).alias("max_dup_span_tokens"),
+    ).withColumnRenamed("__id", id_col)

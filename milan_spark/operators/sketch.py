@@ -144,3 +144,55 @@ def kmv_merge(df: DataFrame, *, k: int, keys=()) -> DataFrame:
         F.lit(float(k - 1)) * F.lit(float(P31)) / F.col("kth_min_hash")
     )
     return agg.withColumn("distinct_est", F.round(est, 4))
+
+
+def _bloom_idx(col, base: int, m_bits: int):
+    # scrambled polynomial fold (see _kmv_hash: short-key folds are tiny and
+    # non-uniform; the multiplicative scramble equidistributes before % m)
+    return ((char_fold_hash(col, base, P31) * F.lit(_SCRAMBLE)) % F.lit(P31)) % F.lit(m_bits)
+
+
+def bloom_build(df: DataFrame, key_col: str, *, m_bits: int = 65536) -> DataFrame:
+    """Aggregate an m-bit Bloom filter over ``key_col`` into ONE row holding
+    a map<word_idx, word> of 32-bit words (stored in longs so every bit op
+    stays in non-negative int64 — portable to any SQL engine, no sign-bit
+    hazards).
+
+    Two portable polynomial hash functions (base-31/base-131 scrambled
+    folds) set 2 bits per key; the per-word ``bit_or`` aggregate is
+    map-side combinable, so the build is one narrow scan + an exchange of
+    at most m/32 rows regardless of input size. The result is a pure
+    function of the key SET — bit-for-bit reproducible across engines and
+    partitionings, unlike engine-native bloom aggregates whose layout is
+    implementation-defined.
+    """
+    k = F.col(key_col).cast("string")
+    idxs = df.select(
+        F.explode(F.array(_bloom_idx(k, 31, m_bits), _bloom_idx(k, 131, m_bits))).alias("__idx")
+    )
+    # shift amounts are columns, so go through call_function (the Python
+    # shiftleft/shiftright wrappers only accept int literals)
+    bit = F.call_function("shiftleft", F.lit(1).cast("long"), (F.col("__idx") % 32).cast("int"))
+    words = idxs.groupBy(F.shiftright("__idx", 5).cast("int").alias("w")).agg(
+        F.bit_or(bit).alias("bw")
+    )
+    return words.agg(
+        F.map_from_entries(F.collect_list(F.struct("w", "bw"))).alias("bloom")
+    )
+
+
+def bloom_member(key, bloom_col, *, m_bits: int = 65536):
+    """Membership test column for ``key`` against a :func:`bloom_build` map
+    (both hash bits set). Deterministic false positives at the standard
+    (1-e^(-2n/m))^2 rate; never a false negative."""
+    k = (F.col(key) if isinstance(key, str) else key).cast("string")
+    checks = []
+    for base in (31, 131):
+        i = _bloom_idx(k, base, m_bits)
+        word = F.coalesce(
+            F.element_at(bloom_col, F.call_function("shiftright", i, F.lit(5)).cast("int")),
+            F.lit(0),
+        )
+        bit = F.call_function("shiftleft", F.lit(1).cast("long"), (i % 32).cast("int"))
+        checks.append(word.bitwiseAND(bit) != 0)
+    return checks[0] & checks[1]

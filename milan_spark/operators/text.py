@@ -264,3 +264,55 @@ def scrub_pii(col) -> Column:
     return F.regexp_replace(
         F.regexp_replace(c, EMAIL_RE, "<EMAIL>"), PHONE_RE, "<PHONE>"
     )
+
+
+def collocations(
+    df: DataFrame,
+    text_col: str = "text",
+    *,
+    min_count: int = 5,
+    min_lift: tuple[int, int] = (5, 4),
+) -> DataFrame:
+    """Corpus-level collocation mining: bigrams whose observed frequency
+    beats independence by ``min_lift`` (lift = PMI without the log:
+    n_ab·N / (n_a·n_b) — same ranking, no transcendental function, so the
+    score is a single correctly-rounded IEEE division reproducible across
+    engines).
+
+    Scale shape: unigram and bigram counts are two map-side-combinable
+    aggregates; component counts attach to the (min_count-pruned) bigram
+    table by two joins keyed on a WORD — the key's join fan-out is the
+    number of distinct bigrams containing it (vocabulary-bounded, not
+    corpus-bounded), so stopword skew is capped and no broadcast of a
+    possibly-huge vocabulary is assumed. The independence test multiplies
+    through in DECIMAL(38,0) — exact for corpora up to ~10^19 tokens, far
+    past int64. ``min_lift`` is a rational (num, den) so the threshold
+    itself stays integer-exact.
+
+    Returns (gram, n_ab, n_a, n_b, lift) for surviving bigrams.
+    """
+    d38 = "decimal(38,0)"
+    toks = df.select(F.explode(tokenize(text_col)).alias("w"))
+    uni = toks.groupBy("w").agg(F.count(F.lit(1)).alias("n_w"))
+    total = toks.agg(F.count(F.lit(1)).alias("n_total"))
+    big = (
+        df.select(F.explode(word_ngrams(text_col, 2)).alias("gram"))
+        .groupBy("gram")
+        .agg(F.count(F.lit(1)).alias("n_ab"))
+        .filter(F.col("n_ab") >= min_count)
+        .withColumn("w1", F.split_part(F.col("gram"), F.lit(" "), F.lit(1)))
+        .withColumn("w2", F.split_part(F.col("gram"), F.lit(" "), F.lit(2)))
+    )
+    a = uni.select(F.col("w").alias("w1"), F.col("n_w").alias("n_a"))
+    b = uni.select(F.col("w").alias("w2"), F.col("n_w").alias("n_b"))
+    joined = big.join(a, "w1").join(b, "w2").crossJoin(F.broadcast(total))
+    lift_num = F.col("n_ab").cast(d38) * F.col("n_total").cast(d38)
+    lift_den = F.col("n_a").cast(d38) * F.col("n_b").cast(d38)
+    lift = (F.col("n_ab").cast("double") * F.col("n_total").cast("double")) / (
+        F.col("n_a").cast("double") * F.col("n_b").cast("double")
+    )
+    num, den = min_lift
+    return (
+        joined.filter(F.lit(den).cast(d38) * lift_num > F.lit(num).cast(d38) * lift_den)
+        .select("gram", "n_ab", "n_a", "n_b", lift.alias("lift"))
+    )

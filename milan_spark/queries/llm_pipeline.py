@@ -1046,3 +1046,104 @@ def web_curation_pipeline_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_docs"),
         F.sum(token_count("scrubbed")).alias("total_tokens"),
     )
+
+
+@register(
+    "doc_chunking",
+    doc="Sliding token-window chunking (window 64, stride 48 — the standard "
+    "pre-embedding / pre-packing step): one row per chunk with its index, "
+    "text, and token count. The whole plan is a narrow projection + bounded "
+    "explode — ZERO shuffles; chunk rows inherit the scan partitioning, so "
+    "at 100 TB this pipelines straight into pack_sequences or an embedding "
+    "stage without an exchange. Work per doc is O(n_tokens·window/stride) "
+    "via one slice per stride position (no quadratic re-scan); fan-out is "
+    "ceil(n/stride) rows ≤ window tokens each — output is a constant "
+    "factor of input, never quadratic.",
+    oracle="""
+WITH t AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks FROM documents
+)
+SELECT doc_id,
+       CAST((r.i - 1) / 48 AS BIGINT) AS chunk_idx,
+       array_to_string(toks[r.i:r.i+63], ' ') AS chunk_text,
+       CAST(least(64, len(toks) - r.i + 1) AS INT) AS n_chunk_tokens
+FROM t, range(1, 1024, 48) r(i)
+WHERE r.i <= len(toks)
+""",
+)
+def doc_chunking_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from milan_spark.operators.chunking import chunk_tokens
+
+    docs = table(spark, sf_dir, "documents")
+    return chunk_tokens(docs, "doc_id", "text", window=64, stride=48)
+
+
+@register(
+    "collocation_pmi",
+    doc="Collocation mining (lift = PMI without the log — identical ranking, "
+    "no transcendental so both engines agree bit-for-bit): bigrams seen ≥5 "
+    "times whose frequency beats word-independence by the rational "
+    "threshold 5/4 (multiplied through, integer-exact). Two map-side-"
+    "combinable count aggregates; component counts join onto the pruned "
+    "bigram table keyed on words — fan-out per word is its DISTINCT-bigram "
+    "count (vocabulary-bounded, so stopword skew is capped and nothing "
+    "assumes a broadcastable vocabulary); the independence test multiplies "
+    "through in DECIMAL(38,0), exact past int64 for 100 TB token counts.",
+    oracle="""
+WITH t AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks FROM documents
+),
+w AS (SELECT unnest(toks) AS w FROM t),
+uni AS (SELECT w, COUNT(*) AS n_w FROM w GROUP BY w),
+total AS (SELECT COUNT(*) AS n_total FROM w),
+big AS (
+  SELECT array_to_string(toks[r.i:r.i+1], ' ') AS gram
+  FROM t, range(1, 1024, 1) r(i) WHERE r.i <= len(toks) - 1
+),
+bc AS (SELECT gram, COUNT(*) AS n_ab FROM big GROUP BY gram HAVING COUNT(*) >= 5)
+SELECT bc.gram, bc.n_ab, a.n_w AS n_a, b.n_w AS n_b,
+       (CAST(bc.n_ab AS DOUBLE) * CAST(total.n_total AS DOUBLE))
+         / (CAST(a.n_w AS DOUBLE) * CAST(b.n_w AS DOUBLE)) AS lift
+FROM bc, uni a, uni b, total
+WHERE a.w = split_part(bc.gram, ' ', 1)
+  AND b.w = split_part(bc.gram, ' ', 2)
+  AND 4 * CAST(bc.n_ab AS HUGEINT) * CAST(total.n_total AS HUGEINT)
+      > 5 * CAST(a.n_w AS HUGEINT) * CAST(b.n_w AS HUGEINT)
+""",
+)
+def collocation_pmi_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    return T.collocations(docs, "text", min_count=5, min_lift=(5, 4))
+
+
+@register(
+    "duplicate_passage_spans",
+    doc="Cross-document duplicated-passage spans at 5-gram resolution — the "
+    "distributed counterpart of suffix-array ExactSubstr dedup (Lee et al. "
+    "ACL'22): runs of consecutive positions whose 5-shingles each appear "
+    "in >1 document mark exact shared substrings of run+4 tokens. Three "
+    "uniform-key shuffles (shingle count, shingle semi-join, per-doc run "
+    "window) — no suffix array, no driver state; see "
+    "operators.dedup.duplicate_passage_spans.",
+    oracle="""
+WITH t AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks FROM documents
+),
+g AS (
+  SELECT doc_id, r.i AS pos, array_to_string(toks[r.i:r.i+4], ' ') AS gram
+  FROM t, range(1, 1024, 1) r(i) WHERE r.i <= len(toks) - 4
+),
+shared AS (SELECT gram FROM g GROUP BY gram HAVING COUNT(DISTINCT doc_id) > 1),
+d AS (SELECT doc_id, pos FROM g WHERE gram IN (SELECT gram FROM shared)),
+runs AS (
+  SELECT doc_id, pos - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY pos) AS grp FROM d
+),
+rs AS (SELECT doc_id, grp, COUNT(*) AS run FROM runs GROUP BY doc_id, grp)
+SELECT doc_id, SUM(run) AS n_dup_positions, COUNT(*) AS n_dup_runs,
+       MAX(run) + 4 AS max_dup_span_tokens
+FROM rs GROUP BY doc_id
+""",
+)
+def duplicate_passage_spans_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    return D.duplicate_passage_spans(docs, "doc_id", "text", k=5)
