@@ -637,7 +637,12 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     supp = table(spark, sf_dir, "supplier")
     price = F.col("l_extendedprice").cast(DEC)
     disc = F.col("l_discount").cast(DEC)
-    rev = li.groupBy("l_suppkey").agg(mf.agg_sum(price * (F.lit(1) - disc)).alias("total"))
+    # the per-supplier aggregate feeds both the max-scalar and the final
+    # compare; persist it (small: one row per supplier) instead of paying a
+    # second fact scan — exchange reuse does not fire across the two uses
+    rev = li.groupBy("l_suppkey").agg(
+        mf.agg_sum(price * (F.lit(1) - disc)).alias("total")
+    ).persist()
     top = rev.agg(F.max("total").alias("max_total"))
     return (
         rev.crossJoin(F.broadcast(top))
@@ -931,9 +936,10 @@ def q13_customer_order_distribution(spark: SparkSession, sf_dir: str) -> DataFra
     "whose value exceeds 1/1200 of the scoped total. The schema has no "
     "partsupp table, so shipped lineitem value stands in for stock value — "
     "the plan shape is identical: scope (broadcast semi-join on the "
-    "filtered supplier dim) → per-key decimal aggregate → 1-row total "
-    "re-aggregated from the per-key subtree (identical on both sides, so "
-    "Spark's ReuseExchange serves it from the first shuffle's output) → "
+    "filtered supplier dim) → per-key decimal aggregate (persisted: it "
+    "feeds both the 1-row total and the final compare, and measured plans "
+    "showed exchange reuse does NOT fire across the two uses — without the "
+    "persist each use re-scans the fact table) → "
     "broadcast compare, multiplied through (value·1200 > total) so the "
     "threshold is DECIMAL-exact. The per-part aggregate is the only "
     "full-fact shuffle.",
@@ -964,6 +970,8 @@ def q11_important_part_value(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("l_partkey")
         .agg(mf.agg_sum(F.col("l_extendedprice").cast(DEC)).alias("pv"))
     )
+    per_part = per_part.persist()  # both the total and the compare read it;
+    # without the persist each use re-scans the fact table (no exchange reuse)
     tot = per_part.agg(mf.agg_sum(F.col("pv")).alias("total_v"))
     return (
         per_part.crossJoin(F.broadcast(tot))

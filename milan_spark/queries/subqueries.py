@@ -314,6 +314,8 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("l_partkey", "l_suppkey")
         .agg(mf.agg_min(F.col("l_extendedprice").cast(DEC)).alias("cost"))
     )
+    ps = ps.persist()  # feeds both the per-part MIN and the equality join;
+    # one row per (part, supplier) pair — cheap to hold, saves a fact re-scan
     best = ps.groupBy(F.col("l_partkey").alias("bk")).agg(mf.agg_min("cost").alias("min_cost"))
     return (
         ps.join(F.broadcast(best), (ps.l_partkey == F.col("bk")) & (ps.cost == F.col("min_cost")))
@@ -336,8 +338,10 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     "half of a 'small'-named part's total 1996-97 volume (the partsupp "
     "availability test of Q20, restated over shipped quantity). "
     "Decorrelated: per-(part, supplier) quantity and per-part total are two "
-    "stacked aggregates over the SAME name-and-date-pruned scan (the second "
-    "reuses the first's exchange); the 'more than half' correlation is a "
+    "stacked aggregates over the SAME name-and-date-pruned scan (the pair "
+    "aggregate is persisted — it feeds both the total and the share "
+    "compare, and exchange reuse does not fire across the two uses); the "
+    "'more than half' correlation is a "
     "DECIMAL multiply-through compare (2·pair > total) after a broadcast "
     "join of the per-part totals; qualifying suppkeys then semi-join the "
     "supplier dim. The date+name filters push to the scan, so at SF100 the "
@@ -377,7 +381,9 @@ def q20_excess_share_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(small_parts), F.col("l_partkey") == F.col("p_partkey"), "semi")
         .select("l_partkey", "l_suppkey", F.col("l_quantity").cast(DEC).alias("q"))
     )
-    pair = scoped.groupBy("l_partkey", "l_suppkey").agg(mf.agg_sum("q").alias("pair_qty"))
+    pair = scoped.groupBy("l_partkey", "l_suppkey").agg(
+        mf.agg_sum("q").alias("pair_qty")
+    ).persist()  # read by both the per-part total and the share compare
     tot = pair.groupBy(F.col("l_partkey").alias("tk")).agg(
         mf.agg_sum("pair_qty").alias("part_qty")
     )
