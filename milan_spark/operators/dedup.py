@@ -523,10 +523,14 @@ def duplicate_passage_spans(
         F.col(id_col).alias("__id"),
         F.posexplode(word_ngrams(text_col, k)).alias("__pos", "__gram"),
     )
+    # "appears in >1 distinct doc" as min(id) != max(id): min/max partials
+    # are two longs per gram through the map-side combine, where a
+    # count_distinct partial carries the whole per-gram id SET into the
+    # exchange (measured 20% slower warm, 3x slower cold at sf0.1)
     shared = (
         grams.groupBy("__gram")
-        .agg(F.count_distinct("__id").alias("__nd"))
-        .filter(F.col("__nd") > 1)
+        .agg(F.min("__id").alias("__mn"), F.max("__id").alias("__mx"))
+        .filter(F.col("__mn") != F.col("__mx"))
         .select("__gram")
     )
     dup = grams.join(shared, "__gram", "left_semi")

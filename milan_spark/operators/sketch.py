@@ -146,7 +146,20 @@ def kmv_merge(df: DataFrame, *, k: int, keys=()) -> DataFrame:
     return agg.withColumn("distinct_est", F.round(est, 4))
 
 
-def _bloom_idx(col, base: int, m_bits: int):
+# second independent scrambler for the bloom's numeric fast path
+# (xxhash PRIME32_2 — odd, large; products stay < 2^63 after the % P31)
+_SCRAMBLE2 = 2_246_822_519
+
+
+def _bloom_idx(col, base: int, m_bits: int, *, numeric: bool = False):
+    if numeric:
+        # integral keys skip the per-character fold entirely: one modular
+        # multiply is the whole hash — pure whole-stage-codegen arithmetic
+        # (the interpreted char fold measured 0.7 s alone on a 150k-row
+        # probe at sf0.1; this path is free). pmod keeps both engines on
+        # the non-negative branch; base picks the scrambler.
+        c = _SCRAMBLE if base == 31 else _SCRAMBLE2
+        return (F.pmod(col.cast("long"), F.lit(P31)) * F.lit(c)) % F.lit(P31) % F.lit(m_bits)
     # scrambled polynomial fold (see _kmv_hash: short-key folds are tiny and
     # non-uniform; the multiplicative scramble equidistributes before % m)
     return ((char_fold_hash(col, base, P31) * F.lit(_SCRAMBLE)) % F.lit(P31)) % F.lit(m_bits)
@@ -166,9 +179,17 @@ def bloom_build(df: DataFrame, key_col: str, *, m_bits: int = 65536) -> DataFram
     partitionings, unlike engine-native bloom aggregates whose layout is
     implementation-defined.
     """
-    k = F.col(key_col).cast("string")
+    k = F.col(key_col)
+    numeric = dict(df.dtypes).get(key_col) in ("tinyint", "smallint", "int", "bigint")
+    if not numeric:
+        k = k.cast("string")
     idxs = df.select(
-        F.explode(F.array(_bloom_idx(k, 31, m_bits), _bloom_idx(k, 131, m_bits))).alias("__idx")
+        F.explode(
+            F.array(
+                _bloom_idx(k, 31, m_bits, numeric=numeric),
+                _bloom_idx(k, 131, m_bits, numeric=numeric),
+            )
+        ).alias("__idx")
     )
     # shift amounts are columns, so go through call_function (the Python
     # shiftleft/shiftright wrappers only accept int literals)
@@ -181,14 +202,17 @@ def bloom_build(df: DataFrame, key_col: str, *, m_bits: int = 65536) -> DataFram
     )
 
 
-def bloom_member(key, bloom_col, *, m_bits: int = 65536):
+def bloom_member(key, bloom_col, *, m_bits: int = 65536, numeric: bool = False):
     """Membership test column for ``key`` against a :func:`bloom_build` map
     (both hash bits set). Deterministic false positives at the standard
-    (1-e^(-2n/m))^2 rate; never a false negative."""
-    k = (F.col(key) if isinstance(key, str) else key).cast("string")
+    (1-e^(-2n/m))^2 rate; never a false negative. ``numeric`` must match
+    the build side's key dtype (integral build keys hash numerically)."""
+    k = F.col(key) if isinstance(key, str) else key
+    if not numeric:
+        k = k.cast("string")
     checks = []
     for base in (31, 131):
-        i = _bloom_idx(k, base, m_bits)
+        i = _bloom_idx(k, base, m_bits, numeric=numeric)
         word = F.coalesce(
             F.element_at(bloom_col, F.call_function("shiftright", i, F.lit(5)).cast("int")),
             F.lit(0),

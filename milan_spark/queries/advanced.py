@@ -488,11 +488,14 @@ def kmv_union_distinct_users_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kmv_merge(per_type.drop("event_type"), k=64)
 
 
+# numeric-key bloom hash: one scrambled modular multiply per hash function
+# (matches operators.sketch._bloom_idx numeric=True; scramblers 2654435761 /
+# 2246822519 for base 31 / 131)
 _SQL_BLOOM_IDX = (
-    "((list_reduce(list_transform(regexp_extract_all(CAST({s} AS VARCHAR), '.'),"
-    " c -> CAST(ascii(c) AS BIGINT)), (a, c) -> (a * {base} + c) % 2147483647)"
-    " * 2654435761) % 2147483647) % 65536"
+    "((((CAST({s} AS BIGINT) % 2147483647) + 2147483647) % 2147483647"
+    " * {scramble}) % 2147483647) % 65536"
 )
+_BLOOM_SCRAMBLE = {31: 2654435761, 131: 2246822519}
 
 
 @register(
@@ -502,7 +505,9 @@ _SQL_BLOOM_IDX = (
     "over the filtered build side (map-side-combinable bit_or — at most "
     "m/32 rows cross the exchange however large the build input), "
     "broadcast as ONE map row, probed fact-side with pure int64 bit "
-    "algebra. The audit compares bloom passes against the exact semi-join: "
+    "algebra (integral keys hash by one scrambled modular multiply — "
+    "whole-stage codegen, no per-character fold on the hot path). "
+    "The audit compares bloom passes against the exact semi-join: "
     "n_false_pos quantifies the (deterministic, portable-hash) FP rate. "
     "At 100 TB this is the shuffle-avoidance primitive for selective "
     "joins: ship 8 KB instead of re-partitioning the fact table; rows "
@@ -513,8 +518,8 @@ _SQL_BLOOM_IDX = (
     oracle=f"""
 WITH sel AS (SELECT c_custkey FROM customer WHERE c_acctbal > 4000),
 idx AS (
-  SELECT unnest([{_SQL_BLOOM_IDX.format(s='c_custkey', base=31)},
-                 {_SQL_BLOOM_IDX.format(s='c_custkey', base=131)}]) AS i
+  SELECT unnest([{_SQL_BLOOM_IDX.format(s='c_custkey', scramble=_BLOOM_SCRAMBLE[31])},
+                 {_SQL_BLOOM_IDX.format(s='c_custkey', scramble=_BLOOM_SCRAMBLE[131])}]) AS i
   FROM sel
 ),
 words AS (
@@ -523,8 +528,8 @@ words AS (
 ),
 probe AS (
   SELECT o_orderkey, o_custkey,
-         {_SQL_BLOOM_IDX.format(s='o_custkey', base=31)} AS i1,
-         {_SQL_BLOOM_IDX.format(s='o_custkey', base=131)} AS i2
+         {_SQL_BLOOM_IDX.format(s='o_custkey', scramble=_BLOOM_SCRAMBLE[31])} AS i1,
+         {_SQL_BLOOM_IDX.format(s='o_custkey', scramble=_BLOOM_SCRAMBLE[131])} AS i2
   FROM orders
 ),
 checked AS (
@@ -552,7 +557,7 @@ def bloom_prefilter_join_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact_keys = cust.select("c_custkey").distinct()
     checked = (
         orders.crossJoin(F.broadcast(bloom))
-        .withColumn("__pass", bloom_member("o_custkey", F.col("bloom"), m_bits=65536))
+        .withColumn("__pass", bloom_member("o_custkey", F.col("bloom"), m_bits=65536, numeric=True))
         .join(F.broadcast(exact_keys), F.col("o_custkey") == F.col("c_custkey"), "left")
         .withColumn("__exact", F.col("c_custkey").isNotNull())
     )
@@ -565,4 +570,32 @@ def bloom_prefilter_join_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.when(F.col("__pass") & ~F.col("__exact"), one).otherwise(zero)).alias(
             "n_false_pos"
         ),
+    )
+
+
+@register(
+    "orc_roundtrip",
+    doc="ORC write → read round-trip: the second columnar format next to "
+    "parquet (reference analog: the pluggable DataOutputFormat/"
+    "DataInputFormat pair, dataformats/CsvDataOutputFormat.scala:1 — Milan "
+    "has no columnar format at all). Timestamps, longs, and doubles "
+    "survive ORC's type system exactly; the aggregate proves value "
+    "fidelity against the original table.",
+    oracle="""
+SELECT event_type, COUNT(*) AS n,
+       CAST(SUM(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS cents,
+       MIN(ts) AS first_ts, MAX(ts) AS last_ts
+FROM events GROUP BY 1
+""",
+)
+def orc_roundtrip_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events").select("event_id", "event_type", "value", "ts")
+    out = tempfile.mkdtemp(prefix="milan_orc_")
+    Stream.from_dataframe(ev).write_file(out, fmt="orc")
+    back = file_source(spark, out, fmt="orc")
+    return back.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.floor(F.col("value") * 100 + 0.5).cast("long")).alias("cents"),
+        F.min("ts").alias("first_ts"),
+        F.max("ts").alias("last_ts"),
     )

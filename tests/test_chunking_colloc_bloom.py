@@ -96,7 +96,7 @@ def test_bloom_no_false_negatives_and_exact_fp_audit(spark):
     bloom = bloom_build(build, "k", m_bits=4096)
     probe = spark.range(0, 2000).select(F.col("id").alias("k"))
     checked = probe.crossJoin(F.broadcast(bloom)).select(
-        "k", bloom_member("k", F.col("bloom"), m_bits=4096).alias("hit")
+        "k", bloom_member("k", F.col("bloom"), m_bits=4096, numeric=True).alias("hit")
     )
     rows = {r.k: r.hit for r in checked.collect()}
     # every build key passes (no false negatives)

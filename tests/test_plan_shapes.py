@@ -266,3 +266,63 @@ def test_training_shuffle_no_single_partition_data_window(spark):
     p = plan(q("training_shuffle_order", spark))
     assert n_nodes(p, "Window") == 2
     assert p.count("SinglePartition") == 1
+
+
+def test_q2_pair_agg_pruned_by_both_semi_joins(spark):
+    p = plan(q("q2_min_cost_supplier", spark))
+    # both dim prunes reach the pair aggregate as broadcast semi joins
+    # BEFORE the groupBy (LeftSemi variants of the broadcast join)
+    assert p.count("BroadcastHashJoin") >= 4  # 2 semi prunes + best/part/supp attach
+    assert "LeftSemi" in p
+    assert "SortMergeJoin" not in p
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+
+
+def test_q11_per_part_aggregate_cached_not_rescanned(spark):
+    df = q("q11_important_part_value", spark)
+    p = plan(df)
+    # the persisted per-part aggregate appears as InMemoryRelation; the
+    # 1-row total rides a broadcast into the compare
+    assert "InMemoryTableScan" in p or "InMemoryRelation" in p
+    assert "BroadcastNestedLoopJoin" in p or "BroadcastExchange" in p
+
+
+def test_q12_narrow_projections_into_orderkey_exchange(spark):
+    p = plan(q("q12_late_priority_lines", spark))
+    # orders side carries only the 3 referenced columns to the join
+    assert "o_totalprice" not in p and "o_custkey" not in p
+    # the conditional aggregation combines map-side
+    assert "partial_sum" in p
+
+
+def test_q13_orders_aggregated_before_outer_join(spark):
+    p = plan(q("q13_customer_order_distribution", spark), "formatted")
+    # the count-per-customer aggregate sits BELOW (= deeper than, printed
+    # after) the outer join — orders are pre-aggregated, never fanned out
+    # through the join; the aggregated side is small enough to broadcast
+    tree = p.split("\n\n")[0]
+    join_pos = tree.find("BroadcastHashJoin LeftOuter")
+    assert join_pos != -1
+    assert tree.rfind("HashAggregate") > join_pos
+
+
+def test_q20_share_compare_stays_jvm_side(spark):
+    p = plan(q("q20_excess_share_suppliers", spark))
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+    # name+date prune pushed to the lineitem scan
+    assert "PushedFilters" in p and "l_shipdate" in p
+    assert "LeftSemi" in p
+
+
+def test_doc_chunking_zero_exchanges(spark):
+    p = plan(q("doc_chunking", spark))
+    assert n_nodes(p, "Exchange") == 0
+    assert "Generate" in p  # the bounded explode
+
+
+def test_bloom_probe_is_broadcast_only(spark):
+    p = plan(q("bloom_prefilter_join", spark))
+    # the 1-row bloom map and the exact key set both broadcast; the fact
+    # side never shuffles before the audit aggregate
+    assert "SortMergeJoin" not in p
+    assert "BroadcastNestedLoopJoin" in p or "BroadcastHashJoin" in p

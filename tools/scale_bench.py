@@ -51,6 +51,13 @@ QUERIES = [
     "dedup_clusters",
     "embedding_near_dup",
     "pack_sequences_512",
+    # round-4 additions over the documents table (replica-disjoint scaling:
+    # shared shingles stay within-replica, so passage spans scale exactly R×;
+    # collocation lift INFLATES R× by construction — n_ab·N grows R² while
+    # n_a·n_b stays put — which only grows the output, not the plan shape)
+    "duplicate_passage_spans",
+    "collocation_pmi",
+    "doc_chunking",
 ]
 
 _ALPHA = "abcdefghijklmnopqrstuvwxyz"
