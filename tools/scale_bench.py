@@ -110,6 +110,62 @@ def build_scaled(spark, base: str, out: str, replicas: int) -> None:
     )
 
 
+TPCH_QUERIES = [
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q9_product_type_profit",
+    "q13_customer_order_distribution",
+    "q18_large_volume_orders",
+    "q21_sole_late_supplier",
+]
+
+
+def build_scaled_tpch(spark, base: str, out: str, replicas: int) -> None:
+    """Weak-scale the RELATIONAL fact tables: lineitem and orders replicate
+    R times with orderkeys shifted by replica (disjoint key ranges, so join
+    fan-outs and per-order aggregates stay replica-local and scale exactly
+    R×); dimensions (customer/supplier/part/nation/region) and the events
+    stream copy through unchanged — the classic weak-scaling setup where
+    history grows against a fixed entity universe. Every per-entity
+    aggregate (q13 counts, q18 order totals) sees R× rows per entity; every
+    per-order shape (q3, q21) sees R× independent orders.
+    """
+    from pyspark.sql import functions as F
+
+    if os.path.exists(out):
+        shutil.rmtree(out)
+    os.makedirs(out)
+    rep = F.explode(F.sequence(F.lit(0), F.lit(replicas - 1))).alias("__rep")
+
+    orders = spark.read.parquet(f"{base}/orders.parquet")
+    off = int(orders.agg(F.max("o_orderkey")).first()[0]) + 1
+    (
+        orders.select("*", rep)
+        .select(
+            (F.col("o_orderkey") + F.col("__rep") * off).alias("o_orderkey"),
+            "o_custkey",
+            "o_orderstatus",
+            "o_totalprice",
+            "o_orderdate",
+            "o_orderpriority",
+        )
+        .repartition(32)
+        .write.parquet(f"{out}/orders.parquet")
+    )
+    li = spark.read.parquet(f"{base}/lineitem.parquet")
+    (
+        li.select("*", rep)
+        .select(
+            (F.col("l_orderkey") + F.col("__rep") * off).alias("l_orderkey"),
+            *[c for c in li.columns if c != "l_orderkey"],
+        )
+        .repartition(32)
+        .write.parquet(f"{out}/lineitem.parquet")
+    )
+    for t in ("customer", "supplier", "part", "nation", "region", "events"):
+        spark.read.parquet(f"{base}/{t}.parquet").write.parquet(f"{out}/{t}.parquet")
+
+
 def measure_one(sf_dir: str, name: str, passes: int) -> None:
     from milan_spark.catalog import queries
     from milan_spark.session import get_spark, release_cached
@@ -152,6 +208,9 @@ def main() -> None:
     if len(sys.argv) > 1 and sys.argv[1] == "--one":
         measure_one(sys.argv[2], sys.argv[3], int(sys.argv[4]))
         return
+    tpch = len(sys.argv) > 1 and sys.argv[1] == "--tpch"
+    if tpch:
+        sys.argv.pop(1)
     replicas = int(sys.argv[1]) if len(sys.argv) > 1 else 10
     base = sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.1"
     passes = int(os.environ.get("SCALE_BENCH_PASSES", "2"))
@@ -160,7 +219,13 @@ def main() -> None:
     from milan_spark.session import get_spark, release_cached
 
     gen = get_spark("milan_scale_gen")
-    build_scaled(gen, base, out_dir, replicas)
+    if tpch:
+        global QUERIES
+        QUERIES = TPCH_QUERIES
+        out_dir = f"/tmp/milan_scale_tpch{replicas}x"
+        build_scaled_tpch(gen, base, out_dir, replicas)
+    else:
+        build_scaled(gen, base, out_dir, replicas)
     gen.stop()  # free the generator JVM before the measured subprocesses
     base_t = time_queries(base, passes)
     scaled_t = time_queries(out_dir, passes)
