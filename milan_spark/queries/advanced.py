@@ -542,9 +542,9 @@ checked AS (
   LEFT JOIN words w2 ON w2.w = p.i2 // 32
 )
 SELECT COUNT(*) AS n_probe,
-       SUM(CASE WHEN pass THEN 1 ELSE 0 END) AS n_pass_bloom,
-       SUM(CASE WHEN exact THEN 1 ELSE 0 END) AS n_exact,
-       SUM(CASE WHEN pass AND NOT exact THEN 1 ELSE 0 END) AS n_false_pos
+       CAST(SUM(CASE WHEN pass THEN 1 ELSE 0 END) AS BIGINT) AS n_pass_bloom,
+       CAST(SUM(CASE WHEN exact THEN 1 ELSE 0 END) AS BIGINT) AS n_exact,
+       CAST(SUM(CASE WHEN pass AND NOT exact THEN 1 ELSE 0 END) AS BIGINT) AS n_false_pos
 FROM checked
 """,
 )

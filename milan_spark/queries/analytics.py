@@ -863,8 +863,8 @@ def training_shuffle_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     "projection keeps the shuffle payload minimal.",
     oracle="""
 SELECT l.l_returnflag AS ship_class,
-       SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS high_line_count,
-       SUM(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS low_line_count
+       CAST(SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       CAST(SUM(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
 FROM orders o, lineitem l
 WHERE o.o_orderkey = l.l_orderkey
   AND l.l_shipdate > o.o_orderdate + INTERVAL 45 DAY

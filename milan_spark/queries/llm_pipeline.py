@@ -1139,7 +1139,7 @@ runs AS (
   SELECT doc_id, pos - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY pos) AS grp FROM d
 ),
 rs AS (SELECT doc_id, grp, COUNT(*) AS run FROM runs GROUP BY doc_id, grp)
-SELECT doc_id, SUM(run) AS n_dup_positions, COUNT(*) AS n_dup_runs,
+SELECT doc_id, CAST(SUM(run) AS BIGINT) AS n_dup_positions, COUNT(*) AS n_dup_runs,
        MAX(run) + 4 AS max_dup_span_tokens
 FROM rs GROUP BY doc_id
 """,
@@ -1147,3 +1147,94 @@ FROM rs GROUP BY doc_id
 def duplicate_passage_spans_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = table(spark, sf_dir, "documents")
     return D.duplicate_passage_spans(docs, "doc_id", "text", k=5)
+
+
+@register(
+    "chunk_maxsim_retrieval",
+    doc="RAG retrieval flagship (ColBERT-style max-sim, integer-exact): "
+    "chunk every document (window 32, stride 32), featurize each chunk "
+    "with a deterministic 8-dim hash embedding (affine maps of the chunk's "
+    "base-31 fold mod 10007 — components < 10007, dots < 2^33, all exact "
+    "int64), then for each query chunk (docs ≡ 0 mod 101, held out) score "
+    "corpus documents by their BEST chunk's inner product and keep the "
+    "top 3 docs per query chunk (ties broken on doc_id). Plan: the query "
+    "side is tiny by construction → broadcast nested-loop against corpus "
+    "chunks that NEVER shuffle before scoring; per-(query, doc) max and "
+    "the global per-query top-k are combinable aggregates + one small "
+    "window. At 100 TB the same topology holds (queries stay KBs); the "
+    "IVF/LSH candidate pruning of operators.similarity composes in front "
+    "when the query set itself grows. No floats anywhere — the score IS "
+    "the integer dot product.",
+    oracle="""
+WITH t AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks FROM documents
+),
+c AS (
+  SELECT doc_id,
+         CAST((r.i - 1) / 32 AS BIGINT) AS chunk_idx,
+         array_to_string(toks[r.i:r.i+31], ' ') AS chunk_text
+  FROM t, range(1, 1024, 32) r(i)
+  WHERE r.i <= len(toks)
+),
+f AS (
+  SELECT doc_id, chunk_idx,
+         list_reduce(list_transform(regexp_extract_all(chunk_text, '.'),
+           ch -> CAST(ascii(ch) AS BIGINT)), (a, ch) -> (a * 31 + ch) % 2147483647) AS fold
+  FROM c
+),
+e AS (
+  SELECT doc_id, chunk_idx,
+         list_transform(range(8), d -> (fold * (2 * d + 1) + d) % 10007) AS emb
+  FROM f
+),
+q AS (SELECT doc_id AS q_doc, chunk_idx AS q_chunk, emb AS q_emb FROM e WHERE doc_id % 101 = 0),
+corpus AS (SELECT doc_id, emb FROM e WHERE doc_id % 101 <> 0),
+scored AS (
+  SELECT q.q_doc, q.q_chunk, corpus.doc_id,
+         MAX(CAST(list_sum(list_transform(range(8), i -> q.q_emb[i + 1] * corpus.emb[i + 1])) AS BIGINT)) AS best_dot
+  FROM q, corpus
+  GROUP BY q.q_doc, q.q_chunk, corpus.doc_id
+),
+ranked AS (
+  SELECT q_doc, q_chunk, doc_id, best_dot,
+         ROW_NUMBER() OVER (PARTITION BY q_doc, q_chunk ORDER BY best_dot DESC, doc_id) AS rk
+  FROM scored
+)
+SELECT q_doc, q_chunk, doc_id, best_dot, rk FROM ranked WHERE rk <= 3
+""",
+)
+def chunk_maxsim_retrieval_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    from milan_spark.operators.chunking import chunk_tokens
+    from milan_spark.operators.text import char_fold_hash
+
+    docs = table(spark, sf_dir, "documents")
+    chunks = chunk_tokens(docs, "doc_id", "text", window=32, stride=32)
+    fold = char_fold_hash(F.col("chunk_text"), 31, 2_147_483_647)
+    emb = F.transform(
+        F.sequence(F.lit(0), F.lit(7)),
+        lambda d: (fold * (d * 2 + 1) + d) % 10007,
+    )
+    # materialize the featurized chunks: without the barrier Catalyst
+    # collapses the embedding projection into the join output and the
+    # char fold re-evaluates once PER PAIR (measured 46 s vs 5.8 s cold
+    # at sf0.1)
+    e = chunks.select("doc_id", "chunk_idx", emb.alias("emb")).persist()
+    is_q = F.col("doc_id") % 101 == 0
+    q = e.filter(is_q).select(
+        F.col("doc_id").alias("q_doc"), F.col("chunk_idx").alias("q_chunk"),
+        F.col("emb").alias("q_emb"),
+    )
+    corpus = e.filter(~is_q)
+    dot = F.aggregate(
+        F.zip_with("q_emb", "emb", lambda a, b: a * b), F.lit(0).cast("long"), lambda s, x: s + x
+    )
+    scored = (
+        corpus.crossJoin(F.broadcast(q))
+        .select("q_doc", "q_chunk", "doc_id", dot.alias("__dot"))
+        .groupBy("q_doc", "q_chunk", "doc_id")
+        .agg(F.max("__dot").alias("best_dot"))
+    )
+    w = W.partitionBy("q_doc", "q_chunk").orderBy(F.col("best_dot").desc(), F.col("doc_id"))
+    return scored.withColumn("rk", F.row_number().over(w)).filter(F.col("rk") <= 3)
