@@ -599,3 +599,117 @@ def orc_roundtrip_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("ts").alias("first_ts"),
         F.max("ts").alias("last_ts"),
     )
+
+
+@register(
+    "partitioned_write_prune",
+    doc="Partitioned FileDataSink + partition-pruned read-back (the "
+    "reference's FileDataSink has no partitioning; Spark's hive-style "
+    "layout is the 100 TB table organization): events write partitioned by "
+    "event_type, the read-back filters one partition value — the scan's "
+    "PartitionFilters prune every other directory BEFORE any I/O (asserted "
+    "in tests/test_plan_shapes.py), so the query reads 1/5 of the bytes. "
+    "The aggregate proves the round-trip preserved values exactly.",
+    oracle="""
+SELECT user_id, COUNT(*) AS n,
+       CAST(SUM(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS cents
+FROM events
+WHERE event_type = 'purchase'
+GROUP BY user_id
+""",
+)
+def partitioned_write_prune_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events").select("event_id", "event_type", "user_id", "value")
+    out = tempfile.mkdtemp(prefix="milan_part_")
+    ev.write.mode("overwrite").partitionBy("event_type").parquet(out)
+    back = spark.read.parquet(out).filter(F.col("event_type") == "purchase")
+    return back.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.floor(F.col("value") * 100 + 0.5).cast("long")).alias("cents"),
+    )
+
+
+@register(
+    "merge_upsert",
+    doc="MERGE/upsert (warehouse staple, no reference analog): a base "
+    "snapshot (first half of customers) merged with an updates batch "
+    "(every third customer with a shifted balance + brand-new keys offset "
+    "past the key space). Semantics: update matched, insert unmatched, "
+    "keep the rest — one full-outer join on the key, COALESCE picking the "
+    "update side. At 100 TB both sides hash-partition once on the merge "
+    "key (or the base stays put under bucketed layout — "
+    "operators.bucketing — and only the small updates batch shuffles).",
+    oracle="""
+WITH base AS (
+  SELECT c_custkey, c_name, CAST(c_acctbal AS DECIMAL(18,6)) AS bal
+  FROM customer WHERE c_custkey % 2 = 0
+),
+updates AS (
+  SELECT c_custkey, c_name, CAST(c_acctbal AS DECIMAL(18,6)) + 100 AS bal
+  FROM customer WHERE c_custkey % 3 = 0
+  UNION ALL
+  SELECT c_custkey + 1000000, c_name, CAST(0 AS DECIMAL(18,6))
+  FROM customer WHERE c_custkey % 7 = 0
+)
+SELECT COALESCE(u.c_custkey, b.c_custkey) AS c_custkey,
+       COALESCE(u.c_name, b.c_name) AS c_name,
+       CAST(COALESCE(u.bal, b.bal) AS DOUBLE) AS bal
+FROM base b FULL OUTER JOIN updates u ON b.c_custkey = u.c_custkey
+""",
+)
+def merge_upsert_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = table(spark, sf_dir, "customer")
+    bal = F.col("c_acctbal").cast("decimal(18,6)")
+    base = cust.filter(F.col("c_custkey") % 2 == 0).select(
+        "c_custkey", "c_name", bal.alias("bal")
+    )
+    updates = (
+        cust.filter(F.col("c_custkey") % 3 == 0)
+        .select("c_custkey", "c_name", (bal + 100).alias("bal"))
+        .unionByName(
+            cust.filter(F.col("c_custkey") % 7 == 0).select(
+                (F.col("c_custkey") + 1_000_000).alias("c_custkey"),
+                "c_name",
+                F.lit(0).cast("decimal(18,6)").alias("bal"),
+            )
+        )
+    )
+    b, u = base.alias("b"), updates.alias("u")
+    return b.join(u, F.col("b.c_custkey") == F.col("u.c_custkey"), "full_outer").select(
+        F.coalesce(F.col("u.c_custkey"), F.col("b.c_custkey")).alias("c_custkey"),
+        F.coalesce(F.col("u.c_name"), F.col("b.c_name")).alias("c_name"),
+        F.coalesce(F.col("u.bal"), F.col("b.bal")).cast("double").alias("bal"),
+    )
+
+
+@register(
+    "scd2_intervals",
+    doc="SCD-2 validity intervals (warehouse staple, no reference analog): "
+    "each user's event history becomes (value, valid_from, valid_to) rows "
+    "— valid_to = next event's timestamp via LEAD, NULL on the open "
+    "current row; is_current flags it. One shuffle on the entity key, one "
+    "sort per partition — the standard change-history materialization "
+    "that scales with history per entity, never globally sorted.",
+    oracle="""
+SELECT user_id, event_id, value AS attr_value,
+       ts AS valid_from,
+       lead(ts) OVER w AS valid_to,
+       (lead(ts) OVER w IS NULL) AS is_current
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+""",
+)
+def scd2_intervals_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    ev = table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    nxt = F.lead("ts").over(w)
+    return ev.select(
+        "user_id",
+        "event_id",
+        F.col("value").alias("attr_value"),
+        F.col("ts").alias("valid_from"),
+        nxt.alias("valid_to"),
+        nxt.isNull().alias("is_current"),
+    )

@@ -326,3 +326,20 @@ def test_bloom_probe_is_broadcast_only(spark):
     # side never shuffles before the audit aggregate
     assert "SortMergeJoin" not in p
     assert "BroadcastNestedLoopJoin" in p or "BroadcastHashJoin" in p
+
+
+def test_partitioned_write_prunes_partitions(spark):
+    p = plan(q("partitioned_write_prune", spark))
+    # the event_type predicate lands in PartitionFilters (directory prune),
+    # not in PushedFilters (row-group prune) — only 1/5 of bytes are read
+    assert "PartitionFilters" in p
+    import re
+
+    m = re.search(r"PartitionFilters: \[(.*?)\]", p)
+    assert m and "event_type" in m.group(1)
+
+
+def test_scd2_single_entity_shuffle(spark):
+    p = plan(q("scd2_intervals", spark))
+    assert n_nodes(p, "Exchange") == 1
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
