@@ -383,3 +383,83 @@ def streaming_tumbling_window_per_record_q(spark: SparkSession, sf_dir: str) -> 
         seq="event_id",
     )
     return run_to_memory(out, "streaming_tumbling_window_per_record")
+
+
+@register(
+    "streaming_watermark_late_drop",
+    doc="Watermark LATE-DATA semantics, oracle-checked end to end: the events "
+    "table arrives as four deterministic microbatches (FileStreamSource "
+    "with maxFilesPerTrigger=1 over staged files ordered by mtime): the "
+    "pre-Jan-10 slice, two post-Jan-20 slices (advancing the watermark), "
+    "and LAST the middle Jan-10..20 slice, by then entirely behind the "
+    "watermark. Two late-period batches are needed, not one: Spark's "
+    "late-row filter uses the watermark as of the START of the previous "
+    "batch (one batch behind the eviction watermark — verified from the "
+    "StateStoreSave plan's two watermark values), so data that advances "
+    "the watermark must land TWO batches before the late slice for the "
+    "drop to fire. Append-mode daily windows with a 1-day watermark then "
+    "(a) DROP every middle-slice row (numRowsDroppedByWatermark = its full "
+    "count), and (b) withhold the still-open final days. The oracle "
+    "derives exactly that set: accepted rows only, windows whose end ≤ "
+    "max(ts) − 1 day. "
+    "This is the semantics contract Structured Streaming gives a 100 TB "
+    "out-of-order ingest — state is bounded by the watermark horizon, not "
+    "by stream length.",
+    oracle="""
+WITH accepted AS (
+  SELECT * FROM events
+  WHERE ts < TIMESTAMP '2024-01-10' OR ts >= TIMESTAMP '2024-01-20'
+),
+wm AS (SELECT MAX(ts) - INTERVAL 1 DAY AS w FROM accepted)
+SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS window_start, event_type,
+       COUNT(*) AS n,
+       CAST(SUM(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS cents
+FROM accepted, wm
+WHERE date_trunc('day', ts) + INTERVAL 1 DAY <= wm.w
+GROUP BY 1, 2
+""",
+)
+def streaming_watermark_late_drop_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import shutil
+    import tempfile
+
+    from milan_spark.sources import table
+
+    ev = table(spark, sf_dir, "events")
+    stage = tempfile.mkdtemp(prefix="milan_late_")
+    t = lambda d: F.lit(d).cast("timestamp")  # noqa: E731
+    slices = [
+        ("batch0", F.col("ts") < t("2024-01-10")),
+        ("batch1", (F.col("ts") >= t("2024-01-20")) & (F.col("ts") < t("2024-01-25"))),
+        ("batch2", F.col("ts") >= t("2024-01-25")),
+        ("batch3", (F.col("ts") >= t("2024-01-10")) & (F.col("ts") < t("2024-01-20"))),
+    ]
+    for i, (name, pred) in enumerate(slices):
+        tmp = os.path.join(stage, f"__tmp_{name}")
+        ev.filter(pred).coalesce(1).write.parquet(tmp)
+        part = next(f for f in os.listdir(tmp) if f.endswith(".parquet"))
+        dst = os.path.join(stage, f"{name}.parquet")
+        shutil.move(os.path.join(tmp, part), dst)
+        shutil.rmtree(tmp)
+        # FileStreamSource orders new files by modification time; pin the
+        # arrival order explicitly (name order agrees, as a tiebreak)
+        os.utime(dst, (1_000_000_000 + i * 1000, 1_000_000_000 + i * 1000))
+    schema = spark.read.parquet(os.path.join(stage, "batch0.parquet")).schema
+    sdf = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stage)
+    )
+    out = windowed_agg(
+        sdf,
+        "ts",
+        "1 day",
+        keys=["event_type"],
+        aggs=[
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.floor(F.col("value") * 100 + 0.5).cast("long")).alias("cents"),
+        ],
+        watermark="1 day",
+    )
+    return run_to_memory(out, "streaming_watermark_late_drop", output_mode="append")
