@@ -463,3 +463,56 @@ def streaming_watermark_late_drop_q(spark: SparkSession, sf_dir: str) -> DataFra
         watermark="1 day",
     )
     return run_to_memory(out, "streaming_watermark_late_drop", output_mode="append")
+
+
+@register(
+    "streaming_interval_join",
+    doc="Native stream-stream interval join (StreamingSymmetricHashJoin): "
+    "each purchase joins the same user's views from the trailing day — "
+    "both sides watermarked 1 day, the time-range condition bounds state "
+    "retention to the interval width. This is the JVM join path the "
+    "engine prefers over the applyInPandasWithState machines when the "
+    "semantics fit Spark's native operator: state is keyed and "
+    "watermark-evicted on both sides, no Python in the plan, and at "
+    "100 TB each side shuffles once on user_id into co-located state "
+    "stores. Oracle: the identical interval join in SQL.",
+    oracle="""
+SELECT p.event_id AS purchase_id, p.user_id, p.value AS purchase_value,
+       v.event_id AS view_id, v.value AS view_value
+FROM events p, events v
+WHERE p.event_type = 'purchase' AND v.event_type = 'view'
+  AND p.user_id = v.user_id
+  AND v.ts >= p.ts - INTERVAL 1 DAY AND v.ts <= p.ts
+""",
+)
+def streaming_interval_join_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev_p = _events_stream(spark, sf_dir)
+    ev_v = _events_stream(spark, sf_dir)
+    p = (
+        ev_p.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            "user_id",
+            F.col("value").alias("purchase_value"),
+            F.col("ts").alias("p_ts"),
+        )
+        .withWatermark("p_ts", "1 day")
+    )
+    v = (
+        ev_v.filter(F.col("event_type") == "view")
+        .select(
+            F.col("event_id").alias("view_id"),
+            F.col("user_id").alias("v_user"),
+            F.col("value").alias("view_value"),
+            F.col("ts").alias("v_ts"),
+        )
+        .withWatermark("v_ts", "1 day")
+    )
+    joined = p.join(
+        v,
+        (F.col("user_id") == F.col("v_user"))
+        & (F.col("v_ts") >= F.col("p_ts") - F.expr("INTERVAL 1 DAY"))
+        & (F.col("v_ts") <= F.col("p_ts")),
+        "inner",
+    ).select("purchase_id", "user_id", "purchase_value", "view_id", "view_value")
+    return run_to_memory(joined, "streaming_interval_join")
