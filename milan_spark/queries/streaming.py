@@ -516,3 +516,31 @@ def streaming_interval_join_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         "inner",
     ).select("purchase_id", "user_id", "purchase_value", "view_id", "view_value")
     return run_to_memory(joined, "streaming_interval_join")
+
+
+@register(
+    "streaming_drop_duplicates",
+    doc="Native streaming deduplication (DropDuplicatesExec with keyed "
+    "state): the events stream unioned with itself — every record arrives "
+    "twice — then dropDuplicates on event_id; the audit aggregate proves "
+    "the duplicate copies vanished exactly. The streaming twin of "
+    "exact_dedup for the ingest path: at 100 TB the state store holds one "
+    "key per live event_id (bounded by a watermark TTL in production "
+    "ingest), and the union never materializes — both legs stream through "
+    "one keyed exchange. Oracle: the same aggregate over the naturally "
+    "distinct base table.",
+    oracle="""
+SELECT event_type, COUNT(*) AS n,
+       CAST(SUM(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS cents
+FROM events GROUP BY 1
+""",
+)
+def streaming_drop_duplicates_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    a = _events_stream(spark, sf_dir).select("event_id", "event_type", "value")
+    b = _events_stream(spark, sf_dir).select("event_id", "event_type", "value")
+    deduped = a.unionByName(b).dropDuplicates(["event_id"])
+    out = deduped.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.floor(F.col("value") * 100 + 0.5).cast("long")).alias("cents"),
+    )
+    return run_to_memory(out, "streaming_drop_duplicates", output_mode="complete")
