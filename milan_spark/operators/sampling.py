@@ -120,3 +120,75 @@ def stratified_sample(
         .filter(F.col(rank_col) <= n_per_stratum)
         .drop("__ordh")
     )
+
+
+def top_fraction_by_score(
+    df: DataFrame,
+    strata: list[str],
+    score_col: str,
+    *,
+    frac: tuple[int, int] = (1, 5),
+    key: str = "doc_id",
+    buckets: int = 256,
+) -> DataFrame:
+    """Keep each stratum's top ``frac`` of rows by score — EXACTLY the rows a
+    per-stratum ``ROW_NUMBER() OVER (ORDER BY score DESC, key)`` ≤
+    ⌊n·frac⌋ would keep, computed by distributed selection instead of a
+    single-task stratum sort (the per-source quality-percentile gate of a
+    curation pipeline, where one source can be 90% of a 100 TB corpus).
+
+    Algorithm (classic two-phase order-statistic selection):
+    1. histogram: bucket scores (``⌊score·B⌋``, score in [0,1]) and count
+       per (stratum, bucket) — a combinable aggregate, B·strata rows out;
+    2. threshold: per stratum, the cumulative-from-top histogram locates
+       the bucket holding the ⌊n·frac⌋-th largest score (a window over ≤ B
+       rows per stratum — trivially small);
+    3. boundary rank: only the threshold bucket's rows rank exactly (by
+       score desc, key) — ~n/B rows per stratum, bounded unless scores
+       pile into one bucket (documented bound; raise ``buckets`` for
+       finer-grained scores);
+    4. emit: every row above the threshold bucket + the boundary bucket's
+       top remainder.
+
+    ``frac`` is a rational (num, den); quota = (n·num) // den, integer-exact.
+    """
+    num, den = frac
+    s = F.col(score_col)
+    b = F.least(F.lit(buckets - 1), F.floor(s * buckets)).cast("int")
+    d = df.withColumn("__b", b)
+    quota = (
+        d.groupBy(*strata)
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .withColumn("__quota", (F.col("__n") * num) / den)
+        .withColumn("__quota", F.floor(F.col("__quota")).cast("long"))
+        .filter(F.col("__quota") > 0)
+        .drop("__n")
+    )
+    bcounts = d.groupBy(*strata, "__b").agg(F.count(F.lit(1)).alias("__cb"))
+    wcum = (
+        W.partitionBy(*strata)
+        .orderBy(F.col("__b").desc())
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    cum = bcounts.withColumn("__cum", F.sum("__cb").over(wcum))
+    thr = (
+        cum.join(quota, strata)
+        .filter(F.col("__cum") >= F.col("__quota"))
+        .groupBy(*strata)
+        .agg(
+            F.max("__b").alias("__tb"),
+            F.max_by(F.col("__quota") - (F.col("__cum") - F.col("__cb")), "__b").alias(
+                "__need"
+            ),
+        )
+    )
+    dd = d.join(F.broadcast(thr), strata)
+    above = dd.filter(F.col("__b") > F.col("__tb"))
+    wb = W.partitionBy(*strata).orderBy(s.desc(), F.col(key))
+    boundary = (
+        dd.filter(F.col("__b") == F.col("__tb"))
+        .withColumn("__r", F.row_number().over(wb))
+        .filter(F.col("__r") <= F.col("__need"))
+        .drop("__r")
+    )
+    return above.unionByName(boundary).drop("__b", "__tb", "__need")

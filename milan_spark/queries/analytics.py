@@ -978,3 +978,90 @@ def q11_important_part_value(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("pv") * 1200 > F.col("total_v"))
         .select("l_partkey", F.round(F.col("pv"), 2).cast("double").alias("part_value"))
     )
+
+
+@register(
+    "referential_integrity_audit",
+    doc="Data-quality audit (the pre-ingest conformance gate a 100 TB "
+    "pipeline runs before anything else): orphaned foreign keys counted "
+    "for lineitem→orders, lineitem→part, lineitem→supplier, and "
+    "orders→customer in ONE pass per fact table — each check is a "
+    "broadcast-or-shuffled left-anti join projected to the key column "
+    "only, so the audit's shuffle payload is one bigint per row; the "
+    "four counts union into a single tiny result. No row data moves, "
+    "only keys.",
+    oracle="""
+SELECT 'lineitem->orders' AS fk, COUNT(*) AS n_orphans FROM lineitem l
+  WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)
+UNION ALL
+SELECT 'lineitem->part', COUNT(*) FROM lineitem l
+  WHERE NOT EXISTS (SELECT 1 FROM part p WHERE p.p_partkey = l.l_partkey)
+UNION ALL
+SELECT 'lineitem->supplier', COUNT(*) FROM lineitem l
+  WHERE NOT EXISTS (SELECT 1 FROM supplier s WHERE s.s_suppkey = l.l_suppkey)
+UNION ALL
+SELECT 'orders->customer', COUNT(*) FROM orders o
+  WHERE NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)
+""",
+)
+def referential_integrity_audit_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    orders = table(spark, sf_dir, "orders")
+
+    def orphans(fact, key, dim, dim_key, label):
+        return (
+            fact.select(key)
+            .join(F.broadcast(table(spark, sf_dir, dim).select(dim_key)),
+                  F.col(key) == F.col(dim_key), "left_anti")
+            .agg(mf.agg_count().alias("n_orphans"))
+            .select(F.lit(label).alias("fk"), "n_orphans")
+        )
+
+    return (
+        orphans(li, "l_orderkey", "orders", "o_orderkey", "lineitem->orders")
+        .unionByName(orphans(li, "l_partkey", "part", "p_partkey", "lineitem->part"))
+        .unionByName(orphans(li, "l_suppkey", "supplier", "s_suppkey", "lineitem->supplier"))
+        .unionByName(orphans(orders, "o_custkey", "customer", "c_custkey", "orders->customer"))
+    )
+
+
+@register(
+    "table_profile",
+    doc="One-pass column profiling (the other data-quality staple): per "
+    "numeric column of lineitem — null count, min, max, decimal-exact "
+    "rounded sum; plus row count and exact distinct keys. ONE aggregate "
+    "over one scan for all columns simultaneously (a naive per-column "
+    "loop scans the table N times); distincts ride the same pass as "
+    "count_distinct partials. Doubles derive from DECIMAL sums, so the "
+    "profile is bit-stable under any partitioning.",
+    oracle="""
+SELECT COUNT(*) AS n_rows,
+       COUNT(DISTINCT l_orderkey) AS distinct_orders,
+       COUNT(DISTINCT l_partkey) AS distinct_parts,
+       CAST(SUM(CASE WHEN l_quantity IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS qty_nulls,
+       MIN(l_quantity) AS qty_min, MAX(l_quantity) AS qty_max,
+       CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(18,6))), 2) AS DOUBLE) AS qty_sum,
+       MIN(l_extendedprice) AS price_min, MAX(l_extendedprice) AS price_max,
+       CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,6))), 2) AS DOUBLE) AS price_sum,
+       MIN(l_shipdate) AS ship_min, MAX(l_shipdate) AS ship_max
+FROM lineitem
+""",
+)
+def table_profile_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    qty = F.col("l_quantity")
+    price = F.col("l_extendedprice")
+    return li.agg(
+        mf.agg_count().alias("n_rows"),
+        F.count_distinct(F.col("l_orderkey")).alias("distinct_orders"),
+        F.count_distinct(F.col("l_partkey")).alias("distinct_parts"),
+        mf.agg_sum(F.when(qty.isNull(), 1).otherwise(0)).cast("long").alias("qty_nulls"),
+        F.min(qty).alias("qty_min"),
+        F.max(qty).alias("qty_max"),
+        F.round(mf.agg_sum(qty.cast(DEC)), 2).cast("double").alias("qty_sum"),
+        F.min(price).alias("price_min"),
+        F.max(price).alias("price_max"),
+        F.round(mf.agg_sum(price.cast(DEC)), 2).cast("double").alias("price_sum"),
+        F.min("l_shipdate").alias("ship_min"),
+        F.max("l_shipdate").alias("ship_max"),
+    )

@@ -1238,3 +1238,48 @@ def chunk_maxsim_retrieval_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     w = W.partitionBy("q_doc", "q_chunk").orderBy(F.col("best_dot").desc(), F.col("doc_id"))
     return scored.withColumn("rk", F.row_number().over(w)).filter(F.col("rk") <= 3)
+
+
+@register(
+    "quality_percentile_gate",
+    doc="Per-source quality-percentile gate (operators.sampling."
+    "top_fraction_by_score): keep each source's top 20% of documents by "
+    "quality score — EXACTLY the set a per-source ROW_NUMBER over (score "
+    "DESC, doc_id) ≤ ⌊n/5⌋ selects, computed by distributed selection "
+    "(score histogram → threshold bucket → boundary-bucket rank) so no "
+    "task ever sorts a whole source — the gate that still works when one "
+    "source is 90% of a 100 TB corpus. The oracle is the naive "
+    "single-window formulation; equality proves the selection exact.",
+    oracle=f"""
+WITH t AS (
+  SELECT doc_id, source, {_SQL_TOKENS} AS tokens, text FROM documents
+),
+scored AS (
+  SELECT doc_id, source,
+       CAST(len(list_filter(tokens, x -> x IN ({', '.join("'" + w + "'" for w in T.STOPWORDS)}))) AS DOUBLE)
+         / greatest(len(tokens), 1) * 0.4
+         + (1.0 - CAST(len(regexp_extract_all(text, '[.,;:!?]')) AS DOUBLE) / greatest(length(text), 1)) * 0.2
+         + CAST(least(len(tokens), 64) AS DOUBLE) / 64.0 * 0.4 AS quality_score
+  FROM t
+),
+quota AS (
+  SELECT source, CAST(COUNT(*) / 5 AS BIGINT) AS q FROM scored GROUP BY source
+),
+ranked AS (
+  SELECT s.doc_id, s.source, s.quality_score,
+         ROW_NUMBER() OVER (PARTITION BY s.source ORDER BY s.quality_score DESC, s.doc_id) AS rk
+  FROM scored s
+)
+SELECT r.doc_id, r.source, r.quality_score
+FROM ranked r, quota
+WHERE quota.source = r.source AND r.rk <= quota.q
+""",
+)
+def quality_percentile_gate_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from milan_spark.operators.sampling import top_fraction_by_score
+
+    docs = table(spark, sf_dir, "documents")
+    scored = T.quality_features(docs, "text").select("doc_id", "source", "quality_score")
+    return top_fraction_by_score(
+        scored, ["source"], "quality_score", frac=(1, 5), key="doc_id"
+    ).select("doc_id", "source", "quality_score")

@@ -82,3 +82,39 @@ def test_hash_bucket_range_and_spread(spark):
     assert stats["lo"] >= 0 and stats["hi"] < 100
     # 1000 keys into 100 buckets should hit most buckets
     assert stats["nd"] > 80
+
+
+def test_top_fraction_exact_vs_naive_window(spark):
+    from pyspark.sql import Window, functions as F
+
+    from milan_spark.operators.sampling import top_fraction_by_score
+
+    # skewed strata: one source holds 90% of rows; scores collide heavily so
+    # the boundary bucket must tie-break exactly
+    rows = [(i, "big" if i % 10 else "small", (i * 37 % 50) / 50.0) for i in range(1, 901)]
+    df = spark.createDataFrame(rows, "doc_id long, source string, score double")
+    got = {
+        (r.doc_id, r.source)
+        for r in top_fraction_by_score(df, ["source"], "score", frac=(1, 5), key="doc_id").collect()
+    }
+    w = Window.partitionBy("source").orderBy(F.col("score").desc(), F.col("doc_id"))
+    quota = df.groupBy("source").agg((F.floor(F.count(F.lit(1)) / 5)).alias("q"))
+    want = {
+        (r.doc_id, r.source)
+        for r in df.withColumn("rk", F.row_number().over(w))
+        .join(quota, "source")
+        .filter(F.col("rk") <= F.col("q"))
+        .collect()
+    }
+    assert got == want and len(got) > 0
+
+
+def test_top_fraction_quota_zero_stratum_dropped(spark):
+    from milan_spark.operators.sampling import top_fraction_by_score
+
+    df = spark.createDataFrame(
+        [(1, "tiny", 0.9), (2, "tiny", 0.8), (3, "tiny", 0.7)],
+        "doc_id long, source string, score double",
+    )
+    # 3 rows / 5 -> quota 0: nothing kept, no divide-by-zero
+    assert top_fraction_by_score(df, ["source"], "score", frac=(1, 5), key="doc_id").count() == 0
