@@ -713,3 +713,35 @@ def scd2_intervals_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         nxt.alias("valid_to"),
         nxt.isNull().alias("is_current"),
     )
+
+
+@register(
+    "salted_distinct_users",
+    doc="Skew-proof exact distinct (operators.skew.salted_aggregate): "
+    "distinct users per event_type — 5 hot keys that would each serialize "
+    "onto one task under a plain groupBy-distinct. Salting ON THE DISTINCT "
+    "COLUMN (salt = hash(user_id) % 16) makes the holistic aggregate "
+    "additive: each user lands in exactly one (key, salt) shard, so "
+    "phase 1's per-shard COUNT(DISTINCT) values simply SUM in phase 2 — "
+    "exact, and the hot key now occupies 16 parallel tasks. The same "
+    "trick carries any per-entity holistic aggregate at 100 TB. Oracle: "
+    "the plain COUNT(DISTINCT).",
+    oracle="""
+SELECT event_type, COUNT(*) AS n_events, COUNT(DISTINCT user_id) AS n_users
+FROM events GROUP BY event_type
+""",
+)
+def salted_distinct_users_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from milan_spark.operators.skew import salted_aggregate
+
+    ev = table(spark, sf_dir, "events").select("event_type", "user_id")
+    return salted_aggregate(
+        ev,
+        ["event_type"],
+        {
+            "n_events": F.count(F.lit(1)),
+            "n_users": F.count_distinct(F.col("user_id")),
+        },
+        salt=16,
+        salt_from=F.xxhash64("user_id"),
+    ).select("event_type", "n_events", "n_users")
