@@ -197,3 +197,63 @@ def test_word_ngrams_matches_python_model(spark, texts):
             toks = re.findall(r"[a-z0-9]+", t.lower())
             want = [" ".join(toks[j : j + n]) for j in range(len(toks) - n + 1)]
             assert got[i] == want, (t, n)
+
+
+@given(
+    st.lists(st.tuples(st.integers(0, 2), st.integers(0, 100)), min_size=1, max_size=40),
+    st.integers(1, 4),
+    st.integers(1, 5),
+)
+@settings(**SETTINGS)
+def test_top_fraction_matches_naive_selection(spark, rows, num, den):
+    """top_fraction_by_score == the definitional per-stratum top-⌊n·frac⌋ by
+    (score desc, key) under arbitrary score collisions and stratum skew."""
+    from milan_spark.operators.sampling import top_fraction_by_score
+
+    if num > den:
+        num, den = den, num
+    data = [(i, f"s{srv}", sc / 100.0) for i, (srv, sc) in enumerate(rows)]
+    df = spark.createDataFrame(data, "doc_id long, source string, score double")
+    got = {
+        r.doc_id
+        for r in top_fraction_by_score(
+            df, ["source"], "score", frac=(num, den), key="doc_id"
+        ).collect()
+    }
+    # pure-Python reference
+    want = set()
+    by_src: dict = {}
+    for i, (srv, sc) in enumerate(rows):
+        by_src.setdefault(srv, []).append((sc / 100.0, i))
+    for srv, items in by_src.items():
+        items.sort(key=lambda t: (-t[0], t[1]))
+        quota = len(items) * num // den
+        want.update(i for _, i in items[:quota])
+    assert got == want
+
+
+@given(
+    st.lists(st.text(alphabet="ab ", min_size=0, max_size=30), min_size=1, max_size=6),
+    st.integers(1, 5),
+    st.integers(1, 5),
+)
+@settings(**SETTINGS)
+def test_chunk_tokens_matches_python_model(spark, texts, window, stride):
+    """chunk_tokens == the definitional stride/window slicing on arbitrary
+    whitespace-noisy text."""
+    import re
+
+    from milan_spark.operators.chunking import chunk_tokens
+
+    df = spark.createDataFrame(list(enumerate(texts)), "doc_id long, text string")
+    got = {
+        (r.doc_id, r.chunk_idx, r.chunk_text, r.n_chunk_tokens)
+        for r in chunk_tokens(df, window=window, stride=stride).collect()
+    }
+    want = set()
+    for i, t in enumerate(texts):
+        toks = re.findall("[a-z0-9]+", t.lower())
+        for ci, s in enumerate(range(0, len(toks), stride)):
+            chunk = toks[s : s + window]
+            want.add((i, ci, " ".join(chunk), len(chunk)))
+    assert got == want
