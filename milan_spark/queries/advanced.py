@@ -745,3 +745,40 @@ def salted_distinct_users_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         salt=16,
         salt_from=F.xxhash64("user_id"),
     ).select("event_type", "n_events", "n_users")
+
+
+@register(
+    "zorder_layout_prune",
+    doc="Z-order (Morton) clustered layout (operators.layout): lineitem "
+    "written with (l_partkey, l_suppkey) bit-interleaved — one range "
+    "exchange + per-partition sort, static int64 bit algebra, no UDF — "
+    "then read back through a 2-d box predicate. Because every row group "
+    "covers a small axis-aligned box in key space, the scan's ordinary "
+    "min/max row-group statistics prune boxes on EITHER key; "
+    "tests/test_layout.py measures the pruning directly from the parquet "
+    "footers (row groups overlapping the box: z-ordered ≪ natural order). "
+    "At 100 TB this is the table organization for fact tables queried by "
+    "two-key boxes. The aggregate proves the round-trip + predicate "
+    "semantics exact.",
+    oracle="""
+SELECT COUNT(*) AS n_rows,
+       CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,6))), 2) AS DOUBLE) AS revenue
+FROM lineitem
+WHERE l_partkey BETWEEN 100 AND 300 AND l_suppkey BETWEEN 10 AND 30
+""",
+)
+def zorder_layout_prune_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from milan_spark.operators.layout import write_zordered
+
+    li = table(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey", "l_extendedprice")
+    out = tempfile.mkdtemp(prefix="milan_zorder_") + "/t"
+    write_zordered(li, out, "l_partkey", "l_suppkey")
+    back = spark.read.parquet(out).filter(
+        F.col("l_partkey").between(100, 300) & F.col("l_suppkey").between(10, 30)
+    )
+    return back.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.round(F.sum(F.col("l_extendedprice").cast("decimal(18,6)")), 2)
+        .cast("double")
+        .alias("revenue"),
+    )
