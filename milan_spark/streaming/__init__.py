@@ -149,3 +149,73 @@ def foreach_batch_sink(
     if available_now:
         w = w.trigger(availableNow=True)
     return w.start()
+
+
+def upsert_sink(
+    sdf: DataFrame,
+    path: str,
+    key_cols: Sequence[str],
+    *,
+    seq_col: str | None = None,
+    checkpoint: str | None = None,
+    available_now: bool = True,
+) -> StreamingQuery:
+    """Streaming MERGE/upsert sink via foreachBatch: each microbatch merges
+    into the parquet table at ``path`` — matched keys replaced by the
+    batch's row, unmatched inserted, the rest kept. The foreachBatch-merge
+    idiom is how Structured Streaming upserts into any store without a
+    transactional row-level API; table formats with native MERGE
+    (Delta/Iceberg) swap the inner function for their own command.
+
+    Within-batch duplicates of a key resolve deterministically by
+    ``seq_col`` (greatest wins); with no ``seq_col`` the batch must carry
+    at most one row per key (enforced — an ambiguous batch raises rather
+    than picking an arbitrary row).
+
+    Plain parquet has no row-level transaction, so the merge is
+    read-merge-rewrite with an atomic directory swap — O(table) per batch.
+    That is the honest cost of upsert-on-parquet; at 100 TB the table
+    partitions on a key hash and only partitions containing batch keys
+    rewrite (or a transactional format takes over).
+    """
+    import os
+    import shutil
+
+    keys = list(key_cols)
+
+    def _merge(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        if seq_col is not None:
+            batch_df = (
+                batch_df.groupBy(*keys)
+                .agg(F.max_by(F.struct(*batch_df.columns), F.col(seq_col)).alias("__r"))
+                .select("__r.*")
+            )
+        else:
+            n_all = batch_df.count()
+            n_keys = batch_df.select(*keys).distinct().count()
+            if n_all != n_keys:
+                raise ValueError(
+                    f"upsert batch {batch_id} holds {n_all} rows for {n_keys} keys; "
+                    "pass seq_col to resolve within-batch duplicates deterministically"
+                )
+        if os.path.exists(path):
+            base = spark.read.parquet(path)
+            merged = base.join(batch_df, keys, "left_anti").unionByName(batch_df)
+        else:
+            merged = batch_df
+        tmp = f"{path}.__tmp_{batch_id}"
+        merged.write.mode("overwrite").parquet(tmp)  # materializes BEFORE the swap
+        old = f"{path}.__old_{batch_id}"
+        if os.path.exists(path):
+            os.rename(path, old)
+        os.rename(tmp, path)
+        shutil.rmtree(old, ignore_errors=True)
+
+    w = (
+        sdf.writeStream.foreachBatch(_merge)
+        .option("checkpointLocation", checkpoint or tempfile.mkdtemp(prefix="milan_ckpt_"))
+    )
+    if available_now:
+        w = w.trigger(availableNow=True)
+    return w.start()

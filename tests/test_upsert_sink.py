@@ -1,0 +1,80 @@
+"""Streaming MERGE sink: microbatch upserts equal the sequential batch
+merge, within-batch duplicates resolve by seq, ambiguity raises."""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from milan_spark.streaming import upsert_sink
+
+
+def _stage_batches(spark, batches):
+    """Write each batch as one file with pinned mtime so FileStreamSource
+    delivers them as ordered microbatches."""
+    import shutil
+
+    stage = tempfile.mkdtemp(prefix="ups_src_")
+    for i, rows in enumerate(batches):
+        df = spark.createDataFrame(rows, "k long, v string, seq long")
+        tmp = os.path.join(stage, f"__tmp{i}")
+        df.coalesce(1).write.parquet(tmp)
+        part = next(f for f in os.listdir(tmp) if f.endswith(".parquet"))
+        dst = os.path.join(stage, f"b{i}.parquet")
+        shutil.move(os.path.join(tmp, part), dst)
+        shutil.rmtree(tmp)
+        os.utime(dst, (1_000_000_000 + i * 1000,) * 2)
+    return stage
+
+
+def test_upsert_sink_matches_sequential_merge(spark):
+    batches = [
+        [(1, "a", 1), (2, "b", 2)],
+        [(2, "B", 3), (3, "c", 4)],
+        [(1, "A", 5), (4, "d", 6)],
+    ]
+    stage = _stage_batches(spark, batches)
+    sdf = (
+        spark.readStream.schema("k long, v string, seq long")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stage)
+    )
+    out = tempfile.mkdtemp(prefix="ups_out_") + "/t"
+    q = upsert_sink(sdf, out, ["k"])
+    q.awaitTermination(120)
+    got = {(r.k, r.v) for r in spark.read.parquet(out).collect()}
+    assert got == {(1, "A"), (2, "B"), (3, "c"), (4, "d")}
+
+
+def test_upsert_sink_seq_resolves_in_batch_duplicates(spark):
+    batches = [[(1, "x", 1), (1, "y", 9), (2, "b", 2)]]
+    stage = _stage_batches(spark, batches)
+    sdf = (
+        spark.readStream.schema("k long, v string, seq long")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stage)
+    )
+    out = tempfile.mkdtemp(prefix="ups_out_") + "/t"
+    q = upsert_sink(sdf, out, ["k"], seq_col="seq")
+    q.awaitTermination(120)
+    got = {(r.k, r.v) for r in spark.read.parquet(out).collect()}
+    assert got == {(1, "y"), (2, "b")}
+
+
+def test_upsert_sink_ambiguous_batch_raises(spark):
+    batches = [[(1, "x", 1), (1, "y", 2)]]
+    stage = _stage_batches(spark, batches)
+    sdf = (
+        spark.readStream.schema("k long, v string, seq long")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stage)
+    )
+    out = tempfile.mkdtemp(prefix="ups_out_") + "/t"
+    q = upsert_sink(sdf, out, ["k"])
+    with pytest.raises(Exception):
+        q.awaitTermination(120)
+        if q.exception() is not None:
+            raise RuntimeError(q.exception().desc)
