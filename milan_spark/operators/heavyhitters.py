@@ -1,0 +1,128 @@
+"""Exact frequency-threshold heavy hitters with a Misra-Gries partition
+prefilter — hot-key / frequent-item mining that never shuffles the full item
+domain.
+
+The 100 TB problem this solves: "which n-grams / keys / values appear in at
+least a ``num/den`` share of all rows?" The naive plan is
+``groupBy(item).count()`` — a full shuffle keyed on *every distinct item*
+(billions of distinct n-grams at corpus scale) to find a handful of frequent
+ones. This operator does it in two narrow scans and one *candidate-only*
+shuffle:
+
+1. **Candidate pass** (``misra_gries_summaries``): one ``mapInPandas`` over
+   the item column. Each task keeps a Misra-Gries summary of at most
+   ``capacity`` counters (batched decrement: when the table overflows,
+   subtract the (capacity+1)-th largest counter from all and drop the
+   non-positive ones — each decrement round removes ≥ delta·(capacity+1)
+   mass, so total decrement Δ_p ≤ N_p/(capacity+1)). A sentinel row carries
+   the partition's row count so the global total rides the same job.
+
+   *Completeness guarantee*: if an item has global share ≥ num/den, then by
+   averaging it has partition share ≥ num/den in at least one partition, and
+   there its true count exceeds N_p/(capacity+1) whenever
+   capacity+1 > den/num — so its counter survives that partition's summary.
+   With the default ``capacity = 4·den/num`` the margin is 4×. No heavy
+   hitter is ever missed; the summary may contain false positives, which is
+   what pass 2 removes.
+
+2. **Exact verify pass**: the union of per-partition candidates (≤ capacity
+   × n_partitions rows — KBs to low MBs) broadcasts into a semi-join, and
+   only candidate items enter the count aggregate. The final filter
+   ``n · den ≥ num · N`` is integer-exact (no float share), so the result is
+   *exactly* the brute-force answer, verifiable by plain SQL.
+
+Scale properties: the item domain never shuffles (the groupBy after the
+semi-join is map-side combinable over ≤ candidate-count keys); driver/
+broadcast state is bounded by capacity × n_partitions, independent of both
+row count and distinct-item count. Composes with
+:mod:`milan_spark.operators.skew` — the output is precisely the hot-key set
+one feeds to ``salted_join``.
+
+Reference parity: Milan has no sketch/frequency operators (closest is
+aggregation over ``GroupBy``, milan-lang Aggregation.scala); this is a
+north-star addition for the LLM-pipeline tier, per the round-1 survey.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame, functions as F
+
+_SUMMARY_SCHEMA = "item string, lb bigint, rows bigint"
+
+
+def misra_gries_summaries(df: DataFrame, item: str | Column, capacity: int) -> DataFrame:
+    """Per-partition Misra-Gries summaries of ``item`` (cast to string).
+
+    Output: one row per surviving counter (``item``, ``lb`` = stored lower
+    bound) plus one sentinel row per partition (``item`` NULL, ``rows`` =
+    partition row count, NULLs excluded). ``lb`` undercounts the partition
+    frequency by at most N_p/(capacity+1).
+    """
+    if capacity < 1:
+        raise ValueError("capacity must be >= 1")
+
+    items = df.select(F.col(item).cast("string").alias("item") if isinstance(item, str) else item.cast("string").alias("item"))
+
+    def mg(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        counters: dict[str, int] = {}
+        n_rows = 0
+        for pdf in batches:
+            vals = pdf["item"].dropna()
+            n_rows += len(vals)
+            for v, c in vals.value_counts().items():
+                counters[v] = counters.get(v, 0) + int(c)
+            if len(counters) > capacity:
+                delta = sorted(counters.values(), reverse=True)[capacity]
+                counters = {k: c - delta for k, c in counters.items() if c > delta}
+        out = pd.DataFrame(
+            {
+                "item": list(counters.keys()) + [None],
+                "lb": pd.array(list(counters.values()) + [None], dtype="Int64"),
+                "rows": pd.array([None] * len(counters) + [n_rows], dtype="Int64"),
+            }
+        )
+        yield out
+
+    return items.mapInPandas(mg, _SUMMARY_SCHEMA)
+
+
+def exact_heavy_hitters(
+    df: DataFrame,
+    item: str | Column,
+    min_share: tuple[int, int],
+    capacity: int | None = None,
+) -> DataFrame:
+    """All items whose share of non-NULL rows is ≥ ``num/den``, with exact
+    counts — equal to brute-force ``groupBy(item).count()`` + threshold, but
+    with no full-domain shuffle (see module docstring for the plan).
+
+    Returns columns ``item`` (string), ``n`` (exact count, bigint),
+    ``n_total`` (total non-NULL rows, bigint). The share test is the exact
+    integer predicate ``n·den ≥ num·n_total``.
+    """
+    num, den = min_share
+    if num <= 0 or den <= 0:
+        raise ValueError("min_share must be a positive rational (num, den)")
+    if capacity is None:
+        capacity = max(1, (4 * den) // num)
+
+    summaries = misra_gries_summaries(df, item, capacity).persist()
+    total = summaries.agg(F.sum("rows").cast("long").alias("n_total"))
+    cands = summaries.where(F.col("item").isNotNull()).select("item").distinct()
+
+    items = df.select(F.col(item).cast("string").alias("item") if isinstance(item, str) else item.cast("string").alias("item")).where(
+        F.col("item").isNotNull()
+    )
+    counts = (
+        items.join(F.broadcast(cands), "item", "leftsemi")
+        .groupBy("item")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    return (
+        counts.crossJoin(F.broadcast(total))
+        .where(F.col("n") * F.lit(den) >= F.lit(num) * F.col("n_total"))
+        .select("item", "n", "n_total")
+    )

@@ -86,3 +86,44 @@ def salted_aggregate(
     merge = merge or {}
     finals = [merge.get(a, F.sum(a)).alias(a) for a in aggs]
     return phase1.groupBy(*keys).agg(*finals)
+
+
+def hot_key_salted_join(
+    large: DataFrame,
+    small: DataFrame,
+    on: str,
+    *,
+    min_share: tuple[int, int] = (1, 100),
+    salt: int = 8,
+    how: str = "inner",
+    capacity: int | None = None,
+) -> DataFrame:
+    """Differentiated skew join with *measured* hot keys: detect keys holding
+    ≥ ``min_share`` of the large side (operators.heavyhitters — a Misra-Gries
+    candidate pass plus candidate-only verify, so detection never shuffles the
+    key domain), then route only those rows through :func:`salted_join` while
+    the cold majority takes the plain equi-join. The small side is split the
+    same way, so salting replicates only the rows that join hot keys.
+
+    Result is row-identical to ``large.join(small, on, how)`` for 'inner' and
+    'left'. At 100 TB the detection pass is the cheap part (two narrow scans);
+    persist ``large`` (or pre-compute the hot-key set offline — it changes
+    slowly for real workloads) so the hot/cold split does not rescan the
+    source twice.
+    """
+    from milan_spark.operators.heavyhitters import exact_heavy_hitters
+
+    hot = F.broadcast(
+        exact_heavy_hitters(large, on, min_share, capacity).select(
+            F.col("item").alias("__hot_k")
+        )
+    )
+    lk = large.withColumn("__hot_k", F.col(on).cast("string"))
+    sk = small.withColumn("__hot_k", F.col(on).cast("string"))
+    l_hot = lk.join(hot, "__hot_k", "leftsemi").drop("__hot_k")
+    l_cold = lk.join(hot, "__hot_k", "leftanti").drop("__hot_k")
+    s_hot = sk.join(hot, "__hot_k", "leftsemi").drop("__hot_k")
+    s_cold = sk.join(hot, "__hot_k", "leftanti").drop("__hot_k")
+    hot_part = salted_join(l_hot, s_hot, on, salt=salt, how=how)
+    cold_part = l_cold.join(s_cold, on, how)
+    return hot_part.unionByName(cold_part)

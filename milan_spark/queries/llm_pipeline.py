@@ -1283,3 +1283,34 @@ def quality_percentile_gate_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return top_fraction_by_score(
         scored, ["source"], "quality_score", frac=(1, 5), key="doc_id"
     ).select("doc_id", "source", "quality_score")
+
+
+@register(
+    "hot_token_heavy_hitters",
+    doc="Exact frequency-threshold heavy hitters (operators.heavyhitters."
+    "exact_heavy_hitters): every token holding ≥ 1/40 of all token "
+    "occurrences, with exact counts. Plan: a Misra-Gries candidate pass "
+    "(mapInPandas, ≤ capacity counters per task — no heavy hitter can be "
+    "missed, see the operator's completeness proof) followed by a "
+    "broadcast-semi-join exact count of candidates only — the full token "
+    "domain NEVER shuffles, which is the point at 100 TB where distinct "
+    "n-grams outnumber heavy hitters a million to one. The final integer "
+    "predicate n·40 ≥ n_total makes the result bit-equal to brute force, "
+    "which is exactly what the oracle computes.",
+    oracle=f"""
+WITH t AS (
+  SELECT {_SQL_TOKENS} AS toks FROM documents
+),
+w AS (SELECT unnest(toks) AS item FROM t),
+tot AS (SELECT COUNT(*) AS n_total FROM w)
+SELECT item, COUNT(*) AS n, (SELECT n_total FROM tot) AS n_total
+FROM w GROUP BY item
+HAVING COUNT(*) * 40 >= (SELECT n_total FROM tot)
+""",
+)
+def hot_token_heavy_hitters_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from milan_spark.operators.heavyhitters import exact_heavy_hitters
+
+    docs = table(spark, sf_dir, "documents")
+    toks = docs.select(F.explode(T.tokenize("text")).alias("token"))
+    return exact_heavy_hitters(toks, "token", min_share=(1, 40))

@@ -43,3 +43,26 @@ def test_salted_aggregate_matches_plain(spark):
     )
     got = {(r["event_type"], r["n"], r["users"]) for r in got.collect()}
     assert got == want
+
+
+def test_hot_key_salted_join_matches_plain(spark):
+    import numpy as np
+
+    from milan_spark.operators.skew import hot_key_salted_join
+
+    rng = np.random.default_rng(3)
+    # one key carries 40% of the large side; tail spread over 500 keys
+    keys = ["hot"] * 4000 + [f"k{int(v)}" for v in rng.integers(0, 500, 6000)]
+    large = spark.createDataFrame(
+        [(k, i) for i, k in enumerate(keys)], "k string, v long"
+    ).repartition(8)
+    small = spark.createDataFrame(
+        [("hot", 1.0)] + [(f"k{i}", float(i)) for i in range(0, 500, 2)], "k string, w double"
+    )
+    got = hot_key_salted_join(large, small, "k", min_share=(1, 10), salt=4)
+    want = large.join(small, "k", "inner")
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+
+    got_left = hot_key_salted_join(large, small, "k", min_share=(1, 10), salt=4, how="left")
+    want_left = large.join(small, "k", "left")
+    assert sorted(map(tuple, got_left.collect())) == sorted(map(tuple, want_left.collect()))
