@@ -544,3 +544,44 @@ def streaming_drop_duplicates_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.floor(F.col("value") * 100 + 0.5).cast("long")).alias("cents"),
     )
     return run_to_memory(out, "streaming_drop_duplicates", output_mode="complete")
+
+
+@register(
+    "streaming_hot_event_types",
+    doc="Streaming hot-key detection (stateful.streaming_heavy_hitters): "
+    "mergeable Misra-Gries summaries in applyInPandasWithState state, "
+    "O(buckets × capacity) state regardless of stream length or key "
+    "cardinality. With capacity 64 ≥ the 5-value event_type domain no "
+    "eviction fires, so the final snapshot's lower bounds ARE the exact "
+    "counts and the oracle is plain GROUP BY + share threshold (the "
+    "eviction/bound regime — 20k-item vocab vs capacity 60 — is asserted "
+    "in tests/test_streaming_heavyhitters.py). Latest-version-per-bucket "
+    "reconstruction mirrors how any downstream sink consumes the versioned "
+    "snapshots.",
+    oracle="""
+WITH c AS (SELECT event_type AS item, COUNT(*) AS n FROM events WHERE event_type IS NOT NULL GROUP BY event_type),
+tot AS (SELECT CAST(SUM(n) AS BIGINT) AS n_total FROM c)
+SELECT item, n, (SELECT n_total FROM tot) AS n_total
+FROM c WHERE n * 10 >= (SELECT n_total FROM tot)
+""",
+)
+def streaming_hot_event_types_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    ev = _events_stream(spark, sf_dir).select("event_type")
+    snaps = stateful.streaming_heavy_hitters(ev, "event_type", capacity=64, n_buckets=4)
+    table = run_to_memory(snaps, "streaming_hot_event_types")
+    w = W.partitionBy("bucket")
+    cur = table.withColumn("__maxv", F.max("version").over(w)).where(
+        F.col("version") == F.col("__maxv")
+    )
+    tot = (
+        cur.select("bucket", "bucket_rows")
+        .distinct()
+        .agg(F.sum("bucket_rows").cast("long").alias("n_total"))
+    )
+    return (
+        cur.crossJoin(F.broadcast(tot))
+        .where(F.col("lb") * 10 >= F.col("n_total"))
+        .select("item", F.col("lb").alias("n"), "n_total")
+    )

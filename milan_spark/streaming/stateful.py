@@ -503,3 +503,79 @@ def left_windowed_join_apply(
     return u.groupBy(*key_cols).applyInPandasWithState(
         run, out_schema, _STATE_1, "append", GroupStateTimeout.NoTimeout
     )
+
+
+def streaming_heavy_hitters(
+    sdf: DataFrame,
+    item: str,
+    *,
+    capacity: int,
+    n_buckets: int = 16,
+) -> DataFrame:
+    """Streaming hot-key detection: mergeable Misra-Gries summaries as an
+    ``applyInPandasWithState`` state machine — the streaming twin of
+    ``operators.heavyhitters`` (same batched-decrement kernel, same
+    completeness argument).
+
+    Items hash-partition into ``n_buckets`` state groups; each group's state
+    is its MG summary (≤ ``capacity`` counters) plus the group's cumulative
+    row count. Every microbatch folds the batch's value counts into the
+    summary and emits a *versioned full snapshot* of the group (≤ capacity
+    rows), so the latest version per bucket is always the complete current
+    answer and any sink — memory, file, the MERGE upsert sink — can
+    reconstruct global candidates with ``SELECT ... WHERE version = max``.
+
+    Guarantees (per bucket b, N_b rows so far): every stored bound ``lb``
+    satisfies ``true_count - N_b/(capacity+1) <= lb <= true_count``, and any
+    item with GLOBAL share >= num/den survives whenever
+    ``capacity + 1 > den/num`` — an item's occurrences all land in one
+    bucket, so its bucket-local count equals its global count while
+    N_b <= N shrinks the bound. State is O(n_buckets × capacity) total,
+    independent of stream length and item cardinality — this runs forever at
+    100 TB/day where a streaming groupBy(item).count() accretes state per
+    distinct key.
+
+    Output: ``bucket int, version long, item string, lb long, bucket_rows
+    long`` (one row set per bucket per microbatch that touched it).
+    """
+    import pandas as pd
+
+    out_schema = StructType.fromDDL(
+        "bucket int, version long, item string, lb long, bucket_rows long"
+    )
+    keyed = sdf.select(
+        F.pmod(F.xxhash64(F.col(item).cast("string")), F.lit(n_buckets))
+        .cast("int")
+        .alias("__bucket"),
+        F.col(item).cast("string").alias("__item"),
+    ).where(F.col("__item").isNotNull())
+
+    def run(key, pdf_iter: Iterator["pd.DataFrame"], state: GroupState):
+        chunks = [p for p in pdf_iter if len(p)]
+        if not chunks:
+            return
+        pdf = pd.concat(chunks) if len(chunks) > 1 else chunks[0]
+        st = json.loads(state.get[0]) if state.exists else {"v": 0, "n": 0, "c": {}}
+        counters: dict[str, int] = st["c"]
+        st["n"] += len(pdf)
+        for v, c in pdf["__item"].value_counts().items():
+            counters[v] = counters.get(v, 0) + int(c)
+        if len(counters) > capacity:
+            delta = sorted(counters.values(), reverse=True)[capacity]
+            counters = {k: c - delta for k, c in counters.items() if c > delta}
+        st["v"] += 1
+        st["c"] = counters
+        state.update((json.dumps(st),))
+        yield pd.DataFrame(
+            {
+                "bucket": key[0],
+                "version": st["v"],
+                "item": list(counters.keys()),
+                "lb": list(counters.values()),
+                "bucket_rows": st["n"],
+            }
+        )
+
+    return keyed.groupBy("__bucket").applyInPandasWithState(
+        run, out_schema, _STATE_1, "append", GroupStateTimeout.NoTimeout
+    )
