@@ -257,3 +257,34 @@ def test_chunk_tokens_matches_python_model(spark, texts, window, stride):
             chunk = toks[s : s + window]
             want.add((i, ci, " ".join(chunk), len(chunk)))
     assert got == want
+
+
+# --- exact_heavy_hitters vs brute force on arbitrary small multisets --------
+
+hh_items = st.lists(st.integers(0, 12), min_size=1, max_size=60)
+
+
+@given(items=hh_items, den=st.integers(2, 10), capacity=st.integers(1, 8))
+@settings(**SETTINGS)
+def test_exact_heavy_hitters_property(spark, items, den, capacity):
+    """For ANY multiset, threshold, and capacity — even capacities far below
+    the guarantee bound — the two-pass operator must return exactly the
+    brute-force heavy-hitter set whenever capacity respects the completeness
+    bound capacity+1 > den; below the bound the result may legally miss items,
+    so we assert only when the precondition holds (and assert the subset
+    relation always: pass 2 never fabricates or over-counts)."""
+    from collections import Counter
+
+    from milan_spark.operators.heavyhitters import exact_heavy_hitters
+
+    df = spark.createDataFrame([(str(v),) for v in items], "item string").repartition(3)
+    got = {
+        (r["item"], r["n"], r["n_total"])
+        for r in exact_heavy_hitters(df, "item", (1, den), capacity=capacity).collect()
+    }
+    truth = Counter(str(v) for v in items)
+    n = len(items)
+    want = {(k, c, n) for k, c in truth.items() if c * den >= n}
+    assert got <= want  # exact verify: no false positives, counts exact
+    if capacity + 1 > den:
+        assert got == want  # completeness bound satisfied -> nothing missed
