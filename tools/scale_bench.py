@@ -58,6 +58,9 @@ QUERIES = [
     "duplicate_passage_spans",
     "collocation_pmi",
     "doc_chunking",
+    # round-4: two narrow scans + candidate-only shuffle; wall should track
+    # scan rate, state bounded by capacity × partitions
+    "hot_token_heavy_hitters",
 ]
 
 _ALPHA = "abcdefghijklmnopqrstuvwxyz"
