@@ -202,16 +202,22 @@ def q22_idle_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q21_sole_late_supplier",
-    doc="TPC-H Q21 shape (double-correlated EXISTS + NOT EXISTS → semi-join "
-    "+ anti-join with non-equi residuals): suppliers who were the ONLY late "
-    "shipper (> 60 days after order date) on a multi-supplier order, "
-    "counted per supplier. Working set is the DISTINCT (orderkey, suppkey) "
-    "pair projection, so line multiplicity cannot skew the count. Both "
-    "correlations share the equi-key (orderkey) — each is one shuffle-"
-    "colocated semi/anti join with the `suppkey <>` inequality left as a "
-    "residual on the matched pairs, never a nested loop; at SF100 all three "
-    "legs partition on orderkey and AQE can broadcast the late side, which "
-    "the 60-day filter has already cut to a small fraction.",
+    doc="TPC-H Q21 shape (double-correlated EXISTS + NOT EXISTS): suppliers "
+    "who were the ONLY late shipper (> 60 days after order date) on a "
+    "multi-supplier order, counted per supplier. Both correlations "
+    "decorrelate into ONE per-order conditional aggregate: per (orderkey, "
+    "suppkey) a bool_or late flag, then per orderkey (n_suppliers, n_late, "
+    "and — exactly when n_late = 1 — THE late suppkey via max-over-when), "
+    "filter n_suppliers > 1 ∧ n_late = 1. EXISTS ≡ n_suppliers > 1, "
+    "NOT EXISTS ≡ n_late = 1, and the qualifying pair is recovered from "
+    "the same aggregate, so the semi-join, anti-join, and both DISTINCT "
+    "pair shuffles of the textbook plan vanish. Physical plan: lineitem "
+    "and orders exchange once on orderkey for the join; both groupBys "
+    "reuse that partitioning (grouping keys ⊇ partitioning keys ⇒ "
+    "ClusteredDistribution already satisfied) — ZERO further full-size "
+    "exchanges; the supplier dim broadcasts. This is the formulation "
+    "whose working set genuinely carries 10× rows in weak scaling "
+    "(SCALE.md) — one pass over it instead of four.",
     oracle="""
 WITH pairs AS (
   SELECT DISTINCT l.l_orderkey AS ok, l.l_suppkey AS sk
@@ -234,21 +240,20 @@ def q21_sole_late_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = table(spark, sf_dir, "lineitem")
     orders = table(spark, sf_dir, "orders")
     supp = table(spark, sf_dir, "supplier")
-    late = (
+    late_flag = F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")
+    pairs = (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .filter(F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS"))
-        .select(F.col("l_orderkey").alias("ok"), F.col("l_suppkey").alias("sk"))
-        .distinct()
+        .groupBy(F.col("l_orderkey").alias("ok"), F.col("l_suppkey").alias("sk"))
+        .agg(F.max(late_flag.cast("int")).alias("late"))
     )
-    all_pairs = li.select(F.col("l_orderkey").alias("ok"), F.col("l_suppkey").alias("sk")).distinct()
-    a = all_pairs.select(F.col("ok").alias("a_ok"), F.col("sk").alias("a_sk"))
-    p2 = late.select(F.col("ok").alias("p2_ok"), F.col("sk").alias("p2_sk"))
-    sole_late = (
-        late.join(a, (late.ok == a.a_ok) & (late.sk != a.a_sk), "left_semi")
-        .join(p2, (late.ok == F.col("p2_ok")) & (late.sk != F.col("p2_sk")), "left_anti")
+    per_order = pairs.groupBy("ok").agg(
+        F.count(F.lit(1)).alias("n_supp"),
+        F.sum("late").alias("n_late"),
+        F.max(F.when(F.col("late") == 1, F.col("sk"))).alias("late_sk"),
     )
+    sole = per_order.filter((F.col("n_supp") > 1) & (F.col("n_late") == 1))
     return (
-        sole_late.join(F.broadcast(supp), F.col("sk") == F.col("s_suppkey"))
+        sole.join(F.broadcast(supp), F.col("late_sk") == F.col("s_suppkey"))
         .groupBy("s_name")
         .agg(mf.agg_count().alias("numwait"))
     )

@@ -222,9 +222,13 @@ def test_q15_scalar_max_broadcasts(spark):
     assert "GreaterThanOrEqual(l_shipdate" in p
 
 
-def test_q21_semi_and_anti_share_orderkey(spark):
+def test_q21_single_pass_no_semi_anti(spark):
+    # both EXISTS correlations decorrelate into one per-order conditional
+    # aggregate: no semi/anti joins, no DISTINCT shuffles, and the only
+    # full-size data movement is the (orderkey, suppkey) pair aggregate
     p = plan(q("q21_sole_late_supplier", spark))
-    assert "LeftSemi" in p and "LeftAnti" in p
+    assert "LeftSemi" not in p and "LeftAnti" not in p
+    assert n_nodes(p, "Exchange hashpartitioning") <= 3
     assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
 
 
