@@ -53,26 +53,43 @@ from pyspark.sql import Column, DataFrame, functions as F
 _SUMMARY_SCHEMA = "item string, lb bigint, rows bigint"
 
 
-def misra_gries_summaries(df: DataFrame, item: str | Column, capacity: int) -> DataFrame:
+def misra_gries_summaries(
+    df: DataFrame, item: str | Column, capacity: int, weight: str | Column | None = None
+) -> DataFrame:
     """Per-partition Misra-Gries summaries of ``item`` (cast to string).
 
     Output: one row per surviving counter (``item``, ``lb`` = stored lower
     bound) plus one sentinel row per partition (``item`` NULL, ``rows`` =
-    partition row count, NULLs excluded). ``lb`` undercounts the partition
-    frequency by at most N_p/(capacity+1).
+    partition mass, NULLs excluded). ``lb`` undercounts the partition
+    mass by at most M_p/(capacity+1).
+
+    ``weight`` generalizes from row counts to any non-negative integer mass
+    (bytes, token counts, shuffle-size estimates): the summary then tracks
+    weighted frequency, with the identical decrement argument — each
+    overflow round removes ≥ delta·(capacity+1) mass, so total decrement
+    stays ≤ M_p/(capacity+1) where M_p is the partition's weight sum.
     """
     if capacity < 1:
         raise ValueError("capacity must be >= 1")
 
-    items = df.select(F.col(item).cast("string").alias("item") if isinstance(item, str) else item.cast("string").alias("item"))
+    item_col = F.col(item) if isinstance(item, str) else item
+    cols = [item_col.cast("string").alias("item")]
+    if weight is not None:
+        w_col = F.col(weight) if isinstance(weight, str) else weight
+        cols.append(w_col.cast("long").alias("w"))
+    items = df.select(*cols)
 
     def mg(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         counters: dict[str, int] = {}
-        n_rows = 0
+        mass = 0
         for pdf in batches:
-            vals = pdf["item"].dropna()
-            n_rows += len(vals)
-            for v, c in vals.value_counts().items():
+            if weight is None:
+                grp = pdf["item"].dropna().value_counts()
+            else:
+                keep = pdf["item"].notna()
+                grp = pdf.loc[keep, "w"].fillna(0).groupby(pdf.loc[keep, "item"]).sum()
+            mass += int(grp.sum())
+            for v, c in grp.items():
                 counters[v] = counters.get(v, 0) + int(c)
             if len(counters) > capacity:
                 delta = sorted(counters.values(), reverse=True)[capacity]
@@ -81,7 +98,7 @@ def misra_gries_summaries(df: DataFrame, item: str | Column, capacity: int) -> D
             {
                 "item": list(counters.keys()) + [None],
                 "lb": pd.array(list(counters.values()) + [None], dtype="Int64"),
-                "rows": pd.array([None] * len(counters) + [n_rows], dtype="Int64"),
+                "rows": pd.array([None] * len(counters) + [mass], dtype="Int64"),
             }
         )
         yield out
@@ -94,14 +111,17 @@ def exact_heavy_hitters(
     item: str | Column,
     min_share: tuple[int, int],
     capacity: int | None = None,
+    weight: str | Column | None = None,
 ) -> DataFrame:
-    """All items whose share of non-NULL rows is ≥ ``num/den``, with exact
-    counts — equal to brute-force ``groupBy(item).count()`` + threshold, but
-    with no full-domain shuffle (see module docstring for the plan).
+    """All items whose share of the total mass is ≥ ``num/den``, with exact
+    totals — equal to brute-force ``groupBy(item)`` + threshold, but with no
+    full-domain shuffle (see module docstring for the plan). Mass is the row
+    count, or the sum of ``weight`` (non-negative integers — bytes, tokens)
+    when given; the completeness proof is identical with weighted mass.
 
-    Returns columns ``item`` (string), ``n`` (exact count, bigint),
-    ``n_total`` (total non-NULL rows, bigint). The share test is the exact
-    integer predicate ``n·den ≥ num·n_total``.
+    Returns columns ``item`` (string), ``n`` (exact mass, bigint),
+    ``n_total`` (total mass over non-NULL items, bigint). The share test is
+    the exact integer predicate ``n·den ≥ num·n_total``.
     """
     num, den = min_share
     if num <= 0 or den <= 0:
@@ -109,17 +129,21 @@ def exact_heavy_hitters(
     if capacity is None:
         capacity = max(1, (4 * den) // num)
 
-    summaries = misra_gries_summaries(df, item, capacity).persist()
+    summaries = misra_gries_summaries(df, item, capacity, weight).persist()
     total = summaries.agg(F.sum("rows").cast("long").alias("n_total"))
     cands = summaries.where(F.col("item").isNotNull()).select("item").distinct()
 
-    items = df.select(F.col(item).cast("string").alias("item") if isinstance(item, str) else item.cast("string").alias("item")).where(
-        F.col("item").isNotNull()
-    )
+    item_col = F.col(item) if isinstance(item, str) else item
+    cols = [item_col.cast("string").alias("item")]
+    if weight is not None:
+        w_col = F.col(weight) if isinstance(weight, str) else weight
+        cols.append(w_col.cast("long").alias("__w"))
+    items = df.select(*cols).where(F.col("item").isNotNull())
+    mass = F.count(F.lit(1)) if weight is None else F.sum(F.coalesce("__w", F.lit(0)))
     counts = (
         items.join(F.broadcast(cands), "item", "leftsemi")
         .groupBy("item")
-        .agg(F.count(F.lit(1)).alias("n"))
+        .agg(mass.cast("long").alias("n"))
     )
     return (
         counts.crossJoin(F.broadcast(total))

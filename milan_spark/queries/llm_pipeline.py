@@ -1317,3 +1317,29 @@ def hot_token_heavy_hitters_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = table(spark, sf_dir, "documents")
     toks = docs.select(F.explode(T.tokenize("text")).alias("token"))
     return exact_heavy_hitters(toks, "token", min_share=(1, 40))
+
+
+@register(
+    "hot_sources_by_bytes",
+    doc="Weighted heavy hitters (operators.heavyhitters, weight=n_chars): "
+    "sources holding ≥ 1/20 of total corpus BYTES — the mass-share question "
+    "capacity planning actually asks (which feeds dominate storage, which "
+    "keys dominate shuffle bytes), answered by the same Misra-Gries-"
+    "prefilter + exact-verify plan with weighted increments; the "
+    "completeness proof carries over with byte mass in place of row "
+    "counts. Integer-exact end to end.",
+    oracle="""
+WITH c AS (
+  SELECT source AS item, CAST(SUM(n_chars) AS BIGINT) AS n
+  FROM documents WHERE source IS NOT NULL GROUP BY source
+),
+tot AS (SELECT CAST(SUM(n) AS BIGINT) AS n_total FROM c)
+SELECT item, n, (SELECT n_total FROM tot) AS n_total
+FROM c WHERE n * 20 >= (SELECT n_total FROM tot)
+""",
+)
+def hot_sources_by_bytes_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from milan_spark.operators.heavyhitters import exact_heavy_hitters
+
+    docs = table(spark, sf_dir, "documents")
+    return exact_heavy_hitters(docs, "source", min_share=(1, 20), weight="n_chars")

@@ -88,3 +88,32 @@ def test_no_full_domain_shuffle(spark, zipf_df):
     plan = exact_heavy_hitters(zipf_df, "item", (1, 50))._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
     assert "LeftSemi" in plan
+
+
+def test_weighted_matches_brute_force(spark, zipf_df):
+    # weight = deterministic per-row integer; heavy hitters by MASS differ
+    # from heavy hitters by count, and must equal the brute-force weighted
+    # aggregate exactly
+    wdf = zipf_df.withColumn("w", (F.xxhash64("item") % 7 + 7) % 7 + 1)
+    got = {
+        (r["item"], r["n"], r["n_total"])
+        for r in exact_heavy_hitters(wdf, "item", (1, 100), weight="w").collect()
+    }
+    tot = wdf.agg(F.sum("w")).first()[0]
+    want = {
+        (r["item"], r["s"], tot)
+        for r in wdf.groupBy("item")
+        .agg(F.sum("w").alias("s"))
+        .where(F.col("s") * 100 >= tot)
+        .collect()
+    }
+    assert got == want
+    assert got
+
+
+def test_weighted_null_weights_count_zero(spark):
+    df = spark.createDataFrame(
+        [("a", 10), ("a", None), ("b", 3), (None, 99)], "item string, w long"
+    ).repartition(2)
+    rows = exact_heavy_hitters(df, "item", (1, 2), weight="w").collect()
+    assert {(r["item"], r["n"], r["n_total"]) for r in rows} == {("a", 10, 13)}
