@@ -585,3 +585,34 @@ def streaming_hot_event_types_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("lb") * 10 >= F.col("n_total"))
         .select("item", F.col("lb").alias("n"), "n_total")
     )
+
+
+@register(
+    "streaming_static_enrichment",
+    doc="Stream-static dimension enrichment — the deployment-default join "
+    "topology for streams at 100 TB/day: the fact STREAMS, the dimension "
+    "is a batch table broadcast into every microbatch (re-resolved per "
+    "batch, so a slowly-changing dim picks up updates between batches); "
+    "no state store, no watermark, no stream-stream buffering. Spark "
+    "executes this natively (stream-static equi-join → BroadcastHashJoin "
+    "inside each microbatch). Oracle: the identical join + aggregate as "
+    "one batch SQL.",
+    oracle="""
+SELECT c.c_nationkey AS nationkey, COUNT(*) AS n,
+       CAST(SUM(CAST(floor(e.value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS cents
+FROM events e, customer c
+WHERE c.c_custkey = e.user_id
+GROUP BY c.c_nationkey
+""",
+)
+def streaming_static_enrichment_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from milan_spark.sources import table
+
+    ev = _events_stream(spark, sf_dir).select("user_id", "value")
+    cust = table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    joined = ev.join(F.broadcast(cust), ev.user_id == cust.c_custkey)
+    out = joined.groupBy(F.col("c_nationkey").alias("nationkey")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.floor(F.col("value") * 100 + 0.5).cast("long")).alias("cents"),
+    )
+    return run_to_memory(out, "streaming_static_enrichment", output_mode="complete")
