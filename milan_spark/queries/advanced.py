@@ -782,3 +782,57 @@ def zorder_layout_prune_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("revenue"),
     )
+
+
+def _pagerank_oracle(iterations: int = 5, num: int = 85, den: int = 100, scale: int = 1_000_000) -> str:
+    """Unrolled fixed-iteration PageRank as chained CTEs — the recursion-free
+    mirror of operators.graph.pagerank_scaled, constant-for-constant (base
+    and damping are formatted from the SAME Python integers the operator
+    uses, so the two sides cannot drift)."""
+    base = (scale * (den - num)) // den
+    ctes = [f"r0 AS (SELECT node, CAST({scale} AS BIGINT) AS rank FROM nodes)"]
+    for k in range(1, iterations + 1):
+        ctes.append(
+            f"""r{k} AS (
+  SELECT n.node, CAST({base} + ({num} * COALESCE(m.s, 0)) // {den} AS BIGINT) AS rank
+  FROM nodes n LEFT JOIN (
+    SELECT e.v AS node, SUM(r.rank // d.outdeg) AS s
+    FROM e JOIN r{k - 1} r ON r.node = e.u JOIN outdeg d ON d.node = e.u
+    GROUP BY e.v
+  ) m ON m.node = n.node
+)"""
+        )
+    return f"""
+WITH e AS (
+  SELECT DISTINCT l.l_suppkey AS u, o.o_custkey AS v
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+),
+nodes AS (SELECT u AS node FROM e UNION SELECT v FROM e),
+outdeg AS (SELECT u AS node, COUNT(*) AS outdeg FROM e GROUP BY u),
+{', '.join(ctes)}
+SELECT node, rank FROM r{iterations}
+"""
+
+
+@register(
+    "pagerank_supplier_customer",
+    doc="Fixed-iteration PageRank over the supplier→customer fulfillment "
+    "graph (distinct (l_suppkey, o_custkey) edges), in scaled int64 "
+    "arithmetic — sums and floor divisions only, so the result is "
+    "bit-identical regardless of partitioning or engine, which is what "
+    "makes an iterative NUMERIC algorithm oracle-checkable at all (float "
+    "PageRank cannot hash-match across engines). Five rounds of two "
+    "equi-joins + one combinable sum over a persisted edge list, lineage "
+    "truncated per round — the k-passes-over-edges shape that holds at "
+    "any scale. See operators.graph.pagerank_scaled.",
+    oracle=_pagerank_oracle(),
+)
+def pagerank_supplier_customer_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from milan_spark.operators.graph import pagerank_scaled
+
+    li = table(spark, sf_dir, "lineitem")
+    orders = table(spark, sf_dir, "orders")
+    edges = li.join(orders, li.l_orderkey == orders.o_orderkey).select(
+        F.col("l_suppkey").alias("src"), F.col("o_custkey").alias("dst")
+    )
+    return pagerank_scaled(edges, "src", "dst", iterations=5)

@@ -268,3 +268,47 @@ def test_pii_scrub_and_counts(spark):
     assert out[1]["s"] == "mail me at <EMAIL> or call <PHONE> now"
     assert (out[2]["e"], out[2]["p"]) == (0, 0)
     assert (out[3]["e"], out[3]["p"]) == (2, 1)
+
+
+def test_pagerank_scaled_hand_computed(spark):
+    from milan_spark.operators.graph import pagerank_scaled
+
+    edges = spark.createDataFrame(
+        [("a", "b"), ("a", "c"), ("b", "c"), ("c", "a")], "src string, dst string"
+    )
+    got = {
+        (r["node"], r["rank"])
+        for r in pagerank_scaled(
+            edges, iterations=1, damping=(1, 2), scale=100
+        ).collect()
+    }
+    # outdeg a=2 b=1 c=1; contribs a->b 50, a->c 50, b->c 100, c->a 100;
+    # base = 50: a = 50+100//2 = 100, b = 50+50//2 = 75, c = 50+150//2 = 125
+    assert got == {("a", 100), ("b", 75), ("c", 125)}
+
+
+def test_pagerank_scaled_matches_python_model(spark):
+    from milan_spark.operators.graph import pagerank_scaled
+
+    raw = [(i, (i * 7 + 3) % 23) for i in range(40)] + [(i % 23, (i * 5) % 40) for i in range(40)]
+    edges = [(u, v) for u, v in raw if u != v]
+    iters, num, den, scale = 4, 85, 100, 1_000_000
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {
+        (r["node"], r["rank"])
+        for r in pagerank_scaled(df, iterations=iters).collect()
+    }
+
+    es = sorted(set(edges))
+    nodes = sorted({u for u, _ in es} | {v for _, v in es})
+    outdeg = {}
+    for u, _ in es:
+        outdeg[u] = outdeg.get(u, 0) + 1
+    rank = {n: scale for n in nodes}
+    base = (scale * (den - num)) // den
+    for _ in range(iters):
+        s = {n: 0 for n in nodes}
+        for u, v in es:
+            s[v] += rank[u] // outdeg[u]
+        rank = {n: base + (num * s[n]) // den for n in nodes}
+    assert got == set(rank.items())
