@@ -91,6 +91,7 @@ def pagerank_scaled(
     damping: tuple[int, int] = (85, 100),
     scale: int = 1_000_000,
     checkpoint_every: int | None = None,
+    broadcast_ranks: bool = False,
 ) -> DataFrame:
     """Fixed-iteration PageRank in scaled INTEGER arithmetic — every rank is
     an int64 in units of ``1/scale``, every step is sum + floor-division, so
@@ -110,7 +111,12 @@ def pagerank_scaled(
     localCheckpoint was dropped); ``checkpoint_every`` re-enables periodic
     truncation for iteration counts large enough to strain the analyzer.
     The 100 TB shape is k passes over the edge list with no driver state
-    beyond the loop counter. The reference has no
+    beyond the loop counter. ``broadcast_ranks=True`` additionally hints
+    both per-round small sides (the rank vector and the message sums, each
+    O(nodes)) into broadcast joins so the EDGE list never shuffles at all —
+    correct whenever the node universe fits an executor (entity graphs:
+    suppliers, customers, hosts), wrong for node sets at edge scale, hence
+    opt-in. The reference has no
     numeric-iteration operator at all (its Cycle is the only feedback
     construct, lang/Stream.scala:143-147); this composes the same
     driver-fixpoint realization connected_components uses.
@@ -135,11 +141,15 @@ def pagerank_scaled(
         srcs = ranks.where(F.col("outdeg") > 0).select(
             F.col("node").alias("u"), F.expr("rank div outdeg").alias("c")
         )
+        if broadcast_ranks:
+            srcs = F.broadcast(srcs)
         msg = (
             e.join(srcs, "u")
             .groupBy(F.col("v").alias("node"))
             .agg(F.sum("c").alias("s"))
         )
+        if broadcast_ranks:
+            msg = F.broadcast(msg)
         ranks = (
             nodes.join(msg, "node", "left")
             .select(

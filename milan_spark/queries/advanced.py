@@ -835,4 +835,6 @@ def pagerank_supplier_customer_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges = li.join(orders, li.l_orderkey == orders.o_orderkey).select(
         F.col("l_suppkey").alias("src"), F.col("o_custkey").alias("dst")
     )
-    return pagerank_scaled(edges, "src", "dst", iterations=5)
+    # the node universe here is the supplier+customer entity set — KBs at any
+    # edge scale — so the broadcast plan (edges never shuffle) is the right one
+    return pagerank_scaled(edges, "src", "dst", iterations=5, broadcast_ranks=True)
