@@ -120,6 +120,14 @@ def pagerank_scaled(
     numeric-iteration operator at all (its Cycle is the only feedback
     construct, lang/Stream.scala:143-147); this composes the same
     driver-fixpoint realization connected_components uses.
+
+    Caching contract: the edge list and node table are ``persist()``-ed and
+    stay cached after the returned plan materializes (the plan is lazy, so
+    they cannot be dropped here without forfeiting reuse across rounds).
+    Long-lived sessions that call this repeatedly must release them between
+    calls via ``milan_spark.session.release_cached(spark)`` — the same
+    contract every multi-pass operator in this package follows (bench.py and
+    the tools harnesses already do).
     """
     num, den = damping
     base = (scale * (den - num)) // den

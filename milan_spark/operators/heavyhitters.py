@@ -122,6 +122,11 @@ def exact_heavy_hitters(
     Returns columns ``item`` (string), ``n`` (exact mass, bigint),
     ``n_total`` (total mass over non-NULL items, bigint). The share test is
     the exact integer predicate ``n·den ≥ num·n_total``.
+
+    Caching contract: the MG summaries are ``persist()``-ed (read by both
+    the total and the candidate set) and stay cached after the returned
+    plan materializes; long-lived sessions calling this repeatedly release
+    them via ``milan_spark.session.release_cached(spark)``.
     """
     num, den = min_share
     if num <= 0 or den <= 0:

@@ -159,8 +159,7 @@ def top_fraction_by_score(
     quota = (
         d.groupBy(*strata)
         .agg(F.count(F.lit(1)).alias("__n"))
-        .withColumn("__quota", (F.col("__n") * num) / den)
-        .withColumn("__quota", F.floor(F.col("__quota")).cast("long"))
+        .withColumn("__quota", F.expr(f"__n * {num} div {den}"))
         .filter(F.col("__quota") > 0)
         .drop("__n")
     )

@@ -1064,11 +1064,10 @@ WITH t AS (
   SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks FROM documents
 )
 SELECT doc_id,
-       CAST((r.i - 1) / 48 AS BIGINT) AS chunk_idx,
-       array_to_string(toks[r.i:r.i+63], ' ') AS chunk_text,
-       CAST(least(64, len(toks) - r.i + 1) AS INT) AS n_chunk_tokens
-FROM t, range(1, 1024, 48) r(i)
-WHERE r.i <= len(toks)
+       CAST((p.i - 1) / 48 AS BIGINT) AS chunk_idx,
+       array_to_string(toks[p.i:p.i+63], ' ') AS chunk_text,
+       CAST(least(64, len(toks) - p.i + 1) AS INT) AS n_chunk_tokens
+FROM (SELECT doc_id, toks, unnest(range(1, len(toks) + 1, 48)) AS i FROM t) p
 """,
 )
 def doc_chunking_q(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1097,8 +1096,8 @@ w AS (SELECT unnest(toks) AS w FROM t),
 uni AS (SELECT w, COUNT(*) AS n_w FROM w GROUP BY w),
 total AS (SELECT COUNT(*) AS n_total FROM w),
 big AS (
-  SELECT array_to_string(toks[r.i:r.i+1], ' ') AS gram
-  FROM t, range(1, 1024, 1) r(i) WHERE r.i <= len(toks) - 1
+  SELECT array_to_string(toks[p.i:p.i+1], ' ') AS gram
+  FROM (SELECT toks, unnest(range(1, len(toks), 1)) AS i FROM t) p
 ),
 bc AS (SELECT gram, COUNT(*) AS n_ab FROM big GROUP BY gram HAVING COUNT(*) >= 5)
 SELECT bc.gram, bc.n_ab, a.n_w AS n_a, b.n_w AS n_b,
@@ -1130,8 +1129,8 @@ WITH t AS (
   SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks FROM documents
 ),
 g AS (
-  SELECT doc_id, r.i AS pos, array_to_string(toks[r.i:r.i+4], ' ') AS gram
-  FROM t, range(1, 1024, 1) r(i) WHERE r.i <= len(toks) - 4
+  SELECT doc_id, p.i AS pos, array_to_string(toks[p.i:p.i+4], ' ') AS gram
+  FROM (SELECT doc_id, toks, unnest(range(1, len(toks) - 3, 1)) AS i FROM t) p
 ),
 shared AS (SELECT gram FROM g GROUP BY gram HAVING COUNT(DISTINCT doc_id) > 1),
 d AS (SELECT doc_id, pos FROM g WHERE gram IN (SELECT gram FROM shared)),
@@ -1174,10 +1173,9 @@ WITH t AS (
 ),
 c AS (
   SELECT doc_id,
-         CAST((r.i - 1) / 32 AS BIGINT) AS chunk_idx,
-         array_to_string(toks[r.i:r.i+31], ' ') AS chunk_text
-  FROM t, range(1, 1024, 32) r(i)
-  WHERE r.i <= len(toks)
+         CAST((p.i - 1) / 32 AS BIGINT) AS chunk_idx,
+         array_to_string(toks[p.i:p.i+31], ' ') AS chunk_text
+  FROM (SELECT doc_id, toks, unnest(range(1, len(toks) + 1, 32)) AS i FROM t) p
 ),
 f AS (
   SELECT doc_id, chunk_idx,

@@ -185,6 +185,22 @@ def upsert_sink(
 
     def _merge(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
+        # Crash-recovery for the two-rename swap below: if a previous run died
+        # between `os.rename(path, old)` and `os.rename(tmp, path)`, the table
+        # is stranded in a `path.__old_<id>` sibling while `path` is missing.
+        # Restore the newest such sibling before merging so the checkpoint's
+        # replayed batch merges against the full prior table instead of
+        # silently rewriting it with only this batch's rows.
+        if not os.path.exists(path):
+            parent = os.path.dirname(path) or "."
+            base_name = os.path.basename(path)
+            stranded = sorted(
+                n for n in os.listdir(parent) if n.startswith(f"{base_name}.__old_")
+            )
+            if stranded:
+                os.rename(os.path.join(parent, stranded[-1]), path)
+                for extra in stranded[:-1]:
+                    shutil.rmtree(os.path.join(parent, extra), ignore_errors=True)
         if seq_col is not None:
             batch_df = (
                 batch_df.groupBy(*keys)

@@ -64,6 +64,40 @@ def test_upsert_sink_seq_resolves_in_batch_duplicates(spark):
     assert got == {(1, "y"), (2, "b")}
 
 
+def test_upsert_sink_recovers_stranded_old_dir(spark):
+    """Crash window between the two renames: if a previous run died after
+    os.rename(path, old) but before os.rename(tmp, path), the table lives
+    only in path.__old_<id>. A replayed batch must restore it before
+    merging instead of rewriting the table with only its own rows."""
+    import shutil
+
+    out_root = tempfile.mkdtemp(prefix="ups_crash_")
+    out = os.path.join(out_root, "t")
+    # prior table, as the crashed run left it: renamed away, not yet replaced
+    spark.createDataFrame(
+        [(1, "a", 1), (2, "b", 2)], "k long, v string, seq long"
+    ).write.parquet(os.path.join(out_root, "t.__old_0"))
+    # stray tmp dir from the same crashed batch should not confuse recovery
+    spark.createDataFrame(
+        [(3, "c", 3)], "k long, v string, seq long"
+    ).write.parquet(os.path.join(out_root, "t.__tmp_0"))
+
+    batches = [[(2, "B", 3), (3, "c", 4)]]  # replay of the crashed batch
+    stage = _stage_batches(spark, batches)
+    sdf = (
+        spark.readStream.schema("k long, v string, seq long")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stage)
+    )
+    q = upsert_sink(sdf, out, ["k"])
+    q.awaitTermination(120)
+    got = {(r.k, r.v) for r in spark.read.parquet(out).collect()}
+    # key 1 survives from the stranded prior table; 2 is updated; 3 inserted
+    assert got == {(1, "a"), (2, "B"), (3, "c")}
+    assert not [d for d in os.listdir(out_root) if d.startswith("t.__old_")]
+    shutil.rmtree(out_root, ignore_errors=True)
+
+
 def test_upsert_sink_ambiguous_batch_raises(spark):
     batches = [[(1, "x", 1), (1, "y", 2)]]
     stage = _stage_batches(spark, batches)
