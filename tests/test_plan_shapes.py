@@ -347,3 +347,85 @@ def test_scd2_single_entity_shuffle(spark):
     p = plan(q("scd2_intervals", spark))
     assert n_nodes(p, "Exchange") == 1
     assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+
+
+def test_pagerank_broadcast_mode_edges_never_shuffle(spark):
+    """Broadcast-mode PageRank's scale contract: the EDGE list feeds only
+    broadcast joins, so per-iteration data movement is (a) one Exchange of
+    node-scale partial sums (map-side combined groupBy) and (b) broadcasts
+    of the O(nodes) rank/message vectors. Growing the iteration count must
+    add exactly {1 Exchange, 2 broadcast joins, 0 sort-merge joins} per
+    round — a plan where edges re-shuffle each round would grow SMJ or
+    per-round Exchange counts and fail here (this is the regression that
+    made the round-4 PLANS.md row stale)."""
+    from pyspark.sql import functions as F
+
+    from milan_spark.operators.graph import pagerank_scaled
+    from milan_spark.session import release_cached
+    from milan_spark.sources import table
+
+    li = table(spark, SF_DIR, "lineitem")
+    orders = table(spark, SF_DIR, "orders")
+    edges = li.join(orders, li.l_orderkey == orders.o_orderkey).select(
+        F.col("l_suppkey").alias("src"), F.col("o_custkey").alias("dst")
+    )
+
+    def stats(iters):
+        p = plan(
+            pagerank_scaled(edges, "src", "dst", iterations=iters, broadcast_ranks=True)
+        )
+        release_cached(spark)
+        return (
+            n_nodes(p, "Exchange"),
+            n_nodes(p, "BroadcastHashJoin"),
+            n_nodes(p, "SortMergeJoin"),
+            p,
+        )
+
+    e1, b1, s1, _ = stats(1)
+    e5, b5, s5, p5 = stats(5)
+    assert s5 == s1, "sort-merge joins must not grow with iterations"
+    assert e5 - e1 == 4, f"expected 1 Exchange/round (partial-sum combine), got {e5 - e1} over 4 rounds"
+    assert b5 - b1 == 8, f"expected 2 broadcast joins/round, got {b5 - b1} over 4 rounds"
+    # every shuffle Exchange combines aggregate partials — the edge list's
+    # join output itself never enters an Exchange
+    lines = p5.splitlines()
+    tree_end = next(i for i, l in enumerate(lines) if l.startswith("(1)"))
+    for i, line in enumerate(lines[:tree_end]):
+        if "Exchange hashpartitioning" in line or "Exchange SinglePartition" in line:
+            assert "HashAggregate" in lines[i + 1], (
+                "Exchange input is not an aggregate partial:\n" + "\n".join(lines[i : i + 2])
+            )
+
+
+def test_plans_md_not_stale(spark):
+    """The committed PLANS.md inventory must match the live plan of the
+    heaviest catalog query (the round-4 defect: PageRank's row predated
+    broadcast mode by two commits). Compiles pagerank_supplier_customer
+    fresh and diffs its row — a plan-affecting commit that skips
+    `tools/plan_report.py` fails here instead of shipping a lying audit."""
+    import os
+    import re
+
+    from milan_spark.session import release_cached
+
+    here = os.path.join(os.path.dirname(__file__), "..", "PLANS.md")
+    with open(here) as f:
+        rows = {
+            m.group(1): [int(x) for x in m.group(2).split("|")[:3]]
+            for m in (
+                re.match(r"\|(\w+)\|(.+)\|$", line.replace(" ", ""))
+                for line in f
+            )
+            if m and m.group(2).split("|")[0].isdigit()
+        }
+    assert "pagerank_supplier_customer" in rows, "PLANS.md missing the sentinel row"
+    p = plan(q("pagerank_supplier_customer", spark))
+    release_cached(spark)
+    live = [n_nodes(p, "Exchange"),
+            n_nodes(p, "BroadcastHashJoin") + n_nodes(p, "BroadcastNestedLoopJoin"),
+            n_nodes(p, "SortMergeJoin")]
+    assert rows["pagerank_supplier_customer"] == live, (
+        f"PLANS.md row {rows['pagerank_supplier_customer']} != live plan {live} "
+        "(shuffles, bcast joins, SMJ) — rerun tools/plan_report.py"
+    )
