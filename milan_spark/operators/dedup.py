@@ -360,8 +360,16 @@ def minhash_lsh_pairs(
     doc = sets.select("__id", hs.alias("__hs"))
     coef_a = 2 * np.arange(num_hashes, dtype=np.int64)[:, None] + 1
     coef_b = (np.arange(num_hashes, dtype=np.int64) ** 2 + 17)[:, None]
-    # tile budget: num_hashes × TILE int64s ≈ 128 × 262144 × 8 = 256 MB peak
-    tile_cells = 262_144
+    # tile budget: num_hashes × TILE int64s ≈ 128 × 8192 × 8 = 8 MB — sized to
+    # keep the (coef·seg)%P temporaries LLC-resident. The previous 256 MB tile
+    # streamed ~800 MB of temporaries per batch through DRAM, which was both
+    # ~2× slower and the root cause of the two-round-old bench variance: a
+    # memory-bandwidth-bound kernel is exposed to host-level interference
+    # (measured standalone: identical input 1.2–6.6 s at 256 MB tiles,
+    # 0.68–0.80 s at 8 MB; wall == process-CPU, zero cgroup throttling — see
+    # tools/minhash_probe.py). A doc whose shingle set exceeds the tile still
+    # processes in one oversized segment — graceful degradation, no cap.
+    tile_cells = 8_192
 
     @F.pandas_udf("array<long>")
     def band_sigs(hss: pd.Series) -> pd.Series:
