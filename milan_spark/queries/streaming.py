@@ -64,7 +64,7 @@ def _stream_side(spark, sf_dir, event_type, cols):
 @register(
     "streaming_left_enrichment_join",
     doc="Milan LeftJoin executed as its true streaming state machine "
-    "(applyInPandasWithState ≈ LeftJoinKeyedCoProcessFunction.scala:41-80): "
+    "(transformWithStateInPandas value-state machine, legacy applyInPandasWithState behind MILAN_STREAM_STATE_API; ≈ LeftJoinKeyedCoProcessFunction.scala:41-80): "
     "purchases enriched with the user's latest at-or-earlier signup. Same "
     "oracle as the batch twin.",
     oracle=REGISTRY["left_enrichment_join"].oracle,
@@ -471,7 +471,7 @@ def streaming_watermark_late_drop_q(spark: SparkSession, sf_dir: str) -> DataFra
     "each purchase joins the same user's views from the trailing day — "
     "both sides watermarked 1 day, the time-range condition bounds state "
     "retention to the interval width. This is the JVM join path the "
-    "engine prefers over the applyInPandasWithState machines when the "
+    "engine prefers over the Python state machines when the "
     "semantics fit Spark's native operator: state is keyed and "
     "watermark-evicted on both sides, no Python in the plan, and at "
     "100 TB each side shuffles once on user_id into co-located state "
@@ -549,7 +549,8 @@ def streaming_drop_duplicates_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "streaming_hot_event_types",
     doc="Streaming hot-key detection (stateful.streaming_heavy_hitters): "
-    "mergeable Misra-Gries summaries in applyInPandasWithState state, "
+    "mergeable Misra-Gries summaries in keyed value state "
+    "(transformWithStateInPandas, legacy API behind a flag), "
     "O(buckets × capacity) state regardless of stream length or key "
     "cardinality. With capacity 64 ≥ the 5-value event_type domain no "
     "eviction fires, so the final snapshot's lower bounds ARE the exact "

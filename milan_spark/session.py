@@ -10,8 +10,48 @@ the Pandas-UDF slow path.
 from __future__ import annotations
 
 import os
+import sys
 
 from pyspark.sql import SparkSession
+
+# Directory whose presence on sys.path/PYTHONPATH makes ``google.protobuf``
+# importable via the vendored gcloud runtime (see compat/pbshim).
+_PBSHIM_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)), "compat", "pbshim")
+_VENDORED_PB = "/usr/lib/google-cloud-sdk/lib/third_party/cloudsdk/google/protobuf"
+
+
+def ensure_protobuf() -> bool:
+    """Make ``google.protobuf`` importable if at all possible; return whether
+    it is. ``transformWithStateInPandas`` requires it in the driver worker and
+    every executor worker, so this MUST run before the JVM starts (workers
+    inherit the JVM's environment): ``get_spark`` calls it ahead of
+    ``getOrCreate``. With a pip-installed protobuf this is a no-op; without
+    one, the pbshim directory (which redirects to the pure-python runtime the
+    Google Cloud SDK vendors) is appended to ``sys.path`` for this process
+    and to ``PYTHONPATH`` for the workers. Returns False when neither exists
+    — callers then fall back to ``applyInPandasWithState``.
+    """
+    try:
+        import google.protobuf  # noqa: F401
+
+        return True
+    except ImportError:
+        pass
+    if not os.path.isdir(_VENDORED_PB):
+        return False
+    if _PBSHIM_DIR not in sys.path:
+        sys.path.insert(0, _PBSHIM_DIR)
+    parts = os.environ.get("PYTHONPATH", "")
+    if _PBSHIM_DIR not in parts.split(os.pathsep):
+        os.environ["PYTHONPATH"] = (
+            _PBSHIM_DIR + (os.pathsep + parts if parts else "")
+        )
+    try:
+        import google.protobuf  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
 
 # Name of the monotonic arrival-order column used by order-sensitive operators
 # (scans, argmax ties, enrichment joins). Mirrors the reference's per-record
@@ -26,6 +66,7 @@ def get_spark(app_name: str = "milan_spark", shuffle_partitions: int | None = No
     On a real cluster the master/memory settings are supplied by spark-submit;
     everything set here is cluster-safe.
     """
+    ensure_protobuf()  # before the JVM exists, so workers inherit the path
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
     if shuffle_partitions is None:
         try:

@@ -29,10 +29,37 @@ from __future__ import annotations
 
 import os
 import tempfile
+from contextlib import contextmanager
 from typing import Callable, Mapping, Sequence
 
 from pyspark.sql import Column, DataFrame, functions as F
 from pyspark.sql.streaming import StreamingQuery
+
+
+@contextmanager
+def _provider_scope(sdf: DataFrame):
+    """Start-time state-store provider scoping: a query whose plan contains a
+    TransformWithState node must start under the RocksDB provider; everything
+    else keeps the session default (and its lighter per-microbatch commit).
+    The provider — like shuffle partitions — is captured into the query's
+    cloned conf at ``start()``, so setting it around the start and restoring
+    immediately scopes it to exactly this query."""
+    from milan_spark.streaming.stateful import _ROCKSDB, needs_rocksdb
+
+    spark = sdf.sparkSession
+    key = "spark.sql.streaming.stateStore.providerClass"
+    prev = spark.conf.get(key, None)
+    need = needs_rocksdb(sdf) and (prev is None or "RocksDB" not in prev)
+    if need:
+        spark.conf.set(key, _ROCKSDB)
+    try:
+        yield
+    finally:
+        if need:
+            if prev is None:
+                spark.conf.unset(key)
+            else:
+                spark.conf.set(key, prev)
 
 
 def windowed_agg(
@@ -93,13 +120,14 @@ def run_to_memory(
     try:
         # the query clones the session conf at start(); restoring right after
         # leaves batch sizing untouched
-        q = (
-            sdf.writeStream.format("memory")
-            .queryName(name)
-            .outputMode(output_mode)
-            .trigger(availableNow=True)
-            .start()
-        )
+        with _provider_scope(sdf):
+            q = (
+                sdf.writeStream.format("memory")
+                .queryName(name)
+                .outputMode(output_mode)
+                .trigger(availableNow=True)
+                .start()
+            )
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
     q.awaitTermination(timeout_sec)
@@ -128,12 +156,14 @@ def file_sink(
         w = w.options(**options)
     if available_now:
         w = w.trigger(availableNow=True)
-    return w.start()
+    with _provider_scope(sdf):
+        return w.start()
 
 
 def console_sink(sdf: DataFrame, *, output_mode: str = "append") -> StreamingQuery:
     """ref: ConsoleDataSink.scala:15."""
-    return sdf.writeStream.format("console").outputMode(output_mode).start()
+    with _provider_scope(sdf):
+        return sdf.writeStream.format("console").outputMode(output_mode).start()
 
 
 def foreach_batch_sink(
@@ -148,7 +178,8 @@ def foreach_batch_sink(
     w = sdf.writeStream.foreachBatch(fn).outputMode(output_mode)
     if available_now:
         w = w.trigger(availableNow=True)
-    return w.start()
+    with _provider_scope(sdf):
+        return w.start()
 
 
 def upsert_sink(
@@ -234,4 +265,5 @@ def upsert_sink(
     )
     if available_now:
         w = w.trigger(availableNow=True)
-    return w.start()
+    with _provider_scope(sdf):
+        return w.start()

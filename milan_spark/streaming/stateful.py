@@ -32,11 +32,29 @@ Scale: state is partitioned by join key across executors (RocksDB/HDFS state
 store), identical to the reference's keyed state distribution; the JSON
 encode/decode is Arrow-batched per microbatch. At 100 TB the bottleneck is the
 state store, not this wrapper — same as Flink.
+
+Backends: every operator here runs on either of Spark's two arbitrary-state
+APIs through one backend-neutral driver (:func:`_drive`):
+
+- ``transformWithStateInPandas`` (Spark 4.x, the DEFAULT when available) —
+  the modern API and the closer analog of the reference's Flink keyed state:
+  explicit state handles created in ``init`` (this port uses a ValueState;
+  list/map handles and TTL compose on the same processor), RocksDB-backed,
+  with state-schema metadata and evolution. Requires ``google.protobuf`` in
+  the workers (``session.ensure_protobuf`` arranges it) and the RocksDB state
+  store provider (set on the session at build time).
+- ``applyInPandasWithState`` (the previous implementation) — kept fully
+  functional behind ``MILAN_STREAM_STATE_API=applyinpandas`` for comparison
+  and for environments without protobuf.
+
+Both backends execute the SAME per-key ``process`` function, so semantics are
+identical by construction; the oracle suite runs green on each.
 """
 
 from __future__ import annotations
 
 import json
+import os
 from typing import Callable, Iterator, Sequence
 
 from pyspark.sql import Column, DataFrame, functions as F
@@ -44,7 +62,131 @@ from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from pyspark.sql.types import LongType, StringType, StructField, StructType
 
 from milan_spark.operators.joins import _normalize_on, _prefixed
-from milan_spark.session import SEQ_COL
+from milan_spark.session import SEQ_COL, ensure_protobuf
+
+STATE_API_ENV = "MILAN_STREAM_STATE_API"  # "tws" | "applyinpandas" | "auto"
+_ROCKSDB = "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+
+
+def use_tws() -> bool:
+    """Resolve the state-machine backend: ``tws`` when protobuf is available
+    (or forced), else the legacy ``applyInPandasWithState`` path."""
+    mode = os.environ.get(STATE_API_ENV, "auto")
+    if mode == "applyinpandas":
+        return False
+    ok = ensure_protobuf()
+    if mode == "tws" and not ok:
+        raise RuntimeError(
+            "MILAN_STREAM_STATE_API=tws but google.protobuf is unavailable "
+            "(transformWithStateInPandas needs it in every worker)"
+        )
+    return ok
+
+
+def needs_rocksdb(sdf: DataFrame) -> bool:
+    """True when the streaming plan contains a TransformWithState node —
+    such queries must start under the RocksDB state store provider."""
+    try:
+        return "TransformWithState" in sdf._jdf.queryExecution().analyzed().toString()
+    except Exception:
+        return False
+
+
+def _drive(
+    df: DataFrame,
+    group_cols: Sequence,
+    process,
+    out_schema: StructType,
+    state_schema: StructType,
+    *,
+    sort_by: Sequence[str],
+) -> DataFrame:
+    """Run ``process(key, pdf, state_tuple_or_None) -> (new_state_tuple,
+    [pd.DataFrame])`` as a keyed value-state machine on the selected backend.
+
+    ``pdf`` arrives sorted by ``sort_by``; the returned state tuple must match
+    ``state_schema`` and is persisted for the key (None leaves state
+    untouched). Emission is append-mode.
+    """
+    import pandas as pd
+
+    in_cols = list(df.columns)
+
+    def _fold(pdf_iter):
+        chunks = []
+        for p in pdf_iter:
+            if not len(p):
+                continue
+            if list(p.columns) != in_cols:
+                # transformWithStateInPandas delivers positional Arrow field
+                # names (_0, _1, …) for some child plans (observed on unions);
+                # the column ORDER is the input DataFrame's, so rename by
+                # position to keep process() schema-agnostic across backends
+                if len(p.columns) != len(in_cols):
+                    raise ValueError(
+                        f"state-machine input has {len(p.columns)} columns, "
+                        f"expected {len(in_cols)} ({in_cols})"
+                    )
+                p = p.set_axis(in_cols, axis=1)
+            chunks.append(p)
+        if not chunks:
+            return None
+        pdf = pd.concat(chunks) if len(chunks) > 1 else chunks[0]
+        if sort_by:
+            pdf = pdf.sort_values(list(sort_by), kind="stable")
+        return pdf
+
+    if use_tws():
+        from pyspark.sql.streaming.stateful_processor import StatefulProcessor
+
+        # transformWithState requires the RocksDB state store provider. The
+        # provider is a session conf captured when a query STARTS, so it is
+        # scoped there, not here: the sink helpers (run_to_memory, file_sink,
+        # foreach_batch_sink, upsert_sink) set it for queries whose plan
+        # contains a TransformWithState node and restore it right after start
+        # (see needs_rocksdb) — native stateful operators keep the default
+        # provider and its lighter per-microbatch commit. Direct
+        # ``writeStream`` users must set the provider themselves; Spark fails
+        # loudly at start if it is missing.
+
+        class _Machine(StatefulProcessor):
+            def init(self, handle):
+                self._s = handle.getValueState("s", state_schema)
+
+            def handleInputRows(self, key, rows, timer_values):
+                pdf = _fold(rows)
+                if pdf is None:
+                    return iter(())
+                st = tuple(self._s.get()) if self._s.exists() else None
+                st, frames = process(key, pdf, st)
+                if st is not None:
+                    self._s.update(tuple(st))
+                return iter(frames)
+
+            def close(self):
+                pass
+
+        return df.groupBy(*group_cols).transformWithStateInPandas(
+            statefulProcessor=_Machine(),
+            outputStructType=out_schema,
+            outputMode="Append",
+            timeMode="None",
+        )
+
+    def fn(key, pdf_iter: Iterator["pd.DataFrame"], state: GroupState):
+        pdf = _fold(pdf_iter)
+        if pdf is None:
+            return
+        st = tuple(state.get) if state.exists else None
+        st, frames = process(key, pdf, st)
+        if st is not None:
+            state.update(tuple(st))
+        for f in frames:
+            yield f
+
+    return df.groupBy(*group_cols).applyInPandasWithState(
+        fn, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout
+    )
 
 _STATE_1 = StructType([StructField("r", StringType(), True)])
 _STATE_2 = StructType(
@@ -136,30 +278,26 @@ def _run_state_machine(
     key_cols = [f"__key{i}" for i in range(n_keys)]
     out_schema = _out_schema(_key_fields(union_df, n_keys))
 
-    def fn(key, pdf_iter: Iterator["pd.DataFrame"], state: GroupState):
-        chunks = [p for p in pdf_iter if len(p)]
-        if not chunks:
-            return
-        pdf = pd.concat(chunks) if len(chunks) > 1 else chunks[0]
-        # right (side=0) before left on seq ties — same order as the batch
-        # window realization orderBy(__ord, __side)
-        pdf = pdf.sort_values(["__ord", "__side"], kind="stable")
-        st = tuple(state.get) if state.exists else init_state
+    # right (side=0) before left on seq ties — same order as the batch
+    # window realization orderBy(__ord, __side)
+    def process(key, pdf, st):
+        st = st if st is not None else init_state
         out_l, out_r = [], []
         for side, payload in zip(pdf["__side"], pdf["__payload"]):
             st, emitted = step(st, int(side), payload)
             for l, r in emitted:
                 out_l.append(l)
                 out_r.append(r)
-        state.update(st)
-        if out_l:
-            res = {c: [key[i]] * len(out_l) for i, c in enumerate(key_cols)}
-            res["__l"] = out_l
-            res["__r"] = out_r
-            yield pd.DataFrame(res)
+        if not out_l:
+            return st, []
+        res = {c: [key[i]] * len(out_l) for i, c in enumerate(key_cols)}
+        res["__l"] = out_l
+        res["__r"] = out_r
+        return st, [pd.DataFrame(res)]
 
-    return union_df.groupBy(*key_cols).applyInPandasWithState(
-        fn, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout
+    return _drive(
+        union_df, key_cols, process, out_schema, state_schema,
+        sort_by=["__ord", "__side"],
     )
 
 
@@ -285,30 +423,32 @@ def scan(
     import pandas as pd
 
     key_list = list(keys)
-    grouped = sdf.groupBy(*key_list) if key_list else sdf.groupBy(F.lit(1).alias("__g"))
+    payload_cols = list(sdf.columns)
     out_schema = (
         StructType.fromDDL(output_schema) if isinstance(output_schema, str) else output_schema
     )
 
-    def fn(key, pdf_iter: Iterator["pd.DataFrame"], state: GroupState):
-        chunks = [p for p in pdf_iter if len(p)]
-        if not chunks:
-            return
-        pdf = pd.concat(chunks) if len(chunks) > 1 else chunks[0]
-        pdf = pdf.sort_values(seq, kind="stable")
-        st = json.loads(state.get[0]) if state.exists else initial_state
+    def process(key, pdf, st_t):
+        st = json.loads(st_t[0]) if st_t is not None else initial_state
         rows = []
-        for rec in pdf.itertuples(index=False):
+        for rec in pdf[payload_cols].itertuples(index=False):
             st, out = fold(st, rec)
             if out is not None:
                 rows.append(out)
-        state.update((json.dumps(st),))
-        if rows:
-            yield pd.DataFrame(rows, columns=[f.name for f in out_schema.fields])
+        frames = (
+            [pd.DataFrame(rows, columns=[f.name for f in out_schema.fields])]
+            if rows
+            else []
+        )
+        return (json.dumps(st),), frames
 
-    return grouped.applyInPandasWithState(
-        fn, out_schema, _STATE_1, "append", GroupStateTimeout.NoTimeout
-    )
+    # tws cannot group by an expression alias (plan resolution drops it);
+    # materialize the synthetic global-group column instead
+    if key_list:
+        group_df, group_cols = sdf, key_list
+    else:
+        group_df, group_cols = sdf.withColumn("__g", F.lit(1)), ["__g"]
+    return _drive(group_df, group_cols, process, out_schema, _STATE_1, sort_by=[seq])
 
 
 def record_window_apply(
@@ -333,19 +473,13 @@ def record_window_apply(
     import pandas as pd
 
     key_list = list(keys)
-    grouped = sdf.groupBy(*key_list) if key_list else sdf.groupBy(F.lit(1).alias("__g"))
     out_schema = (
         StructType.fromDDL(output_schema) if isinstance(output_schema, str) else output_schema
     )
     payload_cols = [c for c in sdf.columns]
 
-    def run(key, pdf_iter: Iterator["pd.DataFrame"], state: GroupState):
-        chunks = [p for p in pdf_iter if len(p)]
-        if not chunks:
-            return
-        pdf = pd.concat(chunks) if len(chunks) > 1 else chunks[0]
-        pdf = pdf.sort_values(seq, kind="stable")
-        buf = json.loads(state.get[0]) if state.exists else []
+    def process(key, pdf, st_t):
+        buf = json.loads(st_t[0]) if st_t is not None else []
         rows = []
         for rec in pdf[payload_cols].to_dict("records"):
             buf.append(rec)
@@ -354,13 +488,20 @@ def record_window_apply(
             out = fn(list(buf))
             if out is not None:
                 rows.append(out)
-        state.update((json.dumps(buf),))
-        if rows:
-            yield pd.DataFrame(rows, columns=[f.name for f in out_schema.fields])
+        frames = (
+            [pd.DataFrame(rows, columns=[f.name for f in out_schema.fields])]
+            if rows
+            else []
+        )
+        return (json.dumps(buf),), frames
 
-    return grouped.applyInPandasWithState(
-        run, out_schema, _STATE_1, "append", GroupStateTimeout.NoTimeout
-    )
+    # tws cannot group by an expression alias (plan resolution drops it);
+    # materialize the synthetic global-group column instead
+    if key_list:
+        group_df, group_cols = sdf, key_list
+    else:
+        group_df, group_cols = sdf.withColumn("__g", F.lit(1)), ["__g"]
+    return _drive(group_df, group_cols, process, out_schema, _STATE_1, sort_by=[seq])
 
 
 def windowed_agg_per_record(
@@ -413,13 +554,8 @@ def windowed_agg_per_record(
         + [StructField(name, LongType()) for name in aggs]
     )
 
-    def run(key, pdf_iter: Iterator["pd.DataFrame"], state: GroupState):
-        chunks = [p for p in pdf_iter if len(p)]
-        if not chunks:
-            return
-        pdf = pd.concat(chunks) if len(chunks) > 1 else chunks[0]
-        pdf = pdf.sort_values("__seq_out", kind="stable")
-        st = json.loads(state.get[0]) if state.exists else {name: None for name in aggs}
+    def process(key, pdf, st_t):
+        st = json.loads(st_t[0]) if st_t is not None else {name: None for name in aggs}
         head = {"window_start": key[0], **{k: key[i + 1] for i, k in enumerate(key_list)}}
         rows = []
         for rec in pdf.to_dict("records"):
@@ -436,11 +572,12 @@ def windowed_agg_per_record(
                 else:
                     st[name] = a if cur is None else max(cur, a)
             rows.append({**head, "seq": rec["__seq_out"], **{n: st[n] for n in aggs}})
-        state.update((json.dumps(st),))
-        yield pd.DataFrame(rows, columns=[f.name for f in out_schema.fields])
+        frames = [pd.DataFrame(rows, columns=[f.name for f in out_schema.fields])]
+        return (json.dumps(st),), frames
 
-    return base.groupBy("window_start", *key_list).applyInPandasWithState(
-        run, out_schema, _STATE_1, "append", GroupStateTimeout.NoTimeout
+    return _drive(
+        base, ["window_start", *key_list], process, out_schema, _STATE_1,
+        sort_by=["__seq_out"],
     )
 
 
@@ -479,13 +616,8 @@ def left_windowed_join_apply(
         StructType.fromDDL(output_schema) if isinstance(output_schema, str) else output_schema
     )
 
-    def run(key, pdf_iter: Iterator["pd.DataFrame"], state: GroupState):
-        chunks = [p for p in pdf_iter if len(p)]
-        if not chunks:
-            return
-        pdf = pd.concat(chunks) if len(chunks) > 1 else chunks[0]
-        pdf = pdf.sort_values(["__ord", "__side"], kind="stable")
-        buf = json.loads(state.get[0]) if state.exists else []
+    def process(key, pdf, st_t):
+        buf = json.loads(st_t[0]) if st_t is not None else []
         rows = []
         for side, payload in zip(pdf["__side"], pdf["__payload"]):
             if side == 0:
@@ -496,12 +628,15 @@ def left_windowed_join_apply(
                 out = fn(json.loads(payload), list(buf))
                 if out is not None:
                     rows.append(out)
-        state.update((json.dumps(buf),))
-        if rows:
-            yield pd.DataFrame(rows, columns=[f.name for f in out_schema.fields])
+        frames = (
+            [pd.DataFrame(rows, columns=[f.name for f in out_schema.fields])]
+            if rows
+            else []
+        )
+        return (json.dumps(buf),), frames
 
-    return u.groupBy(*key_cols).applyInPandasWithState(
-        run, out_schema, _STATE_1, "append", GroupStateTimeout.NoTimeout
+    return _drive(
+        u, key_cols, process, out_schema, _STATE_1, sort_by=["__ord", "__side"]
     )
 
 
@@ -550,12 +685,8 @@ def streaming_heavy_hitters(
         F.col(item).cast("string").alias("__item"),
     ).where(F.col("__item").isNotNull())
 
-    def run(key, pdf_iter: Iterator["pd.DataFrame"], state: GroupState):
-        chunks = [p for p in pdf_iter if len(p)]
-        if not chunks:
-            return
-        pdf = pd.concat(chunks) if len(chunks) > 1 else chunks[0]
-        st = json.loads(state.get[0]) if state.exists else {"v": 0, "n": 0, "c": {}}
+    def process(key, pdf, st_t):
+        st = json.loads(st_t[0]) if st_t is not None else {"v": 0, "n": 0, "c": {}}
         counters: dict[str, int] = st["c"]
         st["n"] += len(pdf)
         for v, c in pdf["__item"].value_counts().items():
@@ -565,17 +696,17 @@ def streaming_heavy_hitters(
             counters = {k: c - delta for k, c in counters.items() if c > delta}
         st["v"] += 1
         st["c"] = counters
-        state.update((json.dumps(st),))
-        yield pd.DataFrame(
-            {
-                "bucket": key[0],
-                "version": st["v"],
-                "item": list(counters.keys()),
-                "lb": list(counters.values()),
-                "bucket_rows": st["n"],
-            }
-        )
+        frames = [
+            pd.DataFrame(
+                {
+                    "bucket": key[0],
+                    "version": st["v"],
+                    "item": list(counters.keys()),
+                    "lb": list(counters.values()),
+                    "bucket_rows": st["n"],
+                }
+            )
+        ]
+        return (json.dumps(st),), frames
 
-    return keyed.groupBy("__bucket").applyInPandasWithState(
-        run, out_schema, _STATE_1, "append", GroupStateTimeout.NoTimeout
-    )
+    return _drive(keyed, ["__bucket"], process, out_schema, _STATE_1, sort_by=[])

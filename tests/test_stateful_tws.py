@@ -1,0 +1,90 @@
+"""transformWithStateInPandas backend: availability, parity with the legacy
+applyInPandasWithState path, and the no-key (synthetic group) corner.
+
+The port keeps ONE per-key ``process`` function and swaps only the state API
+underneath (streaming/stateful.py::_drive), so parity here plus the oracle
+suite running green on the default backend covers the whole operator family.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+
+from milan_spark.session import ensure_protobuf
+from milan_spark.streaming import run_to_memory, stateful
+
+LEFT_SCHEMA = "id long, k long, v double, __seq long"
+RIGHT_SCHEMA = "k long, name string, w double, __seq long"
+LEFT_ROWS = [
+    [(1, 10, 1.5, 0), (2, 20, 2.5, 2)],
+    [(3, 10, 3.5, 10), (4, 30, 4.5, 12)],
+]
+RIGHT_ROWS = [
+    [(10, "a0", 0.1, 1), (20, "b0", 0.2, 3)],
+    [(10, "a1", 0.3, 11)],
+]
+
+
+def test_tws_is_the_active_backend():
+    """In this container the vendored-protobuf shim must make the modern API
+    available — if this fails the whole suite silently tests only the legacy
+    path."""
+    assert ensure_protobuf()
+    assert stateful.use_tws()
+
+
+@pytest.fixture()
+def sides(spark, tmp_path):
+    for sub, chunks, cols in (
+        ("left", LEFT_ROWS, ["id", "k", "v", "__seq"]),
+        ("right", RIGHT_ROWS, ["k", "name", "w", "__seq"]),
+    ):
+        (tmp_path / sub).mkdir()
+        for i, rows in enumerate(chunks):
+            pd.DataFrame(rows, columns=cols).to_parquet(tmp_path / sub / f"{i:02d}.parquet")
+
+    def stream(sub, schema):
+        return (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(tmp_path / sub))
+        )
+
+    return stream("left", LEFT_SCHEMA), stream("right", RIGHT_SCHEMA)
+
+
+def _rows(df):
+    cols = ["id", "k", "v", "name", "w"]
+    return sorted(tuple(r) for r in df.select(*cols).collect())
+
+
+def test_backends_agree_on_left_enrichment(spark, sides, monkeypatch):
+    ls, rs = sides
+    monkeypatch.setenv(stateful.STATE_API_ENV, "tws")
+    got_tws = _rows(run_to_memory(stateful.left_enrichment_join(ls, rs, on="k"), "tws_le"))
+    monkeypatch.setenv(stateful.STATE_API_ENV, "applyinpandas")
+    got_old = _rows(run_to_memory(stateful.left_enrichment_join(ls, rs, on="k"), "old_le"))
+    assert got_tws == got_old
+    assert len(got_tws) == sum(len(c) for c in LEFT_ROWS)
+
+
+def test_tws_scan_without_keys(spark, tmp_path, monkeypatch):
+    """The synthetic-group (global) scan must run on the new API too."""
+    monkeypatch.setenv(stateful.STATE_API_ENV, "tws")
+    (tmp_path / "s").mkdir()
+    for i, rows in enumerate([[(0, 1)], [(1, 2)], [(2, 3)]]):
+        pd.DataFrame(rows, columns=["__seq", "x"]).to_parquet(tmp_path / "s" / f"{i}.parquet")
+    sdf = (
+        spark.readStream.schema("__seq long, x long")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(tmp_path / "s"))
+    )
+
+    def fold(st, rec):
+        st = st + rec.x
+        return st, {"running": st}
+
+    out = stateful.scan(sdf, fold, initial_state=0, output_schema="running long")
+    got = sorted(r.running for r in run_to_memory(out, "tws_scan").collect())
+    assert got == [1, 3, 6]
