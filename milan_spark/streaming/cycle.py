@@ -53,6 +53,7 @@ def streaming_cycle(
     max_batches: int = 100,
     timeout_sec: int = 300,
     stats: dict | None = None,
+    compact_every: int = 8,
 ) -> DataFrame:
     """Run ``body`` to a fixpoint on the streaming backend; return the full
     feedback stream contents (seed + every emitted record) as a batch
@@ -68,10 +69,21 @@ def streaming_cycle(
     surfaces it to the caller wrapped in a ``StreamingQueryException`` —
     catch that and inspect its cause/message for ``CycleDiverged``.
 
-    ``stats``, if given, is filled in place with ``batches`` (hops run) and
+    ``stats``, if given, is filled in place with ``batches`` (hops run),
     ``history_file_reads`` (times the feedback dir was scanned for dedup —
     always ≤1: the seed scan; per-hop dedup runs against block-manager-cached
-    deltas, so history I/O does not grow with the feedback directory).
+    deltas, so history I/O does not grow with the feedback directory), and
+    ``max_history_frames`` (peak length of the delta list — bounded by
+    ``compact_every``).
+
+    ``compact_every`` bounds the anti-join's input shape on long-running
+    cycles: whenever the delta list reaches that many frames they fold into
+    ONE localCheckpointed frame, so each hop anti-joins against at most
+    ``compact_every`` cached frames regardless of hop count — per-hop compute
+    stays O(history rows) with a bounded constant instead of a union tree
+    that grows a leaf per hop. Compaction reads only cached blocks (no file
+    I/O) and costs one pass over the history every ``compact_every`` hops —
+    amortized O(rows/compact_every) per hop.
     """
     import functools
 
@@ -124,8 +136,17 @@ def streaming_cycle(
             rows.write.mode("append").parquet(feedback_dir)
             if dedupe:
                 deltas.append(rows)
+                if len(deltas) >= compact_every:
+                    merged = functools.reduce(DataFrame.unionByName, deltas)
+                    # the folded frame replaces every delta; the old frames'
+                    # checkpoint blocks are reclaimed by the ContextCleaner
+                    # once these references drop
+                    deltas[:] = [merged.localCheckpoint(eager=True)]
         if stats is not None:
             stats["batches"] = batches["n"]
+            stats["max_history_frames"] = max(
+                stats.get("max_history_frames", 0), len(deltas)
+            )
 
     src = spark.readStream.schema(schema).parquet(feedback_dir)
     q = (

@@ -81,6 +81,25 @@ def test_streaming_cycle_history_io_bounded(spark, tmp_path):
     assert stats["history_file_reads"] == 1
 
 
+def test_streaming_cycle_history_frames_bounded(spark, tmp_path):
+    """Long cycles must compact: the delta list folds into one frame every
+    compact_every hops, so the per-hop anti-join input is a bounded number of
+    cached frames regardless of hop count — and the answer is unchanged."""
+    seed = spark.createDataFrame([(1, 12)], "id long, n long")
+
+    def body(batch):
+        return batch.filter(F.col("n") > 0).select("id", (F.col("n") - 1).alias("n"))
+
+    stats = {}
+    hist = streaming_cycle(
+        spark, seed, body, feedback_dir=str(tmp_path / "fb"),
+        max_batches=40, stats=stats, compact_every=3,
+    )
+    assert sorted(r.n for r in hist.collect()) == list(range(13))
+    assert stats["batches"] >= 12  # enough hops to have compacted ≥ 4 times
+    assert stats["max_history_frames"] <= 3
+
+
 def test_streaming_cycle_null_rows_dedupe(spark, tmp_path):
     # NULL-bearing records must dedupe against history (null-safe equality);
     # with plain equality this body re-emits (1, NULL) forever and trips the
