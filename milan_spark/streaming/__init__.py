@@ -62,6 +62,18 @@ def _provider_scope(sdf: DataFrame):
                 spark.conf.set(key, prev)
 
 
+# per-microbatch StreamingQueryProgress dicts of the most recent
+# run_to_memory query — observability for state-size/duration measurements
+# (tools/scale_bench.py --streaming reads state-store rows per batch here)
+_LAST_PROGRESS: list = []
+
+
+def last_progress() -> list[dict]:
+    """StreamingQueryProgress entries (as dicts) of the last query that
+    :func:`run_to_memory` ran to completion, oldest first."""
+    return list(_LAST_PROGRESS)
+
+
 def windowed_agg(
     sdf: DataFrame,
     ts: str,
@@ -131,6 +143,19 @@ def run_to_memory(
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
     q.awaitTermination(timeout_sec)
+    try:
+        import json as _json
+
+        raw = []
+        for p in q.recentProgress or []:
+            if isinstance(p, dict):
+                raw.append(p)
+            else:  # StreamingQueryProgress object: .json is a str or method
+                j = getattr(p, "json", None)
+                raw.append(_json.loads(j if isinstance(j, str) else j()))
+        _LAST_PROGRESS[:] = raw
+    except Exception:
+        _LAST_PROGRESS[:] = []
     return sdf.sparkSession.table(name)
 
 

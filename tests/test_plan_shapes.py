@@ -364,6 +364,7 @@ def test_pagerank_broadcast_mode_edges_never_shuffle(spark):
     from milan_spark.session import release_cached
     from milan_spark.sources import table
 
+    release_cached(spark)  # leftover caches from earlier tests change plans
     li = table(spark, SF_DIR, "lineitem")
     orders = table(spark, SF_DIR, "orders")
     edges = li.join(orders, li.l_orderkey == orders.o_orderkey).select(
@@ -420,6 +421,7 @@ def test_plans_md_not_stale(spark):
             if m and m.group(2).split("|")[0].isdigit()
         }
     assert "pagerank_supplier_customer" in rows, "PLANS.md missing the sentinel row"
+    release_cached(spark)  # hermetic compile — cached frames change the plan
     p = plan(q("pagerank_supplier_customer", spark))
     release_cached(spark)
     live = [n_nodes(p, "Exchange"),

@@ -207,9 +207,192 @@ def time_queries(sf_dir: str, passes: int) -> dict[str, float]:
     return out
 
 
+# ---------------------------------------------------------------------------
+# Streaming weak-scaling tier: does state track the WATERMARK HORIZON or the
+# stream length? Replicas are TIME-EXTENDED (replica k shifts ts by k·span,
+# same user universe, 2 files per replica → 2R mtime-ordered microbatches), so
+# a 10× run is a 10×-longer stream at identical per-horizon density. A
+# correctly-evicting operator then shows ~flat max-state-rows while input rows
+# grow 10×; an operator accreting state per record would grow 10×.
+# ---------------------------------------------------------------------------
+
+STREAM_PROBES = ["stream_enrich_join", "stream_daily_window", "stream_interval_join"]
+
+
+def build_scaled_events_stream(spark, base: str, out: str, replicas: int) -> None:
+    """Stage time-extended scaled events as 2·R mtime-ordered parquet slices."""
+    from pyspark.sql import functions as F
+
+    from milan_spark.sources import table
+
+    if os.path.exists(out):
+        shutil.rmtree(out)
+    os.makedirs(out)
+    ev = table(spark, base, "events")
+    lo, hi = ev.agg(F.min("ts"), F.max("ts")).first()
+    span_us = int((hi - lo).total_seconds() * 1_000_000) + 3_600_000_000
+    max_id = int(ev.agg(F.max("event_id")).first()[0]) + 1
+    mid = lo + (hi - lo) / 2
+    slice_i = 0
+    for k in range(replicas):
+        shifted = ev.select(
+            (F.col("event_id") + k * max_id).alias("event_id"),
+            (F.col("ts") + F.expr(f"INTERVAL {k * span_us} MICROSECOND")).alias("ts"),
+            "user_id",
+            "event_type",
+            "value",
+        )
+        for half in (
+            shifted.filter(F.col("ts") < mid + F.expr(f"INTERVAL {k * span_us} MICROSECOND")),
+            shifted.filter(F.col("ts") >= mid + F.expr(f"INTERVAL {k * span_us} MICROSECOND")),
+        ):
+            tmp = os.path.join(out, f"__tmp{slice_i}")
+            half.coalesce(1).write.parquet(tmp)
+            part = next(f for f in os.listdir(tmp) if f.endswith(".parquet"))
+            dst = os.path.join(out, f"{slice_i:03d}.parquet")
+            shutil.move(os.path.join(tmp, part), dst)
+            shutil.rmtree(tmp)
+            os.utime(dst, (1_000_000_000 + slice_i * 1000,) * 2)
+            slice_i += 1
+
+
+def _stream_probe_build(spark, stage_dir: str, which: str):
+    from pyspark.sql import functions as F
+
+    from milan_spark.streaming import stateful, windowed_agg
+
+    schema = "event_id long, ts timestamp, user_id long, event_type string, value double"
+
+    def src():
+        return (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(stage_dir)
+        )
+
+    if which == "stream_enrich_join":
+        purchases = src().filter(F.col("event_type") == "purchase").select(
+            "user_id", F.col("value").alias("amount"), F.col("event_id").alias("__seq")
+        )
+        signups = src().filter(F.col("event_type") == "signup").select(
+            "user_id", F.col("ts").alias("signup_ts"), F.col("event_id").alias("__seq")
+        )
+        return stateful.left_enrichment_join(purchases, signups, on="user_id")
+    if which == "stream_daily_window":
+        return windowed_agg(
+            src(), "ts", "1 day", aggs=[F.count(F.lit(1)).alias("n")]
+        )
+    if which == "stream_interval_join":
+        p = (
+            src().filter(F.col("event_type") == "purchase")
+            .select("user_id", F.col("ts").alias("p_ts"), F.col("value").alias("amount"))
+            .withWatermark("p_ts", "1 day")
+        )
+        v = (
+            src().filter(F.col("event_type") == "view")
+            .select(F.col("user_id").alias("v_user"), F.col("ts").alias("v_ts"))
+            .withWatermark("v_ts", "1 day")
+        )
+        return p.join(
+            v,
+            (F.col("user_id") == F.col("v_user"))
+            & (F.col("v_ts") <= F.col("p_ts"))
+            & (F.col("v_ts") >= F.col("p_ts") - F.expr("INTERVAL 1 DAY")),
+        )
+    raise ValueError(which)
+
+
+def measure_stream_one(stage_dir: str, which: str) -> None:
+    from milan_spark.session import get_spark
+    from milan_spark.streaming import last_progress, run_to_memory
+
+    spark = get_spark("milan_scale_stream")
+    start = time.perf_counter()
+    run_to_memory(_stream_probe_build(spark, stage_dir, which), f"probe_{which}")
+    wall = time.perf_counter() - start
+    prog = last_progress()
+    state_rows = [
+        sum(op.get("numRowsTotal", 0) for op in p.get("stateOperators", []))
+        for p in prog
+    ]
+    state_bytes = [
+        sum(op.get("memoryUsedBytes", 0) for op in p.get("stateOperators", []))
+        for p in prog
+    ]
+    print(
+        json.dumps(
+            {
+                "query": which,
+                "stage": stage_dir,
+                "wall": round(wall, 2),
+                "batches": len(prog),
+                "input_rows": sum(p.get("numInputRows", 0) for p in prog),
+                "max_state_rows": max(state_rows, default=0),
+                "final_state_rows": state_rows[-1] if state_rows else 0,
+                "max_state_bytes": max(state_bytes, default=0),
+                "batch_ms": [p.get("durationMs", {}).get("triggerExecution") for p in prog],
+            }
+        )
+    )
+
+
+def run_streaming_tier(replicas: int, base: str) -> None:
+    from milan_spark.session import get_spark
+
+    stages = {}
+    gen = get_spark("milan_scale_stream_gen")
+    for r, tag in ((1, "base"), (replicas, f"{replicas}x")):
+        stage = f"/tmp/milan_scale_stream_{tag}"
+        build_scaled_events_stream(gen, base, stage, r)
+        stages[tag] = stage
+    gen.stop()
+
+    results: dict[str, dict[str, dict]] = {}
+    for tag, stage in stages.items():
+        for which in STREAM_PROBES:
+            r = subprocess.run(
+                [sys.executable, os.path.abspath(__file__), "--stream-one", stage, which],
+                capture_output=True,
+                text=True,
+                env={**os.environ, "PYTHONPATH": REPO},
+            )
+            line = r.stdout.strip().splitlines()[-1] if r.stdout.strip() else ""
+            try:
+                rec = json.loads(line)
+            except json.JSONDecodeError:
+                print(f"  {tag} {which}: FAILED\n{r.stderr[-2000:]}", flush=True)
+                continue
+            results.setdefault(which, {})[tag] = rec
+            print(f"  {tag} {which}: wall={rec['wall']}s batches={rec['batches']} "
+                  f"in={rec['input_rows']} max_state={rec['max_state_rows']}", flush=True)
+
+    print(json.dumps({"replicas": replicas, "streaming": results}))
+    print(f"\n| probe | input rows 1x→{replicas}x | max state rows 1x→{replicas}x | "
+          "wall 1x→{0}x (s) | batches |".format(replicas))
+    print("|---|---|---|---|---|")
+    for which in STREAM_PROBES:
+        b = results.get(which, {}).get("base")
+        s = results.get(which, {}).get(f"{replicas}x")
+        if not b or not s:
+            continue
+        print(
+            f"| {which} | {b['input_rows']}→{s['input_rows']} "
+            f"| {b['max_state_rows']}→{s['max_state_rows']} "
+            f"| {b['wall']}→{s['wall']} | {b['batches']}→{s['batches']} |"
+        )
+
+
 def main() -> None:
     if len(sys.argv) > 1 and sys.argv[1] == "--one":
         measure_one(sys.argv[2], sys.argv[3], int(sys.argv[4]))
+        return
+    if len(sys.argv) > 1 and sys.argv[1] == "--stream-one":
+        measure_stream_one(sys.argv[2], sys.argv[3])
+        return
+    if len(sys.argv) > 1 and sys.argv[1] == "--streaming":
+        replicas = int(sys.argv[2]) if len(sys.argv) > 2 else 10
+        base = sys.argv[3] if len(sys.argv) > 3 else "/root/testdata/sf0.1"
+        run_streaming_tier(replicas, base)
         return
     tpch = len(sys.argv) > 1 and sys.argv[1] == "--tpch"
     if tpch:
