@@ -72,20 +72,77 @@ def encode_bmp(pixels) -> bytes:
     return header + info + rows.tobytes()
 
 
+def pil_available() -> bool:
+    """Whether the optional Pillow dependency is importable (compressed
+    image formats — JPEG/PNG/WebP — route through it; the stdlib BMP codec
+    is the always-on path)."""
+    try:
+        from PIL import Image  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+def _decode_image_pil(payload: bytes) -> dict:
+    """Optional-dependency tier: decode any Pillow-supported compressed
+    format to the same ``{width, height, pixels}`` contract as the stdlib
+    BMP path. Raises ``NotImplementedError`` (not ImportError) when Pillow
+    is absent so callers see the same loud format guard either way."""
+    try:
+        from PIL import Image
+    except ImportError:
+        raise NotImplementedError(
+            "compressed image formats need the optional Pillow dependency; "
+            "only uncompressed 24-bit BI_RGB BMP decodes with the stdlib codec"
+        ) from None
+    import io
+
+    import numpy as np
+
+    with Image.open(io.BytesIO(payload)) as im:
+        rgb = np.asarray(im.convert("RGB"), dtype=np.uint8)
+    h, w = rgb.shape[:2]
+    return {"width": w, "height": h, "pixels": np.ascontiguousarray(rgb)}
+
+
+def encode_png(pixels) -> bytes:
+    """PNG encoder via the optional Pillow dependency (lossless, so codec
+    round-trips stay integer-exact and oracle-checkable). Raises
+    ``NotImplementedError`` when Pillow is absent."""
+    try:
+        from PIL import Image
+    except ImportError:
+        raise NotImplementedError("encode_png needs the optional Pillow dependency") from None
+    import io
+
+    import numpy as np
+
+    px = np.asarray(pixels, dtype=np.uint8)
+    buf = io.BytesIO()
+    Image.fromarray(px, mode="RGB").save(buf, format="PNG")
+    return buf.getvalue()
+
+
 def decode_image(payload: bytes) -> dict:
-    """REAL image decode for uncompressed 24-bit BMP — stdlib ``struct`` +
-    numpy, no external library (compressed formats would need
-    PIL/libjpeg; BMP is the uncompressed container the WAV codec's pattern
-    maps onto for images). Validates the 'BM' magic and BI_RGB/24-bit
-    format, handles bottom-up (positive height) and top-down (negative
-    height) pixel arrays and 4-byte row padding, and returns
+    """REAL image decode: uncompressed 24-bit BMP decodes with stdlib
+    ``struct`` + numpy (always available); any other format — JPEG/PNG/WebP,
+    or exotic BMP variants — routes through the optional Pillow tier
+    (:func:`_decode_image_pil`), which raises a loud ``NotImplementedError``
+    when the library is absent. The stdlib path validates the 'BM' magic and
+    BI_RGB/24-bit format, handles bottom-up (positive height) and top-down
+    (negative height) pixel arrays and 4-byte row padding. Returns
     ``{width, height, pixels: (H, W, 3) uint8 RGB array}``."""
     import struct
 
     import numpy as np
 
-    if payload is None or len(payload) < 54 or payload[:2] != b"BM":
-        raise ValueError("not a BMP payload")
+    if payload is None or len(payload) < 16:
+        raise ValueError("empty or truncated image payload")
+    if payload[:2] != b"BM":
+        return _decode_image_pil(payload)
+    if len(payload) < 54:
+        raise ValueError("truncated BMP header")
     (data_off,) = struct.unpack_from("<I", payload, 10)
     (hdr_size,) = struct.unpack_from("<I", payload, 14)
     if hdr_size < 40:
@@ -94,7 +151,8 @@ def decode_image(payload: bytes) -> dict:
     _planes, bits = struct.unpack_from("<HH", payload, 26)
     (compression,) = struct.unpack_from("<I", payload, 30)
     if compression != 0 or bits != 24:
-        raise NotImplementedError("only uncompressed 24-bit BI_RGB BMP is supported without external codecs")
+        # RLE/16-bit/paletted BMPs: Pillow handles them when installed
+        return _decode_image_pil(payload)
     top_down = h_signed < 0
     h = abs(h_signed)
     stride = (w * 3 + 3) & ~3

@@ -735,6 +735,63 @@ def image_bmp_features_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return image_features(resize_images(bmp, 4, 4))
 
 
+from milan_spark.operators.multimodal import pil_available as _pil_available  # noqa: E402
+
+if _pil_available():
+    # Optional-dependency tier (same pattern as catalog._ensure_loaded):
+    # registers only when Pillow is importable, so the container suite is
+    # unaffected while environments with the lib get a compressed-format
+    # codec query with a REAL value oracle — PNG is lossless, so the decoded
+    # pixel stats match the synthesis formula exactly, bit for bit.
+    @register(
+        "image_png_features",
+        doc="Compressed image codec path (optional Pillow tier): the same "
+        "deterministic per-document pixels as image_bmp_features are "
+        "PNG-encoded (lossless), decoded through the Pillow branch of "
+        "decode_image, and reduced to exact int64 pixel stats. Registered "
+        "only when Pillow is importable.",
+        oracle="""
+WITH d AS (SELECT doc_id, (doc_id % 7) + 2 AS w, (doc_id % 5) + 2 AS h FROM documents),
+px AS (
+  SELECT doc_id, w, h, c.i AS c,
+         (doc_id * 7 + yo.i * 31 + xo.i * 5 + c.i * 3) % 256 AS v
+  FROM d, range(8) yo(i), range(8) xo(i), range(3) c(i)
+  WHERE yo.i < h AND xo.i < w
+)
+SELECT doc_id,
+       CAST(MAX(w) AS BIGINT) AS width,
+       CAST(MAX(h) AS BIGINT) AS height,
+       CAST(SUM(v) AS BIGINT) AS px_sum,
+       CAST(MAX(v) AS BIGINT) AS px_max,
+       CAST(SUM(v * (c + 1)) AS BIGINT) AS wsum
+FROM px GROUP BY doc_id
+""",
+    )
+    def image_png_features_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+        import numpy as np
+        import pandas as pd
+
+        from milan_spark.operators.multimodal import encode_png, image_features
+
+        docs = table(spark, sf_dir, "documents").select("doc_id")
+
+        def synth(batches):
+            for pdf in batches:
+                payloads = []
+                for did in pdf["doc_id"]:
+                    did = int(did)
+                    w, h = did % 7 + 2, did % 5 + 2
+                    y = np.arange(h).reshape(h, 1, 1)
+                    x = np.arange(w).reshape(1, w, 1)
+                    c = np.arange(3).reshape(1, 1, 3)
+                    px = ((did * 7 + y * 31 + x * 5 + c * 3) % 256).astype(np.uint8)
+                    payloads.append(encode_png(px))
+                yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+        png = docs.mapInPandas(synth, "doc_id long, payload binary")
+        return image_features(png)
+
+
 @register(
     "video_avi_features",
     doc="REAL video codec path: deterministic multi-frame AVI payloads "

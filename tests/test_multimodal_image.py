@@ -78,3 +78,32 @@ def test_resize_nearest_neighbor_exact():
     assert up["width"] == up["height"] == 5
     assert np.array_equal(up["pixels"][0, 0], small[0, 0])
     assert np.array_equal(up["pixels"][4, 4], small[1, 1])
+
+
+def test_compressed_format_guard_is_loud_without_pil():
+    """Non-BMP payloads route to the optional Pillow tier; without the lib
+    the guard raises NotImplementedError naming the dependency (never a
+    silent wrong decode, never a bare ImportError)."""
+    if M.pil_available():
+        import pytest as _pytest
+
+        _pytest.skip("Pillow installed — the decode path is tested below")
+    png_magic = b"\x89PNG\r\n\x1a\n" + b"\x00" * 32
+    with pytest.raises(NotImplementedError, match="Pillow"):
+        M.decode_image(png_magic)
+    with pytest.raises(NotImplementedError, match="Pillow"):
+        M.encode_png(_grad(2, 2))
+
+
+def test_png_roundtrip_matches_bmp_path():
+    """With Pillow present, the lossless PNG round-trip must produce the
+    exact pixels the stdlib BMP codec produces (skipped when absent)."""
+    if not M.pil_available():
+        import pytest as _pytest
+
+        _pytest.skip("Pillow not installed in this environment")
+    px = _grad(5, 3, seed=11)
+    dec = M.decode_image(M.encode_png(px))
+    assert dec["width"] == 3 and dec["height"] == 5
+    assert np.array_equal(dec["pixels"], px)
+    assert np.array_equal(M.decode_image(M.encode_bmp(px))["pixels"], dec["pixels"])
