@@ -100,6 +100,7 @@ def _drive(
     state_schema: StructType,
     *,
     sort_by: Sequence[str],
+    state_ttl_ms: int | None = None,
 ) -> DataFrame:
     """Run ``process(key, pdf, state_tuple_or_None) -> (new_state_tuple,
     [pd.DataFrame])`` as a keyed value-state machine on the selected backend.
@@ -107,6 +108,13 @@ def _drive(
     ``pdf`` arrives sorted by ``sort_by``; the returned state tuple must match
     ``state_schema`` and is persisted for the key (None leaves state
     untouched). Emission is append-mode.
+
+    ``state_ttl_ms`` (tws backend only) puts a processing-time TTL on the
+    per-key state: a key whose state was last written more than that many
+    milliseconds ago reads as absent — the state-hygiene contract a
+    long-running 100 TB enrichment stream needs so abandoned keys cannot
+    accrete forever. The legacy backend has no per-value TTL; asking for one
+    there raises rather than silently retaining state.
     """
     import pandas as pd
 
@@ -151,7 +159,7 @@ def _drive(
 
         class _Machine(StatefulProcessor):
             def init(self, handle):
-                self._s = handle.getValueState("s", state_schema)
+                self._s = handle.getValueState("s", state_schema, ttlDurationMs=state_ttl_ms)
 
             def handleInputRows(self, key, rows, timer_values):
                 pdf = _fold(rows)
@@ -170,7 +178,14 @@ def _drive(
             statefulProcessor=_Machine(),
             outputStructType=out_schema,
             outputMode="Append",
-            timeMode="None",
+            # TTL needs a clock; everything else runs clock-free
+            timeMode="ProcessingTime" if state_ttl_ms else "None",
+        )
+
+    if state_ttl_ms is not None:
+        raise ValueError(
+            "state_ttl_ms requires the transformWithStateInPandas backend "
+            f"(unset {STATE_API_ENV}=applyinpandas, or install protobuf)"
         )
 
     def fn(key, pdf_iter: Iterator["pd.DataFrame"], state: GroupState):
@@ -270,6 +285,7 @@ def _run_state_machine(
     step,
     state_schema: StructType,
     init_state: tuple,
+    state_ttl_ms: int | None = None,
 ) -> DataFrame:
     """Group by key and drive ``step(state_tuple, side, payload) ->
     (state_tuple, [emitted (l_json, r_json)])`` over records in order."""
@@ -297,7 +313,7 @@ def _run_state_machine(
 
     return _drive(
         union_df, key_cols, process, out_schema, state_schema,
-        sort_by=["__ord", "__side"],
+        sort_by=["__ord", "__side"], state_ttl_ms=state_ttl_ms,
     )
 
 
@@ -312,6 +328,7 @@ def left_enrichment_join(
     right_seq: str = SEQ_COL,
     residual: Callable[[Column, Column], Column] | None = None,
     right_prefix: str = "r_",
+    state_ttl_ms: int | None = None,
 ) -> DataFrame:
     """Streaming Milan LeftJoin: right arrivals update per-key state, each left
     arrival emits (left, lastRight-or-null), residual-gated
@@ -324,7 +341,7 @@ def left_enrichment_join(
             return (payload,), []
         return st, [(payload, st[0])]
 
-    paired = _run_state_machine(u, len(left_on), step, _STATE_1, (None,))
+    paired = _run_state_machine(u, len(left_on), step, _STATE_1, (None,), state_ttl_ms)
     return _pair_project(paired, left, right, left_on, right_on, right_prefix, residual)
 
 
@@ -339,6 +356,7 @@ def full_enrichment_join(
     right_seq: str = SEQ_COL,
     residual: Callable[[Column, Column], Column] | None = None,
     right_prefix: str = "r_",
+    state_ttl_ms: int | None = None,
 ) -> DataFrame:
     """Streaming Milan FullJoin: either-side arrival emits
     (lastLeft, lastRight) with the arriver as its own side's latest
@@ -354,7 +372,7 @@ def full_enrichment_join(
             last_r = payload
         return (last_l, last_r), [(last_l, last_r)]
 
-    paired = _run_state_machine(u, len(left_on), step, _STATE_2, (None, None))
+    paired = _run_state_machine(u, len(left_on), step, _STATE_2, (None, None), state_ttl_ms)
     return _pair_project(paired, left, right, left_on, right_on, right_prefix, residual)
 
 
@@ -369,6 +387,7 @@ def left_inner_enrichment_join(
     right_seq: str = SEQ_COL,
     residual: Callable[[dict, dict], bool] | None = None,
     right_prefix: str = "r_",
+    state_ttl_ms: int | None = None,
 ) -> DataFrame:
     """Streaming Milan LeftInnerJoin: lefts buffer (ListState) until the first
     matching right; afterwards lefts pair immediately with the latest right.
@@ -399,7 +418,7 @@ def left_inner_enrichment_join(
         kept = [l for l in buf if not match(l, payload)]
         return (payload, json.dumps(kept) if kept else None), emitted
 
-    paired = _run_state_machine(u, len(left_on), step, _STATE_BUF, (None, None))
+    paired = _run_state_machine(u, len(left_on), step, _STATE_BUF, (None, None), state_ttl_ms)
     return _pair_project(paired, left, right, left_on, right_on, right_prefix, None)
 
 
@@ -411,6 +430,7 @@ def scan(
     output_schema,
     keys: Sequence[str] = (),
     seq: str = SEQ_COL,
+    state_ttl_ms: int | None = None,
 ) -> DataFrame:
     """Streaming Milan Scan (ScanProcessFunction.scala:17,66): general user
     fold ``(state, record) -> (state, out_dict_or_None)`` in arrival order per
@@ -448,7 +468,10 @@ def scan(
         group_df, group_cols = sdf, key_list
     else:
         group_df, group_cols = sdf.withColumn("__g", F.lit(1)), ["__g"]
-    return _drive(group_df, group_cols, process, out_schema, _STATE_1, sort_by=[seq])
+    return _drive(
+        group_df, group_cols, process, out_schema, _STATE_1,
+        sort_by=[seq], state_ttl_ms=state_ttl_ms,
+    )
 
 
 def record_window_apply(

@@ -88,3 +88,57 @@ def test_tws_scan_without_keys(spark, tmp_path, monkeypatch):
     out = stateful.scan(sdf, fold, initial_state=0, output_schema="running long")
     got = sorted(r.running for r in run_to_memory(out, "tws_scan").collect())
     assert got == [1, 3, 6]
+
+
+def test_state_ttl_expires_idle_keys(spark, tmp_path, monkeypatch):
+    """Processing-time state TTL (tws backend): a right record written in one
+    run reads as ABSENT after the TTL elapses across a checkpoint restart, so
+    a later left arrival enriches to null — while the same scenario without a
+    TTL retains the right. The retention contract a long-running enrichment
+    stream needs (idle keys cannot accrete state forever)."""
+    import time
+
+    from milan_spark.streaming import file_sink
+
+    monkeypatch.setenv(stateful.STATE_API_ENV, "tws")
+
+    def scenario(tag, ttl):
+        root = tmp_path / tag
+        (root / "left").mkdir(parents=True)
+        (root / "right").mkdir(parents=True)
+        out, ck = str(root / "out"), str(root / "ck")
+
+        def build():
+            ls = (
+                spark.readStream.schema(LEFT_SCHEMA)
+                .option("maxFilesPerTrigger", 1)
+                .parquet(str(root / "left"))
+            )
+            rs = (
+                spark.readStream.schema(RIGHT_SCHEMA)
+                .option("maxFilesPerTrigger", 1)
+                .parquet(str(root / "right"))
+            )
+            return stateful.left_enrichment_join(ls, rs, on="k", state_ttl_ms=ttl)
+
+        # run 1: only the right arrives, its value lands in state
+        pd.DataFrame([(10, "a0", 0.1, 1)], columns=["k", "name", "w", "__seq"]).to_parquet(
+            root / "right" / "r0.parquet"
+        )
+        q = file_sink(build(), out, checkpoint=ck)
+        q.awaitTermination(120)
+        time.sleep(1.5)  # > TTL for the ttl scenario
+        # run 2 (same checkpoint): a left arrives and reads the state
+        pd.DataFrame([(1, 10, 1.5, 2)], columns=["id", "k", "v", "__seq"]).to_parquet(
+            root / "left" / "l0.parquet"
+        )
+        q = file_sink(build(), out, checkpoint=ck)
+        q.awaitTermination(120)
+        rows = spark.read.parquet(out).collect()
+        assert len(rows) == 1
+        return rows[0]
+
+    with_ttl = scenario("ttl", 300)
+    assert with_ttl.name is None, "state older than the TTL must read as absent"
+    without = scenario("nottl", None)
+    assert without.name == "a0", "without a TTL the right must be retained"
