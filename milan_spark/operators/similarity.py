@@ -348,3 +348,53 @@ def ann_ivf(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "rank", F.round("cosine", 6).alias("cosine"))
     )
+
+
+def semantic_dedup(
+    corpus: DataFrame,
+    id_col: str,
+    vec_col: str,
+    threshold: float = 0.4,
+    n_cells: int = 8,
+    iters: int = 2,
+    dim: int | None = None,
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al., arXiv:2303.09540):
+    k-means-cluster the embeddings, then prune near-duplicates WITHIN each
+    cluster only — the clustering turns the quadratic all-pairs problem into
+    per-cluster blocks (Σ|cell|² work instead of N²; with n_cells ~ N/C the
+    per-cluster cost is bounded by the target cluster size C, the paper's
+    regime). Contract (exactly what the SQL oracle states): an item is a
+    duplicate iff some SMALLER-id member of ITS cluster has cosine ≥
+    ``threshold`` — greedy keep-lowest-id, non-transitive. Returns survivors
+    as (id, cell).
+
+    Deterministic end to end: 2^20-quantized integer vectors, the
+    exact-integer Lloyd k-means of :func:`kmeans_cells` (floor-mean
+    centroids, (d, cell) tie-break), and a cosine whose double rounding is
+    identical on any engine. Plan: centroids are tiny and broadcast
+    (assignment is one min-struct combine); the within-cluster self-join
+    shuffles on cell — at scale pick ``n_cells`` ~ N/1000 so every cell is a
+    bounded block, and skewed giant cells fall out of k-means itself rather
+    than a hash. The reference has no similarity operators at all
+    (Expression.scala scalar library only); this is LLM-pipeline surface.
+    """
+    ci = corpus.select(F.col(id_col).alias("__vid"), quantize(vec_col).alias("__v")).persist()
+    if dim is None:
+        dim = _dim_of(ci)
+    cells = kmeans_cells(ci, n_cells, iters, dim=dim)
+    # referenced three times in one action (both pair sides + survivor base):
+    # persist so the assignment computes once per materialization
+    assign = _best_cell(ci, cells).persist()
+    a = assign.select(F.col("__vid").alias("id_a"), "cell", F.col("__v").alias("__va"))
+    b = assign.select(F.col("__vid").alias("id_b"), "cell", F.col("__v").alias("__vb"))
+    dups = (
+        a.join(b, "cell")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .filter(cosine(F.col("__va"), F.col("__vb")) >= F.lit(threshold))
+        .select(F.col("id_b").alias("__vid"))
+        .distinct()
+    )
+    return assign.join(dups, "__vid", "left_anti").select(
+        F.col("__vid").alias(id_col), "cell"
+    )

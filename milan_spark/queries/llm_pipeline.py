@@ -394,14 +394,11 @@ def multimodal_features_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return M.extract_features(packed, "doc_id").select("doc_id", "byte_len", "checksum")
 
 
-def _ivf_oracle(n_cells: int = 8, n_probe: int = 2, iters: int = 2, k: int = 5, n_queries: int = 10) -> str:
-    """Unrolled deterministic k-means + IVF probe as one DuckDB query.
-
-    Mirrors operators.similarity.ann_ivf exactly: integer squared-L2
-    assignment with (d, cell) tie-break, floor(sum/count) centroid updates,
-    ``iters`` Lloyd rounds from seeds vec_id < n_cells. The iteration is
-    unrolled into CTE chains (dist{t}/assign{t}/cent{t+1}) because the loop
-    count is a compile-time constant of the operator."""
+def _kmeans_ctes(n_cells: int, iters: int) -> list[str]:
+    """The unrolled deterministic-Lloyd CTE chain shared by every oracle that
+    mirrors operators.similarity.kmeans_cells: integer squared-L2 assignment
+    with (d, cell) tie-break, floor(sum/count) centroid updates, seeds
+    vec_id < n_cells; ends at ``assign{iters}``/``dist{iters}``."""
     parts = [
         _SQL_VEC_EX.rstrip(),
         f""", cent0 AS (
@@ -422,6 +419,16 @@ def _ivf_oracle(n_cells: int = 8, n_probe: int = 2, iters: int = 2, k: int = 5, 
   SELECT a.c, e.i, CAST(floor(CAST(SUM(e.x) AS DOUBLE) / COUNT(*)) AS BIGINT) AS w
   FROM assign{t} a JOIN ex e ON a.vec_id = e.vec_id GROUP BY 1, 2
 )""")
+    return parts
+
+
+def _ivf_oracle(n_cells: int = 8, n_probe: int = 2, iters: int = 2, k: int = 5, n_queries: int = 10) -> str:
+    """Unrolled deterministic k-means + IVF probe as one DuckDB query.
+
+    Mirrors operators.similarity.ann_ivf exactly (see :func:`_kmeans_ctes`);
+    the iteration is unrolled because the loop count is a compile-time
+    constant of the operator."""
+    parts = _kmeans_ctes(n_cells, iters)
     parts.append(f""", probe AS (
   SELECT vec_id AS query_id, c FROM (
     SELECT vec_id, c, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d, c) AS rn
@@ -449,6 +456,48 @@ FROM (
 )
 WHERE rank <= {k}""")
     return "".join(parts)
+
+
+def _semantic_dedup_oracle(threshold: float = 0.4, n_cells: int = 8, iters: int = 2) -> str:
+    """operators.similarity.semantic_dedup, restated in SQL: the shared
+    deterministic-Lloyd chain, then within-cluster pairs (a < b) whose
+    cosine clears the threshold mark the larger id as a duplicate; survivors
+    are everything else, with their cluster."""
+    parts = _kmeans_ctes(n_cells, iters)
+    parts.append(f""", cand AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b
+  FROM assign{iters} a JOIN assign{iters} b ON a.c = b.c AND a.vec_id < b.vec_id
+), dots AS (
+  SELECT c.id_a, c.id_b, SUM(ae.x * be.x) AS dot
+  FROM cand c
+  JOIN ex ae ON ae.vec_id = c.id_a
+  JOIN ex be ON be.vec_id = c.id_b AND be.i = ae.i
+  GROUP BY 1, 2
+), dups AS (
+  SELECT DISTINCT id_b
+  FROM dots JOIN norms na ON id_a = na.vec_id JOIN norms nb ON id_b = nb.vec_id
+  WHERE dot / (sqrt(CAST(na.nn AS DOUBLE)) * sqrt(CAST(nb.nn AS DOUBLE))) >= {threshold}
+)
+SELECT a.vec_id, a.c AS cell
+FROM assign{iters} a
+WHERE a.vec_id NOT IN (SELECT id_b FROM dups)""")
+    return "".join(parts)
+
+
+@register(
+    "semantic_dedup",
+    doc="SemDeDup-style semantic deduplication (Abbas et al. 2303.09540): "
+    "deterministic-Lloyd k-means clusters the embeddings (8 cells, 2 "
+    "iterations, exact-integer distances), then near-duplicates are pruned "
+    "WITHIN clusters only (cosine >= 0.4, greedy keep-lowest-id) — the "
+    "clustering turns the quadratic all-pairs problem into per-cluster "
+    "blocks, the production regime for corpus-scale semantic dedup. "
+    "Survivors returned with their cluster.",
+    oracle=_semantic_dedup_oracle(),
+)
+def semantic_dedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = table(spark, sf_dir, "embeddings")
+    return S.semantic_dedup(emb, "vec_id", "embedding", threshold=0.4, dim=64)
 
 
 @register(
