@@ -220,3 +220,102 @@ def bloom_member(key, bloom_col, *, m_bits: int = 65536, numeric: bool = False):
         bit = F.call_function("shiftleft", F.lit(1).cast("long"), (i % 32).cast("int"))
         checks.append(word.bitwiseAND(bit) != 0)
     return checks[0] & checks[1]
+
+
+def _cms_fold(col):
+    """Scrambled char-fold in [0, P31) — the row-hash input for the CMS."""
+    return (char_fold_hash(col, 31, P31) * F.lit(_SCRAMBLE)) % F.lit(P31)
+
+
+def _cms_row_idx(fold_col, r: int, width: int):
+    """Affine row hash h_r(x) = ((2r+1)·s(x) + r² + 17) mod P mod width —
+    the pairwise-independent family the minhash kernel also uses; every
+    intermediate < 2^35, exact in int64 on any engine."""
+    return (((2 * r + 1) * fold_col + F.lit(r * r + 17)) % F.lit(P31) % F.lit(width)).cast("int")
+
+
+def cms_build(
+    df: DataFrame,
+    value_col: str,
+    *,
+    weight: str | None = None,
+    depth: int = 4,
+    width: int = 512,
+    keys=(),
+) -> DataFrame:
+    """Count-min sketch (Cormode & Muthukrishnan, J. Algorithms 2005) as a
+    mergeable fixed-size aggregate: ``depth`` hash rows × ``width`` counters;
+    every occurrence of x adds its weight to cell (r, h_r(x)) for each row r.
+
+    Output: keys + (r, i, c) — only the nonzero cells, ≤ depth·width rows
+    per group regardless of input size or value cardinality. Merging two
+    sketches (same depth/width) is a union + re-sum on (keys, r, i). The
+    shuffle carries map-side-combined partial cell sums — the value domain
+    itself NEVER shuffles (the same contract as the Misra-Gries heavy
+    hitters, but answering point queries instead of top-k): at 100 TB the
+    reduce side sees ≤ partitions·depth·width rows.
+
+    Deterministic: the scrambled char-fold row hashes are exact int64, so
+    the sketch is a pure function of the input multiset and the whole
+    construction is expressible in ANSI SQL for oracle checking (unlike
+    implementation-defined HLL/CMS registers in engine built-ins).
+    """
+    key_list = list(keys)
+    w_col = F.lit(1).cast("long") if weight is None else F.col(weight).cast("long")
+    base = (
+        df.filter(F.col(value_col).isNotNull())
+        .select(*key_list, _cms_fold(F.col(value_col).cast("string")).alias("__s"), w_col.alias("__w"))
+    )
+    cells = base.select(
+        *key_list,
+        "__w",
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(r).alias("r"), _cms_row_idx(F.col("__s"), r, width).alias("i")
+                )
+                for r in range(depth)
+            ])
+        ).alias("__cell"),
+    )
+    return cells.groupBy(
+        *key_list, F.col("__cell.r").alias("r"), F.col("__cell.i").alias("i")
+    ).agg(F.sum("__w").alias("c"))
+
+
+def cms_estimate(
+    sketch: DataFrame,
+    probes: DataFrame,
+    value_col: str,
+    *,
+    depth: int = 4,
+    width: int = 512,
+    keys=(),
+) -> DataFrame:
+    """Point queries against a :func:`cms_build` sketch: for each probe value
+    x, ``est = min_r c[r, h_r(x)]`` (missing cell = 0) — an upper bound on
+    the true count, within ε·N with probability 1 − (1/e)^depth at
+    width = ⌈e/ε⌉. Probe cells join the ≤ depth·width-row sketch, which
+    broadcasts; the probe side never shuffles.
+    """
+    key_list = list(keys)
+    pcells = probes.select(
+        *key_list,
+        F.col(value_col),
+        _cms_fold(F.col(value_col).cast("string")).alias("__s"),
+    ).select(
+        *key_list,
+        value_col,
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(r).alias("r"), _cms_row_idx(F.col("__s"), r, width).alias("i")
+                )
+                for r in range(depth)
+            ])
+        ).alias("__cell"),
+    ).select(*key_list, value_col, F.col("__cell.r").alias("r"), F.col("__cell.i").alias("i"))
+    joined = pcells.join(F.broadcast(sketch), [*key_list, "r", "i"], "left")
+    return joined.groupBy(*key_list, value_col).agg(
+        F.min(F.coalesce("c", F.lit(0))).cast("long").alias("est")
+    )

@@ -342,6 +342,59 @@ def kmv_distinct_users_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kmv_distinct(ev, "user_id", k=64, keys=["event_type"])
 
 
+# the CMS row-hash input: the KMV scrambled char-fold without the +1 shift
+_SQL_CMS_FOLD = (
+    "(list_reduce(list_transform(regexp_extract_all(CAST({s} AS VARCHAR), '.'),"
+    " c -> CAST(ascii(c) AS BIGINT)), (a, c) -> (a * 31 + c) % 2147483647)"
+    " * 2654435761) % 2147483647"
+)
+
+
+@register(
+    "cms_token_counts",
+    doc="Count-min sketch point queries (operators.sketch.cms_build/"
+    "cms_estimate, depth 4 x width 16 — width deliberately BELOW the "
+    "vocabulary so collisions exercise the min-over-rows recovery): the "
+    "whole corpus folds into <= 64 counter cells via a map-side-combinable aggregate (the token "
+    "domain never shuffles — the point-query sibling of the Misra-Gries "
+    "top-k contract), then every distinct token is estimated as the min "
+    "over its 4 cells. Deterministic affine row hashes over the scrambled "
+    "char-fold make the sketch a pure function of the multiset, so the "
+    "oracle replicates the construction cell-for-cell; est >= n_true by "
+    "construction, within eps*N at width = ceil(e/eps).",
+    oracle=f"""
+WITH t AS (
+  SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS token FROM documents
+),
+tc AS (SELECT token, COUNT(*) AS n_true FROM t GROUP BY token),
+f AS (SELECT token, n_true, {_SQL_CMS_FOLD.format(s='token')} AS s FROM tc),
+sk AS (
+  SELECT r.i AS r, ((2 * r.i + 1) * s + r.i * r.i + 17) % 2147483647 % 16 AS i,
+         SUM(n_true) AS c
+  FROM f, range(4) r(i) GROUP BY 1, 2
+),
+probe AS (
+  SELECT f.token, f.n_true, r.i AS r,
+         ((2 * r.i + 1) * f.s + r.i * r.i + 17) % 2147483647 % 16 AS i
+  FROM f, range(4) r(i)
+)
+SELECT p.token, p.n_true, CAST(MIN(sk.c) AS BIGINT) AS est
+FROM probe p JOIN sk ON sk.r = p.r AND sk.i = p.i
+GROUP BY 1, 2
+""",
+)
+def cms_token_counts_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from milan_spark.operators.sketch import cms_build, cms_estimate
+    from milan_spark.operators.text import tokenize
+
+    docs = table(spark, sf_dir, "documents")
+    toks = docs.select(F.explode(tokenize("text")).alias("token"))
+    sk = cms_build(toks, "token", depth=4, width=16)
+    truth = toks.groupBy("token").agg(F.count(F.lit(1)).alias("n_true"))
+    est = cms_estimate(sk, truth.select("token"), "token", depth=4, width=16)
+    return truth.join(est, "token").select("token", "n_true", "est")
+
+
 @register(
     "hypertable_rollup",
     doc="Hypertable-style time-hierarchy rollup: one pass over events "

@@ -109,3 +109,33 @@ def test_kmv_merge_equals_sketch_of_union(spark):
     assert merged["n_hashes"] == direct["n_hashes"]
     assert merged["kth_min_hash"] == direct["kth_min_hash"]
     assert merged["distinct_est"] == direct["distinct_est"]
+
+
+def test_cms_upper_bound_and_merge(spark):
+    """CMS invariants: est >= true for every value; merging two shard
+    sketches cell-wise equals the sketch of the union (mergeability is the
+    whole point of a fixed-size aggregate)."""
+    from pyspark.sql import functions as F
+
+    from milan_spark.operators.sketch import cms_build, cms_estimate
+
+    rows = [(f"v{i % 13}",) for i in range(200)] + [("hot",)] * 50
+    df = spark.createDataFrame(rows, "x string")
+    sk = cms_build(df, "x", depth=3, width=8)
+    probes = df.select("x").distinct()
+    est = {r.x: r.est for r in cms_estimate(sk, probes, "x", depth=3, width=8).collect()}
+    true = {r.x: r.n for r in df.groupBy("x").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert all(est[v] >= n for v, n in true.items())
+    assert est["hot"] >= 50
+
+    # shard, sketch each, merge by (r, i) sum == sketch of the whole
+    a = spark.createDataFrame(rows[:100], "x string")
+    b = spark.createDataFrame(rows[100:], "x string")
+    merged = (
+        cms_build(a, "x", depth=3, width=8)
+        .unionByName(cms_build(b, "x", depth=3, width=8))
+        .groupBy("r", "i")
+        .agg(F.sum("c").alias("c"))
+    )
+    whole = {(r.r, r.i): r.c for r in sk.collect()}
+    assert {(r.r, r.i): r.c for r in merged.collect()} == whole
