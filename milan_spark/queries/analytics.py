@@ -229,6 +229,49 @@ def stats_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "quantile_selection_prices",
+    doc="The same exact per-key discrete quantiles as quantile_disc_prices, "
+    "computed by two-phase DISTRIBUTED SELECTION instead of the per-key "
+    "full sort (operators.sampling.exact_quantiles): per-key (n, min, max) "
+    "combine -> integer bucket histogram combine -> cumulative histogram "
+    "locates each target rank's bucket (<= 1024 rows per key) -> ONLY the "
+    "target buckets' rows rank exactly. At 100 TB the disc variant sorts "
+    "every row of the heaviest key on one task; this touches ~n*|probs|/B "
+    "rows past the two combines. Identical output, same oracle shape.",
+    oracle="""
+WITH ranked AS (
+  SELECT l_returnflag, l_extendedprice,
+         ROW_NUMBER() OVER (PARTITION BY l_returnflag
+                            ORDER BY l_extendedprice, l_orderkey, l_linenumber) AS rn
+  FROM lineitem
+), counts AS (
+  SELECT l_returnflag, COUNT(*) AS n FROM lineitem GROUP BY l_returnflag
+), targets AS (
+  SELECT l_returnflag, p, (num * n + den - 1) // den AS target_rn
+  FROM counts, (VALUES ('p25', 1, 4), ('p50', 1, 2), ('p75', 3, 4), ('p95', 19, 20)) q(p, num, den)
+)
+SELECT r.l_returnflag, t.p, r.l_extendedprice AS q_value
+FROM ranked r JOIN targets t
+  ON r.l_returnflag = t.l_returnflag AND r.rn = t.target_rn
+""",
+)
+def quantile_selection_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from milan_spark.operators.sampling import exact_quantiles
+
+    li = table(spark, sf_dir, "lineitem").withColumn(
+        "__cents", (F.col("l_extendedprice") * 100).cast("long")
+    )
+    return exact_quantiles(
+        li,
+        ["l_returnflag"],
+        "l_extendedprice",
+        "__cents",
+        [("p25", 1, 4), ("p50", 1, 2), ("p75", 3, 4), ("p95", 19, 20)],
+        tiebreak=["l_orderkey", "l_linenumber"],
+    )
+
+
+@register(
     "quantile_disc_prices",
     doc="Exact discrete quantiles per key — value at rank ceil(p·n), computed "
     "entirely in integer arithmetic (no float quantile interpolation, which "
