@@ -92,6 +92,35 @@ def needs_rocksdb(sdf: DataFrame) -> bool:
         return False
 
 
+def _fold_chunks(pdf_iter, in_cols, sort_by):
+    """Concatenate a state machine's input chunks into one sorted pdf.
+
+    transformWithStateInPandas delivers positional Arrow field names
+    (_0, _1, …) for some child plans (observed on unions); the column ORDER
+    is the input DataFrame's, so rename by position to keep per-key logic
+    schema-agnostic across backends."""
+    import pandas as pd
+
+    chunks = []
+    for p in pdf_iter:
+        if not len(p):
+            continue
+        if list(p.columns) != in_cols:
+            if len(p.columns) != len(in_cols):
+                raise ValueError(
+                    f"state-machine input has {len(p.columns)} columns, "
+                    f"expected {len(in_cols)} ({in_cols})"
+                )
+            p = p.set_axis(in_cols, axis=1)
+        chunks.append(p)
+    if not chunks:
+        return None
+    pdf = pd.concat(chunks) if len(chunks) > 1 else chunks[0]
+    if sort_by:
+        pdf = pdf.sort_values(list(sort_by), kind="stable")
+    return pdf
+
+
 def _drive(
     df: DataFrame,
     group_cols: Sequence,
@@ -116,33 +145,10 @@ def _drive(
     accrete forever. The legacy backend has no per-value TTL; asking for one
     there raises rather than silently retaining state.
     """
-    import pandas as pd
-
     in_cols = list(df.columns)
 
     def _fold(pdf_iter):
-        chunks = []
-        for p in pdf_iter:
-            if not len(p):
-                continue
-            if list(p.columns) != in_cols:
-                # transformWithStateInPandas delivers positional Arrow field
-                # names (_0, _1, …) for some child plans (observed on unions);
-                # the column ORDER is the input DataFrame's, so rename by
-                # position to keep process() schema-agnostic across backends
-                if len(p.columns) != len(in_cols):
-                    raise ValueError(
-                        f"state-machine input has {len(p.columns)} columns, "
-                        f"expected {len(in_cols)} ({in_cols})"
-                    )
-                p = p.set_axis(in_cols, axis=1)
-            chunks.append(p)
-        if not chunks:
-            return None
-        pdf = pd.concat(chunks) if len(chunks) > 1 else chunks[0]
-        if sort_by:
-            pdf = pdf.sort_values(list(sort_by), kind="stable")
-        return pdf
+        return _fold_chunks(pdf_iter, in_cols, sort_by)
 
     if use_tws():
         from pyspark.sql.streaming.stateful_processor import StatefulProcessor
@@ -317,6 +323,91 @@ def _run_state_machine(
     )
 
 
+def _left_inner_tws(
+    u: DataFrame,
+    n_keys: int,
+    match,
+    state_ttl_ms: int | None,
+) -> DataFrame:
+    """LeftInnerJoin on the modern API with its NATIVE state layout — the
+    exact analog of the reference's Flink state
+    (LeftInnerJoinKeyedCoProcessFunction.scala:40-103): a ValueState for the
+    latest right and a ListState for the buffered lefts. Unlike the generic
+    value-state machine (which carries the buffer as one JSON array and
+    rewrites it wholesale), buffered lefts append as individual RocksDB list
+    elements — O(1) per buffered arrival; the list is only rewritten when a
+    right consumes part of it."""
+    import pandas as pd
+
+    from pyspark.sql.streaming.stateful_processor import StatefulProcessor
+
+    key_cols = [f"__key{i}" for i in range(n_keys)]
+    out_schema = _out_schema(_key_fields(u, n_keys))
+    in_cols = list(u.columns)
+    row_schema = StructType([StructField("p", StringType(), True)])
+
+    class _M(StatefulProcessor):
+        def init(self, handle):
+            self._r = handle.getValueState("r", row_schema, ttlDurationMs=state_ttl_ms)
+            self._buf = handle.getListState("buf", row_schema, ttlDurationMs=state_ttl_ms)
+
+        def handleInputRows(self, key, rows, timer_values):
+            pdf = _fold_chunks(rows, in_cols, ["__ord", "__side"])
+            if pdf is None:
+                return iter(())
+            last_r = self._r.get()[0] if self._r.exists() else None
+            buf = [t[0] for t in self._buf.get()] if self._buf.exists() else []
+            n_buf0, appended, consumed = len(buf), 0, False
+            out_l, out_r = [], []
+            for side, payload in zip(pdf["__side"], pdf["__payload"]):
+                if side == 1:
+                    if last_r is not None and match(payload, last_r):
+                        out_l.append(payload)
+                        out_r.append(last_r)
+                    else:
+                        buf.append(payload)
+                        if not consumed:
+                            # O(1) append path: the stored prefix is intact
+                            self._buf.appendValue((payload,))
+                            appended += 1
+                else:
+                    kept = []
+                    for l in buf:
+                        if match(l, payload):
+                            out_l.append(l)
+                            out_r.append(payload)
+                        else:
+                            kept.append(l)
+                    if len(kept) != len(buf):
+                        consumed = True
+                    buf = kept
+                    if last_r != payload:
+                        last_r = payload
+                        self._r.update((payload,))
+            if consumed:
+                # the stored list no longer matches: rewrite it once
+                if buf:
+                    self._buf.put([(l,) for l in buf])
+                else:
+                    self._buf.clear()
+            if not out_l:
+                return iter(())
+            res = {c: [key[i]] * len(out_l) for i, c in enumerate(key_cols)}
+            res["__l"] = out_l
+            res["__r"] = out_r
+            return iter([pd.DataFrame(res)])
+
+        def close(self):
+            pass
+
+    return u.groupBy(*key_cols).transformWithStateInPandas(
+        statefulProcessor=_M(),
+        outputStructType=out_schema,
+        outputMode="Append",
+        timeMode="ProcessingTime" if state_ttl_ms else "None",
+    )
+
+
 def left_enrichment_join(
     left: DataFrame,
     right: DataFrame,
@@ -418,7 +509,12 @@ def left_inner_enrichment_join(
         kept = [l for l in buf if not match(l, payload)]
         return (payload, json.dumps(kept) if kept else None), emitted
 
-    paired = _run_state_machine(u, len(left_on), step, _STATE_BUF, (None, None), state_ttl_ms)
+    if use_tws():
+        paired = _left_inner_tws(u, len(left_on), match, state_ttl_ms)
+    else:
+        paired = _run_state_machine(
+            u, len(left_on), step, _STATE_BUF, (None, None), state_ttl_ms
+        )
     return _pair_project(paired, left, right, left_on, right_on, right_prefix, None)
 
 
