@@ -431,3 +431,32 @@ def test_plans_md_not_stale(spark):
         f"PLANS.md row {rows['pagerank_supplier_customer']} != live plan {live} "
         "(shuffles, bcast joins, SMJ) — rerun tools/plan_report.py"
     )
+
+
+def test_cms_domain_never_shuffles(spark):
+    """The count-min build/estimate plan: three combinable-aggregate
+    exchanges (sketch cells, truth counts, final min) and broadcast joins —
+    no sort-merge join, no Python, no sort of the token domain."""
+    p = plan(q("cms_token_counts", spark))
+    assert n_nodes(p, "Exchange") == 3
+    assert "SortMergeJoin" not in p
+    assert "MapInPandas" not in p and "ArrowEvalPython" not in p
+
+
+def test_quantile_selection_no_sort_merge(spark):
+    """Distributed selection quantiles: per-key stats and located targets
+    broadcast; the only sorts feed the tiny cumulative-histogram window and
+    the boundary-bucket rank — never a sort-merge join of the fact table."""
+    p = plan(q("quantile_selection_prices", spark))
+    assert "SortMergeJoin" not in p
+    assert n_nodes(p, "BroadcastHashJoin") >= 3
+    assert "MapInPandas" not in p and "ArrowEvalPython" not in p
+
+
+def test_semantic_dedup_centroids_broadcast(spark):
+    """SemDeDup: centroid assignment is a broadcast nested-loop against the
+    tiny cell table (the corpus never shuffles for assignment); all work is
+    JVM-side column algebra."""
+    p = plan(q("semantic_dedup", spark))
+    assert n_nodes(p, "BroadcastNestedLoopJoin") == 1
+    assert "MapInPandas" not in p and "ArrowEvalPython" not in p
