@@ -589,6 +589,83 @@ def streaming_hot_event_types_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "streaming_cms_user_counts",
+    doc="Streaming count-min sketch (stateful.streaming_cms, depth 4 x "
+    "width 64 — below the ~1.5k-user domain so collisions exercise the "
+    "min-over-rows recovery): cell indices computed JVM-side, one state "
+    "group per hash row holding its 64 counters (O(depth*width) state "
+    "forever), versioned snapshots reconstructed latest-per-row, then "
+    "user_id < 20 point-queried against the final sketch. The streamed "
+    "sketch equals the batch construction of the same multiset, so the "
+    "oracle replicates it cell-for-cell.",
+    oracle="""
+WITH u AS (
+  SELECT user_id, COUNT(*) AS n_true FROM events WHERE user_id IS NOT NULL GROUP BY user_id
+),
+f AS (
+  SELECT user_id, n_true,
+         (list_reduce(list_transform(regexp_extract_all(CAST(user_id AS VARCHAR), '.'),
+          c -> CAST(ascii(c) AS BIGINT)), (a, c) -> (a * 31 + c) % 2147483647)
+          * 2654435761) % 2147483647 AS s
+  FROM u
+),
+sk AS (
+  SELECT r.i AS r, ((2 * r.i + 1) * s + r.i * r.i + 17) % 2147483647 % 64 AS i,
+         SUM(n_true) AS c
+  FROM f, range(4) r(i) GROUP BY 1, 2
+),
+probe AS (
+  SELECT user_id, n_true, r.i AS r,
+         ((2 * r.i + 1) * s + r.i * r.i + 17) % 2147483647 % 64 AS i
+  FROM f, range(4) r(i) WHERE user_id < 20
+)
+SELECT p.user_id, p.n_true, CAST(MIN(sk.c) AS BIGINT) AS est
+FROM probe p JOIN sk ON sk.r = p.r AND sk.i = p.i
+GROUP BY 1, 2
+""",
+)
+def streaming_cms_user_counts_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    from milan_spark.operators.sketch import _cms_fold, _cms_row_idx
+    from milan_spark.sources import table as batch_table
+
+    ev = _events_stream(spark, sf_dir).select("user_id")
+    snaps = stateful.streaming_cms(ev, "user_id", depth=4, width=64)
+    t = run_to_memory(snaps, "streaming_cms_user_counts_snaps")
+    w = W.partitionBy("r")
+    cur = (
+        t.withColumn("__mv", F.max("version").over(w))
+        .where(F.col("version") == F.col("__mv"))
+        .select("r", "i", "c")
+    )
+    evb = batch_table(spark, sf_dir, "events")
+    truth = (
+        evb.where(F.col("user_id").isNotNull() & (F.col("user_id") < 20))
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n_true"))
+    )
+    probes = truth.select(
+        "user_id", "n_true", _cms_fold(F.col("user_id").cast("string")).alias("__s")
+    )
+    pcells = probes.select(
+        "user_id",
+        "n_true",
+        F.explode(
+            F.array(*[
+                F.struct(F.lit(r).alias("r"), _cms_row_idx(F.col("__s"), r, 64).alias("i"))
+                for r in range(4)
+            ])
+        ).alias("__cell"),
+    ).select("user_id", "n_true", F.col("__cell.r").alias("r"), F.col("__cell.i").alias("i"))
+    return (
+        pcells.join(F.broadcast(cur), ["r", "i"], "left")
+        .groupBy("user_id", "n_true")
+        .agg(F.min(F.coalesce("c", F.lit(0))).cast("long").alias("est"))
+    )
+
+
+@register(
     "streaming_static_enrichment",
     doc="Stream-static dimension enrichment — the deployment-default join "
     "topology for streams at 100 TB/day: the fact STREAMS, the dimension "

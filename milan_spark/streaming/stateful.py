@@ -829,3 +829,68 @@ def streaming_heavy_hitters(
         return (json.dumps(st),), frames
 
     return _drive(keyed, ["__bucket"], process, out_schema, _STATE_1, sort_by=[])
+
+
+def streaming_cms(
+    sdf: DataFrame,
+    value_col: str,
+    *,
+    depth: int = 4,
+    width: int = 512,
+    weight: str | None = None,
+) -> DataFrame:
+    """Streaming count-min sketch: the point-query twin of
+    :func:`streaming_heavy_hitters`, same versioned-snapshot contract. One
+    state group per hash ROW (``depth`` groups); each holds its row's
+    ``width`` counters. Cell indices are computed JVM-side before the state
+    machine (the same affine row hashes as ``operators.sketch.cms_build``,
+    so the streamed sketch equals the batch sketch of the same multiset —
+    asserted in tests). Every microbatch folds the batch's cell sums in and
+    emits a versioned full snapshot (≤ width rows per row-group); the latest
+    version per row IS the complete current sketch, reconstructible by any
+    sink. State is O(depth·width) — independent of stream length and value
+    cardinality, so this runs forever at 100 TB/day.
+
+    Output: ``r int, version long, i int, c long``.
+    """
+    import pandas as pd
+
+    from milan_spark.operators.sketch import _cms_fold, _cms_row_idx
+
+    w_col = F.lit(1).cast("long") if weight is None else F.col(weight).cast("long")
+    base = sdf.filter(F.col(value_col).isNotNull()).select(
+        _cms_fold(F.col(value_col).cast("string")).alias("__s"), w_col.alias("__w")
+    )
+    cells = base.select(
+        "__w",
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(r).alias("r"), _cms_row_idx(F.col("__s"), r, width).alias("i")
+                )
+                for r in range(depth)
+            ])
+        ).alias("__cell"),
+    ).select(F.col("__cell.r").alias("__r"), F.col("__cell.i").alias("__i"), "__w")
+    out_schema = StructType.fromDDL("r int, version long, i int, c long")
+
+    def process(key, pdf, st_t):
+        st = json.loads(st_t[0]) if st_t is not None else {"v": 0, "c": {}}
+        counters = st["c"]
+        for i, w in pdf.groupby("__i")["__w"].sum().items():
+            k = str(int(i))
+            counters[k] = counters.get(k, 0) + int(w)
+        st["v"] += 1
+        frames = [
+            pd.DataFrame(
+                {
+                    "r": key[0],
+                    "version": st["v"],
+                    "i": [int(k) for k in counters],
+                    "c": list(counters.values()),
+                }
+            )
+        ]
+        return (json.dumps(st),), frames
+
+    return _drive(cells, ["__r"], process, out_schema, _STATE_1, sort_by=[])

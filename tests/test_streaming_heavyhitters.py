@@ -69,3 +69,44 @@ def test_state_is_bounded(snapshots):
     snaps, _ = snapshots
     cur = latest(snaps)
     assert len(cur) <= N_BUCKETS * CAPACITY
+
+
+def test_streaming_cms_equals_batch_sketch(spark, tmp_path):
+    """The streamed CMS folded across 3 microbatches must equal the batch
+    cms_build of the full multiset, cell for cell — the mergeable-state
+    claim, end to end."""
+    import pandas as pd
+
+    from pyspark.sql import functions as F
+
+    from milan_spark.operators.sketch import cms_build
+    from milan_spark.streaming import run_to_memory
+    from milan_spark.streaming.stateful import streaming_cms
+
+    chunks = [
+        [(f"u{i % 7}",) for i in range(40)],
+        [("hot",)] * 25 + [("u1",)] * 5,
+        [(f"u{i % 11}",) for i in range(30)],
+    ]
+    (tmp_path / "src").mkdir()
+    for i, rows in enumerate(chunks):
+        pd.DataFrame(rows, columns=["x"]).to_parquet(tmp_path / "src" / f"{i:02d}.parquet")
+    sdf = (
+        spark.readStream.schema("x string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(tmp_path / "src"))
+    )
+    snaps = run_to_memory(streaming_cms(sdf, "x", depth=3, width=8), "cms_snaps")
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("r")
+    final = {
+        (r.r, r.i): r.c
+        for r in snaps.withColumn("__mv", F.max("version").over(w))
+        .where(F.col("version") == F.col("__mv"))
+        .collect()
+    }
+    assert snaps.agg(F.max("version")).first()[0] == 3  # state crossed batches
+    batch = spark.createDataFrame([r for c in chunks for r in c], "x string")
+    want = {(r.r, r.i): r.c for r in cms_build(batch, "x", depth=3, width=8).collect()}
+    assert final == want
