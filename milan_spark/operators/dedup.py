@@ -349,13 +349,43 @@ def minhash_lsh_pairs(
     are uniform by construction; band-fold collisions only add candidates,
     which exact verification removes.
     """
-    import numpy as np
-
     if bands is None:
         bands = derive_banding(num_hashes, threshold)
-    rows_per_band = num_hashes // bands
     # reused by the signature build and both sides of the verify join
     sets = _shingle_sets(df, id_col, text_col, n).persist()
+    # persisted: both sides of the candidate self-join read it — without the
+    # persist the signature pandas UDF would run once per side
+    band_sig = _band_index(sets, num_hashes, bands).persist()
+    a = band_sig.select(F.col("__id").alias("id_a"), F.col("__n").alias("__na"), "__band", "__sig")
+    b = band_sig.select(F.col("__id").alias("id_b"), F.col("__n").alias("__nb"), "__band", "__sig")
+    # size-ratio prune: J = c/(na+nb-c) ≤ min(na,nb)/max(na,nb), so any true
+    # pair at threshold τ has set sizes within ratio τ. Carrying one extra
+    # long per band row costs nothing; on template-heavy corpora (dense LSH
+    # buckets full of moderately-similar docs) it drops ~2/3 of candidates
+    # BEFORE the distinct shuffle and the array-carrying verify join. The
+    # division form is float-safe: correctly-rounded division is monotone, so
+    # (min/max)ᵈᵇˡ ≥ Jᵈᵇˡ whenever the real inequality holds — no true pair
+    # at the double compare `jaccard >= τ` can be dropped.
+    ratio = F.least("__na", "__nb").cast("double") / F.greatest("__na", "__nb") >= F.lit(threshold)
+    cands = (
+        a.join(b, ["__band", "__sig"])
+        .filter((F.col("id_a") < F.col("id_b")) & ratio)
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    return _verify_jaccard(cands, sets, threshold)
+
+
+def _band_index(sets: DataFrame, num_hashes: int, bands: int) -> DataFrame:
+    """(__id, __n, __band, __sig) LSH band index of a ``_shingle_sets`` frame
+    — the tiled vectorized signature kernel shared by the self-join dedup
+    (:func:`minhash_lsh_pairs`) and the corpus-vs-delta probe
+    (:func:`incremental_near_dups`). The returned frame is plain columns, so
+    a production pipeline can persist it to parquet and maintain it
+    incrementally instead of re-signing the corpus per run."""
+    import numpy as np
+
+    rows_per_band = num_hashes // bands
     hs = F.transform("__sh", lambda s: F.pmod(s, F.lit(P31)))
     doc = sets.select("__id", hs.alias("__hs"))
     coef_a = 2 * np.arange(num_hashes, dtype=np.int64)[:, None] + 1
@@ -404,31 +434,65 @@ def minhash_lsh_pairs(
             out[i] = acc[:, k]
         return pd.Series(out)
 
-    # persisted: both sides of the candidate self-join read it — without the
-    # persist the signature pandas UDF would run once per side
-    band_sig = doc.select(
+    return doc.select(
         "__id",
         F.array_size("__hs").alias("__n"),
         F.posexplode(band_sigs("__hs")).alias("__band", "__sig"),
-    ).persist()
-    a = band_sig.select(F.col("__id").alias("id_a"), F.col("__n").alias("__na"), "__band", "__sig")
-    b = band_sig.select(F.col("__id").alias("id_b"), F.col("__n").alias("__nb"), "__band", "__sig")
-    # size-ratio prune: J = c/(na+nb-c) ≤ min(na,nb)/max(na,nb), so any true
-    # pair at threshold τ has set sizes within ratio τ. Carrying one extra
-    # long per band row costs nothing; on template-heavy corpora (dense LSH
-    # buckets full of moderately-similar docs) it drops ~2/3 of candidates
-    # BEFORE the distinct shuffle and the array-carrying verify join. The
-    # division form is float-safe: correctly-rounded division is monotone, so
-    # (min/max)ᵈᵇˡ ≥ Jᵈᵇˡ whenever the real inequality holds — no true pair
-    # at the double compare `jaccard >= τ` can be dropped.
+    )
+
+
+def incremental_near_dups(
+    corpus: DataFrame,
+    delta: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 2,
+    num_hashes: int = 128,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Near-duplicates of a DELTA batch against an existing CORPUS — the
+    production shape of dedup at 100 TB: the corpus is signed once into a
+    band index (:func:`_band_index` — in a real pipeline that index and the
+    shingle sets live on parquet, maintained incrementally) and only the
+    delta's bands PROBE it; the corpus is never self-joined, so per-run cost
+    is O(delta + matched bands), not O(corpus²).
+
+    A delta doc pairs with (a) any corpus doc and (b) any SMALLER-id delta
+    doc (so within-batch duplicates resolve deterministically without a
+    second pass). Same banding-derived completeness and exact verification
+    as :func:`minhash_lsh_pairs`: output is exactly the J ≥ τ pairs.
+    Returns (delta_id, dup_of, jaccard).
+    """
+    bands = derive_banding(num_hashes, threshold)
+    c_sets = _shingle_sets(corpus, id_col, text_col, n).persist()
+    d_sets = _shingle_sets(delta, id_col, text_col, n).persist()
+    c_idx = _band_index(c_sets, num_hashes, bands)
+    d_idx = _band_index(d_sets, num_hashes, bands).persist()
+
+    probe = d_idx.select(
+        F.col("__id").alias("id_b"), F.col("__n").alias("__nb"), "__band", "__sig"
+    )
+    base = c_idx.select(
+        F.col("__id").alias("id_a"), F.col("__n").alias("__na"), "__band", "__sig"
+    )
+    earlier = d_idx.select(
+        F.col("__id").alias("id_a"), F.col("__n").alias("__na"), "__band", "__sig"
+    )
     ratio = F.least("__na", "__nb").cast("double") / F.greatest("__na", "__nb") >= F.lit(threshold)
     cands = (
-        a.join(b, ["__band", "__sig"])
-        .filter((F.col("id_a") < F.col("id_b")) & ratio)
+        base.join(probe, ["__band", "__sig"])
+        .filter(ratio)
+        .unionByName(
+            earlier.join(probe, ["__band", "__sig"])
+            .filter((F.col("id_a") < F.col("id_b")) & ratio)
+        )
         .select("id_a", "id_b")
         .distinct()
     )
-    return _verify_jaccard(cands, sets, threshold)
+    sets = c_sets.unionByName(d_sets)
+    return _verify_jaccard(cands, sets, threshold).select(
+        F.col("id_b").alias("delta_id"), F.col("id_a").alias("dup_of"), "jaccard"
+    )
 
 
 def simhash(df: DataFrame, id_col: str, text_col: str) -> DataFrame:

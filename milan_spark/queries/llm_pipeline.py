@@ -204,6 +204,39 @@ def minhash_lsh_dedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "incremental_dedup_delta",
+    doc="Incremental near-dup dedup (operators.dedup.incremental_near_dups) "
+    "— the production daily-delta shape: docs with doc_id % 5 == 0 play "
+    "the incoming DELTA, the rest the existing CORPUS. The corpus is "
+    "signed once into an LSH band index (persistable to parquet in a real "
+    "pipeline) and only delta bands probe it, plus delta-vs-smaller-delta "
+    "pairs for within-batch dups; the corpus is never self-joined. Output "
+    "equals the exact J >= 0.8 pairs (same banding completeness + exact "
+    "verification as minhash_lsh_dedup).",
+    oracle=_SQL_SHINGLES
+    + """
+, ex AS (
+  SELECT doc_id, unnest(shingles) AS s FROM sh
+), pairs AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS shared
+  FROM ex a JOIN ex b ON a.s = b.s AND b.doc_id % 5 = 0
+   AND (a.doc_id % 5 != 0 OR a.doc_id < b.doc_id) AND a.doc_id != b.doc_id
+  GROUP BY 1, 2
+), sizes AS (SELECT doc_id, len(shingles) AS n FROM sh)
+SELECT id_b AS delta_id, id_a AS dup_of,
+       round(shared * 1.0 / (sa.n + sb.n - shared), 6) AS jaccard
+FROM pairs JOIN sizes sa ON id_a = sa.doc_id JOIN sizes sb ON id_b = sb.doc_id
+WHERE shared * 1.0 / (sa.n + sb.n - shared) >= 0.8
+""",
+)
+def incremental_dedup_delta_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    corpus = docs.where(F.col("doc_id") % 5 != 0)
+    delta = docs.where(F.col("doc_id") % 5 == 0)
+    return D.incremental_near_dups(corpus, delta, "doc_id", "text", n=2, threshold=0.8)
+
+
+@register(
     "simhash_dedup",
     doc="SimHash near-dup pairs: 62-bit majority fingerprint over token "
     "hashes, 4x16-bit chunk candidates, exact Hamming <= 3 verification.",
