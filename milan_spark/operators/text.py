@@ -316,3 +316,52 @@ def collocations(
         joined.filter(F.lit(den).cast(d38) * lift_num > F.lit(num).cast(d38) * lift_den)
         .select("gram", "n_ab", "n_a", "n_b", lift.alias("lift"))
     )
+
+
+def bigram_fluency(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-document fluency score from corpus bigram statistics — the
+    transcendental-free analog of a CCNet-style LM perplexity filter: a
+    document whose bigrams are common across the corpus is fluent; one full
+    of never-seen-elsewhere bigrams is gibberish/boilerplate-mangled. Two
+    integer statistics per document (both engine-reproducible, no log):
+
+    - ``mean_bigram_freq``: Σ corpus-count(bigram) / n_bigrams, counts taken
+      over the whole corpus INCLUDING the document (leave-one-in, stated
+      contract — exact and one pass, where leave-one-out would need a second
+      self-subtracting aggregate for a score ranking it barely changes);
+    - ``rare_rate``: fraction of the doc's bigram occurrences whose corpus
+      count is ≤ 1 (i.e. occur nowhere else) — the direct gibberish signal.
+
+    Plan: one map-side-combinable bigram-count aggregate over the corpus,
+    then the doc's bigram occurrences join the count table keyed on the
+    BIGRAM (fan-out = occurrences of that bigram — vocabulary-bounded skew,
+    same argument as :func:`collocations`) and one per-doc combine. No
+    Python, no broadcast of the bigram table assumed.
+
+    Returns (id, n_bigrams, sum_freq, n_rare, mean_bigram_freq, rare_rate).
+    """
+    occ = df.select(
+        F.col(id_col).alias("__id"), F.explode(word_ngrams(text_col, 2)).alias("gram")
+    )
+    counts = occ.groupBy("gram").agg(F.count(F.lit(1)).alias("__n"))
+    j = occ.join(counts, "gram")
+    return (
+        j.groupBy("__id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.sum("__n").alias("sum_freq"),
+            F.sum(F.when(F.col("__n") <= 1, 1).otherwise(0)).alias("n_rare"),
+        )
+        .select(
+            F.col("__id").alias(id_col),
+            "n_bigrams",
+            "sum_freq",
+            "n_rare",
+            F.round(F.col("sum_freq").cast("double") / F.col("n_bigrams"), 6).alias("mean_bigram_freq"),
+            F.round(F.col("n_rare").cast("double") / F.col("n_bigrams"), 6).alias("rare_rate"),
+        )
+    )

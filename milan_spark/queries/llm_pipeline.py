@@ -204,6 +204,39 @@ def minhash_lsh_dedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "bigram_fluency_gate",
+    doc="Per-document fluency from corpus bigram statistics "
+    "(operators.text.bigram_fluency) — the transcendental-free analog of a "
+    "CCNet-style LM filter: mean corpus-frequency of the doc's bigrams "
+    "(leave-one-in) and the rate of bigrams occurring nowhere else. One "
+    "combinable bigram-count aggregate + a join keyed on the bigram "
+    "(vocabulary-bounded skew) + one per-doc combine; scores are single "
+    "correctly-rounded divisions of exact integers.",
+    oracle="""
+WITH t AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks FROM documents
+),
+occ AS (
+  SELECT doc_id, array_to_string(toks[p.i:p.i+1], ' ') AS gram
+  FROM (SELECT doc_id, toks, unnest(range(1, len(toks), 1)) AS i FROM t) p
+),
+c AS (SELECT gram, COUNT(*) AS n FROM occ GROUP BY gram)
+SELECT o.doc_id,
+       COUNT(*) AS n_bigrams,
+       CAST(SUM(c.n) AS BIGINT) AS sum_freq,
+       CAST(SUM(CASE WHEN c.n <= 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_rare,
+       round(CAST(SUM(c.n) AS DOUBLE) / COUNT(*), 6) AS mean_bigram_freq,
+       round(CAST(SUM(CASE WHEN c.n <= 1 THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*), 6) AS rare_rate
+FROM occ o JOIN c ON o.gram = c.gram
+GROUP BY o.doc_id
+""",
+)
+def bigram_fluency_gate_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    return T.bigram_fluency(docs, "doc_id", "text")
+
+
+@register(
     "incremental_dedup_delta",
     doc="Incremental near-dup dedup (operators.dedup.incremental_near_dups) "
     "— the production daily-delta shape: docs with doc_id % 5 == 0 play "
