@@ -59,6 +59,41 @@ def ensure_protobuf() -> bool:
 SEQ_COL = "__seq"
 
 
+def workers_can_import_protobuf() -> bool:
+    """Whether every SPARK WORKER (not just this driver process) will be able
+    to import ``google.protobuf`` — the condition transformWithStateInPandas
+    actually needs. Driver-side importability is NOT enough in the shim case:
+    workers inherit the JVM's environment, frozen at JVM launch, so a session
+    created before :func:`ensure_protobuf` ran (e.g. a session handed to us
+    by an external harness) has workers that cannot see the shim even though
+    this process can. Decision:
+
+    - no protobuf at all -> False;
+    - a real installation (site-packages, not the shim) -> True: workers run
+      the same interpreter and share its site-packages;
+    - the vendored shim -> True only if the shim directory is on the
+      PYTHONPATH the JVM inherited (JVM running: read its env; JVM not yet
+      launched: the env var set by ensure_protobuf will be inherited).
+    """
+    if not ensure_protobuf():
+        return False
+    import google.protobuf as _pb
+
+    origin = (getattr(_pb, "__file__", "") or "") + str(getattr(_pb, "__path__", ""))
+    if "cloudsdk" not in origin and "pbshim" not in origin:
+        return True
+    from pyspark import SparkContext
+
+    sc = SparkContext._active_spark_context
+    if sc is None:
+        return _PBSHIM_DIR in os.environ.get("PYTHONPATH", "").split(os.pathsep)
+    try:
+        jvm_pp = sc._jvm.java.lang.System.getenv("PYTHONPATH") or ""
+    except Exception:
+        return False
+    return _PBSHIM_DIR in jvm_pp.split(os.pathsep)
+
+
 def get_spark(app_name: str = "milan_spark", shuffle_partitions: int | None = None) -> SparkSession:
     """Create or reuse a SparkSession with engine defaults.
 

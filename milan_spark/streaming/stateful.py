@@ -62,23 +62,26 @@ from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from pyspark.sql.types import LongType, StringType, StructField, StructType
 
 from milan_spark.operators.joins import _normalize_on, _prefixed
-from milan_spark.session import SEQ_COL, ensure_protobuf
+from milan_spark.session import SEQ_COL, ensure_protobuf, workers_can_import_protobuf
 
 STATE_API_ENV = "MILAN_STREAM_STATE_API"  # "tws" | "applyinpandas" | "auto"
 _ROCKSDB = "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
 
 
 def use_tws() -> bool:
-    """Resolve the state-machine backend: ``tws`` when protobuf is available
-    (or forced), else the legacy ``applyInPandasWithState`` path."""
+    """Resolve the state-machine backend: ``tws`` when every WORKER can
+    import protobuf (see ``session.workers_can_import_protobuf`` — an
+    externally-created session whose JVM predates the shim path must fall
+    back, or the state machine crashes at runtime), else the legacy
+    ``applyInPandasWithState`` path."""
     mode = os.environ.get(STATE_API_ENV, "auto")
     if mode == "applyinpandas":
         return False
-    ok = ensure_protobuf()
+    ok = workers_can_import_protobuf()
     if mode == "tws" and not ok:
         raise RuntimeError(
             "MILAN_STREAM_STATE_API=tws but google.protobuf is unavailable "
-            "(transformWithStateInPandas needs it in every worker)"
+            "in the workers (transformWithStateInPandas needs it there)"
         )
     return ok
 
