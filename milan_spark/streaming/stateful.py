@@ -78,6 +78,19 @@ def use_tws() -> bool:
     if mode == "applyinpandas":
         return False
     ok = workers_can_import_protobuf()
+    if not ok and mode == "auto" and ensure_protobuf():
+        # driver can import protobuf but the workers cannot (JVM launched
+        # before the shim path existed) — say why the modern API is skipped
+        import warnings
+
+        warnings.warn(
+            "transformWithStateInPandas unavailable: google.protobuf is "
+            "importable in this process but not in the Spark workers (the "
+            "session's JVM predates the shim PYTHONPATH). Falling back to "
+            "applyInPandasWithState; create the session via "
+            "milan_spark.session.get_spark to enable the modern API.",
+            stacklevel=3,
+        )
     if mode == "tws" and not ok:
         raise RuntimeError(
             "MILAN_STREAM_STATE_API=tws but google.protobuf is unavailable "
