@@ -61,6 +61,12 @@ QUERIES = [
     # round-4: two narrow scans + candidate-only shuffle; wall should track
     # scan rate, state bounded by capacity × partitions
     "hot_token_heavy_hitters",
+    # round-5 additions (semantic_dedup needs the scaled embeddings the
+    # replica builder also writes; the rest are documents-table ops)
+    "semantic_dedup",
+    "cms_token_counts",
+    "bigram_fluency_gate",
+    "incremental_dedup_delta",
 ]
 
 _ALPHA = "abcdefghijklmnopqrstuvwxyz"
