@@ -312,3 +312,38 @@ def test_pagerank_scaled_matches_python_model(spark):
             s[v] += rank[u] // outdeg[u]
         rank = {n: base + (num * s[n]) // den for n in nodes}
     assert got == set(rank.items())
+
+
+def test_incremental_near_dups_matches_union_pairs(spark):
+    """Delta-vs-corpus probe == the delta-targeting subset of the full
+    self-join pair set, including within-batch delta pairs (smaller id
+    wins) — on a corpus with engineered near-dups across the split."""
+    from pyspark.sql import functions as F
+
+    from milan_spark.operators.dedup import incremental_near_dups, minhash_lsh_pairs
+
+    base = "some shared sentence tokens repeated enough to shingle "
+    rows = []
+    for i in range(20):
+        # same-suffix docs are identical (J = 1 pairs across and within the
+        # split); different suffixes share only the base (J ~ 0.4, pruned)
+        text = base * 5 + f"ending {i % 4} alpha beta gamma delta"
+        rows.append((i, text))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    corpus = docs.where(F.col("doc_id") % 3 != 0)
+    delta = docs.where(F.col("doc_id") % 3 == 0)
+
+    got = {
+        (r.delta_id, r.dup_of, r.jaccard)
+        for r in incremental_near_dups(corpus, delta, "doc_id", "text", threshold=0.8).collect()
+    }
+    full = minhash_lsh_pairs(docs, "doc_id", "text", threshold=0.8).collect()
+    want = set()
+    for r in full:
+        a, b = r.id_a, r.id_b  # a < b by construction
+        if b % 3 == 0:  # delta target: corpus source OR smaller delta id
+            want.add((b, a, r.jaccard))
+        elif a % 3 == 0:  # delta-a paired with larger corpus b: the
+            # incremental contract reports it as (delta, corpus) too
+            want.add((a, b, r.jaccard))
+    assert got == want and len(got) > 0
