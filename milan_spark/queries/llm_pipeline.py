@@ -524,6 +524,73 @@ WHERE rank <= {k}""")
     return "".join(parts)
 
 
+def _pq_oracle(m: int = 4, n_cells: int = 8, iters: int = 1, k: int = 5, n_queries: int = 10, dim: int = 64) -> str:
+    """operators.similarity.ann_pq, restated: per-subspace unrolled
+    deterministic Lloyd (the component-sliced twin of :func:`_kmeans_ctes`),
+    codes = final assignment, per-query LUT of exact subspace distances,
+    estimate = LUT sum over a vector's codes."""
+    d_sub = dim // m
+    parts = [_SQL_VEC_EX.rstrip()]
+    for sub in range(m):
+        # ex's generate_subscripts index is 1-based: subspace `sub` spans
+        # components lo+1 .. hi inclusive
+        lo, hi = sub * d_sub, (sub + 1) * d_sub
+        parts.append(f""", cent0_{sub} AS (
+  SELECT vec_id AS c, i, x AS w FROM ex WHERE vec_id < {n_cells} AND i > {lo} AND i <= {hi}
+)""")
+        for t in range(iters + 1):
+            parts.append(f""", dist{t}_{sub} AS (
+  SELECT e.vec_id, ct.c, SUM((e.x - ct.w) * (e.x - ct.w)) AS d
+  FROM ex e JOIN cent{t}_{sub} ct ON e.i = ct.i GROUP BY 1, 2
+), assign{t}_{sub} AS (
+  SELECT vec_id, c FROM (
+    SELECT vec_id, c, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d, c) AS rn FROM dist{t}_{sub}
+  ) WHERE rn = 1
+)""")
+            if t < iters:
+                parts.append(f""", cent{t + 1}_{sub} AS (
+  SELECT a.c, e.i, CAST(floor(CAST(SUM(e.x) AS DOUBLE) / COUNT(*)) AS BIGINT) AS w
+  FROM assign{t}_{sub} a JOIN ex e ON a.vec_id = e.vec_id
+  WHERE e.i > {lo} AND e.i <= {hi} GROUP BY 1, 2
+)""")
+    codes = " UNION ALL ".join(
+        f"SELECT vec_id, {sub} AS sub, c AS code FROM assign{iters}_{sub}" for sub in range(m)
+    )
+    lut = " UNION ALL ".join(
+        f"""SELECT q.vec_id AS query_id, {sub} AS sub, ct.c AS code,
+       SUM((q.x - ct.w) * (q.x - ct.w)) AS d
+  FROM ex q JOIN cent{iters}_{sub} ct ON q.i = ct.i
+  WHERE q.vec_id < {n_queries} GROUP BY 1, 3""" for sub in range(m)
+    )
+    parts.append(f""", codes AS ({codes}), lut AS ({lut}), est AS (
+  SELECT l.query_id, c.vec_id AS neighbor_id, CAST(SUM(l.d) AS BIGINT) AS approx_d2
+  FROM codes c JOIN lut l ON l.sub = c.sub AND l.code = c.code
+  WHERE c.vec_id != l.query_id GROUP BY 1, 2
+)
+SELECT query_id, neighbor_id, rank, approx_d2 FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY approx_d2, neighbor_id) AS rank
+  FROM est
+) WHERE rank <= {k}""")
+    return "".join(parts)
+
+
+@register(
+    "ann_pq",
+    doc="Product-quantization ANN (Jegou et al. TPAMI'11): 4 independent "
+    "per-subspace Lloyd codebooks (8 cells, 1 iteration, exact-integer) "
+    "compress every 64-dim vector to 4 small ints; queries score the "
+    "CODE table against a broadcast per-query lookup table of exact "
+    "subspace distances (asymmetric distance computation) — raw corpus "
+    "vectors are read once at encode time and never at query time, the "
+    "8-64x memory reduction that makes billion-vector ANN fit a cluster. "
+    "Composes with ann_ivf's cells for candidate pruning.",
+    oracle=_pq_oracle(),
+)
+def ann_pq_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = table(spark, sf_dir, "embeddings")
+    return S.ann_pq(emb, "vec_id", "embedding", query_ids=range(10), k=5, dim=64)
+
+
 def _semantic_dedup_oracle(threshold: float = 0.4, n_cells: int = 8, iters: int = 2) -> str:
     """operators.similarity.semantic_dedup, restated in SQL: the shared
     deterministic-Lloyd chain, then within-cluster pairs (a < b) whose
