@@ -504,3 +504,82 @@ def ann_pq(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "rank", "approx_d2")
     )
+
+
+def ann_ivfpq(
+    corpus: DataFrame,
+    id_col: str,
+    vec_col: str,
+    query_ids,
+    k: int = 5,
+    n_cells: int = 8,
+    n_probe: int = 2,
+    coarse_iters: int = 2,
+    m_subs: int = 4,
+    pq_iters: int = 1,
+    dim: int | None = None,
+) -> DataFrame:
+    """IVF + PQ — the standard billion-vector ANN composition: the IVF
+    coarse quantizer (:func:`kmeans_cells`) prunes the corpus to the
+    query's ``n_probe`` cells, and only those members are scored, by ADC
+    over their PQ codes (:func:`ann_pq`'s machinery). Query-time cost is
+    O(probed members) rows of m small ints each — neither the full code
+    table (flat PQ) nor any raw corpus vector is touched.
+
+    Flat-PQ variant: codebooks are trained on the vectors themselves, not
+    per-cell residuals (residual PQ needs one codebook per coarse cell —
+    n_cells× the codebook state for a recall gain this exact-integer
+    pipeline can add later; flat is the simpler standard baseline).
+    All exact-int64 and deterministic → full value oracle.
+    Output: query_id, neighbor_id, rank, approx_d2.
+    """
+    ci = corpus.select(F.col(id_col).alias("__vid"), quantize(vec_col).alias("__v")).persist()
+    if dim is None:
+        dim = _dim_of(ci)
+    d_sub = dim // m_subs
+
+    coarse = kmeans_cells(ci, n_cells, coarse_iters, dim=dim)
+    members = _best_cell(ci, coarse).select("__vid", "cell")
+    dist_q = (
+        ci.filter(F.col("__vid").isin(list(query_ids)))
+        .crossJoin(F.broadcast(coarse))
+        .withColumn("__d", _l2_int(F.col("__v"), F.col("__cent")))
+    )
+    wp = W.partitionBy("__vid").orderBy("__d", "cell")
+    probes = (
+        dist_q.withColumn("__rn", F.row_number().over(wp))
+        .filter(F.col("__rn") <= n_probe)
+        .select(F.col("__vid").alias("query_id"), "cell")
+    )
+    cand = members.join(F.broadcast(probes), "cell").select(
+        "query_id", F.col("__vid").alias("neighbor_id")
+    )
+
+    books = pq_codebooks(ci, m_subs, n_cells, pq_iters, dim).persist()
+    codes = pq_encode(ci, books, m_subs, dim)
+    qs = ci.filter(F.col("__vid").isin(list(query_ids)))
+    lut = None
+    for s in range(m_subs):
+        q_s = qs.select(
+            F.col("__vid").alias("query_id"), F.slice("__v", s * d_sub + 1, d_sub).alias("__qv")
+        )
+        l = (
+            q_s.crossJoin(F.broadcast(books.filter(F.col("sub") == s)))
+            .withColumn("__d", _l2_int(F.col("__qv"), F.col("__cent")))
+            .select("query_id", "sub", F.col("cell").alias("code"), "__d")
+        )
+        lut = l if lut is None else lut.unionByName(l)
+
+    est = (
+        codes.join(F.broadcast(cand.withColumnRenamed("neighbor_id", "__vid")), "__vid")
+        .join(F.broadcast(lut), ["query_id", "sub", "code"])
+        .filter(F.col("__vid") != F.col("query_id"))
+        .groupBy("query_id", F.col("__vid").alias("neighbor_id"))
+        .agg(F.sum("__d").alias("approx_d2"))
+    )
+    wk = W.partitionBy("query_id").orderBy("approx_d2", "neighbor_id")
+    return (
+        est.withColumn("rank", F.row_number().over(wk))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "approx_d2")
+    )

@@ -591,6 +591,85 @@ def ann_pq_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.ann_pq(emb, "vec_id", "embedding", query_ids=range(10), k=5, dim=64)
 
 
+def _ivfpq_oracle(
+    n_cells: int = 8, n_probe: int = 2, coarse_iters: int = 2,
+    m: int = 4, pq_iters: int = 1, k: int = 5, n_queries: int = 10, dim: int = 64,
+) -> str:
+    """operators.similarity.ann_ivfpq: the coarse-quantizer chain
+    (:func:`_kmeans_ctes`, cent{t}/assign{t}) + the per-subspace PQ chains
+    (cent{t}_{s}, distinct names — no CTE collision) + candidates from the
+    probed cells + ADC estimate restricted to candidates."""
+    d_sub = dim // m
+    parts = _kmeans_ctes(n_cells, coarse_iters)
+    for sub in range(m):
+        lo, hi = sub * d_sub, (sub + 1) * d_sub  # ex's i is 1-based
+        parts.append(f""", pqc0_{sub} AS (
+  SELECT vec_id AS c, i, x AS w FROM ex WHERE vec_id < {n_cells} AND i > {lo} AND i <= {hi}
+)""")
+        for t in range(pq_iters + 1):
+            parts.append(f""", pqd{t}_{sub} AS (
+  SELECT e.vec_id, ct.c, SUM((e.x - ct.w) * (e.x - ct.w)) AS d
+  FROM ex e JOIN pqc{t}_{sub} ct ON e.i = ct.i GROUP BY 1, 2
+), pqa{t}_{sub} AS (
+  SELECT vec_id, c FROM (
+    SELECT vec_id, c, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d, c) AS rn FROM pqd{t}_{sub}
+  ) WHERE rn = 1
+)""")
+            if t < pq_iters:
+                parts.append(f""", pqc{t + 1}_{sub} AS (
+  SELECT a.c, e.i, CAST(floor(CAST(SUM(e.x) AS DOUBLE) / COUNT(*)) AS BIGINT) AS w
+  FROM pqa{t}_{sub} a JOIN ex e ON a.vec_id = e.vec_id
+  WHERE e.i > {lo} AND e.i <= {hi} GROUP BY 1, 2
+)""")
+    codes = " UNION ALL ".join(
+        f"SELECT vec_id, {sub} AS sub, c AS code FROM pqa{pq_iters}_{sub}" for sub in range(m)
+    )
+    lut = " UNION ALL ".join(
+        f"""SELECT q.vec_id AS query_id, {sub} AS sub, ct.c AS code,
+       SUM((q.x - ct.w) * (q.x - ct.w)) AS d
+  FROM ex q JOIN pqc{pq_iters}_{sub} ct ON q.i = ct.i
+  WHERE q.vec_id < {n_queries} GROUP BY 1, 3""" for sub in range(m)
+    )
+    parts.append(f""", probe AS (
+  SELECT vec_id AS query_id, c FROM (
+    SELECT vec_id, c, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d, c) AS rn
+    FROM dist{coarse_iters} WHERE vec_id < {n_queries}
+  ) WHERE rn <= {n_probe}
+), cand AS (
+  SELECT p.query_id, a.vec_id AS neighbor_id
+  FROM probe p JOIN assign{coarse_iters} a ON p.c = a.c
+  WHERE a.vec_id != p.query_id
+), codes AS ({codes}), lut AS ({lut}), est AS (
+  SELECT cd.query_id, cd.neighbor_id, CAST(SUM(l.d) AS BIGINT) AS approx_d2
+  FROM cand cd
+  JOIN codes c ON c.vec_id = cd.neighbor_id
+  JOIN lut l ON l.query_id = cd.query_id AND l.sub = c.sub AND l.code = c.code
+  GROUP BY 1, 2
+)
+SELECT query_id, neighbor_id, rank, approx_d2 FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY approx_d2, neighbor_id) AS rank
+  FROM est
+) WHERE rank <= {k}""")
+    return "".join(parts)
+
+
+@register(
+    "ann_ivfpq",
+    doc="IVF+PQ — the standard billion-vector ANN composition: the IVF "
+    "coarse quantizer prunes to each query's 2 nearest cells, and only "
+    "those members are scored by asymmetric distance computation over "
+    "their 4-int PQ codes (flat-PQ variant; residual PQ documented as the "
+    "recall-upgrade path). Query-time cost is O(probed members) rows of "
+    "4 small ints — neither the full code table nor any raw corpus "
+    "vector. Exact-int64 throughout; oracle composes the coarse Lloyd "
+    "chain with the per-subspace PQ chains.",
+    oracle=_ivfpq_oracle(),
+)
+def ann_ivfpq_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = table(spark, sf_dir, "embeddings")
+    return S.ann_ivfpq(emb, "vec_id", "embedding", query_ids=range(10), k=5, dim=64)
+
+
 def _semantic_dedup_oracle(threshold: float = 0.4, n_cells: int = 8, iters: int = 2) -> str:
     """operators.similarity.semantic_dedup, restated in SQL: the shared
     deterministic-Lloyd chain, then within-cluster pairs (a < b) whose
