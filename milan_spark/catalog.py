@@ -95,6 +95,10 @@ def _ensure_loaded():
         from milan_spark.queries import subqueries  # noqa: F401
     except ImportError:
         pass
+    try:
+        from milan_spark.queries import mining  # noqa: F401
+    except ImportError:
+        pass
     _reorder_registry()
     _loaded = True
 

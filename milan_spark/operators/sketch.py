@@ -319,3 +319,95 @@ def cms_estimate(
     return joined.groupBy(*key_list, value_col).agg(
         F.min(F.coalesce("c", F.lit(0))).cast("long").alias("est")
     )
+
+
+# ---------------------------------------------------------------------------
+# HyperLogLog (Flajolet et al. 2007) with a PORTABLE register construction.
+# Canonical HLL is "implementation-defined" only through its hash; with the
+# same scrambled char-fold the KMV/CMS/Bloom sketches use, every register is
+# a pure function of the value set and the whole estimator is bit-for-bit
+# reproducible in ANSI SQL. m = 2^HLL_P registers; the 31-bit hash splits
+# into a register index (low HLL_P bits) and a (31-HLL_P)-bit suffix whose
+# leading-zero rank feeds the register max.
+#
+# Scale shape: ONE map-side-combinable groupBy(keys, register) max — the
+# value domain never shuffles (each mapper emits at most m partial maxima
+# per group), then an m-row-per-group final fold. The indicator sum
+# Σ 2^(-M_j) is kept SCALED as Σ 2^(W_MAX-M_j) — an exact int64 — so the
+# only floating-point steps are one division and (in the small range) one
+# log, rounded to 4 decimals for comparison.
+# ---------------------------------------------------------------------------
+
+HLL_P = 6  # 64 registers
+_HLL_M = 1 << HLL_P
+_HLL_WBITS = 31 - HLL_P  # suffix width
+_HLL_RHO_MAX = _HLL_WBITS + 1  # rho when the suffix is all zeros
+# alpha_m for m=64 (Flajolet et al., Fig. 3): 0.7213 / (1 + 1.079/m)
+_HLL_ALPHA = 0.7213 / (1.0 + 1.079 / _HLL_M)
+
+
+def _hll_rho(w):
+    """Leading-zero rank of the _HLL_WBITS-bit suffix ``w`` (1-based position
+    of the highest set bit from the left, _HLL_RHO_MAX when w = 0).
+
+    bit_length(w) = length(bin(w)) for w >= 1 — exact in both engines,
+    no float log2 at any power-of-two boundary.
+    """
+    return F.when(w == 0, F.lit(_HLL_RHO_MAX)).otherwise(
+        F.lit(_HLL_RHO_MAX) - F.length(F.conv(w.cast("string"), 10, 2))
+    )
+
+
+def hll_registers(df: DataFrame, value_col: str, *, keys=()) -> DataFrame:
+    """Per-group HLL register table: keys + (reg, m) with m = max rho.
+
+    Mergeable by construction: max over unioned register tables == register
+    table of the union (hll_merge)."""
+    key_list = list(keys)
+    h = _kmv_hash(F.col(value_col).cast("string")) - 1  # [0, P31)
+    hashed = df.filter(F.col(value_col).isNotNull()).select(
+        *key_list,
+        (h % _HLL_M).alias("reg"),
+        _hll_rho(F.floor(h / _HLL_M).cast("long")).alias("rho"),
+    )
+    return hashed.groupBy(*key_list, "reg").agg(F.max("rho").alias("m"))
+
+
+def hll_estimate(registers: DataFrame, *, keys=()) -> DataFrame:
+    """Fold a register table into the HLL cardinality estimate.
+
+    Output: keys + (n_regs, v_zero, sum_scaled, distinct_est) where
+    sum_scaled = Σ_j 2^(W+1-M_j) over all m registers (absent ⇒ M_j = 0 ⇒
+    2^(W+1)) — an exact int64; distinct_est applies the small-range linear
+    counting correction (E ≤ 2.5m, V > 0 ⇒ m·ln(m/V)).
+    """
+    key_list = list(keys)
+    scaled = F.lit(1 << _HLL_RHO_MAX) / F.pow(F.lit(2.0), F.col("m"))
+    agg = registers.groupBy(*key_list).agg(
+        F.count(F.lit(1)).alias("n_regs"),
+        F.sum(scaled.cast("long")).alias("present_scaled"),
+    )
+    v_zero = F.lit(_HLL_M) - F.col("n_regs")
+    sum_scaled = (
+        F.col("present_scaled") + v_zero * F.lit(1 << _HLL_RHO_MAX)
+    ).alias("sum_scaled")
+    raw = (
+        F.lit(_HLL_ALPHA * _HLL_M * _HLL_M * (1 << _HLL_RHO_MAX))
+        / F.col("sum_scaled").cast("double")
+    )
+    est = F.when(
+        (raw <= F.lit(2.5 * _HLL_M)) & (v_zero > 0),
+        F.lit(float(_HLL_M)) * F.log(F.lit(float(_HLL_M)) / v_zero.cast("double")),
+    ).otherwise(raw)
+    return agg.select(
+        *key_list,
+        "n_regs",
+        v_zero.alias("v_zero"),
+        sum_scaled,
+    ).withColumn("distinct_est", F.round(est, 4))
+
+
+def hll_distinct(df: DataFrame, value_col: str, *, keys=()) -> DataFrame:
+    """HLL distinct-count estimate of ``value_col`` per group — the
+    register build composed with the estimator fold."""
+    return hll_estimate(hll_registers(df, value_col, keys=keys), keys=keys)

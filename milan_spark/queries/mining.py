@@ -1,0 +1,179 @@
+"""Corpus-mining tier: retrieval scoring, HyperLogLog cardinality, and
+graph structure mining — training-data-pipeline operators past the
+reference's own surface (its closest constructs are keyed aggregation and
+Cycle, lang/StreamExpressions.scala; everything here is oracle-checked
+bit-for-bit like the rest of the catalog).
+
+Registered after the frozen DRIVER_WINDOW (catalog.py) — the driver's
+50-query window stays diff-free; these run in the full local
+tools/check_correctness.py sweep.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from milan_spark.catalog import register
+from milan_spark.sources import table
+
+# the portable scrambled char-fold every sketch shares (operators/sketch.py)
+_SQL_HASH01 = (
+    "(list_reduce(list_transform(regexp_extract_all(CAST({s} AS VARCHAR), '.'),"
+    " c -> CAST(ascii(c) AS BIGINT)), (a, c) -> (a * 31 + c) % 2147483647)"
+    " * 2654435761) % 2147483647"
+)
+
+_BM25_TERMS = ["join", "filter", "window", "sort", "dup"]
+_BM25_K1 = 1.2
+_BM25_B = 0.75
+
+
+@register(
+    "bm25_search",
+    doc="BM25 top-20 retrieval (operators.retrieval.bm25_topk, k1=1.2 "
+    "b=0.75) for a 5-term query over documents: query-vocabulary filter at "
+    "the scan so the corpus-sized token stream never shuffles; corpus "
+    "stats and df broadcast; TakeOrderedAndProject top-k. Ranked on the "
+    "ROUNDED score with doc_id tie-break, so ordering is engine-exact.",
+    oracle=f"""
+WITH toks AS (
+  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS token
+  FROM documents
+), dl AS (
+  SELECT doc_id, len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS dl
+  FROM documents
+), stats AS (
+  SELECT COUNT(*) AS n_docs, SUM(dl) AS sum_dl FROM dl
+), tf AS (
+  SELECT doc_id, token, COUNT(*) AS tf FROM toks
+  WHERE token IN ({", ".join("'" + t + "'" for t in _BM25_TERMS)})
+  GROUP BY 1, 2
+), dft AS (
+  SELECT token, COUNT(*) AS df FROM tf GROUP BY 1
+), scored AS (
+  SELECT tf.doc_id,
+         ln((CAST(n_docs AS DOUBLE) - df + 0.5) / (CAST(df AS DOUBLE) + 0.5) + 1.0)
+           * CAST(tf AS DOUBLE) * {_BM25_K1 + 1.0}
+           / (CAST(tf AS DOUBLE) + {_BM25_K1} * ({1.0 - _BM25_B} + {_BM25_B}
+              * CAST(dl AS DOUBLE) / (CAST(sum_dl AS DOUBLE) / CAST(n_docs AS DOUBLE))))
+           AS term_score
+  FROM tf JOIN dft USING (token) JOIN dl USING (doc_id), stats
+), per_doc AS (
+  SELECT doc_id, COUNT(*) AS n_terms_hit, round(SUM(term_score), 4) AS bm25
+  FROM scored GROUP BY 1
+)
+SELECT doc_id, n_terms_hit, bm25,
+       ROW_NUMBER() OVER (ORDER BY bm25 DESC, doc_id) AS rank
+FROM per_doc
+ORDER BY rank LIMIT 20
+""",
+)
+def bm25_search_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from milan_spark.operators.retrieval import bm25_topk
+
+    docs = table(spark, sf_dir, "documents")
+    return bm25_topk(
+        docs, _BM25_TERMS, k1=_BM25_K1, b=_BM25_B, top_n=20
+    )
+
+
+@register(
+    "hll_distinct_users",
+    doc="HyperLogLog distinct-count sketch (operators.sketch.hll_distinct, "
+    "m=64 registers over the portable scrambled char-fold): one map-side-"
+    "combinable groupBy(event_type, register) max — the user domain never "
+    "shuffles — then a 64-row-per-group fold whose indicator sum stays an "
+    "exact scaled int64. Small-range linear-counting correction included; "
+    "registers are a pure function of the value set, so the oracle "
+    "replicates them register-for-register (the standard-HLL determinism "
+    "caveat the KMV docstring raises, resolved by pinning the hash).",
+    oracle=f"""
+WITH h AS (
+  SELECT event_type,
+         ({_SQL_HASH01.format(s='user_id')}) AS h0
+  FROM events WHERE user_id IS NOT NULL
+), reg AS (
+  SELECT event_type, h0 % 64 AS reg,
+         CASE WHEN h0 // 64 = 0 THEN 26
+              ELSE 26 - length(bin(CAST(h0 // 64 AS BIGINT))) END AS rho
+  FROM h
+), mx AS (
+  SELECT event_type, reg, MAX(rho) AS m FROM reg GROUP BY 1, 2
+), agg AS (
+  SELECT event_type, COUNT(*) AS n_regs,
+         CAST(SUM(CAST(round(67108864.0 / 2.0 ** m, 0) AS BIGINT)) AS BIGINT)
+           AS present_scaled
+  FROM mx GROUP BY 1
+), folded AS (
+  SELECT event_type, n_regs, 64 - n_regs AS v_zero,
+         present_scaled + (64 - n_regs) * 67108864 AS sum_scaled
+  FROM agg
+)
+SELECT event_type, n_regs, v_zero, sum_scaled,
+       round(CASE WHEN {0.7213 / (1.0 + 1.079 / 64)!r}e0 * 4096.0 * 67108864.0
+                       / CAST(sum_scaled AS DOUBLE) <= 160.0 AND v_zero > 0
+                  THEN 64.0 * ln(64.0 / CAST(v_zero AS DOUBLE))
+                  ELSE {0.7213 / (1.0 + 1.079 / 64)!r}e0 * 4096.0 * 67108864.0
+                       / CAST(sum_scaled AS DOUBLE) END, 4) AS distinct_est
+FROM folded
+""",
+)
+def hll_distinct_users_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from milan_spark.operators.sketch import hll_distinct
+
+    ev = table(spark, sf_dir, "events")
+    return hll_distinct(ev, "user_id", keys=["event_type"])
+
+
+@register(
+    "triangle_count_coparts",
+    doc="Exact triangle count by degree-ordered wedge checking "
+    "(operators.graph.triangle_count; Schank/Wagner 2005, Suri/"
+    "Vassilvitskii WWW'11) on the co-order part graph (parts sharing an "
+    "order). Orientation bounds wedge fan-out at O(m^1.5) regardless of "
+    "hubs — the 100 TB shape for power-law co-occurrence graphs. All "
+    "outputs exact integers.",
+    oracle="""
+WITH pairs AS (
+  SELECT DISTINCT least(a.l_partkey, b.l_partkey) AS u,
+         greatest(a.l_partkey, b.l_partkey) AS v
+  FROM lineitem a JOIN lineitem b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+), deg AS (
+  SELECT n, COUNT(*) AS deg FROM (
+    SELECT u AS n FROM pairs UNION ALL SELECT v FROM pairs
+  ) GROUP BY 1
+), oriented AS (
+  SELECT CASE WHEN du.deg < dv.deg OR (du.deg = dv.deg AND p.u < p.v)
+              THEN p.u ELSE p.v END AS lo,
+         CASE WHEN du.deg < dv.deg OR (du.deg = dv.deg AND p.u < p.v)
+              THEN p.v ELSE p.u END AS hi
+  FROM pairs p JOIN deg du ON du.n = p.u JOIN deg dv ON dv.n = p.v
+), wedges AS (
+  SELECT l1.lo, l1.hi AS x, l2.hi AS y
+  FROM oriented l1 JOIN oriented l2 ON l1.lo = l2.lo AND l1.hi < l2.hi
+), closed AS (
+  SELECT 1 FROM wedges w WHERE EXISTS (
+    SELECT 1 FROM pairs e WHERE e.u = w.x AND e.v = w.y
+  )
+)
+SELECT (SELECT COUNT(*) FROM deg) AS n_nodes,
+       (SELECT COUNT(*) FROM pairs) AS n_edges,
+       (SELECT COUNT(*) FROM wedges) AS n_wedges,
+       (SELECT COUNT(*) FROM closed) AS n_triangles
+""",
+)
+def triangle_count_coparts_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from milan_spark.operators.graph import triangle_count
+
+    li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    a = li.alias("a")
+    b = li.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+        & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+    ).select(
+        F.col("a.l_partkey").alias("src"), F.col("b.l_partkey").alias("dst")
+    )
+    return triangle_count(pairs)

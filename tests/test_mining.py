@@ -1,0 +1,88 @@
+"""Unit tests for the corpus-mining tier: BM25 retrieval, HyperLogLog, and
+triangle counting (operators/retrieval.py, sketch.py HLL, graph.py)."""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import Row, functions as F
+
+from milan_spark.operators.graph import triangle_count
+from milan_spark.operators.retrieval import bm25_topk
+from milan_spark.operators.sketch import hll_distinct, hll_estimate, hll_registers
+
+
+def test_bm25_ranks_matching_doc_first(spark):
+    docs = spark.createDataFrame(
+        [
+            Row(doc_id=1, text="spark join join join filter"),
+            Row(doc_id=2, text="join filter"),
+            Row(doc_id=3, text="filter window sort merge agg scan hash"),
+            Row(doc_id=4, text="nothing relevant here at all"),
+        ]
+    )
+    out = bm25_topk(docs, ["join", "filter"], top_n=3).collect()
+    assert [r["rank"] for r in out] == [1, 2, 3]
+    ids = [r["doc_id"] for r in out]
+    # doc 4 has zero query terms — never retrieved
+    assert 4 not in ids
+    # doc 2 is shortest with both terms; doc 1 has higher tf but longer —
+    # either may win, but both must beat any single-term doc
+    assert set(ids[:2]) == {1, 2}
+    scores = [r["bm25"] for r in out]
+    assert scores == sorted(scores, reverse=True)
+
+
+def test_hll_estimate_close_and_small_range_exactish(spark):
+    n = 5000
+    df = spark.range(n).select(F.concat(F.lit("user"), F.col("id")).alias("v"))
+    est = hll_distinct(df, "v").collect()[0]["distinct_est"]
+    # m=64 registers: relative error ~1.04/sqrt(64) = 13%; allow 3 sigma
+    assert abs(est - n) / n < 0.4
+    small = spark.range(10).select(F.concat(F.lit("u"), F.col("id")).alias("v"))
+    est_small = hll_distinct(small, "v").collect()[0]["distinct_est"]
+    # linear-counting regime: much tighter
+    assert abs(est_small - 10) <= 3
+
+
+def test_hll_registers_merge_equals_union(spark):
+    a = spark.range(0, 800).select(F.col("id").cast("string").alias("v"))
+    b = spark.range(500, 1300).select(F.col("id").cast("string").alias("v"))
+    ra = hll_registers(a, "v")
+    rb = hll_registers(b, "v")
+    merged = (
+        ra.unionAll(rb).groupBy("reg").agg(F.max("m").alias("m"))
+    )
+    direct = hll_registers(a.unionAll(b), "v")
+    est_merged = hll_estimate(merged).collect()[0]
+    est_direct = hll_estimate(direct).collect()[0]
+    assert est_merged["sum_scaled"] == est_direct["sum_scaled"]
+    assert est_merged["distinct_est"] == est_direct["distinct_est"]
+
+
+def test_hll_is_duplicate_insensitive(spark):
+    once = spark.range(300).select(F.col("id").cast("string").alias("v"))
+    thrice = once.unionAll(once).unionAll(once)
+    e1 = hll_distinct(once, "v").collect()[0]["distinct_est"]
+    e3 = hll_distinct(thrice, "v").collect()[0]["distinct_est"]
+    assert e1 == e3
+
+
+def test_triangle_count_known_graph(spark):
+    # K4 plus a pendant: C(4,3)=4 triangles, 7 edges, 5 nodes
+    edges = [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4), (4, 5)]
+    # feed duplicates, reversals, and a self loop — all must be ignored
+    noisy = edges + [(2, 1), (3, 3), (1, 2)]
+    df = spark.createDataFrame(noisy, ["src", "dst"])
+    row = triangle_count(df).collect()[0]
+    assert row["n_nodes"] == 5
+    assert row["n_edges"] == 7
+    assert row["n_triangles"] == 4
+
+
+def test_triangle_count_triangle_free(spark):
+    # star graph: no triangles no matter the hub degree
+    df = spark.createDataFrame([(0, i) for i in range(1, 9)], ["src", "dst"])
+    row = triangle_count(df).collect()[0]
+    assert row["n_triangles"] == 0
+    assert row["n_wedges"] == 0  # orientation points every edge at the hub
