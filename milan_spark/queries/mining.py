@@ -177,3 +177,96 @@ def triangle_count_coparts_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("a.l_partkey").alias("src"), F.col("b.l_partkey").alias("dst")
     )
     return triangle_count(pairs)
+
+
+_SQL_BUCKET = (
+    "(list_reduce(list_transform(regexp_extract_all({s}, '.'),"
+    " c -> CAST(ascii(c) AS BIGINT)), (a, c) -> (a * 31 + c) % 2147483647)"
+    " * 2654435761) % 2147483647 % 256"
+)
+_SQL_TOKS = "regexp_extract_all(lower(text), '[a-z0-9]+')"
+
+
+@register(
+    "dsir_selection",
+    doc="DSIR importance resampling (operators.mixing.dsir_scores/"
+    "dsir_select; Xie et al. 2023): hashed-unigram bucket distributions "
+    "fitted for the en-language target domain vs the whole corpus (two "
+    "map-side-combinable 256-bucket aggregates — the token domain never "
+    "shuffles), log-ratio weights quantized to integer micro-nats so the "
+    "per-document score is an exact int64 and the resampling rank is "
+    "ulp-proof; top-100 via TakeOrderedAndProject.",
+    oracle=f"""
+WITH raw_toks AS (
+  SELECT doc_id, {_SQL_BUCKET.format(s="unnest(" + _SQL_TOKS + ")")} AS b
+  FROM documents
+), tgt_toks AS (
+  SELECT {_SQL_BUCKET.format(s="unnest(" + _SQL_TOKS + ")")} AS b
+  FROM documents WHERE lang = 'en'
+), rc AS (SELECT b, COUNT(*) AS r FROM raw_toks GROUP BY 1),
+tc AS (SELECT b, COUNT(*) AS t FROM tgt_toks GROUP BY 1),
+tot AS (SELECT (SELECT SUM(r) FROM rc) AS R_tot, (SELECT SUM(t) FROM tc) AS T_tot),
+w AS (
+  SELECT b,
+         CAST(floor(1000000.0e0 * (
+            ln(CAST(coalesce(t, 0) + 1 AS DOUBLE) / CAST(T_tot + 256 AS DOUBLE))
+          - ln(CAST(coalesce(r, 0) + 1 AS DOUBLE) / CAST(R_tot + 256 AS DOUBLE))
+         )) AS BIGINT) AS w
+  FROM rc FULL JOIN tc USING (b), tot
+), scores AS (
+  SELECT doc_id, COUNT(*) AS n_tokens,
+         CAST(SUM(w) AS BIGINT) AS score_micronat
+  FROM raw_toks JOIN w USING (b) GROUP BY 1
+)
+SELECT doc_id, n_tokens, score_micronat,
+       ROW_NUMBER() OVER (ORDER BY score_micronat DESC, doc_id) AS rank
+FROM scores
+ORDER BY rank LIMIT 100
+""",
+)
+def dsir_selection_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from milan_spark.operators.mixing import dsir_scores, dsir_select
+
+    docs = table(spark, sf_dir, "documents")
+    scores = dsir_scores(docs, docs.filter(F.col("lang") == "en"))
+    return dsir_select(scores, top_n=100)
+
+
+@register(
+    "quality_classifier_gate",
+    doc="Linear quality classifier with cleared-denominator exact decisions "
+    "(operators.mixing.quality_classifier): z = a*meanlen + b*stopratio + "
+    "c*distinctratio + e*n/N0 + f evaluated as the integer "
+    "Z = N0*(aL + bs + cu) + e*n^2 + f*N0*n, so the keep/drop label is an "
+    "exact int64 comparison — no float in the decision path. Row-local, "
+    "zero shuffles: the shape a fasttext-style gate has at 100 TB.",
+    oracle="""
+WITH t AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+  FROM documents
+), f AS (
+  SELECT doc_id,
+         len(toks) AS n,
+         CAST(list_sum(list_transform(toks, x -> length(x))) AS BIGINT) AS L,
+         len(list_filter(toks, x -> x IN ('and', 'das', 'de', 'der', 'des',
+           'die', 'el', 'et', 'ein', 'in', 'is', 'ist', 'la', 'le', 'les',
+           'los', 'of', 'que', 'the', 'to', 'und', 'y'))) AS s,
+         len(list_distinct(toks)) AS u
+  FROM t
+)
+SELECT doc_id, n AS n_tokens,
+       CASE WHEN n > 0 THEN 64 * (180 * L + 950 * s + 620 * u)
+            + 14 * n * n - 1140 * 64 * n END AS z_num,
+       CASE WHEN n > 0 THEN (64 * (180 * L + 950 * s + 620 * u)
+            + 14 * n * n - 1140 * 64 * n) > 0 ELSE FALSE END AS keep,
+       CASE WHEN n > 0 THEN round(CAST(64 * (180 * L + 950 * s + 620 * u)
+            + 14 * n * n - 1140 * 64 * n AS DOUBLE) / (64.0 * n), 4) END
+         AS z_millis
+FROM f
+""",
+)
+def quality_classifier_gate_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from milan_spark.operators.mixing import quality_classifier
+
+    docs = table(spark, sf_dir, "documents")
+    return quality_classifier(docs)

@@ -86,3 +86,44 @@ def test_triangle_count_triangle_free(spark):
     row = triangle_count(df).collect()[0]
     assert row["n_triangles"] == 0
     assert row["n_wedges"] == 0  # orientation points every edge at the hub
+
+
+def test_dsir_prefers_target_like_docs(spark):
+    from milan_spark.operators.mixing import dsir_scores, dsir_select
+
+    target = spark.createDataFrame(
+        [(i, "alpha beta gamma delta") for i in range(20)], ["doc_id", "text"]
+    )
+    raw = spark.createDataFrame(
+        [(1, "alpha beta gamma"), (2, "omega psi chi"), (3, "alpha omega")],
+        ["doc_id", "text"],
+    )
+    scored = dsir_scores(raw, target)
+    sel = dsir_select(scored, top_n=2).collect()
+    # the doc made of target-domain tokens must outrank the off-domain one
+    assert sel[0]["doc_id"] == 1
+    assert {r["doc_id"] for r in sel} == {1, 3}
+    by_id = {r["doc_id"]: r["score_micronat"] for r in scored.collect()}
+    assert by_id[1] > by_id[3] > by_id[2]
+
+
+def test_quality_classifier_exact_decision(spark):
+    from milan_spark.operators.mixing import quality_classifier, QC_N0
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog and runs far"),
+            (2, "a a a a a a a a"),
+            (3, ""),
+        ],
+        ["doc_id", "text"],
+    )
+    rows = {r["doc_id"]: r for r in quality_classifier(docs).collect()}
+    # stopword-rich diverse text keeps; degenerate repetition drops
+    assert rows[1]["keep"] is True
+    assert rows[2]["keep"] is False
+    # empty doc: NULL score, labeled drop
+    assert rows[3]["z_num"] is None and rows[3]["keep"] is False
+    # reported score agrees with the integer decision value
+    r1 = rows[1]
+    assert abs(r1["z_millis"] - r1["z_num"] / (QC_N0 * r1["n_tokens"])) < 1e-3
