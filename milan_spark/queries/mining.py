@@ -270,3 +270,86 @@ def quality_classifier_gate_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = table(spark, sf_dir, "documents")
     return quality_classifier(docs)
+
+
+def _kmeans_oracle(k: int = 8, iters: int = 2, dim: int = 64, scale: int = 1_000_000) -> str:
+    """Unrolled-CTE DuckDB replica of kmeans_fixed (the pagerank_scaled
+    oracle pattern): one assignment+update block per round, then a final
+    assignment and the per-cluster profile. Every value int64-exact."""
+    sql = [
+        f"""
+WITH pts AS (
+  SELECT vec_id,
+         list_transform(embedding,
+           x -> CAST(floor(CAST(x AS DOUBLE) * {scale}) AS BIGINT)) AS q
+  FROM embeddings
+), seeds AS (
+  SELECT vec_id, q,
+         ROW_NUMBER() OVER (ORDER BY (vec_id * 2654435761) % 2147483647, vec_id) - 1 AS cid
+  FROM pts
+), c0 AS (
+  SELECT cid, q AS c FROM seeds WHERE cid < {k}
+)"""
+    ]
+    for r in range(1, iters + 2):  # iters updates + 1 final assignment
+        sql.append(
+            f""", d{r} AS (
+  SELECT p.vec_id, c.cid,
+         CAST(list_sum(list_transform(range({dim}),
+           i -> (p.q[i+1] - c.c[i+1]) * (p.q[i+1] - c.c[i+1]))) AS BIGINT) AS d
+  FROM pts p CROSS JOIN c{r - 1} c
+), a{r} AS (
+  SELECT vec_id, cid, d FROM (
+    SELECT vec_id, cid, d,
+           ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rk
+    FROM d{r}
+  ) WHERE rk = 1
+)"""
+        )
+        if r <= iters:
+            sql.append(
+                f""", cell{r} AS (
+  SELECT a.cid, r.i AS pos, CAST(SUM(p.q[r.i + 1]) AS BIGINT) AS s, COUNT(*) AS n
+  FROM a{r} a JOIN pts p USING (vec_id) CROSS JOIN range({dim}) r(i)
+  GROUP BY 1, 2
+), c{r} AS (
+  SELECT cid, list(CAST((s - s % n) / n AS BIGINT) ORDER BY pos) AS c
+  FROM cell{r} GROUP BY cid
+)"""
+            )
+    f = iters + 1
+    sql.append(
+        f""", cstat AS (
+  SELECT cid,
+         CAST(list_sum(list_transform(c, x -> abs(x))) AS BIGINT) AS centroid_l1,
+         CAST(list_sum(list_transform(range({dim}), i -> c[i+1] * (i+1))) AS BIGINT)
+           AS centroid_checksum
+  FROM c{iters}
+)
+SELECT a.cid, COUNT(*) AS size, CAST(SUM(a.d) AS BIGINT) AS inertia,
+       cs.centroid_l1, cs.centroid_checksum
+FROM a{f} a JOIN cstat cs ON cs.cid = a.cid
+GROUP BY a.cid, cs.centroid_l1, cs.centroid_checksum
+ORDER BY a.cid"""
+    )
+    return "".join(sql)
+
+
+@register(
+    "kmeans_embedding_clusters",
+    doc="Fixed-point Lloyd's k-means (operators.clustering.kmeans_fixed, "
+    "k=8, 2 update rounds + final assignment, scale 1e6): coordinates "
+    "quantized once to int64, integer distances, truncating exact-division "
+    "centroid updates, argmin ties on cid — bit-identical on any engine "
+    "and partitioning, like pagerank_scaled. Per round: one k*dim-row "
+    "broadcast for a map-side assignment (points never shuffle for "
+    "assignment) + one (k*dim)-cell combinable sum. Oracle is the unrolled "
+    "CTE replica. The corpus partitioner under SemDeDup-style dedup and "
+    "cluster-balanced mixing.",
+    oracle=_kmeans_oracle(),
+)
+def kmeans_embedding_clusters_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from milan_spark.operators.clustering import kmeans_cluster_profile
+
+    emb = table(spark, sf_dir, "embeddings")
+    return kmeans_cluster_profile(emb, dim=64, k=8, iters=2)

@@ -127,3 +127,27 @@ def test_quality_classifier_exact_decision(spark):
     # reported score agrees with the integer decision value
     r1 = rows[1]
     assert abs(r1["z_millis"] - r1["z_num"] / (QC_N0 * r1["n_tokens"])) < 1e-3
+
+
+def test_kmeans_separates_obvious_clusters(spark):
+    from milan_spark.operators.clustering import kmeans_fixed
+
+    # two tight blobs in 4-d; k=2 must split them exactly
+    lo = [(i, [0.01 * (i % 3), 0.0, 0.0, 0.0]) for i in range(10)]
+    hi = [(i + 10, [0.9, 0.9, 0.9, 0.9 + 0.01 * (i % 3)]) for i in range(10)]
+    emb = spark.createDataFrame(lo + hi, ["vec_id", "embedding"])
+    assign, cents = kmeans_fixed(emb, dim=4, k=2, iters=3)
+    rows = assign.collect()
+    lo_cids = {r["cid"] for r in rows if r["vec_id"] < 10}
+    hi_cids = {r["cid"] for r in rows if r["vec_id"] >= 10}
+    assert len(lo_cids) == 1 and len(hi_cids) == 1 and lo_cids != hi_cids
+    assert cents.count() == 2
+
+
+def test_kmeans_profile_partition_invariant(spark):
+    from milan_spark.operators.clustering import kmeans_cluster_profile
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    p1 = kmeans_cluster_profile(emb.repartition(1), dim=64, k=4, iters=2).collect()
+    p7 = kmeans_cluster_profile(emb.repartition(7), dim=64, k=4, iters=2).collect()
+    assert [tuple(r) for r in p1] == [tuple(r) for r in p7]
