@@ -165,3 +165,93 @@ def kmeans_cluster_profile(
         ).alias("centroid_checksum"),
     )
     return sizes.join(cstats, "cid").orderBy("cid")
+
+
+def mmr_select(
+    emb: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int,
+    k: int = 8,
+    lam: tuple[int, int] = (7, 10),
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """Maximal Marginal Relevance selection (Carbonell & Goldstein, SIGIR'98)
+    — the diversity-aware subset picker for few-shot/eval-set construction:
+    greedily take the item maximizing λ·rel − (1−λ)·max_{s∈S} sim(·,s).
+
+    Query vector = the corpus item with the smallest scrambled id (the same
+    deterministic seed rule kmeans_fixed uses), excluded from candidates.
+    rel and sim are INTEGER dot products of the quantized vectors, and with
+    λ = num/den the selection criterion clears denominators to
+    num·rel − (den−num)·maxsim — every comparison exact int64, ties on id,
+    so the greedy trajectory is engine- and partition-independent.
+
+    Scale shape per round: the selected set is O(k) and BROADCAST; each
+    round is one map-side max-similarity pass over the candidates plus a
+    TakeOrderedAndProject argmax — the candidate set never shuffles. The
+    winner row (one id) is the only thing the driver ever holds, the same
+    O(k)-driver-state contract as the heavy-hitter merge.
+
+    Output: (rank, id, rel, score) for the k selected items; score is the
+    cleared-denominator criterion at selection time (round 1: num·rel).
+    """
+    num, den = lam
+    pts = emb.select(
+        F.col(id_col).alias("id"), quantize_vec(F.col(vec_col), scale).alias("q")
+    ).persist()
+    seed = (
+        pts.withColumn("__h", (F.col("id") * _SCRAMBLE) % P31)
+        .orderBy("__h", "id")
+        .limit(1)
+        .select(F.col("id").alias("qid"), F.col("q").alias("qv"))
+    )
+
+    def dot(a, b):
+        return F.aggregate(
+            F.zip_with(a, b, lambda x, y: x * y),
+            F.lit(0).cast("long"),
+            lambda acc, v: acc + v,
+        )
+
+    cand = (
+        pts.crossJoin(F.broadcast(seed))
+        .filter(F.col("id") != F.col("qid"))
+        .select("id", "q", dot(F.col("q"), F.col("qv")).alias("rel"))
+        .persist()
+    )
+    chosen: list[tuple] = []  # (rank, id, rel, score)
+    for r in range(1, k + 1):
+        remaining = cand.filter(~F.col("id").isin([c[1] for c in chosen]))
+        if not chosen:
+            scored = remaining.select(
+                "id", "rel", (F.lit(num) * F.col("rel")).alias("score")
+            )
+        else:
+            sel = cand.filter(F.col("id").isin([c[1] for c in chosen])).select(
+                F.col("id").alias("sid"), F.col("q").alias("sq")
+            )
+            sims = (
+                remaining.crossJoin(F.broadcast(sel))
+                .select("id", "rel", dot(F.col("q"), F.col("sq")).alias("sim"))
+                .groupBy("id", "rel")
+                .agg(F.max("sim").alias("maxsim"))
+            )
+            scored = sims.select(
+                "id",
+                "rel",
+                (F.lit(num) * F.col("rel") - F.lit(den - num) * F.col("maxsim")).alias(
+                    "score"
+                ),
+            )
+        win = scored.orderBy(F.col("score").desc(), F.col("id")).limit(1).first()
+        chosen.append((r, win["id"], win["rel"], win["score"]))
+    spark = emb.sparkSession
+    out = spark.createDataFrame(chosen, ["rank", id_col, "rel", "score"])
+    return out.select(
+        F.col("rank").cast("int"),
+        F.col(id_col).cast("long"),
+        F.col("rel").cast("long"),
+        F.col("score").cast("long"),
+    ).orderBy("rank")

@@ -353,3 +353,71 @@ def kmeans_embedding_clusters_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = table(spark, sf_dir, "embeddings")
     return kmeans_cluster_profile(emb, dim=64, k=8, iters=2)
+
+
+def _mmr_oracle(k: int = 8, num: int = 7, den: int = 10, dim: int = 64, scale: int = 1_000_000) -> str:
+    """Unrolled greedy MMR trajectory — one winner CTE per round, integer
+    cleared-denominator criterion, ties on id (replicates mmr_select)."""
+    g = den - num
+    dot = (
+        f"CAST(list_sum(list_transform(range({dim}), "
+        "i -> {a}[i+1] * {b}[i+1])) AS BIGINT)"
+    )
+    sql = [
+        f"""
+WITH pts AS (
+  SELECT vec_id,
+         list_transform(embedding,
+           x -> CAST(floor(CAST(x AS DOUBLE) * {scale}) AS BIGINT)) AS q
+  FROM embeddings
+), seed AS (
+  SELECT vec_id AS qid, q AS qv FROM (
+    SELECT vec_id, q,
+           ROW_NUMBER() OVER (ORDER BY (vec_id * 2654435761) % 2147483647, vec_id) AS rn
+    FROM pts
+  ) WHERE rn = 1
+), cand AS MATERIALIZED (
+  SELECT p.vec_id AS id, p.q,
+         {dot.format(a='p.q', b='s.qv')} AS rel
+  FROM pts p CROSS JOIN seed s WHERE p.vec_id <> s.qid
+), w1 AS MATERIALIZED (
+  SELECT id, rel, {num} * rel AS score FROM cand ORDER BY score DESC, id LIMIT 1
+)"""
+    ]
+    for r in range(2, k + 1):
+        prev = " UNION ALL ".join(f"SELECT id FROM w{i}" for i in range(1, r))
+        sql.append(
+            f""", sel{r} AS MATERIALIZED ({prev}), sc{r} AS (
+  SELECT c.id, c.rel,
+         {num} * c.rel - {g} * MAX({dot.format(a='c.q', b='s.q')}) AS score
+  FROM cand c CROSS JOIN cand s
+  WHERE s.id IN (SELECT id FROM sel{r}) AND c.id NOT IN (SELECT id FROM sel{r})
+  GROUP BY c.id, c.rel
+), w{r} AS MATERIALIZED (
+  SELECT id, rel, score FROM sc{r} ORDER BY score DESC, id LIMIT 1
+)"""
+        )
+    finals = " UNION ALL ".join(
+        f"SELECT {r} AS rank, id AS vec_id, rel, CAST(score AS BIGINT) AS score FROM w{r}"
+        for r in range(1, k + 1)
+    )
+    sql.append(f"\n{finals}\nORDER BY rank")
+    return "".join(sql)
+
+
+@register(
+    "mmr_diverse_selection",
+    doc="Maximal Marginal Relevance top-8 (operators.clustering.mmr_select; "
+    "Carbonell/Goldstein SIGIR'98, lambda=0.7): greedy diversity-aware "
+    "subset pick with integer dot-product rel/sim and the denominator "
+    "cleared (7*rel - 3*maxsim), so the whole greedy trajectory is exact "
+    "and engine-independent. Selected set is O(k) broadcast; candidates "
+    "never shuffle; one TakeOrderedAndProject argmax per round. Oracle is "
+    "the unrolled 8-round trajectory.",
+    oracle=_mmr_oracle(),
+)
+def mmr_diverse_selection_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from milan_spark.operators.clustering import mmr_select
+
+    emb = table(spark, sf_dir, "embeddings")
+    return mmr_select(emb, dim=64, k=8, lam=(7, 10))

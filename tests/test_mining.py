@@ -151,3 +151,29 @@ def test_kmeans_profile_partition_invariant(spark):
     p1 = kmeans_cluster_profile(emb.repartition(1), dim=64, k=4, iters=2).collect()
     p7 = kmeans_cluster_profile(emb.repartition(7), dim=64, k=4, iters=2).collect()
     assert [tuple(r) for r in p1] == [tuple(r) for r in p7]
+
+
+def test_mmr_prefers_diverse_over_redundant(spark):
+    from milan_spark.operators.clustering import mmr_select
+
+    # id 0 (hash-min) becomes the query seed [.5,.5]; docs 1/2/4 form a
+    # near-duplicate cluster on axis 1, doc 3 is equally relevant but lives
+    # on axis 2
+    emb = spark.createDataFrame(
+        [
+            (0, [0.5, 0.5, 0.0, 0.0]),
+            (1, [0.9, 0.12, 0.0, 0.0]),
+            (2, [0.89, 0.11, 0.0, 0.0]),
+            (3, [0.1, 0.9, 0.0, 0.0]),
+            (4, [0.88, 0.1, 0.0, 0.0]),
+        ],
+        ["vec_id", "embedding"],
+    )
+    out = mmr_select(emb, dim=4, k=3, lam=(5, 10)).collect()
+    assert [r["rank"] for r in out] == [1, 2, 3]
+    ids = [r["vec_id"] for r in out]
+    # round 1 takes the most relevant (doc 1); with lambda=0.5 round 2 must
+    # jump to the diverse doc 3, not the near-duplicates 2/4
+    assert ids[:2] == [1, 3]
+    # scores are the cleared-denominator integers, strictly ranked rounds
+    assert out[0]["score"] == 5 * out[0]["rel"]
