@@ -421,3 +421,65 @@ def mmr_diverse_selection_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = table(spark, sf_dir, "embeddings")
     return mmr_select(emb, dim=64, k=8, lam=(7, 10))
+
+
+def _bpe_oracle(merges: int = 6) -> str:
+    """Unrolled BPE trajectory (replicates operators.bpe.bpe_train): one
+    pair-count + argmax + vocabulary-rewrite block per round. Reused CTEs
+    materialized (see _mmr_oracle)."""
+    sql = [
+        r"""
+WITH v0 AS MATERIALIZED (
+  SELECT regexp_replace(w, '(.)', '~\1', 'g') AS sym, CAST(cnt AS BIGINT) AS freq
+  FROM (
+    SELECT w, COUNT(*) AS cnt FROM (
+      SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS w
+      FROM documents
+    ) GROUP BY 1
+  )
+)"""
+    ]
+    for r in range(1, merges + 1):
+        sql.append(
+            f""", pc{r} AS (
+  SELECT a[i + 1] AS pl, a[i + 2] AS pr, CAST(SUM(freq) AS BIGINT) AS cnt
+  FROM (
+    SELECT a, freq, unnest(range(len(a) - 1)) AS i FROM (
+      SELECT list_filter(string_split(sym, '~'), s -> s <> '') AS a, freq
+      FROM v{r - 1}
+    )
+  ) GROUP BY 1, 2
+), best{r} AS MATERIALIZED (
+  SELECT pl, pr, cnt FROM pc{r} ORDER BY cnt DESC, pl, pr LIMIT 1
+), v{r} AS MATERIALIZED (
+  SELECT replace(sym, '~' || b.pl || '~' || b.pr, '~' || b.pl || b.pr) AS sym, freq
+  FROM v{r - 1} CROSS JOIN best{r} b
+)"""
+        )
+    finals = " UNION ALL ".join(
+        f"SELECT {r} AS merge_rank, pl AS left_sym, pr AS right_sym, "
+        f"pl || pr AS merged, cnt AS pair_count FROM best{r}"
+        for r in range(1, merges + 1)
+    )
+    sql.append(f"\n{finals}\nORDER BY merge_rank")
+    return "".join(sql)
+
+
+@register(
+    "bpe_merge_induction",
+    doc="BPE tokenizer-vocabulary induction (operators.bpe.bpe_train, 6 "
+    "merges; Sennrich ACL'16): corpus folded ONCE into the (word, freq) "
+    "table, then every round is a combinable pair-count aggregate over the "
+    "DISTINCT-WORD vocabulary + a 1-row argmax + a row-local marked-string "
+    "merge rewrite — round cost independent of corpus row count, the "
+    "word-freq-dict formulation that makes BPE tractable at 100 TB. "
+    "Left-to-right non-overlapping replace on the marker representation "
+    "IS the greedy merge, identically in Spark and SQL; ties break "
+    "lexicographically so the trajectory is exact.",
+    oracle=_bpe_oracle(),
+)
+def bpe_merge_induction_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from milan_spark.operators.bpe import bpe_train
+
+    docs = table(spark, sf_dir, "documents")
+    return bpe_train(docs, merges=6)

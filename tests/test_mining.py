@@ -177,3 +177,33 @@ def test_mmr_prefers_diverse_over_redundant(spark):
     assert ids[:2] == [1, 3]
     # scores are the cleared-denominator integers, strictly ranked rounds
     assert out[0]["score"] == 5 * out[0]["rel"]
+
+
+def test_bpe_learns_expected_merges(spark):
+    from milan_spark.operators.bpe import bpe_train
+
+    # "low" x4, "lower" x2: pair (l,o) freq 6 wins round 1; then (lo,w) 6;
+    # round 3: "low" done, "lower": (low,e) 2 vs (e,r) 2 -> lexicographic
+    # tie-break picks (e,r)? compare ('e','r') < ('low','e'): 'e' < 'low'
+    docs = spark.createDataFrame(
+        [(1, "low low low low lower lower")], ["doc_id", "text"]
+    )
+    out = bpe_train(docs, merges=3).collect()
+    assert [(r["left_sym"], r["right_sym"], r["pair_count"]) for r in out] == [
+        ("l", "o", 6),
+        ("lo", "w", 6),
+        ("e", "r", 2),
+    ]
+    assert [r["merged"] for r in out] == ["lo", "low", "er"]
+
+
+def test_bpe_greedy_merge_handles_adjacent_repeats(spark):
+    from milan_spark.operators.bpe import bpe_train
+
+    # "aaaa": round 1 pair (a,a) count 3 (overlapping adjacencies), greedy
+    # left-to-right merge yields "aa aa" -> round 2 learns (aa,aa)
+    docs = spark.createDataFrame([(1, "aaaa aaaa")], ["doc_id", "text"])
+    out = bpe_train(docs, merges=2).collect()
+    assert (out[0]["left_sym"], out[0]["right_sym"]) == ("a", "a")
+    assert out[0]["pair_count"] == 6  # 3 adjacencies x 2 words
+    assert (out[1]["left_sym"], out[1]["right_sym"]) == ("aa", "aa")
