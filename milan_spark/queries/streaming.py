@@ -694,3 +694,61 @@ def streaming_static_enrichment_q(spark: SparkSession, sf_dir: str) -> DataFrame
         F.sum(F.floor(F.col("value") * 100 + 0.5).cast("long")).alias("cents"),
     )
     return run_to_memory(out, "streaming_static_enrichment", output_mode="complete")
+
+
+@register(
+    "streaming_hll_distinct_users",
+    doc="Streaming HyperLogLog (stateful.streaming_hll, m=64 registers "
+    "over the portable scrambled char-fold): register index + leading-zero "
+    "rank computed JVM-side, one max-merging state group per register — "
+    "O(64 ints) state forever, idempotent under replay. Latest snapshot "
+    "per register folded through operators.sketch.hll_estimate; equals the "
+    "batch sketch of the same value set, so the oracle replicates it "
+    "register-for-register.",
+    oracle="""
+WITH h AS (
+  SELECT (list_reduce(list_transform(regexp_extract_all(CAST(user_id AS VARCHAR), '.'),
+          c -> CAST(ascii(c) AS BIGINT)), (a, c) -> (a * 31 + c) % 2147483647)
+          * 2654435761) % 2147483647 AS h0
+  FROM events WHERE user_id IS NOT NULL
+), reg AS (
+  SELECT h0 % 64 AS reg,
+         CASE WHEN h0 // 64 = 0 THEN 26
+              ELSE 26 - length(bin(CAST(h0 // 64 AS BIGINT))) END AS rho
+  FROM h
+), mx AS (
+  SELECT reg, MAX(rho) AS m FROM reg GROUP BY 1
+), agg AS (
+  SELECT COUNT(*) AS n_regs,
+         CAST(SUM(CAST(round(67108864.0 / 2.0 ** m, 0) AS BIGINT)) AS BIGINT)
+           AS present_scaled
+  FROM mx
+), folded AS (
+  SELECT n_regs, 64 - n_regs AS v_zero,
+         present_scaled + (64 - n_regs) * 67108864 AS sum_scaled
+  FROM agg
+)
+SELECT n_regs, v_zero, sum_scaled,
+       round(CASE WHEN 0.7093409548395029e0 * 4096.0 * 67108864.0
+                       / CAST(sum_scaled AS DOUBLE) <= 160.0 AND v_zero > 0
+                  THEN 64.0 * ln(64.0 / CAST(v_zero AS DOUBLE))
+                  ELSE 0.7093409548395029e0 * 4096.0 * 67108864.0
+                       / CAST(sum_scaled AS DOUBLE) END, 4) AS distinct_est
+FROM folded
+""",
+)
+def streaming_hll_distinct_users_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    from milan_spark.operators.sketch import hll_estimate
+
+    ev = _events_stream(spark, sf_dir).select("user_id")
+    snaps = stateful.streaming_hll(ev, "user_id")
+    t = run_to_memory(snaps, "streaming_hll_distinct_users_snaps")
+    w = W.partitionBy("reg")
+    cur = (
+        t.withColumn("__mv", F.max("version").over(w))
+        .where(F.col("version") == F.col("__mv"))
+        .select("reg", "m")
+    )
+    return hll_estimate(cur)

@@ -910,3 +910,39 @@ def streaming_cms(
         return (json.dumps(st),), frames
 
     return _drive(cells, ["__r"], process, out_schema, _STATE_1, sort_by=[])
+
+
+def streaming_hll(sdf: DataFrame, value_col: str) -> DataFrame:
+    """Streaming HyperLogLog: the cardinality twin of :func:`streaming_cms`,
+    same versioned-snapshot contract. Register index and leading-zero rank
+    are computed JVM-side (``operators.sketch.hll_registers`` expressions),
+    so the state machine only max-merges: one state group per register,
+    each holding a single int — state is O(m) = 64 ints FOREVER, the
+    smallest state footprint of any sketch here, and the streamed register
+    table equals the batch construction of the same value set (max is
+    idempotent/commutative, so replays and reorderings cannot change it).
+
+    Output: ``reg int, version long, m int`` — latest version per reg is
+    the complete sketch; fold with ``operators.sketch.hll_estimate``.
+    """
+    import pandas as pd
+
+    from milan_spark.operators.sketch import _HLL_M, _hll_rho, _kmv_hash
+
+    h = _kmv_hash(F.col(value_col).cast("string")) - 1
+    regs = sdf.filter(F.col(value_col).isNotNull()).select(
+        (h % _HLL_M).cast("int").alias("__reg"),
+        _hll_rho(F.floor(h / _HLL_M).cast("long")).cast("int").alias("__rho"),
+    )
+    out_schema = StructType.fromDDL("reg int, version long, m int")
+
+    def process(key, pdf, st_t):
+        st = json.loads(st_t[0]) if st_t is not None else {"v": 0, "m": 0}
+        st["m"] = max(st["m"], int(pdf["__rho"].max()))
+        st["v"] += 1
+        frames = [
+            pd.DataFrame({"reg": [key[0]], "version": [st["v"]], "m": [st["m"]]})
+        ]
+        return (json.dumps(st),), frames
+
+    return _drive(regs, ["__reg"], process, out_schema, _STATE_1, sort_by=[])
