@@ -85,16 +85,17 @@ def bpe_train(
             break
         l, rr, cnt = best["l"], best["r"], best["cnt"]
         learned.append((r, l, rr, l + rr, cnt))
-        old = vocab
-        vocab = old.select(
+        # the rewrite chain stays LAZY on top of the one persisted base
+        # vocabulary: round r recomputes r row-local string replaces (no
+        # shuffle, no job) — far cheaper than materializing each round
+        # (dropping the per-round persist+count cut 12 jobs: 4.3 → ~2 s
+        # at sf0.1)
+        vocab = vocab.select(
             F.replace(
                 F.col("sym"), F.lit(MARK + l + MARK + rr), F.lit(MARK + l + rr)
             ).alias("sym"),
             "freq",
-        ).persist()
-        # materialize the rewritten vocab, then free the previous round's
-        vocab.count()
-        old.unpersist()
+        )
     out = spark.createDataFrame(
         learned, ["merge_rank", "left_sym", "right_sym", "merged", "pair_count"]
     )

@@ -221,32 +221,31 @@ def mmr_select(
         .select("id", "q", dot(F.col("q"), F.col("qv")).alias("rel"))
         .persist()
     )
+    # incremental max-similarity: after each pick, fold ONLY the new
+    # winner's similarity into a running per-candidate maxsim (the winner's
+    # k·dim vector travels as a plan literal — O(dim) driver state). Each
+    # round is then one narrow map over the persisted candidates + one
+    # TakeOrderedAndProject argmax: O(n·dim) work per round instead of the
+    # O(n·r·dim) full-selected-set recompute, and never an extra shuffle.
     chosen: list[tuple] = []  # (rank, id, rel, score)
+    cur = cand.withColumn("maxsim", F.lit(None).cast("long"))
     for r in range(1, k + 1):
-        remaining = cand.filter(~F.col("id").isin([c[1] for c in chosen]))
-        if not chosen:
-            scored = remaining.select(
-                "id", "rel", (F.lit(num) * F.col("rel")).alias("score")
-            )
-        else:
-            sel = cand.filter(F.col("id").isin([c[1] for c in chosen])).select(
-                F.col("id").alias("sid"), F.col("q").alias("sq")
-            )
-            sims = (
-                remaining.crossJoin(F.broadcast(sel))
-                .select("id", "rel", dot(F.col("q"), F.col("sq")).alias("sim"))
-                .groupBy("id", "rel")
-                .agg(F.max("sim").alias("maxsim"))
-            )
-            scored = sims.select(
-                "id",
-                "rel",
-                (F.lit(num) * F.col("rel") - F.lit(den - num) * F.col("maxsim")).alias(
-                    "score"
-                ),
-            )
-        win = scored.orderBy(F.col("score").desc(), F.col("id")).limit(1).first()
+        score = F.when(
+            F.col("maxsim").isNull(), F.lit(num) * F.col("rel")
+        ).otherwise(
+            F.lit(num) * F.col("rel") - F.lit(den - num) * F.col("maxsim")
+        )
+        win = (
+            cur.withColumn("score", score)
+            .orderBy(F.col("score").desc(), F.col("id"))
+            .limit(1)
+            .first()
+        )
         chosen.append((r, win["id"], win["rel"], win["score"]))
+        qw = F.array(*[F.lit(int(v)) for v in win["q"]])
+        cur = cur.filter(F.col("id") != F.lit(win["id"])).withColumn(
+            "maxsim", F.greatest(F.col("maxsim"), dot(F.col("q"), qw))
+        )
     spark = emb.sparkSession
     out = spark.createDataFrame(chosen, ["rank", id_col, "rel", "score"])
     return out.select(

@@ -176,7 +176,7 @@ def triangle_count_coparts_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(
         F.col("a.l_partkey").alias("src"), F.col("b.l_partkey").alias("dst")
     )
-    return triangle_count(pairs)
+    return triangle_count(pairs, small_graph=True)
 
 
 _SQL_BUCKET = (
