@@ -67,6 +67,17 @@ QUERIES = [
     "cms_token_counts",
     "bigram_fluency_gate",
     "incremental_dedup_delta",
+    # round-6 additions. Documents: rotated replicas keep byte/token volume
+    # exactly R× with (near-)disjoint vocab — bm25's query-term filter then
+    # matches ~only replica 0, so its wall should track the SCAN, not R×
+    # match volume; dsir/bpe see R× vocabulary; the classifier is row-local.
+    # Embeddings: kmeans/mmr see R× points against fixed k.
+    "bm25_search",
+    "dsir_selection",
+    "quality_classifier_gate",
+    "bpe_merge_induction",
+    "kmeans_embedding_clusters",
+    "mmr_diverse_selection",
 ]
 
 _ALPHA = "abcdefghijklmnopqrstuvwxyz"
@@ -194,7 +205,9 @@ def measure_one(sf_dir: str, name: str, passes: int) -> None:
 
 def time_queries(sf_dir: str, passes: int) -> dict[str, float]:
     out: dict[str, float] = {}
-    for name in QUERIES:
+    only = os.environ.get("SCALE_BENCH_ONLY", "")
+    names = [n for n in QUERIES if n in only.split(",")] if only else QUERIES
+    for name in names:
         r = subprocess.run(
             [sys.executable, os.path.abspath(__file__), "--one", sf_dir, name, str(passes)],
             capture_output=True,
@@ -426,6 +439,8 @@ def main() -> None:
     print(f"\n| query | base (s) | {replicas}x (s) | ratio |")
     print("|---|---|---|---|")
     for name in QUERIES:
+        if name not in base_t:
+            continue
         b, s = base_t[name], scaled_t[name]
         ratio = round(s / b, 1) if b > 0 and s > 0 else None
         print(f"| {name} | {b} | {s} | {ratio}x |")
