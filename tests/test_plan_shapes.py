@@ -460,3 +460,52 @@ def test_semantic_dedup_centroids_broadcast(spark):
     p = plan(q("semantic_dedup", spark))
     assert n_nodes(p, "BroadcastNestedLoopJoin") == 1
     assert "MapInPandas" not in p and "ArrowEvalPython" not in p
+
+
+def test_quality_classifier_zero_shuffle(spark):
+    """The linear quality gate is a pure row-local map: no Exchange, no
+    join, no Python anywhere — the 100 TB shape of a fasttext-style gate."""
+    p = plan(q("quality_classifier_gate", spark))
+    assert n_nodes(p, "Exchange") == 0
+    assert "Join" not in p
+    assert "MapInPandas" not in p and "ArrowEvalPython" not in p
+
+
+def test_bm25_corpus_tokens_never_shuffle_unfiltered(spark):
+    """BM25: the query-vocabulary filter sits under the tf aggregate, the
+    small sides (df, corpus stats) broadcast, and the top-k is
+    TakeOrderedAndProject — no global sort of the matched set."""
+    p = plan(q("bm25_search", spark))
+    assert "TakeOrderedAndProject" in p
+    assert n_nodes(p, "BroadcastHashJoin") >= 1
+    assert "MapInPandas" not in p and "ArrowEvalPython" not in p
+
+
+def test_hll_register_aggregate_combines_map_side(spark):
+    """HLL: exactly two exchanges (register groupBy + per-key fold), both
+    fed by partial aggregates — the user-id domain never crosses a shuffle
+    un-aggregated."""
+    p = plan(q("hll_distinct_users", spark))
+    assert n_nodes(p, "Exchange") == 2
+    assert "SortMergeJoin" not in p
+    assert n_nodes(p, "HashAggregate") >= 4  # partial+final for both levels
+
+
+def test_triangle_small_graph_mode_broadcasts(spark):
+    """Degree-ordered triangle counting in small_graph mode: every
+    degree/adjacency join is broadcast (the O(m)-row edge stream never
+    shuffles for orientation or intersection) and the intersections are
+    JVM expressions, not Python."""
+    p = plan(q("triangle_count_coparts", spark))
+    assert n_nodes(p, "BroadcastHashJoin") >= 4
+    assert "SortMergeJoin" not in p
+    assert "MapInPandas" not in p and "ArrowEvalPython" not in p
+
+
+def test_kmeans_assignment_broadcasts_centroids(spark):
+    """Fixed-point k-means: every per-round centroid table reaches the
+    points by broadcast (BroadcastNestedLoopJoin for the crossJoin) — the
+    point set is never exchange-partitioned for assignment."""
+    p = plan(q("kmeans_embedding_clusters", spark))
+    assert n_nodes(p, "BroadcastNestedLoopJoin") >= 3  # one per assignment round
+    assert "MapInPandas" not in p and "ArrowEvalPython" not in p
