@@ -532,3 +532,53 @@ def sample_frame_payloads(
     return df.select(id_col, "payload").mapInPandas(
         run, schema=f"{id_col} long, frame_no long, frame binary"
     )
+
+
+def image_dhash(df: DataFrame, id_col: str = "doc_id", grid: int = 8) -> DataFrame:
+    """Perceptual difference-hash (dHash) through the REAL BMP codec: decode
+    → integer luma (R + 2·G + B, exact int64) → nearest-neighbor sample onto
+    a ``grid``×``grid`` lattice (the same floor-division index math as
+    :func:`resize_image`, y_src = (y·H) // grid) → one bit per horizontal
+    neighbor pair (lum[y][x] < lum[y][x+1]) → a grid·(grid−1)-bit int64
+    (8×7 = 56 bits, sign-safe).
+
+    The hash reads ONLY the sampled lattice pixels, so byte-level noise
+    anywhere else in the payload leaves it unchanged — that invariance, not
+    compression, is what makes it a NEAR-dup key: perceptually-identical
+    renders collide exactly, and the downstream dedup is a plain hash
+    groupBy (map-side combinable, payloads never shuffle). Narrow: one
+    Arrow pass fused with the scan, emitting 16 bytes/row.
+    """
+    import numpy as np
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, hashes = [], []
+            for rid, payload in zip(pdf[id_col], pdf["payload"]):
+                dec = decode_image(payload)
+                px = dec["pixels"].astype(np.int64)
+                h, w = px.shape[0], px.shape[1]
+                lum = px[:, :, 0] + 2 * px[:, :, 1] + px[:, :, 2]
+                ys = (np.arange(grid) * h) // grid
+                xs = (np.arange(grid) * w) // grid
+                lat = lum[np.ix_(ys, xs)]
+                bits = (lat[:, :-1] < lat[:, 1:]).astype(np.int64)
+                weights = 1 << np.arange(grid * (grid - 1), dtype=np.int64)
+                ids.append(rid)
+                hashes.append(int((bits.reshape(-1) * weights).sum()))
+            yield pd.DataFrame({id_col: ids, "dhash": hashes})
+
+    return df.select(id_col, "payload").mapInPandas(
+        run, schema=f"{id_col} long, dhash long"
+    )
+
+
+def dhash_dup_groups(hashes: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Perceptual duplicate groups: ONE map-side-combinable groupBy of the
+    56-bit hashes — the image payloads themselves never cross a shuffle.
+    Output: (dhash, n_docs, min_doc, max_doc) per group."""
+    return hashes.groupBy("dhash").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.min(id_col).alias("min_doc"),
+        F.max(id_col).alias("max_doc"),
+    )

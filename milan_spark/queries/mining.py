@@ -483,3 +483,81 @@ def bpe_merge_induction_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = table(spark, sf_dir, "documents")
     return bpe_train(docs, merges=6)
+
+
+@register(
+    "image_dhash_near_dup",
+    doc="Perceptual image near-dup via difference hash (operators."
+    "multimodal.image_dhash/dhash_dup_groups): deterministic 24-bit BMP "
+    "payloads per document — a per-group base pattern plus per-DOCUMENT "
+    "byte noise on every pixel OFF the 8x8 sample lattice — decoded "
+    "through the real codec, integer-luma dHashed (56 bits), grouped by "
+    "hash. Byte-distinct payloads in the same pattern group collide "
+    "exactly (the noise invariance that makes dHash a NEAR-dup key, "
+    "demonstrated, not asserted); dedup is one combinable hash groupBy — "
+    "payloads never shuffle. Oracle recomputes the lattice luma and bit "
+    "weights from the same integer formulas.",
+    oracle="""
+WITH d AS (
+  SELECT doc_id, doc_id % 37 AS g,
+         16 + (doc_id % 37) % 5 AS w, 16 + (doc_id % 37) % 3 AS h
+  FROM documents
+), lat AS (
+  SELECT doc_id, g, jj.i AS j, ii.i AS i,
+         (jj.i * h) // 8 AS ys, (ii.i * w) // 8 AS xs
+  FROM d CROSS JOIN range(8) jj(i) CROSS JOIN range(8) ii(i)
+), lum AS (
+  SELECT doc_id, j, i,
+         (g * 11 + ys * 31 + xs * 5) % 256
+         + 2 * ((g * 11 + ys * 31 + xs * 5 + 3) % 256)
+         + ((g * 11 + ys * 31 + xs * 5 + 6) % 256) AS l
+  FROM lat
+), bits AS (
+  SELECT a.doc_id, a.j, a.i,
+         CASE WHEN a.l < b.l THEN 1 ELSE 0 END AS bit
+  FROM lum a JOIN lum b ON b.doc_id = a.doc_id AND b.j = a.j AND b.i = a.i + 1
+  WHERE a.i < 7
+), hashes AS (
+  SELECT doc_id,
+         CAST(SUM(CAST(bit AS BIGINT) << (j * 7 + i)) AS BIGINT) AS dhash
+  FROM bits GROUP BY 1
+)
+SELECT dhash, COUNT(*) AS n_docs, MIN(doc_id) AS min_doc, MAX(doc_id) AS max_doc
+FROM hashes GROUP BY 1
+""",
+)
+def image_dhash_near_dup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import numpy as np
+    import pandas as pd
+
+    from milan_spark.operators.multimodal import (
+        dhash_dup_groups,
+        encode_bmp,
+        image_dhash,
+    )
+
+    docs = table(spark, sf_dir, "documents").select("doc_id")
+
+    def synth(batches):
+        for pdf in batches:
+            payloads = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                g = did % 37
+                w, h = 16 + g % 5, 16 + g % 3
+                y = np.arange(h).reshape(h, 1, 1)
+                x = np.arange(w).reshape(1, w, 1)
+                c = np.arange(3).reshape(1, 1, 3)
+                base = (g * 11 + y * 31 + x * 5 + c * 3) % 256
+                noise = (did * 13 + y * 7 + x + c) % 256
+                # per-document noise everywhere OFF the 8x8 sample lattice:
+                # payloads differ byte-for-byte per doc, dHash cannot see it
+                on_lat_y = np.isin(np.arange(h), (np.arange(8) * h) // 8)
+                on_lat_x = np.isin(np.arange(w), (np.arange(8) * w) // 8)
+                lattice = on_lat_y.reshape(h, 1, 1) & on_lat_x.reshape(1, w, 1)
+                px = np.where(lattice, base, noise).astype(np.uint8)
+                payloads.append(encode_bmp(px))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+    bmp = docs.mapInPandas(synth, "doc_id long, payload binary")
+    return dhash_dup_groups(image_dhash(bmp))

@@ -207,3 +207,31 @@ def test_bpe_greedy_merge_handles_adjacent_repeats(spark):
     assert (out[0]["left_sym"], out[0]["right_sym"]) == ("a", "a")
     assert out[0]["pair_count"] == 6  # 3 adjacencies x 2 words
     assert (out[1]["left_sym"], out[1]["right_sym"]) == ("aa", "aa")
+
+
+def test_image_dhash_ignores_off_lattice_noise(spark):
+    import numpy as np
+
+    from milan_spark.operators.multimodal import encode_bmp, image_dhash
+
+    rng = np.random.RandomState(7)
+    base = rng.randint(0, 256, size=(16, 16, 3)).astype(np.uint8)
+    noisy = base.copy()
+    ys = (np.arange(8) * 16) // 8
+    xs = (np.arange(8) * 16) // 8
+    lat_y = np.isin(np.arange(16), ys)
+    lat_x = np.isin(np.arange(16), xs)
+    off = ~(lat_y.reshape(16, 1) & lat_x.reshape(1, 16))
+    noisy[off] = rng.randint(0, 256, size=(off.sum(), 3))
+    flipped = base.copy()
+    # perturb ON-lattice pixels hard -> hash must change
+    flipped[ys[0], xs[0]] = 255 - flipped[ys[0], xs[0]]
+    flipped[ys[3], xs[4]] = 255 - flipped[ys[3], xs[4]]
+    df = spark.createDataFrame(
+        [(1, bytearray(encode_bmp(base))), (2, bytearray(encode_bmp(noisy))),
+         (3, bytearray(encode_bmp(flipped)))],
+        ["doc_id", "payload"],
+    )
+    rows = {r["doc_id"]: r["dhash"] for r in image_dhash(df).collect()}
+    assert rows[1] == rows[2]  # byte-different payloads, same perceptual hash
+    assert rows[1] != rows[3]  # sampled-pixel change flips bits
