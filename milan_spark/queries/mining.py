@@ -561,3 +561,66 @@ def image_dhash_near_dup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     bmp = docs.mapInPandas(synth, "doc_id long, payload binary")
     return dhash_dup_groups(image_dhash(bmp))
+
+
+def _lpa_oracle(iterations: int = 3) -> str:
+    """Unrolled synchronous-LPA replica of operators.graph.label_propagation
+    on the co-order part graph (deterministic ties: count desc, label asc)."""
+    sql = [
+        """
+WITH und AS MATERIALIZED (
+  SELECT DISTINCT least(a.l_partkey, b.l_partkey) AS u,
+         greatest(a.l_partkey, b.l_partkey) AS v
+  FROM lineitem a JOIN lineitem b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+), directed AS MATERIALIZED (
+  SELECT u AS n, v AS m FROM und UNION ALL SELECT v AS n, u AS m FROM und
+), l0 AS (
+  SELECT DISTINCT n, n AS label FROM directed
+)"""
+    ]
+    for r in range(1, iterations + 1):
+        sql.append(
+            f""", f{r} AS (
+  SELECT d.n, l.label, COUNT(*) AS cnt
+  FROM directed d JOIN l{r - 1} l ON l.n = d.m
+  GROUP BY 1, 2
+), l{r} AS MATERIALIZED (
+  SELECT n, label FROM (
+    SELECT n, label,
+           ROW_NUMBER() OVER (PARTITION BY n ORDER BY cnt DESC, label) AS rk
+    FROM f{r}
+  ) WHERE rk = 1
+)"""
+        )
+    sql.append(f"\nSELECT n AS node, label FROM l{iterations}")
+    return "".join(sql)
+
+
+@register(
+    "lpa_communities_coparts",
+    doc="Synchronous label-propagation communities (operators.graph."
+    "label_propagation, 3 rounds; Raghavan et al. 2007) on the co-order "
+    "part graph, with DETERMINISTIC ties (count desc, label asc) so the "
+    "trajectory is engine- and partition-exact — the pagerank_scaled/"
+    "kmeans_fixed determinism trade. Per round: edge list joins the O(n) "
+    "label table (broadcast here via small_graph) + one combinable "
+    "(node,label) count + struct-min argmax; the edge list never "
+    "re-shuffles. Completes the graph tier: components, PageRank, "
+    "triangles, communities.",
+    oracle=_lpa_oracle(),
+)
+def lpa_communities_coparts_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from milan_spark.operators.graph import label_propagation
+
+    li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    a = li.alias("a")
+    b = li.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+        & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+    ).select(
+        F.col("a.l_partkey").alias("src"), F.col("b.l_partkey").alias("dst")
+    )
+    return label_propagation(pairs, iterations=3, small_graph=True)

@@ -235,3 +235,42 @@ def test_image_dhash_ignores_off_lattice_noise(spark):
     rows = {r["doc_id"]: r["dhash"] for r in image_dhash(df).collect()}
     assert rows[1] == rows[2]  # byte-different payloads, same perceptual hash
     assert rows[1] != rows[3]  # sampled-pixel change flips bits
+
+
+def test_label_propagation_two_cliques(spark):
+    from milan_spark.operators.graph import label_propagation
+
+    # two 4-cliques joined by one bridge edge: LPA must keep them as two
+    # communities labeled by each clique's smallest id
+    k1 = [(a, b) for a in range(1, 5) for b in range(a + 1, 5)]
+    k2 = [(a, b) for a in range(10, 14) for b in range(a + 1, 14)]
+    edges = k1 + k2 + [(4, 10)]
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    out = {r["node"]: r["label"] for r in label_propagation(df, iterations=4).collect()}
+    assert {out[n] for n in (1, 2, 3)} == {1}
+    assert {out[n] for n in (11, 12, 13)} == {10}
+    # the bridge endpoints stay with their own cliques (3 same-clique
+    # neighbors vs 1 bridge neighbor)
+    assert out[4] == 1 and out[10] == 10
+
+
+def test_label_propagation_partition_invariant(spark):
+    from milan_spark.operators.graph import label_propagation
+
+    edges = [(i, (i * 7) % 23 + 100) for i in range(60)]
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    a = sorted(map(tuple, label_propagation(df.repartition(1), iterations=3).collect()))
+    b = sorted(map(tuple, label_propagation(df.repartition(9), iterations=3).collect()))
+    assert a == b
+
+
+def test_label_propagation_small_graph_path_agrees(spark):
+    from milan_spark.operators.graph import label_propagation
+
+    edges = [(i, (i * 11) % 17 + 200) for i in range(80)] + [(1, 2), (2, 3)]
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    a = sorted(map(tuple, label_propagation(df, iterations=3).collect()))
+    b = sorted(
+        map(tuple, label_propagation(df, iterations=3, small_graph=True).collect())
+    )
+    assert a == b
