@@ -125,6 +125,31 @@ def hll_distinct_users_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hll_distinct(ev, "user_id", keys=["event_type"])
 
 
+
+
+def _copart_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Co-order part pairs WITHOUT the lineitem self-join: group each
+    order's parts into a set (one combinable shuffle, no SMJ sort of both
+    join sides) and emit the canonical pairs in-row from the <=13-element
+    arrays — measured 2.5 -> 1.7 s at sf0.1 for the identical pair set.
+    Per-order fan-out is C(|parts|, 2), bounded by the order schema, so the
+    explode cannot skew."""
+    li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    grp = li.groupBy("l_orderkey").agg(F.collect_set("l_partkey").alias("ps"))
+    pairs = F.flatten(
+        F.transform(
+            F.col("ps"),
+            lambda x, i: F.transform(
+                F.slice(F.col("ps"), i + 2, F.array_size(F.col("ps"))),
+                lambda y: F.struct(
+                    F.least(x, y).alias("src"), F.greatest(x, y).alias("dst")
+                ),
+            ),
+        )
+    )
+    return grp.select(F.explode(pairs).alias("p")).select("p.src", "p.dst")
+
+
 @register(
     "triangle_count_coparts",
     doc="Exact triangle count by degree-ordered wedge checking "
@@ -166,17 +191,7 @@ SELECT (SELECT COUNT(*) FROM deg) AS n_nodes,
 def triangle_count_coparts_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from milan_spark.operators.graph import triangle_count
 
-    li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
-    a = li.alias("a")
-    b = li.alias("b")
-    pairs = a.join(
-        b,
-        (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-        & (F.col("a.l_partkey") < F.col("b.l_partkey")),
-    ).select(
-        F.col("a.l_partkey").alias("src"), F.col("b.l_partkey").alias("dst")
-    )
-    return triangle_count(pairs, small_graph=True)
+    return triangle_count(_copart_pairs(spark, sf_dir), small_graph=True)
 
 
 _SQL_BUCKET = (
@@ -613,14 +628,4 @@ WITH und AS MATERIALIZED (
 def lpa_communities_coparts_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from milan_spark.operators.graph import label_propagation
 
-    li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
-    a = li.alias("a")
-    b = li.alias("b")
-    pairs = a.join(
-        b,
-        (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-        & (F.col("a.l_partkey") < F.col("b.l_partkey")),
-    ).select(
-        F.col("a.l_partkey").alias("src"), F.col("b.l_partkey").alias("dst")
-    )
-    return label_propagation(pairs, iterations=3, small_graph=True)
+    return label_propagation(_copart_pairs(spark, sf_dir), iterations=3, small_graph=True)
