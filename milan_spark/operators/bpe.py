@@ -62,7 +62,11 @@ def _pair_counts(vocab: DataFrame) -> DataFrame:
 
 
 def bpe_train(
-    docs: DataFrame, *, text_col: str = "text", merges: int = 6
+    docs: DataFrame,
+    *,
+    text_col: str = "text",
+    merges: int = 6,
+    checkpoint_every: int = 16,
 ) -> DataFrame:
     """Learn ``merges`` BPE merges over the corpus.
 
@@ -70,6 +74,13 @@ def bpe_train(
     trained merge table in order. Each round is one combinable pair-count
     aggregate over the vocabulary + a 1-row argmax; the merge rewrite is a
     row-local string replace on the vocabulary (no shuffle).
+
+    Plan depth is bounded: the rewrite chain stays lazy between
+    checkpoints (round r re-evaluates at most ``checkpoint_every``
+    replaces — measured cheaper than materializing every round), and every
+    ``checkpoint_every`` merges the vocabulary is ``localCheckpoint``-ed so
+    the analyzer never sees more than K stacked projections. Without this,
+    a production merge count (32k) builds a quadratic-depth plan.
     """
     spark = docs.sparkSession
     vocab = word_vocab(docs, text_col).persist()
@@ -85,19 +96,19 @@ def bpe_train(
             break
         l, rr, cnt = best["l"], best["r"], best["cnt"]
         learned.append((r, l, rr, l + rr, cnt))
-        # the rewrite chain stays LAZY on top of the one persisted base
-        # vocabulary: round r recomputes r row-local string replaces (no
-        # shuffle, no job) — far cheaper than materializing each round
-        # (dropping the per-round persist+count cut 12 jobs: 4.3 → ~2 s
-        # at sf0.1)
         vocab = vocab.select(
             F.replace(
                 F.col("sym"), F.lit(MARK + l + MARK + rr), F.lit(MARK + l + rr)
             ).alias("sym"),
             "freq",
         )
+        if checkpoint_every and r % checkpoint_every == 0:
+            # truncate lineage: materialized by the NEXT round's argmax job
+            vocab = vocab.localCheckpoint(eager=False)
     out = spark.createDataFrame(
-        learned, ["merge_rank", "left_sym", "right_sym", "merged", "pair_count"]
+        learned,
+        "merge_rank int, left_sym string, right_sym string, "
+        "merged string, pair_count long",
     )
     return out.select(
         F.col("merge_rank").cast("int"),

@@ -241,13 +241,22 @@ def mmr_select(
             .limit(1)
             .first()
         )
+        if win is None:  # k exceeds the candidate count — return the shorter set
+            break
         chosen.append((r, win["id"], win["rel"], win["score"]))
         qw = F.array(*[F.lit(int(v)) for v in win["q"]])
         cur = cur.filter(F.col("id") != F.lit(win["id"])).withColumn(
             "maxsim", F.greatest(F.col("maxsim"), dot(F.col("q"), qw))
         )
+        if r % 16 == 0:
+            # k picks stack k filter+withColumn pairs on the candidate
+            # plan — truncate lineage so large k stays analyzer-flat
+            # (materialized by the next round's argmax job)
+            cur = cur.localCheckpoint(eager=False)
     spark = emb.sparkSession
-    out = spark.createDataFrame(chosen, ["rank", id_col, "rel", "score"])
+    out = spark.createDataFrame(
+        chosen, f"rank int, {id_col} long, rel long, score long"
+    )
     return out.select(
         F.col("rank").cast("int"),
         F.col(id_col).cast("long"),

@@ -153,7 +153,10 @@ def quality_classifier(
     fasttext-style quality gate has at 100 TB.
     """
     toks = tokenize(text_col)
-    n = F.array_size(toks)
+    # every factor is widened to int64 BEFORE any product: 14*n*n in 32-bit
+    # wraps at n ≈ 12,404 tokens under non-ANSI Spark, silently flipping the
+    # keep label away from the int64 oracle
+    n = F.array_size(toks).cast("long")
     L = F.aggregate(
         toks, F.lit(0).cast("long"), lambda acc, t: acc + F.length(t)
     )
@@ -161,8 +164,8 @@ def quality_classifier(
 
     s = F.size(
         F.filter(toks, lambda t: t.isin(*STOPWORDS))
-    )
-    u = F.array_size(F.array_distinct(toks))
+    ).cast("long")
+    u = F.array_size(F.array_distinct(toks)).cast("long")
     z_num = (
         F.lit(QC_N0)
         * (F.lit(QC_A) * L + F.lit(QC_B) * s + F.lit(QC_C) * u)

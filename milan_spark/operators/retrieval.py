@@ -10,9 +10,11 @@ BM25 (Robertson/Spärck Jones, TREC-3) over the corpus:
 
 Scale shape: the ONLY per-token work is a filter to the query vocabulary —
 applied BEFORE any shuffle, so the exploded token stream collapses to
-O(docs·|Q|) rows at the scan. Document length and corpus stats (N, avgdl)
-are one map-side-combinable aggregate each; df(t) is a |Q|-row aggregate;
-both join back by broadcast. Nothing the size of the corpus is ever
+O(docs·|Q|) rows at the scan. Document length is computed row-local before
+the explode and rides each matched token row through the filter — there is
+no N-row dl relation and therefore no corpus-sized join. Corpus stats
+(N, avgdl) are one map-side-combinable aggregate broadcast into the scored
+rows; df(t) is a |Q|-row broadcast. Nothing the size of the corpus is ever
 shuffled — the one `groupBy(doc)` runs over query-matched rows only.
 
 Determinism contract: tf, df, N, dl are exact integers; avgdl and each
@@ -45,16 +47,20 @@ def bm25_topk(
     Output: (id_col, n_terms_hit, bm25, rank) ordered by the ROUNDED score
     desc then id — deterministic across engines and partitionings.
     """
+    # dl is computed row-local BEFORE the explode and rides each token row
+    # through the query filter — the per-document length table never exists
+    # as a separate N-row relation, so there is no corpus-sized join anywhere
     toks = docs.select(
-        F.col(id_col), F.explode(tokenize(text_col)).alias("token")
-    )
-    dl = docs.select(
-        F.col(id_col), F.array_size(tokenize(text_col)).alias("dl")
+        F.col(id_col),
+        F.array_size(tokenize(text_col)).alias("dl"),
+        F.explode(tokenize(text_col)).alias("token"),
     )
     # corpus scalars: one combinable aggregate, broadcast into every row
-    stats = dl.agg(
+    stats = docs.select(
+        F.array_size(tokenize(text_col)).alias("__dl")
+    ).agg(
         F.count(F.lit(1)).alias("n_docs"),
-        F.sum("dl").alias("sum_dl"),
+        F.sum("__dl").alias("sum_dl"),
     )
 
     q = F.array(*[F.lit(t) for t in query_terms])
@@ -63,14 +69,12 @@ def bm25_topk(
     tf = (
         toks.filter(F.array_contains(q, F.col("token")))
         .groupBy(id_col, "token")
-        .agg(F.count(F.lit(1)).alias("tf"))
+        .agg(F.count(F.lit(1)).alias("tf"), F.min("dl").alias("dl"))
     )
     df_t = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
 
-    scored = (
-        tf.join(F.broadcast(df_t), "token")
-        .join(F.broadcast(stats), how="cross")
-        .join(dl, id_col)
+    scored = tf.join(F.broadcast(df_t), "token").join(
+        F.broadcast(stats), how="cross"
     )
     avgdl = F.col("sum_dl").cast("double") / F.col("n_docs").cast("double")
     idf = F.log(

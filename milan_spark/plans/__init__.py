@@ -1,3 +1,4 @@
 from milan_spark.plans.nodes import Node, to_json, from_json, compile_node
+from milan_spark.plans.backend_streaming import compile_node_streaming
 
-__all__ = ["Node", "to_json", "from_json", "compile_node"]
+__all__ = ["Node", "to_json", "from_json", "compile_node", "compile_node_streaming"]

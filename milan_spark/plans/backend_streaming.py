@@ -1,0 +1,266 @@
+"""Streaming compiler for the Node IR — the second backend.
+
+The reference's defining architecture is ONE serialized IR consumed by
+multiple compilers: ``FlinkGenerator.scala:63-87`` (streaming job) and
+``EventHandlerClassGenerator.scala:36-80`` / ``ScalaStreamCompiler.scala:18-43``
+(plain-Scala event handler) both walk the same ``StreamCollection``, and the
+reference's tests (``TestFlinkGenJoin.scala:31-110``, ``TestEventApp*.scala``)
+run the *same programs* on both. Here the analog: ``plans.nodes.compile_node``
+is the batch backend; :func:`compile_node_streaming` compiles the SAME
+JSON-round-trippable plan to a Structured Streaming DataFrame, dispatching the
+stateful operators to their ``streaming.stateful`` state-machine twins.
+
+Supported (the serializable streaming subset):
+
+- ``parquet_source`` / ``file_source`` → ``readStream`` over a staged
+  directory with the batch-inferred schema (FileStreamSource monitors
+  directories, so a single-file path is exposed via a symlink dir — no copy)
+- ``filter`` / ``map`` / ``add_fields`` / ``to_field`` / ``union`` — the
+  batch compile is already streaming-legal; delegated to ``_compile_op``
+- ``aggregate`` — streaming groupBy (caller runs it in complete/update mode)
+- ``time_window_aggregate`` → ``streaming.windowed_agg`` (watermark = window
+  size, the reference's policy)
+- ``left/full/left_inner_enrichment_join`` → the per-record value-state
+  machines in ``streaming.stateful``
+- ``cum_window`` / ``running_sum_by`` → a keyed ``stateful.scan`` fold whose
+  accumulator semantics mirror ``operators.scans.cum_fold`` exactly (SQL
+  null-skipping, init folded in post-scan as ``init ⊕ cum``)
+
+Everything else (sorts/limits, rollup/cube, relational/asof joins, distinct)
+is batch-shaped or lacks an append-mode streaming realization and raises a
+``ValueError`` naming the op — the same explicitness as the batch compiler's
+logical-only nodes.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import math
+import os
+import tempfile
+from typing import Mapping
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from milan_spark.plans.nodes import Node, _compile_op
+
+# ops whose batch DataFrame code is streaming-legal verbatim
+_SHARED_OPS = frozenset(
+    {"filter", "map", "add_fields", "to_field", "union", "aggregate", "hint"}
+)
+
+_SOURCE_OPS = frozenset({"parquet_source", "file_source", "list_source"})
+
+
+def _stage_dir(path: str) -> str:
+    """FileStreamSource monitors directories; expose a single-file path
+    through a stable per-path symlink directory (no data copy). A directory
+    path passes through unchanged."""
+    if os.path.isdir(path):
+        return path
+    tag = hashlib.sha1(os.path.abspath(path).encode()).hexdigest()[:12]
+    stage = os.path.join(tempfile.gettempdir(), f"milan_ir_src_{tag}")
+    os.makedirs(stage, exist_ok=True)
+    link = os.path.join(stage, os.path.basename(path))
+    if not os.path.exists(link):
+        os.symlink(os.path.abspath(path), link)
+    return stage
+
+
+def _stream_source(n: Node, spark: SparkSession) -> DataFrame:
+    from milan_spark.sources import ensure_read_conf, file_stream_source
+
+    p = n.params
+    if n.op == "list_source":
+        raise ValueError(
+            f"list_source node {n.node_id} has no unbounded realization; pass a "
+            "streaming DataFrame for it via source_overrides"
+        )
+    fmt = p.get("fmt", "parquet") if n.op == "file_source" else "parquet"
+    options = p.get("options") or {}
+    # schema comes from a batch read of the same path — streaming file
+    # sources require one, and this guarantees the two backends agree
+    ensure_read_conf(spark)
+    reader = spark.read.format(fmt)
+    if options:
+        reader = reader.options(**options)
+    schema = reader.load(p["path"]).schema
+    return file_stream_source(
+        spark, _stage_dir(p["path"]), fmt=fmt, schema=schema, options=options
+    )
+
+
+_CUM_COMBINE = {"sum": lambda i, c: i + c, "max": F.greatest, "min": F.least}
+
+
+def _streaming_cum_fold(
+    sdf: DataFrame,
+    folds: dict[str, tuple[str, str, str | None]],
+    keys: list[str],
+    seq: str,
+) -> DataFrame:
+    """Streaming twin of ``operators.scans.cum_fold``: one keyed value-state
+    scan carrying every accumulator; each arrival emits the input row plus
+    the running aggregates. NULL arguments are skipped (SQL aggregate
+    semantics — the accumulator stays NULL until the first non-null), and a
+    non-identity init folds in AFTER the scan as the column expression
+    ``init ⊕ cum``, bitwise-matching the batch window realization."""
+    from milan_spark.streaming import stateful
+
+    names = list(folds)
+    argcols = {name: f"__cumarg_{name}" for name in names}
+    pre = sdf
+    for name in names:
+        pre = pre.withColumn(argcols[name], F.expr(folds[name][1]))
+
+    orig_cols = list(sdf.columns)
+    dt = dict(pre.dtypes)
+    out_types: dict[str, str] = {}
+    for name in names:
+        kind = folds[name][0]
+        at = dt[argcols[name]]
+        if kind == "sum":
+            out_types[name] = "double" if at in ("float", "double") else "bigint"
+        else:
+            out_types[name] = at
+    base_ddl = ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in sdf.schema.fields)
+    out_ddl = base_ddl + ", " + ", ".join(f"{n} {out_types[n]}" for n in names)
+    int_out = {n for n in names if out_types[n] == "bigint"}
+    kinds = {n: folds[n][0] for n in names}
+    # itertuples renames underscore-prefixed columns to positional fields —
+    # address every column by position instead of name
+    pos = {c: i for i, c in enumerate(pre.columns)}
+    orig_pos = [(c, pos[c]) for c in orig_cols]
+    arg_pos = [pos[argcols[n]] for n in names]
+
+    def fold(state, rec):
+        out = {c: rec[i] for c, i in orig_pos}
+        new_state = list(state)
+        for i, name in enumerate(names):
+            v = rec[arg_pos[i]]
+            # pandas surfaces NULL numerics as NaN (nullable ints arrive as
+            # floats) — skip them per SQL aggregate semantics
+            if v is not None and not (isinstance(v, float) and math.isnan(v)):
+                if name in int_out:
+                    v = int(v)
+                cur = new_state[i]
+                if cur is None:
+                    new_state[i] = v
+                elif kinds[name] == "sum":
+                    new_state[i] = cur + v
+                elif kinds[name] == "max":
+                    new_state[i] = max(cur, v)
+                else:
+                    new_state[i] = min(cur, v)
+            out[name] = new_state[i]
+        return new_state, out
+
+    out = stateful.scan(
+        pre,
+        fold,
+        initial_state=[None] * len(names),
+        output_schema=out_ddl,
+        keys=keys,
+        seq=seq,
+    )
+    for name in names:
+        init = folds[name][2]
+        if init is not None and init.strip() != "0":
+            out = out.withColumn(
+                name, _CUM_COMBINE[kinds[name]](F.expr(init), F.col(name))
+            )
+    return out
+
+
+def compile_node_streaming(
+    node: Node,
+    spark: SparkSession,
+    source_overrides: Mapping[str, DataFrame] | None = None,
+) -> DataFrame:
+    """Compile a serializable plan to a STREAMING DataFrame.
+
+    ``source_overrides`` maps a source node's ``node_id`` (or its ``path``
+    param) to a caller-supplied streaming DataFrame — the analog of the
+    reference's ApplicationConfiguration binding sources to stream ids at
+    deploy time, separate from the portable plan
+    (``ApplicationConfiguration.scala:29-52``). Memoized per node id like the
+    batch compiler, so shared subgraphs compile once.
+    """
+    overrides = dict(source_overrides or {})
+    memo: dict[str, DataFrame] = {}
+
+    def compile_(n: Node) -> DataFrame:
+        if n.node_id in memo:
+            return memo[n.node_id]
+        df = _compile_streaming_op(n)
+        memo[n.node_id] = df
+        return df
+
+    def _compile_streaming_op(n: Node) -> DataFrame:
+        if n.node_id in overrides:
+            return overrides[n.node_id]
+        if n.op in _SOURCE_OPS:
+            by_path = overrides.get(n.params.get("path", ""))
+            if by_path is not None:
+                return by_path
+            return _stream_source(n, spark)
+        ins = [compile_(i) for i in n.inputs]
+        p = n.params
+        if n.op in _SHARED_OPS:
+            return _compile_op(n, spark, ins)
+        if n.op == "time_window_aggregate":
+            from milan_spark.streaming import windowed_agg
+
+            return windowed_agg(
+                ins[0],
+                p["ts"],
+                p["size"],
+                slide=p.get("slide"),
+                offset=p.get("offset"),
+                keys=p.get("keys", []),
+                aggs=[F.expr(e).alias(a) for a, e in p["aggs"].items()],
+            )
+        if n.op in (
+            "left_enrichment_join",
+            "full_enrichment_join",
+            "left_inner_enrichment_join",
+        ):
+            from milan_spark.streaming import stateful
+
+            fn = getattr(stateful, n.op)
+            kwargs = dict(
+                left_on=p["left_on"],
+                right_on=p["right_on"],
+                left_seq=p.get("left_seq", "__seq"),
+                right_seq=p.get("right_seq", "__seq"),
+                right_prefix=p.get("right_prefix", "r_"),
+            )
+            if p.get("residual"):
+                if n.op == "left_inner_enrichment_join":
+                    raise ValueError(
+                        "left_inner_enrichment_join residual is a stateful "
+                        "re-match predicate with no serialized form; bind it "
+                        "programmatically via streaming.stateful"
+                    )
+                kwargs["residual"] = lambda l, r: F.expr(p["residual"])
+            return fn(ins[0], ins[1], **kwargs)
+        if n.op == "cum_window":
+            return _streaming_cum_fold(
+                ins[0],
+                {name: (s["kind"], s["arg"], s.get("init")) for name, s in p["cols"].items()},
+                keys=p.get("keys", []),
+                seq=p.get("seq", "__seq"),
+            )
+        if n.op == "running_sum_by":
+            return _streaming_cum_fold(
+                ins[0],
+                {p.get("alias", "running_sum"): ("sum", p["arg"], None)},
+                keys=p.get("keys", []),
+                seq=p.get("seq", "__seq"),
+            )
+        raise ValueError(
+            f"op {n.op!r} has no streaming realization; compile with "
+            "plans.nodes.compile_node (batch) instead"
+        )
+
+    return compile_(node)

@@ -752,3 +752,61 @@ def streaming_hll_distinct_users_q(spark: SparkSession, sf_dir: str) -> DataFram
         .select("reg", "m")
     )
     return hll_estimate(cur)
+
+
+def _ir_left_join_plan(sf_dir: str):
+    """The reference's save/ship/run lifecycle: one serializable plan —
+    filter/map sides, per-arrival LeftJoin, output projection — built as raw
+    IR nodes, round-tripped through JSON, then compiled by the STREAMING
+    backend (plans.backend_streaming.compile_node_streaming). The same JSON
+    compiles to the batch backend; tests/test_streaming_ir.py asserts both
+    produce identical rows."""
+    from milan_spark.plans import Node, from_json, to_json
+
+    src = Node("parquet_source", {"path": f"{sf_dir}/events.parquet"})
+    left = Node(
+        "map",
+        {"exprs": ["user_id", "event_id", "value", "event_id AS __seq"]},
+        [Node("filter", {"condition": "event_type = 'purchase'"}, [src])],
+    )
+    right = Node(
+        "map",
+        {
+            "exprs": [
+                "user_id",
+                "event_id AS signup_event_id",
+                "value AS signup_value",
+                "event_id AS __seq",
+            ]
+        },
+        [Node("filter", {"condition": "event_type = 'signup'"}, [src])],
+    )
+    join = Node(
+        "left_enrichment_join",
+        {"left_on": ["user_id"], "right_on": ["user_id"]},
+        [left, right],
+    )
+    out = Node(
+        "map",
+        {"exprs": ["event_id", "user_id", "value", "signup_event_id", "signup_value"]},
+        [join],
+    )
+    return from_json(to_json(out))  # the query runs the DESERIALIZED plan
+
+
+@register(
+    "streaming_from_ir",
+    doc="One IR, two compilers (the reference's defining architecture: "
+    "FlinkGenerator.scala:63-87 and EventHandlerClassGenerator.scala:36-80 "
+    "consume the same StreamCollection): a JSON-serialized plan — filter/map "
+    "sides, per-arrival LeftJoin, projection — is deserialized and compiled "
+    "to Structured Streaming by plans.backend_streaming.compile_node_streaming, "
+    "run to completion, and hash-matched against the same DuckDB oracle as "
+    "the batch LeftJoin.",
+    oracle=REGISTRY["left_enrichment_join"].oracle,
+)
+def streaming_from_ir_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from milan_spark.plans import compile_node_streaming
+
+    out = compile_node_streaming(_ir_left_join_plan(sf_dir), spark)
+    return run_to_memory(out, "streaming_from_ir")

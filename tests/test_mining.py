@@ -129,6 +129,24 @@ def test_quality_classifier_exact_decision(spark):
     assert abs(r1["z_millis"] - r1["z_num"] / (QC_N0 * r1["n_tokens"])) < 1e-3
 
 
+def test_quality_classifier_long_doc_no_int32_wrap(spark):
+    """The e·n² term must be evaluated in int64: at n ≥ ~12,404 tokens,
+    14·n·n wraps a 32-bit int under non-ANSI Spark and flips the label."""
+    from milan_spark.operators.mixing import (
+        quality_classifier, QC_A, QC_B, QC_C, QC_E, QC_F, QC_N0,
+    )
+
+    n = 13000
+    text = " ".join("tok%d" % (i % 50) for i in range(n))
+    docs = spark.createDataFrame([(1, text)], ["doc_id", "text"])
+    row = quality_classifier(docs).collect()[0]
+    L = sum(len("tok%d" % (i % 50)) for i in range(n))
+    s, u = 0, 50
+    expected = QC_N0 * (QC_A * L + QC_B * s + QC_C * u) + QC_E * n * n + QC_F * QC_N0 * n
+    assert row["z_num"] == expected  # Python ints never wrap — the referee
+    assert row["keep"] is (expected > 0)
+
+
 def test_kmeans_separates_obvious_clusters(spark):
     from milan_spark.operators.clustering import kmeans_fixed
 
@@ -177,6 +195,49 @@ def test_mmr_prefers_diverse_over_redundant(spark):
     assert ids[:2] == [1, 3]
     # scores are the cleared-denominator integers, strictly ranked rounds
     assert out[0]["score"] == 5 * out[0]["rel"]
+
+
+def test_mmr_k_exceeding_candidates_returns_shorter_set(spark):
+    """k larger than the candidate pool stops at the pool size instead of
+    raising on a None argmax (ADVICE r6)."""
+    from milan_spark.operators.clustering import mmr_select
+
+    emb = spark.createDataFrame(
+        [(0, [0.5, 0.5]), (1, [0.9, 0.1]), (2, [0.1, 0.9])],
+        ["vec_id", "embedding"],
+    )
+    out = mmr_select(emb, dim=2, k=10).collect()  # 2 candidates after seed
+    assert [r["rank"] for r in out] == [1, 2]
+
+
+def test_bpe_empty_corpus_returns_empty_merge_table(spark):
+    """No learnable merge (single-symbol words / empty corpus) returns an
+    empty, correctly-typed merge table instead of raising (ADVICE r6)."""
+    from milan_spark.operators.bpe import bpe_train
+
+    empty = spark.createDataFrame([], "doc_id int, text string")
+    out = bpe_train(empty, merges=3)
+    assert out.count() == 0
+    assert out.columns == [
+        "merge_rank", "left_sym", "right_sym", "merged", "pair_count",
+    ]
+    single = spark.createDataFrame([(1, "a b c a b")], ["doc_id", "text"])
+    # every word is one symbol -> no adjacent pair anywhere
+    assert bpe_train(single, merges=2).count() == 0
+
+
+def test_bpe_checkpointed_trajectory_matches_lazy(spark):
+    """localCheckpoint every K merges must not change the learned merges —
+    only the plan depth."""
+    from milan_spark.operators.bpe import bpe_train
+
+    docs = spark.createDataFrame(
+        [(1, "low low low low lower lower newest newest wider")],
+        ["doc_id", "text"],
+    )
+    lazy = [tuple(r) for r in bpe_train(docs, merges=8, checkpoint_every=0).collect()]
+    ckpt = [tuple(r) for r in bpe_train(docs, merges=8, checkpoint_every=2).collect()]
+    assert lazy == ckpt and len(lazy) >= 5
 
 
 def test_bpe_learns_expected_merges(spark):

@@ -474,10 +474,13 @@ def test_quality_classifier_zero_shuffle(spark):
 def test_bm25_corpus_tokens_never_shuffle_unfiltered(spark):
     """BM25: the query-vocabulary filter sits under the tf aggregate, the
     small sides (df, corpus stats) broadcast, and the top-k is
-    TakeOrderedAndProject — no global sort of the matched set."""
+    TakeOrderedAndProject — no global sort of the matched set. dl rides
+    the exploded token rows, so there is NO corpus-sized dl join: every
+    join in the plan must be broadcast, never sort-merge/shuffle-hash."""
     p = plan(q("bm25_search", spark))
     assert "TakeOrderedAndProject" in p
     assert n_nodes(p, "BroadcastHashJoin") >= 1
+    assert "SortMergeJoin" not in p and "ShuffledHashJoin" not in p
     assert "MapInPandas" not in p and "ArrowEvalPython" not in p
 
 

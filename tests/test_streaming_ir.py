@@ -1,0 +1,133 @@
+"""One IR, two backends — the engine analog of the reference's multi-compiler
+architecture (FlinkGenerator.scala:63-87 and EventHandlerClassGenerator.scala:
+36-80 consume the same StreamCollection; TestFlinkGenJoin.scala:31-110 runs
+the same programs on both). Each test serializes ONE plan with to_json and
+asserts the batch compiler and the streaming compiler produce identical
+results from that same JSON text."""
+
+from __future__ import annotations
+
+import pytest
+
+from milan_spark import Stream
+from milan_spark.plans import (
+    compile_node,
+    compile_node_streaming,
+    from_json,
+    to_json,
+)
+from milan_spark.plans.rewrite import optimize
+from milan_spark.streaming import run_to_memory
+
+EV = "/root/testdata/sf0.001/events.parquet"
+
+
+def _both(spark, text, name, output_mode="append"):
+    batch = compile_node(from_json(text), spark)
+    stream = compile_node_streaming(from_json(text), spark)
+    mem = run_to_memory(stream, name, output_mode=output_mode)
+    return (
+        sorted(tuple(r) for r in batch.collect()),
+        sorted(tuple(r) for r in mem.collect()),
+    )
+
+
+def test_window_aggregate_same_json_both_backends(spark):
+    # the plan itself normalizes the NTZ timestamp and integerizes the
+    # aggregate — fully serializable, bit-identical on both backends
+    s = (
+        Stream.from_parquet(spark, EV)
+        .map(
+            "event_type",
+            "CAST(ts AS TIMESTAMP) AS ts",
+            "CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents",
+        )
+        .group_by("event_type")
+        .tumbling_window("ts", "1 day")
+        .select(n="count(*)", total_cents="sum(cents)")
+    )
+    text = to_json(s.node)
+    b, st = _both(spark, text, "ir_window_both", output_mode="complete")
+    assert b == st and len(b) > 0
+
+
+def test_enrichment_join_same_json_both_backends(spark):
+    left = (
+        Stream.from_parquet(spark, EV)
+        .where("event_type = 'purchase'")
+        .map("user_id", "event_id", "value", "event_id AS __seq")
+    )
+    right = (
+        Stream.from_parquet(spark, EV)
+        .where("event_type = 'signup'")
+        .map(
+            "user_id",
+            "event_id AS signup_event_id",
+            "value AS signup_value",
+            "event_id AS __seq",
+        )
+    )
+    joined = left.left_join(right, on="user_id")
+    text = to_json(joined.node)
+    b, st = _both(spark, text, "ir_leftjoin_both")
+    assert b == st and len(b) > 0
+
+
+def test_scan_fold_lowered_plan_same_json_both_backends(spark):
+    """scan_fold → optimize() → cum_window/filter/map: the optimized plan
+    runs on both backends — batch as a JVM cumulative window, streaming as a
+    keyed value-state fold — with identical per-record emissions."""
+    s = (
+        Stream.from_parquet(spark, EV)
+        .map("event_id", "user_id", "CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents")
+        .scan_fold(
+            state={"acc": None},
+            update={"acc": "acc + cents"},
+            output={"event_id": "event_id", "user_id": "user_id", "acc_cents": "acc"},
+            emit_when="acc > 50000",
+            keys=["user_id"],
+            seq="event_id",
+        )
+    )
+    text = to_json(optimize(s.node, spark))
+    b, st = _both(spark, text, "ir_scan_both")
+    assert b == st and len(b) > 0
+
+
+def test_running_sum_same_json_both_backends(spark):
+    s = (
+        Stream.from_parquet(spark, EV)
+        .where("event_type = 'purchase'")
+        .map("event_id", "user_id", "CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents", "event_id AS __seq")
+        .sum_by("cents", alias="running_cents", keys=["user_id"])
+    )
+    text = to_json(s.node)
+    b, st = _both(spark, text, "ir_runsum_both")
+    assert b == st and len(b) > 0
+
+
+def test_streaming_compiler_rejects_batch_only_ops(spark):
+    s = Stream.from_parquet(spark, EV).map("event_id").limit(5)
+    text = to_json(s.node)
+    with pytest.raises(ValueError, match="no streaming realization"):
+        compile_node_streaming(from_json(text), spark)
+
+
+def test_source_overrides_bind_by_node_id_and_path(spark):
+    s = Stream.from_parquet(spark, EV).where("event_type = 'purchase'").map("event_id")
+    node = from_json(to_json(s.node))
+    src = node
+    while src.inputs:
+        src = src.inputs[0]
+    # override by path: point the plan at a rate-limited readStream twin
+    from milan_spark.sources import file_stream_source, ensure_read_conf
+
+    ensure_read_conf(spark)
+    schema = spark.read.parquet(EV).schema
+    from milan_spark.plans.backend_streaming import _stage_dir
+
+    sdf = file_stream_source(spark, _stage_dir(EV), schema=schema)
+    out = compile_node_streaming(node, spark, source_overrides={src.node_id: sdf})
+    mem = run_to_memory(out, "ir_override_both")
+    batch = compile_node(node, spark)
+    assert sorted(r[0] for r in mem.collect()) == sorted(r[0] for r in batch.collect())
