@@ -1,0 +1,215 @@
+"""Application bundle: plan + source bindings + sink + metrics as ONE
+portable JSON document — the reference's save/ship/run-elsewhere lifecycle.
+
+Reference anatomy this mirrors (SURVEY.md §3.2):
+
+- ``Application(id, streams, version)`` — the program graph —
+  ``application/Application.scala`` via ``graph/StreamCollection.scala:9-33``
+- ``ApplicationConfiguration`` — DataSources bound BY STREAM ID, sinks
+  attached to streams, metric definitions —
+  ``application/ApplicationConfiguration.scala:29-154``
+- ``ApplicationInstance.toJsonString`` — the portable JSON —
+  ``application/ApplicationInstance.scala:27-30``; round-trip parser
+  ``program/TreeParser.scala:23-120``
+
+The split matters: the PLAN references sources only as ``external_stream``
+placeholders (stream ids), and the BUNDLE binds those ids to concrete
+sources at deploy time — so the same program runs against test fixtures,
+production paths, or a live stream by swapping the configuration half, never
+editing the plan. ``run_batch``/``run_streaming`` compile the same plan with
+the two backends (``plans.nodes.compile_node`` /
+``plans.backend_streaming.compile_node_streaming``), the engine's analog of
+the reference's multi-compiler ``KnownCompilers.scala:4-10``.
+"""
+
+from __future__ import annotations
+
+import json
+from dataclasses import dataclass, field
+from typing import Any
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from milan_spark.plans.nodes import Node, compile_node, from_json as _plan_from_json, to_json as _plan_to_json
+
+BUNDLE_VERSION = 1
+
+# source spec kinds → how run_* resolves them
+#   parquet: {"path": ...}
+#   file:    {"path": ..., "fmt": ..., "options": {...}}
+#   list:    {"rows": [[...], ...], "schema": "a int, b string"}  (batch only)
+_SOURCE_KINDS = ("parquet", "file", "list")
+
+# sink spec kinds
+#   memory:  {"name": ..., "output_mode": "append"}  → temp view / memory sink
+#   file:    {"path": ..., "fmt": "parquet", "mode": "overwrite"}
+#   none:    {}  → just return the DataFrame
+_SINK_KINDS = ("memory", "file", "none")
+
+
+@dataclass
+class Application:
+    """One deployable unit: plan + configuration (sources/sink/metrics).
+
+    ``sources`` maps stream id → source spec dict (see ``_SOURCE_KINDS``);
+    every ``external_stream`` node in the plan must have a binding here.
+    ``sink`` is a sink spec dict (see ``_SINK_KINDS``). ``metrics`` maps
+    alias → SQL aggregate expression, attached to the output via
+    ``Dataset.observe`` (ref: MetricDefinition — computed during the action
+    that runs anyway, zero extra passes).
+    """
+
+    app_id: str
+    plan: Node
+    sources: dict[str, dict[str, Any]] = field(default_factory=dict)
+    sink: dict[str, Any] = field(default_factory=lambda: {"kind": "none"})
+    metrics: dict[str, str] = field(default_factory=dict)
+    version: int = BUNDLE_VERSION
+
+    # --- serialization (ApplicationInstance.toJsonString analog) ----------
+
+    def to_json(self) -> str:
+        self.validate()
+        return json.dumps(
+            {
+                "app_id": self.app_id,
+                "version": self.version,
+                "plan": json.loads(_plan_to_json(self.plan)),
+                "sources": self.sources,
+                "sink": self.sink,
+                "metrics": self.metrics,
+            },
+            indent=2,
+            sort_keys=True,
+        )
+
+    @classmethod
+    def from_json(cls, text: str) -> "Application":
+        doc = json.loads(text)
+        app = cls(
+            app_id=doc["app_id"],
+            plan=_plan_from_json(json.dumps(doc["plan"])),
+            sources=doc.get("sources", {}),
+            sink=doc.get("sink", {"kind": "none"}),
+            metrics=doc.get("metrics", {}),
+            version=doc.get("version", BUNDLE_VERSION),
+        )
+        app.validate()
+        return app
+
+    # --- validation (the reference typechecks the graph before compiling) --
+
+    def validate(self) -> None:
+        unbound = self.external_stream_ids() - set(self.sources)
+        if unbound:
+            raise ValueError(
+                f"application {self.app_id!r}: unbound external streams {sorted(unbound)}"
+            )
+        for sid, spec in self.sources.items():
+            if spec.get("kind") not in _SOURCE_KINDS:
+                raise ValueError(
+                    f"source {sid!r}: unknown kind {spec.get('kind')!r} (expected {_SOURCE_KINDS})"
+                )
+        if self.sink.get("kind", "none") not in _SINK_KINDS:
+            raise ValueError(
+                f"sink kind {self.sink.get('kind')!r} unknown (expected {_SINK_KINDS})"
+            )
+
+    def external_stream_ids(self) -> set[str]:
+        ids: set[str] = set()
+
+        def walk(n: Node) -> None:
+            if n.op == "external_stream":
+                ids.add(n.params["stream_id"])
+            for i in n.inputs:
+                walk(i)
+
+        walk(self.plan)
+        return ids
+
+    # --- execution ----------------------------------------------------------
+
+    def _resolve_batch(self, spark: SparkSession, sid: str) -> DataFrame:
+        spec = self.sources[sid]
+        kind = spec["kind"]
+        if kind == "parquet":
+            from milan_spark.sources import ensure_read_conf
+
+            return ensure_read_conf(spark).read.parquet(spec["path"])
+        if kind == "file":
+            from milan_spark.sources import file_source
+
+            return file_source(
+                spark, spec["path"], fmt=spec.get("fmt", "parquet"), options=spec.get("options")
+            )
+        rows = [tuple(r) for r in spec["rows"]]
+        return spark.createDataFrame(rows, schema=spec.get("schema"))
+
+    def _resolve_streaming(self, spark: SparkSession, sid: str) -> DataFrame:
+        spec = self.sources[sid]
+        if spec["kind"] == "list":
+            raise ValueError(f"source {sid!r}: list sources have no unbounded realization")
+        from milan_spark.plans.backend_streaming import _stage_dir
+        from milan_spark.sources import ensure_read_conf, file_stream_source
+
+        fmt = spec.get("fmt", "parquet")
+        options = spec.get("options") or {}
+        reader = ensure_read_conf(spark).read.format(fmt)
+        if options:
+            reader = reader.options(**options)
+        schema = reader.load(spec["path"]).schema
+        return file_stream_source(spark, _stage_dir(spec["path"]), fmt=fmt, schema=schema, options=options)
+
+    def _observe(self, df: DataFrame):
+        if not self.metrics:
+            return df, None
+        from milan_spark.observability import observe
+
+        return observe(
+            df, f"{self.app_id}_metrics", **{a: F.expr(e) for a, e in self.metrics.items()}
+        )
+
+    def run_batch(self, spark: SparkSession):
+        """source bindings → batch compile → sink. Returns (DataFrame,
+        Observation-or-None); for the memory sink the DataFrame is also
+        registered as a temp view under the sink's name."""
+        self.validate()
+        bound = {sid: self._resolve_batch(spark, sid) for sid in self.sources}
+        df = compile_node(self.plan, spark, sources=bound)
+        df, obs = self._observe(df)
+        kind = self.sink.get("kind", "none")
+        if kind == "memory":
+            df.createOrReplaceTempView(self.sink["name"])
+        elif kind == "file":
+            df.write.mode(self.sink.get("mode", "overwrite")).format(
+                self.sink.get("fmt", "parquet")
+            ).save(self.sink["path"])
+        return df, obs
+
+    def run_streaming(self, spark: SparkSession):
+        """source bindings → streaming compile → sink. The memory sink runs
+        the bounded stream to completion (availableNow) and returns the sink
+        table — the reference's SingletonMemorySink test harness shape; the
+        file sink returns the started StreamingQuery."""
+        self.validate()
+        from milan_spark.plans.backend_streaming import compile_node_streaming
+
+        bound = {sid: self._resolve_streaming(spark, sid) for sid in self.sources}
+        sdf = compile_node_streaming(self.plan, spark, source_overrides=bound)
+        kind = self.sink.get("kind", "none")
+        if kind == "memory":
+            from milan_spark.streaming import run_to_memory
+
+            return run_to_memory(
+                sdf, self.sink["name"], output_mode=self.sink.get("output_mode", "append")
+            )
+        if kind == "file":
+            from milan_spark.streaming import file_sink
+
+            return file_sink(
+                sdf,
+                self.sink["path"],
+                fmt=self.sink.get("fmt", "parquet"),
+                output_mode=self.sink.get("output_mode", "append"),
+            )
+        return sdf

@@ -199,6 +199,13 @@ def compile_node_streaming(
     def _compile_streaming_op(n: Node) -> DataFrame:
         if n.node_id in overrides:
             return overrides[n.node_id]
+        if n.op == "external_stream":
+            sid = n.params["stream_id"]
+            if sid not in overrides:
+                raise ValueError(
+                    f"external_stream {sid!r} is unbound; pass it via source_overrides"
+                )
+            return overrides[sid]
         if n.op in _SOURCE_OPS:
             by_path = overrides.get(n.params.get("path", ""))
             if by_path is not None:

@@ -90,7 +90,9 @@ def from_json(text: str) -> Node:
     return build(doc["root"])
 
 
-def compile_node(node: Node, spark: SparkSession) -> DataFrame:
+def compile_node(
+    node: Node, spark: SparkSession, sources: dict[str, DataFrame] | None = None
+) -> DataFrame:
     """Compile a serializable plan to a DataFrame (the batch backend).
 
     Dispatch-by-op mirrors the reference's GeneratorContext
@@ -98,13 +100,27 @@ def compile_node(node: Node, spark: SparkSession) -> DataFrame:
     instead of Scala source; Catalyst then plans the physical execution.
     Memoized per node id like the reference's common-subgraph reuse
     (``GeneratorContext.scala:89-100``).
+
+    ``sources`` binds ``external_stream`` placeholder nodes by stream id —
+    the reference's deploy-time source binding
+    (``application/ApplicationConfiguration.scala:29-52`` attaches
+    DataSources to stream ids, separate from the portable program graph).
     """
     memo: dict[str, DataFrame] = {}
+    sources = sources or {}
 
     def compile_(n: Node) -> DataFrame:
         if n.node_id in memo:
             return memo[n.node_id]
-        df = _compile_op(n, spark, [compile_(i) for i in n.inputs])
+        if n.op == "external_stream":
+            sid = n.params["stream_id"]
+            if sid not in sources:
+                raise ValueError(
+                    f"external_stream {sid!r} is unbound; pass sources={{{sid!r}: df}}"
+                )
+            df = sources[sid]
+        else:
+            df = _compile_op(n, spark, [compile_(i) for i in n.inputs])
         memo[n.node_id] = df
         return df
 

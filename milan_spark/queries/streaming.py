@@ -810,3 +810,50 @@ def streaming_from_ir_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     out = compile_node_streaming(_ir_left_join_plan(sf_dir), spark)
     return run_to_memory(out, "streaming_from_ir")
+
+
+@register(
+    "application_bundle_run",
+    doc="ApplicationInstance lifecycle end-to-end (ApplicationInstance.scala:"
+    "27-30, ApplicationConfiguration.scala:29-154, TreeParser.scala:23-120): "
+    "an Application bundle — external_stream plan + source binding by stream "
+    "id + memory sink + metrics — is serialized to its portable JSON, "
+    "deserialized, and run on the STREAMING backend (source -> plan -> "
+    "memory sink); the result is hash-matched against the oracle.",
+    oracle="""
+SELECT user_id, COUNT(*) AS n,
+       CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS total_cents
+FROM events WHERE event_type = 'purchase'
+GROUP BY user_id
+""",
+)
+def application_bundle_run_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from milan_spark.application import Application
+    from milan_spark.plans import Node
+
+    plan = Node(
+        "aggregate",
+        {"keys": ["user_id"], "aggs": {"n": "count(*)", "total_cents": "sum(cents)"}},
+        [
+            Node(
+                "map",
+                {"exprs": ["user_id", "CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents"]},
+                [
+                    Node(
+                        "filter",
+                        {"condition": "event_type = 'purchase'"},
+                        [Node("external_stream", {"stream_id": "events"})],
+                    )
+                ],
+            )
+        ],
+    )
+    app = Application(
+        app_id="bundle_purchase_rollup",
+        plan=plan,
+        sources={"events": {"kind": "parquet", "path": f"{sf_dir}/events.parquet"}},
+        sink={"kind": "memory", "name": "application_bundle_out", "output_mode": "complete"},
+        metrics={"n_groups": "count(*)"},
+    )
+    shipped = Application.from_json(app.to_json())  # the portable JSON is what runs
+    return shipped.run_streaming(spark)

@@ -1,0 +1,96 @@
+"""Application bundle round-trip + end-to-end execution — the engine analog
+of the reference's TestTreeParser.scala (JSON round-trip of whole programs)
+and ApplicationInstance lifecycle (serialize → ship → bind sources → run)."""
+
+from __future__ import annotations
+
+import pytest
+
+from milan_spark.application import Application
+from milan_spark.plans import Node
+
+EV = "/root/testdata/sf0.001/events.parquet"
+
+
+def _purchase_rollup_plan() -> Node:
+    src = Node("external_stream", {"stream_id": "events"})
+    filt = Node("filter", {"condition": "event_type = 'purchase'"}, [src])
+    proj = Node(
+        "map",
+        {"exprs": ["user_id", "CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents"]},
+        [filt],
+    )
+    return Node(
+        "aggregate",
+        {"keys": ["user_id"], "aggs": {"n": "count(*)", "total_cents": "sum(cents)"}},
+        [proj],
+    )
+
+
+def _bundle() -> Application:
+    return Application(
+        app_id="purchase_rollup",
+        plan=_purchase_rollup_plan(),
+        sources={"events": {"kind": "parquet", "path": EV}},
+        sink={"kind": "memory", "name": "purchase_rollup_out"},
+        metrics={"n_out": "count(*)", "max_total": "max(total_cents)"},
+    )
+
+
+def test_bundle_golden_roundtrip():
+    app = _bundle()
+    text = app.to_json()
+    again = Application.from_json(text)
+    # byte-identical re-serialization — the TreeParser round-trip contract
+    assert again.to_json() == text
+    assert again.app_id == "purchase_rollup"
+    assert again.external_stream_ids() == {"events"}
+    assert again.sources["events"]["path"] == EV
+    assert again.metrics["n_out"] == "count(*)"
+
+
+def test_bundle_runs_end_to_end_from_deserialized_json(spark):
+    app = Application.from_json(_bundle().to_json())
+    df, obs = app.run_batch(spark)
+    rows = {r["user_id"]: (r["n"], r["total_cents"]) for r in df.collect()}
+    assert len(rows) > 0
+    # metrics rode the same action (Dataset.observe — no extra pass)
+    assert obs.get["n_out"] == len(rows)
+    assert obs.get["max_total"] == max(t for _, t in rows.values())
+    # memory sink registered the temp view
+    assert spark.table("purchase_rollup_out").columns == ["user_id", "n", "total_cents"]
+
+
+def test_bundle_streaming_backend_same_results(spark):
+    app = Application.from_json(_bundle().to_json())
+    app.sink = {"kind": "memory", "name": "purchase_rollup_stream", "output_mode": "complete"}
+    mem = app.run_streaming(spark)
+    batch_df, _ = app.run_batch(spark)
+    assert sorted(tuple(r) for r in mem.collect()) == sorted(
+        tuple(r) for r in batch_df.collect()
+    )
+
+
+def test_bundle_unbound_stream_rejected():
+    app = _bundle()
+    app.sources = {}
+    with pytest.raises(ValueError, match="unbound external streams"):
+        app.to_json()
+
+
+def test_bundle_bad_kinds_rejected():
+    app = _bundle()
+    app.sources["events"] = {"kind": "kinesis", "path": "arn:..."}
+    with pytest.raises(ValueError, match="unknown kind"):
+        app.validate()
+    app = _bundle()
+    app.sink = {"kind": "dynamo"}
+    with pytest.raises(ValueError, match="sink kind"):
+        app.validate()
+
+
+def test_unbound_external_stream_fails_at_compile(spark):
+    from milan_spark.plans import compile_node
+
+    with pytest.raises(ValueError, match="unbound"):
+        compile_node(_purchase_rollup_plan(), spark)
