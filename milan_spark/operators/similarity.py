@@ -22,6 +22,25 @@ from pyspark.sql import Column, DataFrame, Window as W, functions as F
 QUANT = 1 << 20  # quantization grid: float -> round(x * 2^20) as int64
 
 
+def maybe_broadcast(df: DataFrame, threshold: int | None = None) -> DataFrame:
+    """Size-gated broadcast hint: hint only when Catalyst's optimized-plan
+    estimate fits under ``threshold`` bytes; otherwise return the frame
+    unhinted so Catalyst/AQE plans a shuffle join. An unconditional
+    ``F.broadcast`` on a data-dependent frame (e.g. IVF probe candidates —
+    O(queries × probed-cell members)) forces tens of millions of rows
+    through the driver at billion-vector scale; the gate keeps the
+    small-case plan and degrades to the distributed one automatically.
+    Estimate unavailable → no hint (the conservative side)."""
+    from milan_spark.plans.rewrite import DEFAULT_BROADCAST_THRESHOLD, _catalyst_size
+
+    if threshold is None:
+        threshold = DEFAULT_BROADCAST_THRESHOLD
+    size = _catalyst_size(df)
+    if size is not None and size <= threshold:
+        return F.broadcast(df)
+    return df
+
+
 def quantize(vec) -> Column:
     vec = F.col(vec) if isinstance(vec, str) else vec
     return F.transform(vec, lambda x: F.floor(x.cast("double") * QUANT + F.lit(0.5)).cast("long"))
@@ -425,6 +444,147 @@ def pq_codebooks(
     return books.select("sub", "cell", "__cent")
 
 
+def kmeans_cells_grouped(
+    frame: DataFrame, n_codes: int, iters: int, dim: int, gid: str = "cell"
+) -> DataFrame:
+    """Deterministic Lloyd k-means PER GROUP in one set of jobs: ``frame``
+    is (gid, __vid, __v); every group trains its own ``n_codes``-centroid
+    codebook simultaneously (seeds = the group's ``n_codes`` smallest-id
+    vectors; floor-mean updates; (d, code) tie-breaks — the exact grouped
+    twin of :func:`kmeans_cells`). Returns (gid, code, __cent).
+
+    This is what residual PQ needs — one codebook per coarse cell — without
+    n_cells separate Lloyd drivers: assignments join members to their OWN
+    group's centroids (the all-group codebook table is tiny → broadcast),
+    and the update is one combinable groupBy(gid, code). Total jobs stay
+    O(iters), independent of group count."""
+    spark = frame.sparkSession
+    wseed = W.partitionBy(gid).orderBy("__vid")
+    cents = (
+        frame.withColumn("__rn", F.row_number().over(wseed))
+        .filter(F.col("__rn") <= n_codes)
+        .select(F.col(gid), (F.col("__rn") - 1).alias("code"), F.col("__v").alias("__cent"))
+    )
+    comps = ", ".join(
+        f"cast(floor(cast(sum(__v[{i}]) as double) / count(1)) as bigint)" for i in range(dim)
+    )
+    update_sql = f"SELECT {gid}, code, array({comps}) AS __cent FROM {{best}} GROUP BY {gid}, code"
+    for _ in range(iters):
+        d = frame.join(F.broadcast(cents), gid).withColumn(
+            "__d", _l2_int(F.col("__v"), F.col("__cent"))
+        )
+        best = (
+            d.groupBy(gid, "__vid")
+            .agg(F.min(F.struct("__d", "code", "__v")).alias("__m"))
+            .select(gid, F.col("__m.code").alias("code"), F.col("__m.__v").alias("__v"))
+        )
+        cents = spark.sql(update_sql, best=best).localCheckpoint(eager=False)
+    return cents
+
+
+def ann_ivfpq_residual(
+    corpus: DataFrame,
+    id_col: str,
+    vec_col: str,
+    query_ids,
+    k: int = 5,
+    n_cells: int = 8,
+    n_probe: int = 2,
+    coarse_iters: int = 2,
+    m_subs: int = 4,
+    pq_iters: int = 1,
+    dim: int | None = None,
+) -> DataFrame:
+    """IVF + RESIDUAL PQ (Jégou et al., TPAMI 2011 §III.C — the standard
+    recall upgrade over :func:`ann_ivfpq`'s flat codebooks): PQ codebooks
+    are trained per coarse cell on the RESIDUALS ``v − centroid(cell)``,
+    whose spread is much tighter than the raw vectors', so the same code
+    budget quantizes finer. Queries residualize against each PROBED cell's
+    centroid and look up that cell's own codebook.
+
+    Plan shape (better than flat IVFPQ): there is no materialized candidate
+    frame at all — the probed-cell membership IS the ``codes ⋈ probes``
+    equi-join on cell, with probes and the LUT tiny broadcasts; the grouped
+    Lloyd (:func:`kmeans_cells_grouped`) trains all n_cells × m_subs
+    codebooks in O(iters) jobs. Exact-int64 throughout (integer residuals,
+    floor-means, (d, code)/(d, cell) struct tie-breaks) → full value
+    oracle. Output: query_id, neighbor_id, rank, approx_d2.
+    """
+    ci = corpus.select(F.col(id_col).alias("__vid"), quantize(vec_col).alias("__v")).persist()
+    if dim is None:
+        dim = _dim_of(ci)
+    d_sub = dim // m_subs
+    if dim % m_subs:
+        raise ValueError(f"dim {dim} not divisible by m_subs {m_subs}")
+
+    coarse = kmeans_cells(ci, n_cells, coarse_iters, dim=dim).persist()
+    assign = _best_cell(ci, coarse)
+    res = assign.join(F.broadcast(coarse), "cell").select(
+        "__vid",
+        "cell",
+        F.zip_with("__v", "__cent", lambda x, c: x - c).alias("__r"),
+    ).persist()
+
+    # per-cell, per-subspace codebooks + member codes
+    books = None
+    codes = None
+    for s in range(m_subs):
+        res_s = res.select("cell", "__vid", F.slice("__r", s * d_sub + 1, d_sub).alias("__v"))
+        b = kmeans_cells_grouped(res_s, n_cells, pq_iters, dim=d_sub).withColumn(
+            "sub", F.lit(s)
+        )
+        d = res_s.join(F.broadcast(b), "cell").withColumn(
+            "__d", _l2_int(F.col("__v"), F.col("__cent"))
+        )
+        c = (
+            d.groupBy("cell", "__vid")
+            .agg(F.min(F.struct("__d", "code")).alias("__m"))
+            .select("cell", "__vid", F.lit(s).alias("sub"), F.col("__m.code").alias("code"))
+        )
+        books = b if books is None else books.unionByName(b)
+        codes = c if codes is None else codes.unionByName(c)
+
+    # probes: each query's n_probe nearest coarse cells
+    dist_q = (
+        ci.filter(F.col("__vid").isin(list(query_ids)))
+        .crossJoin(F.broadcast(coarse))
+        .withColumn("__d", _l2_int(F.col("__v"), F.col("__cent")))
+    )
+    wp = W.partitionBy("__vid").orderBy("__d", "cell")
+    probes = (
+        dist_q.withColumn("__rn", F.row_number().over(wp))
+        .filter(F.col("__rn") <= n_probe)
+        .select(F.col("__vid").alias("query_id"), "cell", F.col("__v").alias("__qv"))
+    )
+    # per-probed-cell residual query → LUT against THAT cell's codebook
+    rq = probes.join(F.broadcast(coarse), "cell").select(
+        "query_id", "cell", F.zip_with("__qv", "__cent", lambda x, c: x - c).alias("__rq")
+    )
+    lut = None
+    for s in range(m_subs):
+        rq_s = rq.select("query_id", "cell", F.slice("__rq", s * d_sub + 1, d_sub).alias("__q"))
+        l = (
+            rq_s.join(F.broadcast(books.filter(F.col("sub") == s)), "cell")
+            .withColumn("__d", _l2_int(F.col("__q"), F.col("__cent")))
+            .select("query_id", "cell", "sub", "code", "__d")
+        )
+        lut = l if lut is None else lut.unionByName(l)
+
+    est = (
+        codes.join(F.broadcast(probes.select("query_id", "cell")), "cell")
+        .join(F.broadcast(lut), ["query_id", "cell", "sub", "code"])
+        .filter(F.col("__vid") != F.col("query_id"))
+        .groupBy("query_id", F.col("__vid").alias("neighbor_id"))
+        .agg(F.sum("__d").alias("approx_d2"))
+    )
+    wk = W.partitionBy("query_id").orderBy("approx_d2", "neighbor_id")
+    return (
+        est.withColumn("rank", F.row_number().over(wk))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "approx_d2")
+    )
+
+
 def pq_encode(corpus_int: DataFrame, books: DataFrame, m_subs: int, dim: int) -> DataFrame:
     """Encode every vector as its nearest codebook cell per subspace —
     long form (``__vid``, sub, code): the whole corpus compresses to
@@ -518,6 +678,7 @@ def ann_ivfpq(
     m_subs: int = 4,
     pq_iters: int = 1,
     dim: int | None = None,
+    broadcast_threshold: int | None = None,
 ) -> DataFrame:
     """IVF + PQ — the standard billion-vector ANN composition: the IVF
     coarse quantizer (:func:`kmeans_cells`) prunes the corpus to the
@@ -527,11 +688,17 @@ def ann_ivfpq(
     table (flat PQ) nor any raw corpus vector is touched.
 
     Flat-PQ variant: codebooks are trained on the vectors themselves, not
-    per-cell residuals (residual PQ needs one codebook per coarse cell —
-    n_cells× the codebook state for a recall gain this exact-integer
-    pipeline can add later; flat is the simpler standard baseline).
-    All exact-int64 and deterministic → full value oracle.
-    Output: query_id, neighbor_id, rank, approx_d2.
+    per-cell residuals (:func:`ann_ivfpq_residual` adds the per-cell
+    residual codebooks). All exact-int64 and deterministic → full value
+    oracle. Output: query_id, neighbor_id, rank, approx_d2.
+
+    Broadcast policy: the LUT and probe frames are tiny by construction and
+    carry hints; the CANDIDATE frame is data-dependent (queries ×
+    probed-cell members — tens of millions of rows at a billion vectors),
+    so it goes through :func:`maybe_broadcast`: hinted only when the
+    Catalyst estimate fits ``broadcast_threshold``, otherwise left to AQE's
+    runtime statistics (broadcast when actually small, shuffle join when
+    not). Nothing is ever forced through the driver on an estimate.
     """
     ci = corpus.select(F.col(id_col).alias("__vid"), quantize(vec_col).alias("__v")).persist()
     if dim is None:
@@ -570,8 +737,16 @@ def ann_ivfpq(
         )
         lut = l if lut is None else lut.unionByName(l)
 
+    # the candidate frame is data-dependent (queries × probed-cell members):
+    # broadcast only when the Catalyst estimate says it fits, else join on
+    # __vid as a shuffle join (degrades gracefully at billion-vector scale)
     est = (
-        codes.join(F.broadcast(cand.withColumnRenamed("neighbor_id", "__vid")), "__vid")
+        codes.join(
+            maybe_broadcast(
+                cand.withColumnRenamed("neighbor_id", "__vid"), broadcast_threshold
+            ),
+            "__vid",
+        )
         .join(F.broadcast(lut), ["query_id", "sub", "code"])
         .filter(F.col("__vid") != F.col("query_id"))
         .groupBy("query_id", F.col("__vid").alias("neighbor_id"))

@@ -670,6 +670,100 @@ def ann_ivfpq_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.ann_ivfpq(emb, "vec_id", "embedding", query_ids=range(10), k=5, dim=64)
 
 
+def _ivfpq_residual_oracle(
+    n_cells: int = 8, n_probe: int = 2, coarse_iters: int = 2,
+    m: int = 4, pq_iters: int = 1, k: int = 5, n_queries: int = 10, dim: int = 64,
+) -> str:
+    """operators.similarity.ann_ivfpq_residual: the coarse Lloyd chain, then
+    PER-CELL residual components (x − own cell's centroid), per-cell
+    per-subspace codebooks (grouped Lloyd — cell rides every CTE as a
+    grouping column, so the chains don't unroll over cells), per-probed-cell
+    residual queries, and ADC against each probed cell's own codebook.
+    MATERIALIZED on every CTE reused across rounds/subspaces (DuckDB inlines
+    single-reference CTEs transitively — exponential re-evaluation without
+    the hint)."""
+    d_sub = dim // m
+    T = coarse_iters
+    parts = _kmeans_ctes(n_cells, T)
+    parts.append(f""", res AS MATERIALIZED (
+  SELECT e.vec_id, a.c AS cell, e.i, e.x - ct.w AS x
+  FROM ex e JOIN assign{T} a ON e.vec_id = a.vec_id
+  JOIN cent{T} ct ON ct.c = a.c AND ct.i = e.i
+), rseed AS MATERIALIZED (
+  SELECT vec_id, cell, ROW_NUMBER() OVER (PARTITION BY cell ORDER BY vec_id) - 1 AS code
+  FROM (SELECT DISTINCT vec_id, cell FROM res)
+)""")
+    for s in range(m):
+        lo, hi = s * d_sub, (s + 1) * d_sub  # ex's i is 1-based
+        parts.append(f""", rcent0_{s} AS MATERIALIZED (
+  SELECT r.cell, sd.code, r.i, r.x AS w
+  FROM rseed sd JOIN res r ON r.vec_id = sd.vec_id AND r.cell = sd.cell
+  WHERE sd.code < {n_cells} AND r.i > {lo} AND r.i <= {hi}
+)""")
+        for t in range(pq_iters + 1):
+            parts.append(f""", rd{t}_{s} AS MATERIALIZED (
+  SELECT r.vec_id, r.cell, ct.code, SUM((r.x - ct.w) * (r.x - ct.w)) AS d
+  FROM res r JOIN rcent{t}_{s} ct ON ct.cell = r.cell AND ct.i = r.i
+  WHERE r.i > {lo} AND r.i <= {hi} GROUP BY 1, 2, 3
+), ra{t}_{s} AS MATERIALIZED (
+  SELECT vec_id, cell, code FROM (
+    SELECT vec_id, cell, code, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d, code) AS rn
+    FROM rd{t}_{s}
+  ) WHERE rn = 1
+)""")
+            if t < pq_iters:
+                parts.append(f""", rcent{t + 1}_{s} AS MATERIALIZED (
+  SELECT a.cell, a.code, r.i, CAST(floor(CAST(SUM(r.x) AS DOUBLE) / COUNT(*)) AS BIGINT) AS w
+  FROM ra{t}_{s} a JOIN res r ON r.vec_id = a.vec_id
+  WHERE r.i > {lo} AND r.i <= {hi} GROUP BY 1, 2, 3
+)""")
+    codes = " UNION ALL ".join(
+        f"SELECT vec_id, cell, {s} AS sub, code FROM ra{pq_iters}_{s}" for s in range(m)
+    )
+    lut = " UNION ALL ".join(
+        f"""SELECT rq.query_id, rq.cell, {s} AS sub, ct.code,
+       SUM((rq.x - ct.w) * (rq.x - ct.w)) AS d
+  FROM rquery rq JOIN rcent{pq_iters}_{s} ct ON ct.cell = rq.cell AND ct.i = rq.i
+  WHERE rq.i > {s * d_sub} AND rq.i <= {(s + 1) * d_sub} GROUP BY 1, 2, 4""" for s in range(m)
+    )
+    parts.append(f""", probe AS MATERIALIZED (
+  SELECT vec_id AS query_id, c AS cell FROM (
+    SELECT vec_id, c, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d, c) AS rn
+    FROM dist{T} WHERE vec_id < {n_queries}
+  ) WHERE rn <= {n_probe}
+), rquery AS MATERIALIZED (
+  SELECT p.query_id, p.cell, e.i, e.x - ct.w AS x
+  FROM probe p JOIN ex e ON e.vec_id = p.query_id
+  JOIN cent{T} ct ON ct.c = p.cell AND ct.i = e.i
+), codes AS MATERIALIZED ({codes}), lut AS MATERIALIZED ({lut}), est AS (
+  SELECT l.query_id, c.vec_id AS neighbor_id, CAST(SUM(l.d) AS BIGINT) AS approx_d2
+  FROM codes c JOIN lut l ON l.cell = c.cell AND l.sub = c.sub AND l.code = c.code
+  WHERE c.vec_id != l.query_id GROUP BY 1, 2
+)
+SELECT query_id, neighbor_id, rank, approx_d2 FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY approx_d2, neighbor_id) AS rank
+  FROM est
+) WHERE rank <= {k}""")
+    return "".join(parts)
+
+
+@register(
+    "ann_ivfpq_residual",
+    doc="IVF + RESIDUAL PQ (Jegou et al. TPAMI'11 III.C, the standard "
+    "recall upgrade over flat ann_ivfpq): PQ codebooks trained PER COARSE "
+    "CELL on the residuals v - centroid(cell) via one grouped Lloyd "
+    "(all n_cells x m_subs codebooks in O(iters) jobs), queries "
+    "residualized against each probed cell's centroid and scored by ADC "
+    "against that cell's own codebook. No materialized candidate frame at "
+    "all - probed membership IS the codes-to-probes equi-join, probes/LUT "
+    "tiny broadcasts. Exact-int64 end to end.",
+    oracle=_ivfpq_residual_oracle(),
+)
+def ann_ivfpq_residual_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = table(spark, sf_dir, "embeddings")
+    return S.ann_ivfpq_residual(emb, "vec_id", "embedding", query_ids=range(10), k=5, dim=64)
+
+
 def _semantic_dedup_oracle(threshold: float = 0.4, n_cells: int = 8, iters: int = 2) -> str:
     """operators.similarity.semantic_dedup, restated in SQL: the shared
     deterministic-Lloyd chain, then within-cluster pairs (a < b) whose

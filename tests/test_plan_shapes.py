@@ -512,3 +512,47 @@ def test_kmeans_assignment_broadcasts_centroids(spark):
     p = plan(q("kmeans_embedding_clusters", spark))
     assert n_nodes(p, "BroadcastNestedLoopJoin") >= 3  # one per assignment round
     assert "MapInPandas" not in p and "ArrowEvalPython" not in p
+
+
+def _analyzed(df) -> str:
+    return df._jdf.queryExecution().analyzed().toString()
+
+
+def test_maybe_broadcast_gates_on_catalyst_estimate(spark):
+    """The size gate hints only frames whose Catalyst estimate fits: a
+    scan-backed frame (reliable parquet-size stats) gets the hint under the
+    default threshold and loses it at threshold=1; a join-derived frame
+    (estimate = product of inputs, astronomically overestimated) is never
+    force-broadcast — the decision is left to AQE's runtime statistics."""
+    from milan_spark.operators.similarity import maybe_broadcast
+
+    emb = table(spark, SF_DIR, "embeddings").select("vec_id")
+    docs = table(spark, SF_DIR, "documents").select("doc_id")
+    assert "ResolvedHint" in _analyzed(maybe_broadcast(emb))
+    assert "ResolvedHint" not in _analyzed(maybe_broadcast(emb, threshold=1))
+    derived = emb.crossJoin(docs)  # no column stats -> garbage-large estimate
+    assert "ResolvedHint" not in _analyzed(maybe_broadcast(derived))
+
+
+def test_ivfpq_candidate_join_left_to_aqe(spark):
+    """ann_ivfpq no longer force-broadcasts the data-dependent candidate
+    frame: its analyzed plan carries exactly the same hints whether the
+    threshold is default or 1 byte (the candidate frame is unhinted either
+    way — AQE converts the join to broadcast at runtime when the ACTUAL
+    size fits, and keeps the shuffle join at billion-vector scale), and
+    results are identical."""
+    from milan_spark.operators import similarity as S
+
+    emb = table(spark, SF_DIR, "embeddings")
+    default = S.ann_ivfpq(emb, "vec_id", "embedding", query_ids=range(10), k=5, dim=64)
+    gated = S.ann_ivfpq(
+        emb, "vec_id", "embedding", query_ids=range(10), k=5, dim=64,
+        broadcast_threshold=1,
+    )
+    n_default = _analyzed(default).count("ResolvedHint")
+    n_gated = _analyzed(gated).count("ResolvedHint")
+    assert n_default == n_gated > 0  # only the genuinely tiny frames hint
+    assert "AdaptiveSparkPlan" in plan(default)
+    assert sorted(tuple(r) for r in default.collect()) == sorted(
+        tuple(r) for r in gated.collect()
+    )
