@@ -115,6 +115,30 @@ class Application:
                 f"sink kind {self.sink.get('kind')!r} unknown (expected {_SINK_KINDS})"
             )
 
+    def typecheck(self, spark: SparkSession) -> dict:
+        """Full graph typecheck (the reference runs typeCheckGraph before any
+        compiler, graph/package.scala:11-25): resolve every node against
+        empty frames of the bound source schemas — no data I/O, no jobs.
+        Returns {node_id: schema}; raises MilanAnalysisError naming the
+        failing node."""
+        from milan_spark.plans.validate import validate_plan
+
+        self.validate()
+        schemas = {}
+        for sid in self.external_stream_ids():
+            spec = self.sources[sid]
+            if spec["kind"] == "list":
+                df = self._resolve_batch(spark, sid)
+                schemas[sid] = df.schema
+            else:
+                from milan_spark.plans.validate import _source_schema
+                from milan_spark.plans.nodes import Node as _N
+
+                kind = "parquet_source" if spec["kind"] == "parquet" else "file_source"
+                probe = _N(kind, {k: v for k, v in spec.items() if k != "kind"})
+                schemas[sid] = _source_schema(probe, spark)
+        return validate_plan(self.plan, spark, source_schemas=schemas)
+
     def external_stream_ids(self) -> set[str]:
         ids: set[str] = set()
 

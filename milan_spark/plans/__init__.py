@@ -1,4 +1,12 @@
 from milan_spark.plans.nodes import Node, to_json, from_json, compile_node
 from milan_spark.plans.backend_streaming import compile_node_streaming
+from milan_spark.plans.validate import validate_plan
 
-__all__ = ["Node", "to_json", "from_json", "compile_node", "compile_node_streaming"]
+__all__ = [
+    "Node",
+    "to_json",
+    "from_json",
+    "compile_node",
+    "compile_node_streaming",
+    "validate_plan",
+]

@@ -1,0 +1,96 @@
+"""Graph typechecking for serialized plans — the analog of the reference's
+``typeCheckGraph`` (``graph/package.scala:11-25`` →
+``program/TypeChecker.scala:49-75``): validate a (possibly deserialized)
+plan BEFORE executing it, and report failures by NODE, not as a deep
+Catalyst trace from somewhere inside a composed DataFrame.
+
+Strategy: walk the DAG bottom-up and compile every node against EMPTY
+DataFrames carrying the real source schemas — Catalyst's analyzer then IS
+the type checker (column resolution, numeric coercion, aggregate typing),
+run against zero rows so validation reads no data (source schemas come
+from file metadata only). The first
+failing node raises :class:`~milan_spark.errors.MilanAnalysisError` naming
+its ``node_id``, op, and params; success returns every node's inferred
+schema (the engine's TypeDescriptor table).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.types import StructType
+from pyspark.sql.utils import AnalysisException
+
+from milan_spark.errors import MilanAnalysisError, _condense
+from milan_spark.plans.nodes import Node, _compile_op
+
+
+def _empty(spark: SparkSession, schema: StructType) -> DataFrame:
+    return spark.createDataFrame([], schema)
+
+
+def _source_schema(n: Node, spark: SparkSession) -> StructType:
+    from milan_spark.sources import ensure_read_conf
+
+    p = n.params
+    if n.op == "parquet_source":
+        return ensure_read_conf(spark).read.parquet(p["path"]).schema
+    if n.op == "file_source":
+        reader = ensure_read_conf(spark).read.format(p.get("fmt", "parquet"))
+        if p.get("options"):
+            reader = reader.options(**p["options"])
+        return reader.load(p["path"]).schema
+    if n.op == "list_source":
+        if p.get("schema"):
+            return StructType.fromDDL(p["schema"])
+        return spark.createDataFrame(p["rows"]).schema
+    raise MilanAnalysisError(f"{n.op} [{n.node_id}]: not a source node")
+
+
+def validate_plan(
+    node: Node,
+    spark: SparkSession,
+    source_schemas: dict[str, StructType | str] | None = None,
+) -> dict[str, StructType]:
+    """Typecheck a plan; returns ``{node_id: output schema}`` on success.
+
+    ``source_schemas`` binds ``external_stream`` placeholders by stream id
+    (a StructType or a DDL string) — the deploy-time half an Application
+    bundle provides. Every other source's schema is read from its own path
+    metadata (no data I/O — parquet footers only).
+    """
+    bindings = {
+        sid: (StructType.fromDDL(s) if isinstance(s, str) else s)
+        for sid, s in (source_schemas or {}).items()
+    }
+    schemas: dict[str, StructType] = {}
+    frames: dict[str, DataFrame] = {}
+
+    def walk(n: Node) -> DataFrame:
+        if n.node_id in frames:
+            return frames[n.node_id]
+        if n.op == "external_stream":
+            sid = n.params["stream_id"]
+            if sid not in bindings:
+                raise MilanAnalysisError(
+                    f"external_stream [{n.node_id}]: stream id {sid!r} has no "
+                    f"schema binding; known ids: {sorted(bindings)}"
+                )
+            df = _empty(spark, bindings[sid])
+        elif n.op in ("parquet_source", "file_source", "list_source"):
+            df = _empty(spark, _source_schema(n, spark))
+        else:
+            ins = [walk(i) for i in n.inputs]
+            try:
+                df = _compile_op(n, spark, ins)
+            except AnalysisException as e:
+                in_cols = [list(i.columns) for i in ins]
+                raise MilanAnalysisError(
+                    f"{n.op} [{n.node_id}]: {_condense(e)}; params={n.params}; "
+                    f"input columns: {in_cols}"
+                ) from None
+        frames[n.node_id] = df
+        schemas[n.node_id] = df.schema
+        return df
+
+    walk(node)
+    return schemas

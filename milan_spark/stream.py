@@ -24,12 +24,19 @@ from typing import Callable, Iterable, Sequence
 
 from pyspark.sql import Column, DataFrame, SparkSession, functions as F
 
+from milan_spark.errors import analysis_scope, require_columns, require_temporal
 from milan_spark.plans.nodes import Node
 from milan_spark.session import SEQ_COL
 
 
 def _is_str(x) -> bool:
     return isinstance(x, str)
+
+
+def _join_keys(on, left_on, right_on) -> tuple[list, list]:
+    lo = [on] if isinstance(on, str) else list(on or left_on)
+    ro = [on] if isinstance(on, str) else list(on or right_on)
+    return lo, ro
 
 
 class Stream:
@@ -81,18 +88,20 @@ class Stream:
 
     def where(self, condition: str | Column) -> "Stream":
         """Milan Filter (lang/Stream.scala:155, StreamExpressions.scala:442)."""
-        if _is_str(condition):
-            return Stream(self.df.filter(condition), Node("filter", {"condition": condition}, [self.node]))
-        return Stream(self.df.filter(condition), Node("filter", serializable=False, inputs=[self.node]))
+        with analysis_scope("where", self.df.columns):
+            if _is_str(condition):
+                return Stream(self.df.filter(condition), Node("filter", {"condition": condition}, [self.node]))
+            return Stream(self.df.filter(condition), Node("filter", serializable=False, inputs=[self.node]))
 
     filter = where
 
     def map(self, *exprs: str | Column) -> "Stream":
         """Milan StreamMap / named-fields projection (lang/Stream.scala:164,
         lang/package.scala:8-31). String exprs may use ``expr AS name``."""
-        if all(_is_str(e) for e in exprs):
-            return Stream(self.df.selectExpr(*exprs), Node("map", {"exprs": list(exprs)}, [self.node]))
-        return Stream(self.df.select(*exprs), Node("map", serializable=False, inputs=[self.node]))
+        with analysis_scope("map", self.df.columns):
+            if all(_is_str(e) for e in exprs):
+                return Stream(self.df.selectExpr(*exprs), Node("map", {"exprs": list(exprs)}, [self.node]))
+            return Stream(self.df.select(*exprs), Node("map", serializable=False, inputs=[self.node]))
 
     select = map
 
@@ -100,8 +109,9 @@ class Stream:
         """Milan addFields (lang/Stream.scala:187)."""
         df = self.df
         serializable = all(_is_str(e) for e in fields.values())
-        for name, expr in fields.items():
-            df = df.withColumn(name, F.expr(expr) if _is_str(expr) else expr)
+        with analysis_scope("add_fields", self.df.columns):
+            for name, expr in fields.items():
+                df = df.withColumn(name, F.expr(expr) if _is_str(expr) else expr)
         node = Node(
             "add_fields",
             {"fields": fields} if serializable else {},
@@ -151,14 +161,17 @@ class Stream:
 
     def group_by(self, *keys: str) -> "GroupedStream":
         """Milan GroupBy (lang/Stream.scala:196, GroupingExpressions.scala:38)."""
+        require_columns("group_by", self.df, list(keys))
         return GroupedStream(self, list(keys))
 
     def tumbling_window(self, ts: str, period: str, offset: str | None = None) -> "WindowedStream":
         """Milan TumblingWindow (lang/Stream.scala:207)."""
+        require_temporal("tumbling_window", self.df, ts)
         return WindowedStream(self, ts, period, period, offset, keys=[])
 
     def sliding_window(self, ts: str, size: str, slide: str, offset: str | None = None) -> "WindowedStream":
         """Milan SlidingWindow (lang/Stream.scala:219)."""
+        require_temporal("sliding_window", self.df, ts)
         return WindowedStream(self, ts, size, slide, offset, keys=[])
 
     # --- joins (SURVEY §2.3) -----------------------------------------------
@@ -178,6 +191,9 @@ class Stream:
         """Milan LeftJoin — temporal left enrichment (doc/Milan Operations.md:31-39)."""
         from milan_spark.operators.joins import left_enrichment_join
 
+        __lo, __ro = _join_keys(on, left_on, right_on)
+        require_columns("left_join (left side)", self.df, __lo + [left_seq])
+        require_columns("left_join (right side)", other.df, __ro + [right_seq])
         df = left_enrichment_join(
             self.df,
             other.df,
@@ -215,6 +231,9 @@ class Stream:
         """Milan FullJoin — symmetric enrichment (doc/Milan Operations.md:41-46)."""
         from milan_spark.operators.joins import full_enrichment_join
 
+        __lo, __ro = _join_keys(on, left_on, right_on)
+        require_columns("full_join (left side)", self.df, __lo + [left_seq])
+        require_columns("full_join (right side)", other.df, __ro + [right_seq])
         df = full_enrichment_join(
             self.df,
             other.df,
@@ -250,6 +269,9 @@ class Stream:
         """Milan LeftInnerJoin — buffered enrichment (doc/Milan Operations.md:48-51)."""
         from milan_spark.operators.joins import left_inner_enrichment_join
 
+        __lo, __ro = _join_keys(on, left_on, right_on)
+        require_columns("left_inner_join (left side)", self.df, __lo + [left_seq])
+        require_columns("left_inner_join (right side)", other.df, __ro + [right_seq])
         df = left_inner_enrichment_join(
             self.df,
             other.df,
@@ -570,7 +592,8 @@ class GroupedStream:
         """Aggregate over the group; keyword = output column name. String
         values are SQL aggregate expressions; Columns pass through."""
         cols = [F.expr(e).alias(a) if _is_str(e) else e.alias(a) for a, e in aggs.items()]
-        df = self.parent.df.groupBy(*self.keys).agg(*cols)
+        with analysis_scope("group_by.select", self.parent.df.columns):
+            df = self.parent.df.groupBy(*self.keys).agg(*cols)
         serializable = all(_is_str(e) for e in aggs.values())
         node = Node(
             "aggregate",
@@ -667,9 +690,11 @@ class GroupedStream:
 
     def tumbling_window(self, ts: str, period: str, offset: str | None = None) -> "WindowedStream":
         """Keyed time window (lang/GroupedStream.scala:61)."""
+        require_temporal("tumbling_window", self.parent.df, ts)
         return WindowedStream(self.parent, ts, period, period, offset, keys=self.keys)
 
     def sliding_window(self, ts: str, size: str, slide: str, offset: str | None = None) -> "WindowedStream":
+        require_temporal("sliding_window", self.parent.df, ts)
         return WindowedStream(self.parent, ts, size, slide, offset, keys=self.keys)
 
     def last(self) -> Stream:
