@@ -25,8 +25,14 @@ Supported (the serializable streaming subset):
 - ``cum_window`` / ``running_sum_by`` → a keyed ``stateful.scan`` fold whose
   accumulator semantics mirror ``operators.scans.cum_fold`` exactly (SQL
   null-skipping, init folded in post-scan as ``init ⊕ cum``)
+- ``stream_max_by`` / ``stream_min_by`` → a per-key best-value state that
+  emits on strict improvement (Milan's every-element MaxBy/MinBy trigger)
+- ``record_window`` → bounded per-key list state emitting trailing-N
+  sum/count/min/max on every arrival (``stateful.record_window_apply``)
+- ``last`` → keyed/global max-seq streaming aggregation (complete mode)
+- ``distinct`` → Spark's native streaming ``dropDuplicates``
 
-Everything else (sorts/limits, rollup/cube, relational/asof joins, distinct)
+Everything else (sorts/limits, rollup/cube, relational/asof joins)
 is batch-shaped or lacks an append-mode streaming realization and raises a
 ``ValueError`` naming the op — the same explicitness as the batch compiler's
 logical-only nodes.
@@ -44,9 +50,11 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from milan_spark.plans.nodes import Node, _compile_op
 
-# ops whose batch DataFrame code is streaming-legal verbatim
+# ops whose batch DataFrame code is streaming-legal verbatim (distinct →
+# dropDuplicates, Spark's native streaming dedup with per-key state)
 _SHARED_OPS = frozenset(
-    {"filter", "map", "add_fields", "to_field", "union", "aggregate", "hint"}
+    {"filter", "map", "add_fields", "to_field", "union", "aggregate", "hint",
+     "distinct"}
 )
 
 _SOURCE_OPS = frozenset({"parquet_source", "file_source", "list_source"})
@@ -172,6 +180,136 @@ def _streaming_cum_fold(
     return out
 
 
+def _streaming_arg_compare(
+    sdf: DataFrame, arg: str, keys: list[str], seq: str, maximize: bool
+) -> DataFrame:
+    """Streaming twin of ``operators.scans.stream_max_by/min_by`` — Milan's
+    emit-on-improvement MaxBy/MinBy (ArgCompareProcessFunctions.scala): a
+    per-key value state holds the running best; an arrival emits iff its
+    ``arg`` STRICTLY improves it (equal values do not emit). NULL/NaN args
+    never improve, per SQL comparison semantics."""
+    from milan_spark.streaming import stateful
+
+    pre = sdf.withColumn("__cmparg", F.expr(arg))
+    pos = {c: i for i, c in enumerate(pre.columns)}
+    orig = list(sdf.columns)
+    argi = pos["__cmparg"]
+    out_ddl = ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in sdf.schema.fields)
+
+    def fold(state, rec):
+        v = rec[argi]
+        if v is None or (isinstance(v, float) and v != v):
+            return state, None
+        if state is None or (v > state if maximize else v < state):
+            return v, {c: rec[pos[c]] for c in orig}
+        return state, None
+
+    return stateful.scan(
+        pre, fold, initial_state=None, output_schema=out_ddl, keys=keys, seq=seq
+    )
+
+
+_RW_FUNCS = ("sum", "count", "min", "max")
+
+
+def _parse_trailing_agg(expr: str) -> tuple[str, str]:
+    """Split a record-window aggregate ``FUNC(inner)`` into (func, inner).
+    The serializable subset is the four exactly-replicable folds — sum /
+    count / min / max (SQL null-skipping); anything else (avg's
+    engine-specific decimal scale rules, UDF-shaped exprs) raises, matching
+    the compiler's name-the-op explicitness."""
+    import re
+
+    m = re.match(r"^\s*(\w+)\s*\((.*)\)\s*$", expr, re.DOTALL)
+    if not m or m.group(1).lower() not in _RW_FUNCS:
+        raise ValueError(
+            f"record_window aggregate {expr!r} has no streaming realization "
+            f"(supported: {', '.join(f + '(...)' for f in _RW_FUNCS)})"
+        )
+    return m.group(1).lower(), m.group(2).strip()
+
+
+def _streaming_record_window(
+    sdf: DataFrame, n: int, aggs: dict[str, str], keys: list[str], seq: str
+) -> DataFrame:
+    """Streaming twin of ``operators.windows.record_window`` — Milan's
+    SlidingRecordWindow (bounded per-key list state vs the reference's
+    priority-queue ValueState): every arrival emits the input row plus each
+    aggregate over the trailing ``n`` records inclusive.
+
+    Aggregate arguments are evaluated JVM-side as ``__rwarg_*`` columns
+    (exact decimal/int semantics); the Python fold only combines — integer
+    and Decimal sums are exact, floats match the batch window's
+    left-to-right arrival-order accumulation. The output schema is taken
+    from the BATCH operator compiled against a zero-row frame, so both
+    backends agree by construction.
+    """
+    from pyspark.sql.types import DecimalType, StructType
+
+    from milan_spark.operators.windows import record_window
+    from milan_spark.streaming import stateful
+
+    spark = sdf.sparkSession
+    parsed = {name: _parse_trailing_agg(e) for name, e in aggs.items()}
+
+    # batch-derived output schema (zero-row compile — no jobs run)
+    empty = spark.createDataFrame([], sdf.schema)
+    out_schema: StructType = record_window(
+        empty, n, {a: F.expr(e) for a, e in aggs.items()}, keys=keys, seq=seq
+    ).schema
+    out_fields = {f.name: f.dataType for f in out_schema.fields}
+
+    pre = sdf
+    argcols: dict[str, str] = {}
+    for name, (func, inner) in parsed.items():
+        if func == "count" and inner in ("*", "1"):
+            argcols[name] = ""  # row count — no argument column
+        else:
+            argcols[name] = f"__rwarg_{name}"
+            pre = pre.withColumn(argcols[name], F.expr(inner))
+
+    orig = list(sdf.columns)
+    names = list(aggs)
+    int_out = {
+        name for name in names
+        if out_fields[name].simpleString() in ("bigint", "int", "smallint", "tinyint")
+    }
+    dec_out = {name for name in names if isinstance(out_fields[name], DecimalType)}
+    funcs = {name: parsed[name][0] for name in names}
+
+    def _live(v) -> bool:
+        # pandas surfaces NULL numerics as NaN (nullable ints arrive as
+        # floats) — skip them per SQL aggregate semantics
+        return v is not None and not (isinstance(v, float) and math.isnan(v))
+
+    def agg_over(buf: list[dict], name: str):
+        func, col = funcs[name], argcols[name]
+        if func == "count":
+            if not col:
+                return len(buf)
+            return sum(1 for r in buf if _live(r[col]))
+        vals = [r[col] for r in buf if _live(r[col])]
+        if not vals:
+            return None
+        if func == "sum":
+            s = sum(vals)
+        else:
+            s = max(vals) if func == "max" else min(vals)
+        return int(s) if name in int_out else s
+
+    def fn(rows: list[dict]) -> dict:
+        out = {c: rows[-1][c] for c in orig}
+        for name in names:
+            out[name] = agg_over(rows, name)
+        return out
+
+    res = stateful.record_window_apply(
+        pre, n, fn, output_schema=out_schema, keys=keys, seq=seq
+    )
+    del dec_out  # decimals ride through as exact Decimal objects
+    return res
+
+
 def compile_node_streaming(
     node: Node,
     spark: SparkSession,
@@ -265,6 +403,32 @@ def compile_node_streaming(
                 keys=p.get("keys", []),
                 seq=p.get("seq", "__seq"),
             )
+        if n.op in ("stream_max_by", "stream_min_by"):
+            return _streaming_arg_compare(
+                ins[0],
+                p["arg"],
+                keys=p.get("keys", []),
+                seq=p.get("seq", "__seq"),
+                maximize=(n.op == "stream_max_by"),
+            )
+        if n.op == "record_window":
+            return _streaming_record_window(
+                ins[0],
+                p["n"],
+                dict(p["aggs"]),
+                keys=p.get("keys", []),
+                seq=p.get("seq", "__seq"),
+            )
+        if n.op == "last":
+            # Milan Last on the streaming backend: a keyed (or global)
+            # streaming aggregation holding the max-seq record — run in
+            # complete/update mode; matches operators.scans.last exactly
+            sdf = ins[0]
+            seq = p.get("seq", "__seq")
+            cols = list(sdf.columns)
+            payload = F.max_by(F.struct(*cols), F.col(seq)).alias("__last")
+            grouped = sdf.groupBy(*p.get("keys", [])).agg(payload)
+            return grouped.select(*[F.col(f"__last.{c}").alias(c) for c in cols])
         raise ValueError(
             f"op {n.op!r} has no streaming realization; compile with "
             "plans.nodes.compile_node (batch) instead"

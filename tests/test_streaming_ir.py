@@ -106,6 +106,18 @@ def test_running_sum_same_json_both_backends(spark):
     assert b == st and len(b) > 0
 
 
+def test_stream_max_by_same_json_both_backends(spark):
+    s = (
+        Stream.from_parquet(spark, EV)
+        .where("event_type = 'purchase'")
+        .map("event_id", "user_id", "value", "event_id AS __seq")
+        .max_by("value", keys=["user_id"])
+    )
+    text = to_json(s.node)
+    b, st = _both(spark, text, "ir_maxby_both")
+    assert b == st and len(b) > 0
+
+
 def test_streaming_compiler_rejects_batch_only_ops(spark):
     s = Stream.from_parquet(spark, EV).map("event_id").limit(5)
     text = to_json(s.node)
@@ -131,3 +143,65 @@ def test_source_overrides_bind_by_node_id_and_path(spark):
     mem = run_to_memory(out, "ir_override_both")
     batch = compile_node(node, spark)
     assert sorted(r[0] for r in mem.collect()) == sorted(r[0] for r in batch.collect())
+
+
+def test_record_window_same_json_both_backends(spark):
+    # trailing-3 per-user sum/count/min/max over integer cents — the four
+    # exactly-replicable folds; schema and values must agree bit-for-bit
+    s = (
+        Stream.from_parquet(spark, EV)
+        .where("event_type = 'click'")
+        .map(
+            "event_id",
+            "user_id",
+            "CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents",
+            "event_id AS __seq",
+        )
+        .group_by("user_id")
+        .record_window(
+            3,
+            {
+                "t_sum": "sum(cents)",
+                "t_n": "count(*)",
+                "t_min": "min(cents)",
+                "t_max": "max(cents)",
+            },
+        )
+    )
+    text = to_json(s.node)
+    b, st = _both(spark, text, "ir_recwin_both")
+    assert b == st and len(b) > 0
+
+
+def test_last_same_json_both_backends(spark):
+    s = (
+        Stream.from_parquet(spark, EV)
+        .map("event_id", "user_id", "event_type", "event_id AS __seq")
+        .group_by("user_id")
+        .last()
+    )
+    text = to_json(s.node)
+    b, st = _both(spark, text, "ir_last_both", output_mode="complete")
+    assert b == st and len(b) > 0
+
+
+def test_distinct_same_json_both_backends(spark):
+    s = (
+        Stream.from_parquet(spark, EV)
+        .map("user_id", "event_type")
+        .distinct()
+    )
+    text = to_json(s.node)
+    b, st = _both(spark, text, "ir_distinct_both")
+    assert b == st and len(b) > 0
+
+
+def test_record_window_rejects_unsupported_aggregate(spark):
+    s = (
+        Stream.from_parquet(spark, EV)
+        .map("event_id", "user_id", "value", "event_id AS __seq")
+        .group_by("user_id")
+        .record_window(3, {"t_avg": "avg(value)"})
+    )
+    with pytest.raises(ValueError, match="no streaming realization"):
+        compile_node_streaming(from_json(to_json(s.node)), spark)
