@@ -335,3 +335,17 @@ def test_label_propagation_small_graph_path_agrees(spark):
         map(tuple, label_propagation(df, iterations=3, small_graph=True).collect())
     )
     assert a == b
+
+
+def test_mmr_k64_truncated_plan_keeps_greedy_prefix(spark):
+    """k=64 exercises the every-16-picks localCheckpoint truncation; greedy
+    selection is prefix-stable, so the k=8 trajectory must be exactly the
+    first 8 picks of the k=64 one (checkpointing cannot change values)."""
+    from milan_spark.operators.clustering import mmr_select
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    k64 = mmr_select(emb, dim=64, k=64).collect()
+    assert [r["rank"] for r in k64] == list(range(1, 65))
+    assert len({r["vec_id"] for r in k64}) == 64
+    k8 = mmr_select(emb, dim=64, k=8).collect()
+    assert [tuple(r) for r in k8] == [tuple(r) for r in k64[:8]]
