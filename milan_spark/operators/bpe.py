@@ -117,3 +117,52 @@ def bpe_train(
         "merged",
         F.col("pair_count").cast("long"),
     ).orderBy("merge_rank")
+
+
+def bpe_encode_counts(
+    docs: DataFrame,
+    merge_rules: list[tuple[str, str]],
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Apply a learned merge list to the corpus — the tokenizer-APPLICATION
+    half of the BPE pipeline (Sennrich ACL'16 applies merges in rank order;
+    replaying the training rewrite chain on the marker representation
+    reproduces the training-time segmentation exactly).
+
+    Output: (id, n_words, n_bpe_tokens) per document — the numbers a token
+    budget is planned with.
+
+    Plan shape (the 100 TB argument): the corpus is folded ONCE into a
+    (doc, word, count) table (map-side combinable); the DISTINCT-WORD
+    vocabulary is derived from that and encoded through the O(M) replace
+    chain row-locally (model-sized work, no shuffle); the per-word symbol
+    count then joins back keyed on the WORD and one combinable per-doc
+    aggregate finishes. ``merge_rules`` is the driver-held model (O(M)),
+    never data-sized.
+    """
+    dwc = (
+        docs.select(
+            F.col(id_col).alias("__id"), F.explode(tokenize(text_col)).alias("w")
+        )
+        .groupBy("__id", "w")
+        .agg(F.count(F.lit(1)).alias("c"))
+        # feeds both the vocabulary branch and the count join; exchange
+        # reuse does not fire across that split in this engine version
+        .persist()
+    )
+    sym = F.regexp_replace(F.col("w"), "(.)", MARK + "$1")
+    for l, r in merge_rules:
+        sym = F.replace(sym, F.lit(MARK + l + MARK + r), F.lit(MARK + l + r))
+    n_sym = F.array_size(F.filter(F.split(sym, MARK), lambda s: s != ""))
+    enc = dwc.select("w").distinct().select("w", n_sym.alias("n_sym"))
+    return (
+        dwc.join(enc, "w")
+        .groupBy("__id")
+        .agg(
+            F.sum("c").alias("n_words"),
+            F.sum(F.col("c") * F.col("n_sym")).alias("n_bpe_tokens"),
+        )
+        .select(F.col("__id").alias(id_col), "n_words", "n_bpe_tokens")
+    )

@@ -365,3 +365,60 @@ def bigram_fluency(
             F.round(F.col("n_rare").cast("double") / F.col("n_bigrams"), 6).alias("rare_rate"),
         )
     )
+
+
+def unigram_lm_nll(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    alpha: int = 1,
+) -> DataFrame:
+    """Per-document cross-entropy under an add-``alpha`` unigram LM trained
+    on the corpus itself — the CCNet-style perplexity quality signal
+    (Wenzek et al., LREC'20 §3.3), with the LM fit and the scoring fused
+    into one distributed plan instead of a separate KenLM artifact.
+
+    ``avg_nll`` = −(1/|d|) Σ_t tf_d(t) · ln((tf(t)+α)/(T+αV)) in nats; low
+    = fluent/common (head), high = rare/gibberish (tail). Complements
+    :func:`bigram_fluency` (integer-only) with the standard log-space
+    score; like ``bm25_topk``, cross-engine float safety comes from
+    comparing AFTER ``round(·, 4)`` — a last-ulp ``ln`` disagreement
+    cannot survive the rounding.
+
+    Plan shape (the 100 TB argument):
+    - per-(doc, token) counts FIRST — a map-side-combinable aggregate that
+      collapses token repetition before anything shuffles;
+    - corpus term frequencies are a second combinable aggregate over that
+      (O(V) output, never the raw token stream);
+    - the score join is dtf ⋈ tf keyed on the TOKEN (vocabulary-bounded
+      skew on stopword keys — AQE skew-join territory, same argument as
+      :func:`collocations`); the (T, V) totals ride a one-row broadcast
+      crossJoin, never a driver action;
+    - one final per-doc combine. No Python, no corpus-sized broadcast.
+    """
+    toks = df.select(
+        F.col(id_col).alias("__id"), F.explode(tokenize(text_col)).alias("tok")
+    )
+    # persist: dtf feeds BOTH the tf re-aggregate and the score join, and
+    # exchange reuse does not fire across that split (verified AQE-on in
+    # this repo) — without the barrier the corpus explode runs twice
+    dtf = toks.groupBy("__id", "tok").agg(F.count(F.lit(1)).alias("dtf")).persist()
+    tf = dtf.groupBy("tok").agg(F.sum("dtf").alias("tf"))
+    totals = tf.agg(
+        F.sum("tf").alias("__T"), F.count(F.lit(1)).alias("__V")
+    )
+    logp = F.log(
+        (F.col("tf") + F.lit(float(alpha)))
+        / (F.col("__T") + F.lit(alpha) * F.col("__V")).cast("double")
+    )
+    scored = dtf.join(tf, "tok").crossJoin(F.broadcast(totals))
+    return (
+        scored.groupBy("__id")
+        .agg(
+            F.sum("dtf").alias("n_tokens"),
+            F.round(
+                -F.sum(F.col("dtf") * logp) / F.sum("dtf"), 4
+            ).alias("avg_nll"),
+        )
+        .select(F.col("__id").alias(id_col), "n_tokens", "avg_nll")
+    )

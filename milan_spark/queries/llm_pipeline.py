@@ -1753,3 +1753,37 @@ def hot_sources_by_bytes_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = table(spark, sf_dir, "documents")
     return exact_heavy_hitters(docs, "source", min_share=(1, 20), weight="n_chars")
+
+
+@register(
+    "unigram_lm_perplexity",
+    doc="CCNet-style LM quality scoring (Wenzek LREC'20 §3.3): add-one "
+    "unigram LM fit on the corpus itself, per-document cross-entropy "
+    "avg_nll in nats — low = fluent head, high = gibberish tail. One "
+    "fused plan: combinable (doc,token)-count → combinable term "
+    "frequencies → token-keyed score join + one-row totals broadcast → "
+    "per-doc combine. Float safety follows the bm25 discipline: compared "
+    "after round(·, 4), so a last-ulp ln() disagreement cannot survive.",
+    oracle="""
+WITH toks AS (
+  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS tok
+  FROM documents
+),
+dtf AS (SELECT doc_id, tok, COUNT(*) AS dtf FROM toks GROUP BY 1, 2),
+tf AS (SELECT tok, CAST(SUM(dtf) AS BIGINT) AS tf FROM dtf GROUP BY 1),
+tot AS (
+  SELECT CAST(SUM(tf) AS BIGINT) AS t_total, COUNT(*) AS v_size FROM tf
+)
+SELECT d.doc_id,
+       CAST(SUM(d.dtf) AS BIGINT) AS n_tokens,
+       ROUND(
+         -SUM(d.dtf * ln((f.tf + 1.0) / CAST(tot.t_total + tot.v_size AS DOUBLE)))
+         / SUM(d.dtf), 4
+       ) AS avg_nll
+FROM dtf d JOIN tf f USING (tok), tot
+GROUP BY d.doc_id
+""",
+)
+def unigram_lm_perplexity_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    return T.unigram_lm_nll(docs, "doc_id", "text", alpha=1)

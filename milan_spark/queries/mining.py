@@ -438,10 +438,12 @@ def mmr_diverse_selection_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mmr_select(emb, dim=64, k=8, lam=(7, 10))
 
 
-def _bpe_oracle(merges: int = 6) -> str:
-    """Unrolled BPE trajectory (replicates operators.bpe.bpe_train): one
-    pair-count + argmax + vocabulary-rewrite block per round. Reused CTEs
-    materialized (see _mmr_oracle)."""
+def _bpe_trajectory(merges: int) -> list[str]:
+    """The unrolled BPE training trajectory CTEs (replicates
+    operators.bpe.bpe_train): one pair-count + argmax + vocabulary-rewrite
+    block per round, ending at v{merges}/best{merges}. Shared by the
+    induction oracle and the encode oracle. Reused CTEs materialized
+    (see _mmr_oracle)."""
     sql = [
         r"""
 WITH v0 AS MATERIALIZED (
@@ -471,12 +473,59 @@ WITH v0 AS MATERIALIZED (
   FROM v{r - 1} CROSS JOIN best{r} b
 )"""
         )
+    return sql
+
+
+def _bpe_oracle(merges: int = 6) -> str:
+    sql = _bpe_trajectory(merges)
     finals = " UNION ALL ".join(
         f"SELECT {r} AS merge_rank, pl AS left_sym, pr AS right_sym, "
         f"pl || pr AS merged, cnt AS pair_count FROM best{r}"
         for r in range(1, merges + 1)
     )
     sql.append(f"\n{finals}\nORDER BY merge_rank")
+    return "".join(sql)
+
+
+def _bpe_encode_oracle(merges: int = 6) -> str:
+    """Training trajectory, then APPLICATION: a parallel rewrite chain that
+    carries the original word, so each word maps to its post-merge symbol
+    count; per-document counts come from the (doc, word, count) table
+    joined on the word (replicates operators.bpe.bpe_encode_counts)."""
+    sql = _bpe_trajectory(merges)
+    sql.append(
+        r""", e0 AS MATERIALIZED (
+  SELECT w, regexp_replace(w, '(.)', '~\1', 'g') AS sym FROM (
+    SELECT DISTINCT unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS w
+    FROM documents
+  )
+)"""
+    )
+    for r in range(1, merges + 1):
+        sql.append(
+            f""", e{r} AS MATERIALIZED (
+  SELECT w, replace(sym, '~' || b.pl || '~' || b.pr, '~' || b.pl || b.pr) AS sym
+  FROM e{r - 1} CROSS JOIN best{r} b
+)"""
+        )
+    sql.append(
+        f"""
+, enc AS (
+  SELECT w, len(list_filter(string_split(sym, '~'), s -> s <> '')) AS n_sym
+  FROM e{merges}
+),
+dwc AS (
+  SELECT doc_id, w, COUNT(*) AS c FROM (
+    SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS w
+    FROM documents
+  ) GROUP BY 1, 2
+)
+SELECT d.doc_id,
+       CAST(SUM(d.c) AS BIGINT) AS n_words,
+       CAST(SUM(d.c * e.n_sym) AS BIGINT) AS n_bpe_tokens
+FROM dwc d JOIN enc e USING (w)
+GROUP BY d.doc_id"""
+    )
     return "".join(sql)
 
 
@@ -629,3 +678,25 @@ def lpa_communities_coparts_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from milan_spark.operators.graph import label_propagation
 
     return label_propagation(_copart_pairs(spark, sf_dir), iterations=3, small_graph=True)
+
+
+@register(
+    "bpe_encode_tokens",
+    doc="BPE tokenizer APPLICATION (operators.bpe.bpe_encode_counts): train "
+    "6 merges, then encode the corpus — per-document word and BPE-token "
+    "counts, the numbers a token budget is planned with. The distinct-word "
+    "vocabulary is encoded once through the O(M) replace chain (model-"
+    "sized, row-local), then joins the combinable (doc, word, count) "
+    "table keyed on the word; integer-exact end to end. The oracle "
+    "replays the same trajectory with a word-carrying rewrite chain.",
+    oracle=_bpe_encode_oracle(),
+)
+def bpe_encode_tokens_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from milan_spark.operators.bpe import bpe_encode_counts, bpe_train
+
+    docs = table(spark, sf_dir, "documents")
+    rules = [
+        (r["left_sym"], r["right_sym"])
+        for r in bpe_train(docs, merges=6).collect()
+    ]
+    return bpe_encode_counts(docs, rules)
