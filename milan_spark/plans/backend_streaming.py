@@ -411,6 +411,18 @@ def compile_node_streaming(
                 seq=p.get("seq", "__seq"),
                 maximize=(n.op == "stream_max_by"),
             )
+        if n.op == "session_window_aggregate":
+            # watermark = gap: the session-window analog of the reference's
+            # watermark = window size policy; required to close sessions
+            from milan_spark.operators.windows import session_window_agg
+
+            return session_window_agg(
+                ins[0].withWatermark(p["ts"], p["gap"]),
+                p["ts"],
+                p["gap"],
+                keys=p.get("keys", []),
+                aggs=[F.expr(e).alias(a) for a, e in p["aggs"].items()],
+            )
         if n.op == "record_window":
             return _streaming_record_window(
                 ins[0],

@@ -169,6 +169,16 @@ def _compile_op(n: Node, spark: SparkSession, ins: list[DataFrame]) -> DataFrame
             keys=p.get("keys", []),
             aggs=[F.expr(e).alias(a) for a, e in p["aggs"].items()],
         )
+    if n.op == "session_window_aggregate":
+        from milan_spark.operators.windows import session_window_agg
+
+        return session_window_agg(
+            ins[0],
+            p["ts"],
+            p["gap"],
+            keys=p.get("keys", []),
+            aggs=[F.expr(e).alias(a) for a, e in p["aggs"].items()],
+        )
     if n.op == "record_window":
         from milan_spark.operators.windows import record_window
 

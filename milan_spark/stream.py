@@ -174,6 +174,13 @@ class Stream:
         require_temporal("sliding_window", self.df, ts)
         return WindowedStream(self, ts, size, slide, offset, keys=[])
 
+    def session_window(self, ts: str, gap: str) -> "SessionWindowedStream":
+        """Gap-based session windows (exceeds-parity — SURVEY §2.5 'absent
+        in the reference, free if exposed'). Serializable node; both
+        backends compile it (streaming: watermark = gap)."""
+        require_temporal("session_window", self.df, ts)
+        return SessionWindowedStream(self, ts, gap, keys=[])
+
     # --- joins (SURVEY §2.3) -----------------------------------------------
 
     def left_join(
@@ -697,6 +704,11 @@ class GroupedStream:
         require_temporal("sliding_window", self.parent.df, ts)
         return WindowedStream(self.parent, ts, size, slide, offset, keys=self.keys)
 
+    def session_window(self, ts: str, gap: str) -> "SessionWindowedStream":
+        """Keyed gap-based session windows (exceeds-parity, SURVEY §2.5)."""
+        require_temporal("session_window", self.parent.df, ts)
+        return SessionWindowedStream(self.parent, ts, gap, keys=self.keys)
+
     def last(self) -> Stream:
         return self.parent.last(keys=self.keys)
 
@@ -758,3 +770,37 @@ class WindowedStream:
             .applyInPandas(fn, schema=output_schema)
         )
         return Stream(df, Node("window_apply", serializable=False, inputs=[self.parent.node]))
+
+
+class SessionWindowedStream:
+    """Gap-based session windows over a (possibly keyed) stream — the
+    exceeds-parity window kind SURVEY §2.5 lists as absent in the reference.
+    ``select`` emits a serializable ``session_window_aggregate`` node so the
+    same program runs on both compilers (streaming: watermark = gap, the
+    same policy as the time windows' watermark = window size)."""
+
+    def __init__(self, parent: Stream, ts: str, gap: str, keys: list[str]):
+        self.parent = parent
+        self.ts = ts
+        self.gap = gap
+        self.keys = keys
+
+    def select(self, **aggs: str | Column) -> Stream:
+        from milan_spark.operators.windows import session_window_agg
+
+        cols = [F.expr(e).alias(a) if _is_str(e) else e.alias(a) for a, e in aggs.items()]
+        df = session_window_agg(
+            self.parent.df, self.ts, self.gap, keys=self.keys, aggs=cols
+        )
+        serializable = all(_is_str(e) for e in aggs.values())
+        node = Node(
+            "session_window_aggregate",
+            {"ts": self.ts, "gap": self.gap, "keys": self.keys, "aggs": dict(aggs)}
+            if serializable
+            else {},
+            [self.parent.node],
+            serializable=serializable,
+        )
+        return Stream(df, node)
+
+    agg = select

@@ -205,3 +205,20 @@ def test_record_window_rejects_unsupported_aggregate(spark):
     )
     with pytest.raises(ValueError, match="no streaming realization"):
         compile_node_streaming(from_json(to_json(s.node)), spark)
+
+
+def test_session_window_same_json_both_backends(spark):
+    s = (
+        Stream.from_parquet(spark, EV)
+        .map(
+            "user_id",
+            "CAST(ts AS TIMESTAMP) AS ts",
+            "CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents",
+        )
+        .group_by("user_id")
+        .session_window("ts", "30 minutes")
+        .select(n_events="count(*)", total_cents="sum(cents)")
+    )
+    text = to_json(s.node)
+    b, st = _both(spark, text, "ir_session_both", output_mode="complete")
+    assert b == st and len(b) > 0
