@@ -891,3 +891,55 @@ def pagerank_supplier_customer_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the node universe here is the supplier+customer entity set — KBs at any
     # edge scale — so the broadcast plan (edges never shuffle) is the right one
     return pagerank_scaled(edges, "src", "dst", iterations=5, broadcast_ranks=True)
+
+
+@register(
+    "scd2_temporal_join",
+    doc="SCD-2 temporal dimension join (warehouse staple): each purchase "
+    "fact joins the dimension VERSION valid at its event time — interval "
+    "containment against a time-partitioned version table IS the as-of "
+    "(backward) join, so the plan is operators.joins.asof_join's one "
+    "shuffle + one sort per key over the tagged union, never a per-row "
+    "range probe. Versions (from signup events) are pre-deduplicated per "
+    "(user, ts) with max_by for determinism. The oracle is DuckDB's NATIVE "
+    "ASOF JOIN — an independent implementation of the same semantics.",
+    oracle="""
+WITH base AS (
+  SELECT event_id, user_id, event_type, value, epoch_ns(ts) // 1000 AS ts_us
+  FROM events
+), dim AS (
+  SELECT user_id, ts_us AS valid_from_us, max_by(value, event_id) AS signup_value
+  FROM base WHERE event_type = 'signup' GROUP BY 1, 2
+), f AS (
+  SELECT event_id, user_id, ts_us, value FROM base WHERE event_type = 'purchase'
+)
+SELECT f.event_id, f.user_id, f.ts_us, f.value, d.signup_value, d.valid_from_us
+FROM f ASOF LEFT JOIN dim d
+  ON f.user_id = d.user_id AND f.ts_us >= d.valid_from_us
+""",
+)
+def scd2_temporal_join_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from milan_spark.operators.joins import asof_join
+
+    base = table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "value",
+        F.unix_micros("ts").alias("ts_us"),
+    )
+    dim = (
+        base.filter(F.col("event_type") == "signup")
+        .groupBy("user_id", "ts_us")
+        .agg(F.max_by("value", "event_id").alias("signup_value"))
+        .select("user_id", "ts_us", "signup_value")
+    )
+    facts = base.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts_us", "value"
+    )
+    out = asof_join(facts, dim, on="user_id", left_ord="ts_us", right_ord="ts_us")
+    return out.select(
+        "event_id",
+        "user_id",
+        "ts_us",
+        "value",
+        "signup_value",
+        F.col("r_ts_us").alias("valid_from_us"),
+    )

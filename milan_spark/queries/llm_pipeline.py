@@ -1787,3 +1787,71 @@ GROUP BY d.doc_id
 def unigram_lm_perplexity_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = table(spark, sf_dir, "documents")
     return T.unigram_lm_nll(docs, "doc_id", "text", alpha=1)
+
+
+@register(
+    "dedup_keep_best_quality",
+    doc="Quality-aware dedup survivorship (the FineWeb/Dolma policy: keep "
+    "the BEST copy, not an arbitrary one): exact-duplicate groups by text "
+    "hash, survivor = longest copy (n_chars), doc_id tie-break. ONE "
+    "map-side-combinable max_by(struct) aggregate — no window, no sort, no "
+    "second pass; payloads never shuffle beyond their group row. The "
+    "lexicographic struct comparison makes the pick engine-exact.",
+    oracle="""
+SELECT doc_id, source, n_chars, n_dups FROM (
+  SELECT doc_id, source, n_chars,
+         ROW_NUMBER() OVER (PARTITION BY md5(text) ORDER BY n_chars DESC, doc_id) AS rn,
+         COUNT(*) OVER (PARTITION BY md5(text)) AS n_dups
+  FROM documents
+) WHERE rn = 1
+""",
+)
+def dedup_keep_best_quality_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    best = F.max_by(
+        F.struct("doc_id", "source", "n_chars"),
+        F.struct(F.col("n_chars"), (-F.col("doc_id")).alias("__tie")),
+    )
+    return (
+        docs.groupBy(F.md5("text").alias("__h"))
+        .agg(best.alias("__s"), F.count(F.lit(1)).alias("n_dups"))
+        .select("__s.doc_id", "__s.source", "__s.n_chars", "n_dups")
+    )
+
+
+@register(
+    "tokenizer_fertility_by_lang",
+    doc="Tokenizer fertility audit per language (the multilingual-budget "
+    "number: BPE-ish subword tokens per whitespace word): both token "
+    "counts are JVM regexp columns, one combinable aggregate, one exact "
+    "int64 division rounded once — no Python, no second scan.",
+    oracle=r"""
+SELECT lang,
+       COUNT(*) AS n_docs,
+       CAST(SUM(len(regexp_extract_all(lower(text), '[a-z0-9]+'))) AS BIGINT) AS n_words,
+       CAST(SUM(len(regexp_extract_all(lower(text), '''(?:s|t|re|ve|m|ll|d)| ?[a-z]+| ?[0-9]+| ?[^a-z0-9\s'']+'))) AS BIGINT) AS n_bpe_tokens,
+       ROUND(CAST(SUM(len(regexp_extract_all(lower(text), '''(?:s|t|re|ve|m|ll|d)| ?[a-z]+| ?[0-9]+| ?[^a-z0-9\s'']+'))) AS DOUBLE)
+             / SUM(len(regexp_extract_all(lower(text), '[a-z0-9]+'))), 6) AS fertility
+FROM documents
+GROUP BY lang
+""",
+)
+def tokenizer_fertility_by_lang_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    return (
+        docs.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(T.token_count("text")).alias("n_words"),
+            F.sum(T.bpe_token_count("text")).alias("n_bpe_tokens"),
+        )
+        .select(
+            "lang",
+            "n_docs",
+            "n_words",
+            "n_bpe_tokens",
+            F.round(
+                F.col("n_bpe_tokens").cast("double") / F.col("n_words"), 6
+            ).alias("fertility"),
+        )
+    )
