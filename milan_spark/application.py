@@ -65,6 +65,12 @@ class Application:
     sink: dict[str, Any] = field(default_factory=lambda: {"kind": "none"})
     metrics: dict[str, str] = field(default_factory=dict)
     version: int = BUNDLE_VERSION
+    #: additional sinks bound BY STREAM (node) ID — the reference holds a
+    #: LIST of StreamSink(streamId, sink) pairs and allows sinks on
+    #: intermediate streams (ApplicationConfiguration.scala:30,84-94); each
+    #: entry is {"stream_id": <node_id in the plan>, **sink spec}. The head
+    #: ``sink`` field is the common single-output case.
+    sinks: list[dict[str, Any]] = field(default_factory=list)
 
     # --- serialization (ApplicationInstance.toJsonString analog) ----------
 
@@ -77,6 +83,7 @@ class Application:
                 "plan": json.loads(_plan_to_json(self.plan)),
                 "sources": self.sources,
                 "sink": self.sink,
+                "sinks": self.sinks,
                 "metrics": self.metrics,
             },
             indent=2,
@@ -91,6 +98,7 @@ class Application:
             plan=_plan_from_json(json.dumps(doc["plan"])),
             sources=doc.get("sources", {}),
             sink=doc.get("sink", {"kind": "none"}),
+            sinks=doc.get("sinks", []),
             metrics=doc.get("metrics", {}),
             version=doc.get("version", BUNDLE_VERSION),
         )
@@ -114,6 +122,45 @@ class Application:
             raise ValueError(
                 f"sink kind {self.sink.get('kind')!r} unknown (expected {_SINK_KINDS})"
             )
+        node_ids = self._node_ids()
+        for entry in self.sinks:
+            sid = entry.get("stream_id")
+            if sid not in node_ids:
+                raise ValueError(
+                    f"application {self.app_id!r}: sink bound to unknown "
+                    f"stream id {sid!r} (plan nodes: {sorted(node_ids)})"
+                )
+            if entry.get("kind") not in ("memory", "file"):
+                raise ValueError(
+                    f"sink on {sid!r}: unknown kind {entry.get('kind')!r} "
+                    "(expected memory|file)"
+                )
+
+    def _node_ids(self) -> set[str]:
+        ids: set[str] = set()
+
+        def walk(n: Node) -> None:
+            ids.add(n.node_id)
+            for i in n.inputs:
+                walk(i)
+
+        walk(self.plan)
+        return ids
+
+    def _find_node(self, node_id: str) -> Node:
+        def walk(n: Node) -> Node | None:
+            if n.node_id == node_id:
+                return n
+            for i in n.inputs:
+                hit = walk(i)
+                if hit is not None:
+                    return hit
+            return None
+
+        hit = walk(self.plan)
+        if hit is None:
+            raise ValueError(f"no node {node_id!r} in plan")
+        return hit
 
     def typecheck(self, spark: SparkSession) -> dict:
         """Full graph typecheck (the reference runs typeCheckGraph before any
@@ -194,11 +241,23 @@ class Application:
         )
 
     def run_batch(self, spark: SparkSession):
-        """source bindings → batch compile → sink. Returns (DataFrame,
-        Observation-or-None); for the memory sink the DataFrame is also
-        registered as a temp view under the sink's name."""
+        """source bindings → batch compile → sink(s). Returns (DataFrame,
+        Observation-or-None) for the head; every entry in ``sinks`` also
+        fires (the reference drives its whole StreamSink list,
+        ApplicationConfiguration.scala:30). Intermediate-stream sinks
+        compile the sub-plan rooted at their node id against the same
+        source bindings — tap points into the dataflow, the reference's
+        addSink-on-any-stream."""
         self.validate()
         bound = {sid: self._resolve_batch(spark, sid) for sid in self.sources}
+        for entry in self.sinks:
+            sub = compile_node(self._find_node(entry["stream_id"]), spark, sources=bound)
+            if entry["kind"] == "memory":
+                sub.createOrReplaceTempView(entry["name"])
+            else:
+                sub.write.mode(entry.get("mode", "overwrite")).format(
+                    entry.get("fmt", "parquet")
+                ).save(entry["path"])
         df = compile_node(self.plan, spark, sources=bound)
         df, obs = self._observe(df)
         kind = self.sink.get("kind", "none")
@@ -219,6 +278,26 @@ class Application:
         from milan_spark.plans.backend_streaming import compile_node_streaming
 
         bound = {sid: self._resolve_streaming(spark, sid) for sid in self.sources}
+        for entry in self.sinks:
+            sub = compile_node_streaming(
+                self._find_node(entry["stream_id"]), spark, source_overrides=bound
+            )
+            if entry["kind"] == "memory":
+                from milan_spark.streaming import run_to_memory
+
+                run_to_memory(
+                    sub, entry["name"], output_mode=entry.get("output_mode", "append")
+                )
+            else:
+                from milan_spark.streaming import file_sink
+
+                q = file_sink(
+                    sub,
+                    entry["path"],
+                    fmt=entry.get("fmt", "parquet"),
+                    output_mode=entry.get("output_mode", "append"),
+                )
+                q.awaitTermination(300)
         sdf = compile_node_streaming(self.plan, spark, source_overrides=bound)
         kind = self.sink.get("kind", "none")
         if kind == "memory":

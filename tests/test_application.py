@@ -5,6 +5,7 @@ and ApplicationInstance lifecycle (serialize → ship → bind sources → run).
 from __future__ import annotations
 
 import pytest
+from pyspark.sql import functions as F
 
 from milan_spark.application import Application
 from milan_spark.plans import Node
@@ -94,3 +95,68 @@ def test_unbound_external_stream_fails_at_compile(spark):
 
     with pytest.raises(ValueError, match="unbound"):
         compile_node(_purchase_rollup_plan(), spark)
+
+
+def _multi_sink_bundle(tmpdir: str) -> Application:
+    plan = _purchase_rollup_plan()
+    mid = plan.inputs[0]  # the map node: per-purchase (user_id, cents)
+    return Application(
+        app_id="purchase_rollup_tapped",
+        plan=plan,
+        sources={"events": {"kind": "parquet", "path": EV}},
+        sink={"kind": "memory", "name": "tapped_head_out"},
+        sinks=[
+            {
+                "stream_id": mid.node_id,
+                "kind": "file",
+                "path": f"{tmpdir}/tap",
+                "fmt": "parquet",
+            }
+        ],
+    )
+
+
+def test_multi_sink_batch_taps_intermediate_stream(spark, tmp_path):
+    # the reference holds a LIST of StreamSink(streamId, sink) pairs and
+    # allows sinks on intermediate streams (ApplicationConfiguration.scala:
+    # 30,84-94) — the tap must see the PRE-aggregate rows
+    app = Application.from_json(_multi_sink_bundle(str(tmp_path)).to_json())
+    df, _ = app.run_batch(spark)
+    head = {(r["user_id"], r["n"], r["total_cents"]) for r in df.collect()}
+    tap = spark.read.parquet(f"{tmp_path}/tap")
+    assert set(tap.columns) == {"user_id", "cents"}
+    # tap row count = total purchases; head groups them
+    assert tap.count() >= len(head) > 0
+    recomputed = {
+        (r["user_id"], r["n"], r["total_cents"])
+        for r in tap.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("cents").alias("total_cents"))
+        .collect()
+    }
+    assert recomputed == head
+
+
+def test_multi_sink_streaming_matches_batch(spark, tmp_path):
+    app_b = Application.from_json(_multi_sink_bundle(str(tmp_path / "b")).to_json())
+    df, _ = app_b.run_batch(spark)
+    batch_head = sorted(tuple(r) for r in df.collect())
+    batch_tap = sorted(
+        tuple(r) for r in spark.read.parquet(f"{tmp_path}/b/tap").collect()
+    )
+
+    app_s = Application.from_json(_multi_sink_bundle(str(tmp_path / "s")).to_json())
+    app_s.sink = {"kind": "memory", "name": "tapped_head_out_s", "output_mode": "complete"}
+    table = app_s.run_streaming(spark)
+    stream_head = sorted(tuple(r) for r in table.collect())
+    stream_tap = sorted(
+        tuple(r) for r in spark.read.parquet(f"{tmp_path}/s/tap").collect()
+    )
+    assert stream_head == batch_head
+    assert stream_tap == batch_tap
+
+
+def test_sink_on_unknown_stream_id_rejected():
+    app = _multi_sink_bundle("/tmp/x")
+    app.sinks[0]["stream_id"] = "nope"
+    with pytest.raises(ValueError, match="unknown\\s+stream id 'nope'"):
+        app.validate()
