@@ -71,6 +71,19 @@ class Application:
     #: entry is {"stream_id": <node_id in the plan>, **sink spec}. The head
     #: ``sink`` field is the common single-output case.
     sinks: list[dict[str, Any]] = field(default_factory=list)
+    #: lineage sinks (ApplicationConfiguration.scala:31 ``lineageSinks``) —
+    #: lineage is DATA here (observability.lineage_edges): each entry names
+    #: the id columns the plan itself carries and where the edge list goes:
+    #: {"stream_id": <node_id>, "out_id": col, "in_ids": [cols], "op": name,
+    #:  "kind": "memory"|"file", ...}. Unmatched (null) input ids emit no
+    #: edge, matching the reference's absent-pointer behavior.
+    lineage_sinks: list[dict[str, Any]] = field(default_factory=list)
+    #: state-store choice for the streaming run (the analog of the
+    #: reference's ``stateStores`` configuration): "memory" (default
+    #: HDFS-backed provider) or "rocksdb" (spill-to-disk state for windows/
+    #: joins whose state exceeds executor heap). Applied around query start
+    #: only — batch runs ignore it.
+    state_store: str | None = None
 
     # --- serialization (ApplicationInstance.toJsonString analog) ----------
 
@@ -84,6 +97,8 @@ class Application:
                 "sources": self.sources,
                 "sink": self.sink,
                 "sinks": self.sinks,
+                "lineage_sinks": self.lineage_sinks,
+                "state_store": self.state_store,
                 "metrics": self.metrics,
             },
             indent=2,
@@ -99,6 +114,8 @@ class Application:
             sources=doc.get("sources", {}),
             sink=doc.get("sink", {"kind": "none"}),
             sinks=doc.get("sinks", []),
+            lineage_sinks=doc.get("lineage_sinks", []),
+            state_store=doc.get("state_store"),
             metrics=doc.get("metrics", {}),
             version=doc.get("version", BUNDLE_VERSION),
         )
@@ -135,6 +152,24 @@ class Application:
                     f"sink on {sid!r}: unknown kind {entry.get('kind')!r} "
                     "(expected memory|file)"
                 )
+        for entry in self.lineage_sinks:
+            sid = entry.get("stream_id")
+            if sid not in node_ids:
+                raise ValueError(
+                    f"application {self.app_id!r}: lineage sink bound to "
+                    f"unknown stream id {sid!r}"
+                )
+            for key in ("out_id", "in_ids", "op"):
+                if key not in entry:
+                    raise ValueError(f"lineage sink on {sid!r}: missing {key!r}")
+            if entry.get("kind") not in ("memory", "file"):
+                raise ValueError(
+                    f"lineage sink on {sid!r}: unknown kind {entry.get('kind')!r}"
+                )
+        if self.state_store not in (None, "memory", "rocksdb"):
+            raise ValueError(
+                f"state_store {self.state_store!r} unknown (expected memory|rocksdb)"
+            )
 
     def _node_ids(self) -> set[str]:
         ids: set[str] = set()
@@ -250,6 +285,9 @@ class Application:
         addSink-on-any-stream."""
         self.validate()
         bound = {sid: self._resolve_batch(spark, sid) for sid in self.sources}
+        for entry in self.lineage_sinks:
+            sub = compile_node(self._find_node(entry["stream_id"]), spark, sources=bound)
+            self._write_lineage(sub, entry)
         for entry in self.sinks:
             sub = compile_node(self._find_node(entry["stream_id"]), spark, sources=bound)
             if entry["kind"] == "memory":
@@ -269,6 +307,24 @@ class Application:
             ).save(self.sink["path"])
         return df, obs
 
+    def _write_lineage(self, df: DataFrame, entry: dict) -> None:
+        from milan_spark.observability import lineage_edges
+
+        edges = lineage_edges(df, entry["out_id"], entry["in_ids"], entry["op"])
+        if edges.isStreaming:
+            from milan_spark.streaming import file_sink, run_to_memory
+
+            if entry["kind"] == "memory":
+                run_to_memory(edges, entry["name"])
+            else:
+                file_sink(edges, entry["path"], fmt=entry.get("fmt", "parquet")).awaitTermination(300)
+        elif entry["kind"] == "memory":
+            edges.createOrReplaceTempView(entry["name"])
+        else:
+            edges.write.mode(entry.get("mode", "overwrite")).format(
+                entry.get("fmt", "parquet")
+            ).save(entry["path"])
+
     def run_streaming(self, spark: SparkSession):
         """source bindings → streaming compile → sink. The memory sink runs
         the bounded stream to completion (availableNow) and returns the sink
@@ -277,7 +333,31 @@ class Application:
         self.validate()
         from milan_spark.plans.backend_streaming import compile_node_streaming
 
+        _PROVIDERS = {
+            "memory": "org.apache.spark.sql.execution.streaming.state.HDFSBackedStateStoreProvider",
+            "rocksdb": "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+        }
+        conf_key = "spark.sql.streaming.stateStore.providerClass"
+        prev_provider = spark.conf.get(conf_key, None)
+        if self.state_store:
+            # queries clone the session conf at start(); restored in finally
+            spark.conf.set(conf_key, _PROVIDERS[self.state_store])
+        try:
+            return self._run_streaming_inner(spark, compile_node_streaming)
+        finally:
+            if self.state_store:
+                if prev_provider is None:
+                    spark.conf.unset(conf_key)
+                else:
+                    spark.conf.set(conf_key, prev_provider)
+
+    def _run_streaming_inner(self, spark: SparkSession, compile_node_streaming):
         bound = {sid: self._resolve_streaming(spark, sid) for sid in self.sources}
+        for entry in self.lineage_sinks:
+            sub = compile_node_streaming(
+                self._find_node(entry["stream_id"]), spark, source_overrides=bound
+            )
+            self._write_lineage(sub, entry)
         for entry in self.sinks:
             sub = compile_node_streaming(
                 self._find_node(entry["stream_id"]), spark, source_overrides=bound

@@ -160,3 +160,72 @@ def test_sink_on_unknown_stream_id_rejected():
     app.sinks[0]["stream_id"] = "nope"
     with pytest.raises(ValueError, match="unknown\\s+stream id 'nope'"):
         app.validate()
+
+
+def _lineage_bundle(tmpdir: str, state_store=None) -> Application:
+    # the plan itself carries the lineage ids as columns (content-derived,
+    # replay-stable) — lineage is data, written like any sink
+    src = Node("external_stream", {"stream_id": "events"})
+    ids = Node(
+        "add_fields", {"fields": {"in_id": "xxhash64(event_id)"}}, [src]
+    )
+    filt = Node("filter", {"condition": "event_type = 'purchase'"}, [ids])
+    head = Node(
+        "add_fields", {"fields": {"out_id": "xxhash64(event_id, 'gate')"}}, [filt]
+    )
+    return Application(
+        app_id="lineage_gate",
+        plan=head,
+        sources={"events": {"kind": "parquet", "path": EV}},
+        sink={"kind": "memory", "name": "lineage_gate_out"},
+        lineage_sinks=[
+            {
+                "stream_id": head.node_id,
+                "out_id": "out_id",
+                "in_ids": ["in_id"],
+                "op": "purchase_gate",
+                "kind": "file",
+                "path": f"{tmpdir}/lineage",
+            }
+        ],
+        state_store=state_store,
+    )
+
+
+def test_lineage_sink_writes_edge_list(spark, tmp_path):
+    app = Application.from_json(_lineage_bundle(str(tmp_path)).to_json())
+    df, _ = app.run_batch(spark)
+    out = df.collect()
+    edges = spark.read.parquet(f"{tmp_path}/lineage").collect()
+    assert set(r["op"] for r in edges) == {"purchase_gate"}
+    # one edge per output row, pairing its out/in ids
+    assert sorted((r["output_id"], r["input_id"]) for r in edges) == sorted(
+        (r["out_id"], r["in_id"]) for r in out
+    )
+
+
+def test_streaming_run_under_rocksdb_state_store_matches(spark, tmp_path):
+    # stateStores config analog: same bundle, rocksdb-backed state — results
+    # must be identical and the session conf must be restored afterwards
+    prev = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
+    app = Application.from_json(_multi_sink_bundle(str(tmp_path / "r")).to_json())
+    app.sink = {"kind": "memory", "name": "rocks_out", "output_mode": "complete"}
+    app.state_store = "rocksdb"
+    table = app.run_streaming(spark)
+    got = sorted(tuple(r) for r in table.collect())
+    bdf, _ = Application.from_json(
+        _multi_sink_bundle(str(tmp_path / "b2")).to_json()
+    ).run_batch(spark)
+    assert got == sorted(tuple(r) for r in bdf.collect())
+    assert spark.conf.get("spark.sql.streaming.stateStore.providerClass", None) == prev
+
+
+def test_bad_lineage_and_state_store_rejected(tmp_path):
+    app = _lineage_bundle(str(tmp_path))
+    app.state_store = "dynamo"
+    with pytest.raises(ValueError, match="state_store"):
+        app.validate()
+    app.state_store = None
+    del app.lineage_sinks[0]["op"]
+    with pytest.raises(ValueError, match="missing 'op'"):
+        app.validate()
