@@ -482,6 +482,149 @@ def kmeans_cells_grouped(
     return cents
 
 
+def build_ivfpq_residual_index(
+    corpus: DataFrame,
+    id_col: str,
+    vec_col: str,
+    *,
+    n_cells: int = 8,
+    coarse_iters: int = 2,
+    m_subs: int = 4,
+    pq_iters: int = 1,
+    dim: int | None = None,
+) -> dict:
+    """BUILD phase of the IVF+residual-PQ lifecycle: train the coarse
+    quantizer and per-cell residual codebooks, encode every corpus vector
+    to ``m_subs`` small ints. Returns ``{"coarse", "books", "codes",
+    "meta"}`` — three DataFrames plus the hyperparameters. This is the
+    expensive pass over raw vectors; it runs ONCE, and the artifact is
+    what :func:`save_ivfpq_residual_index` persists so a billion-vector
+    index is built once and queried many times (the production ANN
+    lifecycle — query cost never touches raw vectors again).
+
+    Everything is exact-int64 and deterministic, so a rebuilt index is
+    bit-identical to a loaded one.
+    """
+    ci = corpus.select(F.col(id_col).alias("__vid"), quantize(vec_col).alias("__v")).persist()
+    if dim is None:
+        dim = _dim_of(ci)
+    d_sub = dim // m_subs
+    if dim % m_subs:
+        raise ValueError(f"dim {dim} not divisible by m_subs {m_subs}")
+
+    coarse = kmeans_cells(ci, n_cells, coarse_iters, dim=dim).persist()
+    assign = _best_cell(ci, coarse)
+    res = assign.join(F.broadcast(coarse), "cell").select(
+        "__vid",
+        "cell",
+        F.zip_with("__v", "__cent", lambda x, c: x - c).alias("__r"),
+    ).persist()
+
+    books = None
+    codes = None
+    for s in range(m_subs):
+        res_s = res.select("cell", "__vid", F.slice("__r", s * d_sub + 1, d_sub).alias("__v"))
+        b = kmeans_cells_grouped(res_s, n_cells, pq_iters, dim=d_sub).withColumn(
+            "sub", F.lit(s)
+        )
+        d = res_s.join(F.broadcast(b), "cell").withColumn(
+            "__d", _l2_int(F.col("__v"), F.col("__cent"))
+        )
+        c = (
+            d.groupBy("cell", "__vid")
+            .agg(F.min(F.struct("__d", "code")).alias("__m"))
+            .select("cell", "__vid", F.lit(s).alias("sub"), F.col("__m.code").alias("code"))
+        )
+        books = b if books is None else books.unionByName(b)
+        codes = c if codes is None else codes.unionByName(c)
+    return {
+        "coarse": coarse,
+        "books": books,
+        "codes": codes,
+        "meta": {"n_cells": n_cells, "m_subs": m_subs, "dim": dim},
+    }
+
+
+def save_ivfpq_residual_index(index: dict, path: str) -> None:
+    """Persist the index artifact: three parquet tables + a meta JSON.
+    Codes are the corpus compressed to m ints/vector; coarse/books are
+    model-sized."""
+    import json as _json
+    import os as _os
+
+    for name in ("coarse", "books", "codes"):
+        index[name].write.mode("overwrite").parquet(_os.path.join(path, name))
+    with open(_os.path.join(path, "meta.json"), "w") as f:
+        _json.dump(index["meta"], f)
+
+
+def load_ivfpq_residual_index(spark: SparkSession, path: str) -> dict:
+    import json as _json
+    import os as _os
+
+    with open(_os.path.join(path, "meta.json")) as f:
+        meta = _json.load(f)
+    return {
+        name: spark.read.parquet(_os.path.join(path, name))
+        for name in ("coarse", "books", "codes")
+    } | {"meta": meta}
+
+
+def query_ivfpq_residual_index(
+    index: dict,
+    queries: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int = 5,
+    n_probe: int = 2,
+) -> DataFrame:
+    """QUERY phase: probe the ``n_probe`` nearest coarse cells per query,
+    residualize against each probed centroid, score that cell's members by
+    ADC over their codes. Touches only the code table plus tiny broadcasts
+    — never a raw corpus vector. Works identically on a just-built or a
+    loaded index (exact-int64 end to end)."""
+    coarse, books, codes = index["coarse"], index["books"], index["codes"]
+    m_subs, dim = index["meta"]["m_subs"], index["meta"]["dim"]
+    d_sub = dim // m_subs
+
+    qi = queries.select(F.col(id_col).alias("__vid"), quantize(vec_col).alias("__v"))
+    dist_q = qi.crossJoin(F.broadcast(coarse)).withColumn(
+        "__d", _l2_int(F.col("__v"), F.col("__cent"))
+    )
+    wp = W.partitionBy("__vid").orderBy("__d", "cell")
+    probes = (
+        dist_q.withColumn("__rn", F.row_number().over(wp))
+        .filter(F.col("__rn") <= n_probe)
+        .select(F.col("__vid").alias("query_id"), "cell", F.col("__v").alias("__qv"))
+    )
+    rq = probes.join(F.broadcast(coarse), "cell").select(
+        "query_id", "cell", F.zip_with("__qv", "__cent", lambda x, c: x - c).alias("__rq")
+    )
+    lut = None
+    for s in range(m_subs):
+        rq_s = rq.select("query_id", "cell", F.slice("__rq", s * d_sub + 1, d_sub).alias("__q"))
+        l = (
+            rq_s.join(F.broadcast(books.filter(F.col("sub") == s)), "cell")
+            .withColumn("__d", _l2_int(F.col("__q"), F.col("__cent")))
+            .select("query_id", "cell", "sub", "code", "__d")
+        )
+        lut = l if lut is None else lut.unionByName(l)
+
+    est = (
+        codes.join(F.broadcast(probes.select("query_id", "cell")), "cell")
+        .join(F.broadcast(lut), ["query_id", "cell", "sub", "code"])
+        .filter(F.col("__vid") != F.col("query_id"))
+        .groupBy("query_id", F.col("__vid").alias("neighbor_id"))
+        .agg(F.sum("__d").alias("approx_d2"))
+    )
+    wk = W.partitionBy("query_id").orderBy("approx_d2", "neighbor_id")
+    return (
+        est.withColumn("rank", F.row_number().over(wk))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "approx_d2")
+    )
+
+
 def ann_ivfpq_residual(
     corpus: DataFrame,
     id_col: str,
@@ -509,79 +652,25 @@ def ann_ivfpq_residual(
     codebooks in O(iters) jobs. Exact-int64 throughout (integer residuals,
     floor-means, (d, code)/(d, cell) struct tie-breaks) → full value
     oracle. Output: query_id, neighbor_id, rank, approx_d2.
+
+    Composed from the build/query lifecycle halves
+    (:func:`build_ivfpq_residual_index` / :func:`query_ivfpq_residual_index`)
+    — identical arithmetic, so the one-shot form and a saved-then-loaded
+    index return bit-identical results.
     """
-    ci = corpus.select(F.col(id_col).alias("__vid"), quantize(vec_col).alias("__v")).persist()
-    if dim is None:
-        dim = _dim_of(ci)
-    d_sub = dim // m_subs
-    if dim % m_subs:
-        raise ValueError(f"dim {dim} not divisible by m_subs {m_subs}")
-
-    coarse = kmeans_cells(ci, n_cells, coarse_iters, dim=dim).persist()
-    assign = _best_cell(ci, coarse)
-    res = assign.join(F.broadcast(coarse), "cell").select(
-        "__vid",
-        "cell",
-        F.zip_with("__v", "__cent", lambda x, c: x - c).alias("__r"),
-    ).persist()
-
-    # per-cell, per-subspace codebooks + member codes
-    books = None
-    codes = None
-    for s in range(m_subs):
-        res_s = res.select("cell", "__vid", F.slice("__r", s * d_sub + 1, d_sub).alias("__v"))
-        b = kmeans_cells_grouped(res_s, n_cells, pq_iters, dim=d_sub).withColumn(
-            "sub", F.lit(s)
-        )
-        d = res_s.join(F.broadcast(b), "cell").withColumn(
-            "__d", _l2_int(F.col("__v"), F.col("__cent"))
-        )
-        c = (
-            d.groupBy("cell", "__vid")
-            .agg(F.min(F.struct("__d", "code")).alias("__m"))
-            .select("cell", "__vid", F.lit(s).alias("sub"), F.col("__m.code").alias("code"))
-        )
-        books = b if books is None else books.unionByName(b)
-        codes = c if codes is None else codes.unionByName(c)
-
-    # probes: each query's n_probe nearest coarse cells
-    dist_q = (
-        ci.filter(F.col("__vid").isin(list(query_ids)))
-        .crossJoin(F.broadcast(coarse))
-        .withColumn("__d", _l2_int(F.col("__v"), F.col("__cent")))
+    index = build_ivfpq_residual_index(
+        corpus,
+        id_col,
+        vec_col,
+        n_cells=n_cells,
+        coarse_iters=coarse_iters,
+        m_subs=m_subs,
+        pq_iters=pq_iters,
+        dim=dim,
     )
-    wp = W.partitionBy("__vid").orderBy("__d", "cell")
-    probes = (
-        dist_q.withColumn("__rn", F.row_number().over(wp))
-        .filter(F.col("__rn") <= n_probe)
-        .select(F.col("__vid").alias("query_id"), "cell", F.col("__v").alias("__qv"))
-    )
-    # per-probed-cell residual query → LUT against THAT cell's codebook
-    rq = probes.join(F.broadcast(coarse), "cell").select(
-        "query_id", "cell", F.zip_with("__qv", "__cent", lambda x, c: x - c).alias("__rq")
-    )
-    lut = None
-    for s in range(m_subs):
-        rq_s = rq.select("query_id", "cell", F.slice("__rq", s * d_sub + 1, d_sub).alias("__q"))
-        l = (
-            rq_s.join(F.broadcast(books.filter(F.col("sub") == s)), "cell")
-            .withColumn("__d", _l2_int(F.col("__q"), F.col("__cent")))
-            .select("query_id", "cell", "sub", "code", "__d")
-        )
-        lut = l if lut is None else lut.unionByName(l)
-
-    est = (
-        codes.join(F.broadcast(probes.select("query_id", "cell")), "cell")
-        .join(F.broadcast(lut), ["query_id", "cell", "sub", "code"])
-        .filter(F.col("__vid") != F.col("query_id"))
-        .groupBy("query_id", F.col("__vid").alias("neighbor_id"))
-        .agg(F.sum("__d").alias("approx_d2"))
-    )
-    wk = W.partitionBy("query_id").orderBy("approx_d2", "neighbor_id")
-    return (
-        est.withColumn("rank", F.row_number().over(wk))
-        .filter(F.col("rank") <= k)
-        .select("query_id", "neighbor_id", "rank", "approx_d2")
+    queries = corpus.filter(F.col(id_col).isin(list(query_ids)))
+    return query_ivfpq_residual_index(
+        index, queries, id_col, vec_col, k=k, n_probe=n_probe
     )
 
 

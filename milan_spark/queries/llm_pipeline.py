@@ -10,7 +10,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
-from milan_spark.catalog import register
+from milan_spark.catalog import REGISTRY, register
 from milan_spark.operators import dedup as D
 from milan_spark.operators import multimodal as M
 from milan_spark.operators import similarity as S
@@ -1854,4 +1854,32 @@ def tokenizer_fertility_by_lang_q(spark: SparkSession, sf_dir: str) -> DataFrame
                 F.col("n_bpe_tokens").cast("double") / F.col("n_words"), 6
             ).alias("fertility"),
         )
+    )
+
+
+@register(
+    "ann_index_persisted",
+    doc="The production ANN lifecycle (build once / query many): the IVF+"
+    "residual-PQ index is BUILT, SAVED to parquet (codes = the corpus at "
+    "m ints/vector; coarse/books model-sized), RELOADED, and queried from "
+    "disk — the query plan touches only the persisted code table plus "
+    "tiny broadcasts, never a raw corpus vector (plan-asserted in "
+    "tests/test_ann_index.py). Exact-int64 throughout, so the round-trip "
+    "is bit-identical to the one-shot form and shares its oracle.",
+    oracle=REGISTRY["ann_ivfpq_residual"].oracle,
+)
+def ann_index_persisted_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import hashlib
+    import os
+    import tempfile
+
+    emb = table(spark, sf_dir, "embeddings")
+    index = S.build_ivfpq_residual_index(emb, "vec_id", "embedding", dim=64)
+    tag = hashlib.sha1(os.path.abspath(sf_dir).encode()).hexdigest()[:12]
+    path = os.path.join(tempfile.gettempdir(), f"milan_ann_idx_{tag}")
+    S.save_ivfpq_residual_index(index, path)
+    loaded = S.load_ivfpq_residual_index(spark, path)
+    queries = emb.filter(F.col("vec_id").isin(list(range(10))))
+    return S.query_ivfpq_residual_index(
+        loaded, queries, "vec_id", "embedding", k=5, n_probe=2
     )
