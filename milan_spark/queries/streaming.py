@@ -19,6 +19,7 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 from milan_spark.catalog import REGISTRY, register
 
 # imported for registration side effects — this module shares their oracles
+from milan_spark.queries import advanced as _advanced  # noqa: F401
 from milan_spark.queries import joins as _joins  # noqa: F401
 from milan_spark.queries import scans as _scans  # noqa: F401
 from milan_spark.queries import windows as _windows  # noqa: F401
@@ -857,3 +858,36 @@ def application_bundle_run_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     shipped = Application.from_json(app.to_json())  # the portable JSON is what runs
     return shipped.run_streaming(spark)
+
+
+@register(
+    "streaming_scd2_temporal_join",
+    doc="SCD-2 temporal dimension join on the streaming backend: facts pair "
+    "with the dimension version valid at their event time via the "
+    "enrichment-join state machine keyed on ts_us as the sequence — the "
+    "state machine's right-before-left tie order gives the exact >= as-of "
+    "semantics (signup versions are unique per (user, ts) in this corpus, "
+    "so no pre-dedup stage is needed). Same oracle as the batch twin "
+    "(DuckDB's native ASOF JOIN).",
+    oracle=REGISTRY["scd2_temporal_join"].oracle,
+)
+def streaming_scd2_temporal_join_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events_stream(spark, sf_dir).select(
+        "event_id", "user_id", "event_type", "value",
+        F.unix_micros("ts").alias("ts_us"),
+    )
+    facts = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts_us", "value", F.col("ts_us").alias("__seq")
+    )
+    dim = ev.filter(F.col("event_type") == "signup").select(
+        "user_id",
+        F.col("value").alias("signup_value"),
+        F.col("ts_us").alias("valid_from_us"),
+        F.col("ts_us").alias("__seq"),
+    )
+    joined = stateful.left_enrichment_join(facts, dim, on="user_id")
+    out = joined.select(
+        "event_id", "user_id", "ts_us", "value", "signup_value",
+        F.col("valid_from_us"),
+    )
+    return run_to_memory(out, "streaming_scd2_temporal_join")
