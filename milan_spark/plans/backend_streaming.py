@@ -411,6 +411,51 @@ def compile_node_streaming(
                 seq=p.get("seq", "__seq"),
                 maximize=(n.op == "stream_max_by"),
             )
+        if n.op == "asof_join":
+            # backward as-of IS the enrichment state machine keyed on the
+            # time axis: rights update per-key state, each left pairs with
+            # the latest right at-or-before its ord (the machine's
+            # right-before-left tie order gives >=). Forward direction
+            # needs future rights — fundamentally not streamable without
+            # unbounded buffering; rejected by name. Tolerance applies as a
+            # post-join gate nulling the right columns, exactly the batch
+            # operator's rule (operators/joins.py:420-423).
+            if p.get("direction", "backward") != "backward":
+                raise ValueError(
+                    "asof_join direction='forward' has no streaming "
+                    "realization (future rights are unseen); use the batch "
+                    "compiler"
+                )
+            from milan_spark.streaming import stateful
+
+            left_in, right_in = ins[0], ins[1]
+            prefix = p.get("right_prefix", "r_")
+            joined = stateful.left_enrichment_join(
+                left_in,
+                right_in,
+                left_on=p["left_on"],
+                right_on=p["right_on"],
+                left_seq=p["left_ord"],
+                right_seq=p["right_ord"],
+                right_prefix=prefix,
+            )
+            tol = p.get("tolerance")
+            if tol is not None:
+                keys = set(p["right_on"])
+                r_ord_col = p["right_ord"]
+                # right columns carry the prefix only on collisions — same
+                # contract as the batch operator's output
+                left_cols = set(left_in.columns)
+                def out_name(c: str) -> str:
+                    return (prefix + c) if c in left_cols else c
+                gap = F.col(p["left_ord"]) - F.col(out_name(r_ord_col))
+                ok = gap <= F.lit(tol)
+                for c in right_in.columns:
+                    if c in keys:
+                        continue
+                    oc = out_name(c)
+                    joined = joined.withColumn(oc, F.when(ok, F.col(oc)))
+            return joined
         if n.op == "session_window_aggregate":
             # watermark = gap: the session-window analog of the reference's
             # watermark = window size policy; required to close sessions

@@ -222,3 +222,41 @@ def test_session_window_same_json_both_backends(spark):
     text = to_json(s.node)
     b, st = _both(spark, text, "ir_session_both", output_mode="complete")
     assert b == st and len(b) > 0
+
+
+def test_asof_join_same_json_both_backends(spark):
+    # backward as-of with tolerance: the streaming realization is the
+    # enrichment state machine keyed on the time axis, tolerance applied as
+    # the same post-join null gate as the batch operator
+    purch = (
+        Stream.from_parquet(spark, EV)
+        .where("event_type = 'purchase'")
+        .map("event_id", "user_id", "unix_micros(CAST(ts AS TIMESTAMP)) AS ts_us")
+    )
+    # rights are unique per (user, ts) at this SF (checked), so no pre-dedup
+    # stage is needed — a streaming aggregate cannot feed an append-mode
+    # stateful join anyway (the determinism contract stays the author's job)
+    views = (
+        Stream.from_parquet(spark, EV)
+        .where("event_type = 'view'")
+        .map("user_id", "event_id AS view_event_id", "unix_micros(CAST(ts AS TIMESTAMP)) AS ts_us")
+    )
+    joined = purch.asof_join(
+        views, on="user_id", left_ord="ts_us", right_ord="ts_us",
+        tolerance=3 * 86_400 * 10**6,
+    )
+    text = to_json(joined.node)
+    b, st = _both(spark, text, "ir_asof_both")
+    assert b == st and len(b) > 0
+
+
+def test_asof_join_forward_rejected_streaming(spark):
+    purch = (
+        Stream.from_parquet(spark, EV)
+        .map("event_id", "user_id", "unix_micros(CAST(ts AS TIMESTAMP)) AS ts_us")
+    )
+    j = purch.asof_join(
+        purch, on="user_id", left_ord="ts_us", right_ord="ts_us", direction="forward"
+    )
+    with pytest.raises(ValueError, match="forward"):
+        compile_node_streaming(from_json(to_json(j.node)), spark)
