@@ -307,7 +307,9 @@ class Application:
             ).save(self.sink["path"])
         return df, obs
 
-    def _write_lineage(self, df: DataFrame, entry: dict) -> None:
+    def _write_lineage(self, df: DataFrame, entry: dict) -> list:
+        """Write one lineage edge list; returns started (un-awaited)
+        streaming queries so the caller can drain them concurrently."""
         from milan_spark.observability import lineage_edges
 
         edges = lineage_edges(df, entry["out_id"], entry["in_ids"], entry["op"])
@@ -316,14 +318,15 @@ class Application:
 
             if entry["kind"] == "memory":
                 run_to_memory(edges, entry["name"])
-            else:
-                file_sink(edges, entry["path"], fmt=entry.get("fmt", "parquet")).awaitTermination(300)
-        elif entry["kind"] == "memory":
+                return []
+            return [file_sink(edges, entry["path"], fmt=entry.get("fmt", "parquet"))]
+        if entry["kind"] == "memory":
             edges.createOrReplaceTempView(entry["name"])
         else:
             edges.write.mode(entry.get("mode", "overwrite")).format(
                 entry.get("fmt", "parquet")
             ).save(entry["path"])
+        return []
 
     def run_streaming(self, spark: SparkSession):
         """source bindings → streaming compile → sink. The memory sink runs
@@ -353,11 +356,16 @@ class Application:
 
     def _run_streaming_inner(self, spark: SparkSession, compile_node_streaming):
         bound = {sid: self._resolve_streaming(spark, sid) for sid in self.sources}
+        # file-backed side queries START first and are awaited together at
+        # the end — N sinks run concurrently, not serialized (the reference
+        # submits one job with all sinks attached); memory sinks stay
+        # blocking by design (the bounded test-harness shape)
+        started = []
         for entry in self.lineage_sinks:
             sub = compile_node_streaming(
                 self._find_node(entry["stream_id"]), spark, source_overrides=bound
             )
-            self._write_lineage(sub, entry)
+            started.extend(self._write_lineage(sub, entry) or [])
         for entry in self.sinks:
             sub = compile_node_streaming(
                 self._find_node(entry["stream_id"]), spark, source_overrides=bound
@@ -371,13 +379,16 @@ class Application:
             else:
                 from milan_spark.streaming import file_sink
 
-                q = file_sink(
-                    sub,
-                    entry["path"],
-                    fmt=entry.get("fmt", "parquet"),
-                    output_mode=entry.get("output_mode", "append"),
+                started.append(
+                    file_sink(
+                        sub,
+                        entry["path"],
+                        fmt=entry.get("fmt", "parquet"),
+                        output_mode=entry.get("output_mode", "append"),
+                    )
                 )
-                q.awaitTermination(300)
+        for q in started:
+            q.awaitTermination(300)
         sdf = compile_node_streaming(self.plan, spark, source_overrides=bound)
         kind = self.sink.get("kind", "none")
         if kind == "memory":

@@ -349,3 +349,46 @@ def label_propagation(
             )
         ).select("n", F.col("m.label").alias("label"))
     return labels.withColumnsRenamed({"n": "node"})
+
+
+def bfs_levels(
+    pairs: DataFrame,
+    source,
+    a_col: str = "id_a",
+    b_col: str = "id_b",
+    iterations: int = 6,
+) -> DataFrame:
+    """Frontier BFS: hop distance from ``source`` over the undirected graph,
+    out to ``iterations`` hops. Returns (node, dist) for every reached node.
+
+    The scalable shape is the FRONTIER delta, not a full-table propagation:
+    each round joins only last round's newly-reached nodes against the
+    (persisted, never re-shuffled) edge list — O(frontier-adjacent edges)
+    of work per level — then one anti-join against the known set admits
+    first-time nodes only. Lineage is truncated every round
+    (``localCheckpoint``), the ``pagerank_scaled`` pattern, so the plan
+    stays flat at any depth. Levels are exact integers and a node's level
+    is its unique first-reach round — deterministic under any partitioning.
+    An exhausted frontier makes the remaining rounds no-ops on empty
+    checkpointed frames (no convergence action needed at fixed depth).
+    """
+    fwd = pairs.select(F.col(a_col).alias("u"), F.col(b_col).alias("v"))
+    edges = fwd.unionByName(
+        fwd.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    ).persist()
+
+    spark = pairs.sparkSession
+    dist = spark.createDataFrame([(int(source), 0)], "n long, dist int")
+    frontier = dist.select("n")
+    for r in range(1, iterations + 1):
+        cand = (
+            frontier.join(edges, frontier.n == edges.u)
+            .select(F.col("v").alias("n"))
+            .distinct()
+        )
+        new = cand.join(dist, "n", "left_anti").select(
+            "n", F.lit(r).cast("int").alias("dist")
+        )
+        dist = dist.unionByName(new).localCheckpoint(eager=False)
+        frontier = new.select("n").localCheckpoint(eager=False)
+    return dist

@@ -700,3 +700,41 @@ def bpe_encode_tokens_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         for r in bpe_train(docs, merges=6).collect()
     ]
     return bpe_encode_counts(docs, rules)
+
+
+@register(
+    "bfs_hops_coparts",
+    doc="Frontier BFS (operators.graph.bfs_levels): hop distance from the "
+    "smallest part in the co-order part graph, 6 levels. Each round joins "
+    "ONLY the newly-reached frontier against the persisted edge list "
+    "(O(frontier-adjacent edges) per level, never a full-table "
+    "propagation), admits first-time nodes via one anti-join, and "
+    "truncates lineage. Levels are exact ints — deterministic under any "
+    "partitioning. Oracle: DuckDB WITH RECURSIVE, an independent "
+    "implementation of shortest-hop search.",
+    oracle="""
+WITH RECURSIVE pairs AS (
+  SELECT DISTINCT least(a.l_partkey, b.l_partkey) AS u,
+         greatest(a.l_partkey, b.l_partkey) AS v
+  FROM lineitem a JOIN lineitem b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+), e AS (
+  SELECT u, v FROM pairs UNION ALL SELECT v, u FROM pairs
+), src AS (SELECT MIN(u) AS s FROM e),
+bfs(n, d) AS (
+  SELECT s, 0 FROM src
+  UNION
+  SELECT e.v, bfs.d + 1 FROM bfs JOIN e ON e.u = bfs.n WHERE bfs.d < 6
+)
+SELECT CAST(n AS BIGINT) AS node, CAST(MIN(d) AS INT) AS dist
+FROM bfs GROUP BY n
+""",
+)
+def bfs_hops_coparts_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from milan_spark.operators.graph import bfs_levels
+
+    pairs = _copart_pairs(spark, sf_dir).persist()
+    source = pairs.agg(F.min(F.least("src", "dst"))).first()[0]
+    return bfs_levels(pairs, source, a_col="src", b_col="dst", iterations=6).select(
+        F.col("n").alias("node"), "dist"
+    )
