@@ -12,8 +12,10 @@ Public API:
     out = s.where("l_quantity > 10").group_by("l_returnflag").select(...)
 """
 
+from milan_spark.application import Application
+from milan_spark.errors import MilanAnalysisError
 from milan_spark.session import get_spark, SEQ_COL
 from milan_spark.stream import Stream
 
-__all__ = ["Stream", "get_spark", "SEQ_COL"]
+__all__ = ["Application", "MilanAnalysisError", "Stream", "get_spark", "SEQ_COL"]
 __version__ = "0.1.0"
