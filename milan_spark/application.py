@@ -407,3 +407,46 @@ class Application:
                 output_mode=self.sink.get("output_mode", "append"),
             )
         return sdf
+
+
+def externalize_plan(node: Node) -> tuple[Node, dict[str, dict]]:
+    """Rewrite a plan's concrete file sources into ``external_stream``
+    placeholders and return (portable plan, source bindings) — the
+    define-then-bind split the reference's lifecycle is built on: a program
+    authored against real paths exports as a bundle whose configuration
+    half can later point anywhere. Shared sources (same node id) become
+    ONE stream id; stream ids derive from the path basename, deduplicated.
+    """
+    bindings: dict[str, dict] = {}
+    sid_by_node: dict[str, str] = {}
+    taken: set[str] = set()
+    import os as _os
+
+    def stream_id_for(n: Node) -> str:
+        base = _os.path.basename(n.params["path"].rstrip("/"))
+        base = _os.path.splitext(base)[0] or "source"
+        sid, i = base, 1
+        while sid in taken:
+            i += 1
+            sid = f"{base}_{i}"
+        taken.add(sid)
+        return sid
+
+    def walk(n: Node) -> Node:
+        if n.op in ("parquet_source", "file_source"):
+            if n.node_id not in sid_by_node:
+                sid = stream_id_for(n)
+                sid_by_node[n.node_id] = sid
+                if n.op == "parquet_source":
+                    bindings[sid] = {"kind": "parquet", "path": n.params["path"]}
+                else:
+                    bindings[sid] = {
+                        "kind": "file",
+                        "path": n.params["path"],
+                        "fmt": n.params.get("fmt", "parquet"),
+                        "options": n.params.get("options") or {},
+                    }
+            return Node("external_stream", {"stream_id": sid_by_node[n.node_id]})
+        return Node(n.op, n.params, [walk(i) for i in n.inputs], serializable=n.serializable)
+
+    return walk(node), bindings

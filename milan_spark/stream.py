@@ -526,6 +526,23 @@ class Stream:
         )
         return Stream(getattr(self.df, op)(*keys).agg(*cols), node)
 
+    def to_application(self, app_id: str, sink: dict | None = None, **kwargs):
+        """Export this program as a portable Application bundle: concrete
+        file sources become ``external_stream`` placeholders bound in the
+        bundle's configuration half (define-then-bind — the reference's
+        whole lifecycle). Any Application field passes through ``kwargs``
+        (metrics, sinks, lineage_sinks, state_store)."""
+        from milan_spark.application import Application, externalize_plan
+
+        plan, bindings = externalize_plan(self.node)
+        return Application(
+            app_id=app_id,
+            plan=plan,
+            sources=bindings,
+            sink=sink or {"kind": "none"},
+            **kwargs,
+        )
+
     def iterate(self, body: Callable[["Stream"], "Stream"], max_iterations: int, converged: Callable[[DataFrame, DataFrame], bool] | None = None) -> "Stream":
         """Milan Cycle (beginCycle/closeCycle, lang/Stream.scala:143-147) —
         batch realization as a driver-side fixpoint loop. Each iteration is a

@@ -229,3 +229,29 @@ def test_bad_lineage_and_state_store_rejected(tmp_path):
     del app.lineage_sinks[0]["op"]
     with pytest.raises(ValueError, match="missing 'op'"):
         app.validate()
+
+
+def test_stream_exports_as_portable_bundle(spark, tmp_path):
+    # define-then-bind: a program authored against a concrete parquet path
+    # exports as a bundle whose plan holds only external_stream placeholders
+    from milan_spark import Stream
+
+    s = (
+        Stream.from_parquet(spark, EV)
+        .where("event_type = 'purchase'")
+        .group_by("user_id")
+        .select(n="count(*)", total_cents="sum(CAST(floor(value * 100 + 0.5) AS BIGINT))")
+    )
+    app = s.to_application("exported_rollup", sink={"kind": "memory", "name": "exp_out"})
+    text = app.to_json()
+    assert "parquet_source" not in text and "external_stream" in text
+    again = Application.from_json(text)
+    assert again.external_stream_ids() == {"events"}
+    assert again.sources["events"] == {"kind": "parquet", "path": EV}
+    df, _ = again.run_batch(spark)
+    assert sorted(tuple(r) for r in df.collect()) == sorted(tuple(r) for r in s.df.collect())
+    # rebinding the configuration half redirects the SAME plan elsewhere
+    spark.read.parquet(EV).limit(50).write.parquet(str(tmp_path / "small"))
+    again.sources["events"]["path"] = str(tmp_path / "small")
+    df2, _ = again.run_batch(spark)
+    assert df2.count() <= 50
