@@ -943,3 +943,68 @@ def scd2_temporal_join_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         "signup_value",
         F.col("r_ts_us").alias("valid_from_us"),
     )
+
+
+@register(
+    "snapshot_diff_cdc",
+    doc="CDC snapshot diff (operators.diff.snapshot_diff): the merge_upsert "
+    "result minus a simulated deletion slice, diffed against the base — "
+    "every key classified added/removed/changed/unchanged in ONE full-"
+    "outer join on the key (null-safe column compare, row-local "
+    "classification). At 100 TB the base stays put under bucketed layout "
+    "and only the delta shuffles — a diff is the read-only half of MERGE.",
+    oracle="""
+WITH base AS (
+  SELECT c_custkey, c_name, CAST(c_acctbal AS DECIMAL(18,6)) AS bal
+  FROM customer WHERE c_custkey % 2 = 0
+),
+updates AS (
+  SELECT c_custkey, c_name, CAST(c_acctbal AS DECIMAL(18,6)) + 100 AS bal
+  FROM customer WHERE c_custkey % 3 = 0
+  UNION ALL
+  SELECT c_custkey + 1000000, c_name, CAST(0 AS DECIMAL(18,6))
+  FROM customer WHERE c_custkey % 7 = 0
+),
+merged AS (
+  SELECT COALESCE(u.c_custkey, b.c_custkey) AS c_custkey,
+         COALESCE(u.c_name, b.c_name) AS c_name,
+         COALESCE(u.bal, b.bal) AS bal
+  FROM base b FULL OUTER JOIN updates u ON b.c_custkey = u.c_custkey
+),
+new_snap AS (SELECT * FROM merged WHERE c_custkey % 5 <> 0)
+SELECT COALESCE(n.c_custkey, b.c_custkey) AS c_custkey,
+       CASE WHEN b.c_custkey IS NULL THEN 'added'
+            WHEN n.c_custkey IS NULL THEN 'removed'
+            WHEN n.c_name IS DISTINCT FROM b.c_name
+                 OR n.bal IS DISTINCT FROM b.bal THEN 'changed'
+            ELSE 'unchanged' END AS change
+FROM base b FULL OUTER JOIN new_snap n ON b.c_custkey = n.c_custkey
+""",
+)
+def snapshot_diff_cdc_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from milan_spark.operators.diff import snapshot_diff
+
+    cust = table(spark, sf_dir, "customer")
+    bal = F.col("c_acctbal").cast("decimal(18,6)")
+    base = cust.filter(F.col("c_custkey") % 2 == 0).select(
+        "c_custkey", "c_name", bal.alias("bal")
+    )
+    updates = (
+        cust.filter(F.col("c_custkey") % 3 == 0)
+        .select("c_custkey", "c_name", (bal + 100).alias("bal"))
+        .unionByName(
+            cust.filter(F.col("c_custkey") % 7 == 0).select(
+                (F.col("c_custkey") + 1_000_000).alias("c_custkey"),
+                "c_name",
+                F.lit(0).cast("decimal(18,6)").alias("bal"),
+            )
+        )
+    )
+    b, u = base.alias("b"), updates.alias("u")
+    merged = b.join(u, F.col("b.c_custkey") == F.col("u.c_custkey"), "full_outer").select(
+        F.coalesce(F.col("u.c_custkey"), F.col("b.c_custkey")).alias("c_custkey"),
+        F.coalesce(F.col("u.c_name"), F.col("b.c_name")).alias("c_name"),
+        F.coalesce(F.col("u.bal"), F.col("b.bal")).alias("bal"),
+    )
+    new_snap = merged.filter(F.col("c_custkey") % 5 != 0)
+    return snapshot_diff(base, new_snap, keys=["c_custkey"])
