@@ -390,6 +390,15 @@ class Application:
         for q in started:
             q.awaitTermination(300)
         sdf = compile_node_streaming(self.plan, spark, source_overrides=bound)
+        if self.metrics:
+            # streaming metric attachment: Dataset.observe with a NAME (the
+            # Observation object is batch-only); values surface per
+            # microbatch in StreamingQueryProgress.observedMetrics, which
+            # run_to_memory stashes in streaming._LAST_PROGRESS
+            sdf = sdf.observe(
+                f"{self.app_id}_metrics",
+                *[F.expr(e).alias(a) for a, e in self.metrics.items()],
+            )
         kind = self.sink.get("kind", "none")
         if kind == "memory":
             from milan_spark.streaming import run_to_memory

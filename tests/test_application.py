@@ -255,3 +255,22 @@ def test_stream_exports_as_portable_bundle(spark, tmp_path):
     again.sources["events"]["path"] = str(tmp_path / "small")
     df2, _ = again.run_batch(spark)
     assert df2.count() <= 50
+
+
+def test_streaming_metrics_surface_in_query_progress(spark):
+    # the bundle's metric definitions ride the streaming query too —
+    # reported per microbatch via observedMetrics (the reference computes
+    # its MetricDefinitions inside the running job the same way)
+    from milan_spark import streaming as st
+
+    app = Application.from_json(_bundle().to_json())
+    app.sink = {"kind": "memory", "name": "metrics_probe_out", "output_mode": "complete"}
+    table = app.run_streaming(spark)
+    n_rows = table.count()
+    observed = [
+        p["observedMetrics"]["purchase_rollup_metrics"]
+        for p in st._LAST_PROGRESS
+        if p.get("observedMetrics", {}).get("purchase_rollup_metrics")
+    ]
+    assert observed, "no observedMetrics in streaming progress"
+    assert observed[-1]["n_out"] == n_rows
