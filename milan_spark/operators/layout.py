@@ -63,3 +63,50 @@ def write_zordered(
         .option("parquet.block.size", str(row_group_bytes))
         .parquet(path)
     )
+
+
+def compact_files(
+    spark,
+    path: str,
+    target_mb: int = 128,
+    fmt: str = "parquet",
+    sort_by: list[str] | None = None,
+) -> dict:
+    """Small-file compaction — the maintenance pass every long-running
+    pipeline sink needs: streaming/incremental writers leave a directory of
+    tiny files whose per-file open/footer cost eventually dominates scans.
+    Rewrites ``path`` into ⌈total_bytes / target_mb⌉ files (optionally
+    sorted, which restores row-group pruning after the rewrite) with the
+    same two-rename atomic swap as the upsert sink — readers see the old or
+    the new directory, never a partial one.
+
+    Returns {"files_before", "files_after", "bytes"}. One read + one
+    shuffle-free coalesce write (or one range sort when ``sort_by`` — the
+    pruning-preserving variant).
+    """
+    import math
+    import os
+    import shutil
+
+    before = [
+        f for f in os.listdir(path)
+        if not f.startswith(("_", ".")) and not f.endswith(".crc")
+    ]
+    total = sum(os.path.getsize(os.path.join(path, f)) for f in before)
+    n_out = max(1, math.ceil(total / (target_mb * 1024 * 1024)))
+    df = spark.read.format(fmt).load(path)
+    if sort_by:
+        df = df.repartitionByRange(n_out, *sort_by).sortWithinPartitions(*sort_by)
+    else:
+        df = df.coalesce(n_out)
+    tmp = f"{path}.__tmp_compact"
+    df.write.mode("overwrite").format(fmt).save(tmp)
+    old = f"{path}.__old_compact"
+    os.rename(path, old)
+    os.rename(tmp, path)
+    shutil.rmtree(old, ignore_errors=True)
+    after = [
+        f for f in os.listdir(path)
+        if not f.startswith(("_", ".")) and not f.endswith(".crc")
+    ]
+    return {"files_before": len(before), "files_after": len(after), "bytes": total}

@@ -72,3 +72,37 @@ def test_zorder_prunes_2d_boxes_vs_natural_order(spark):
         == spark.read.parquet(ndir).count()
         == li.count()
     )
+
+
+def test_compact_files_rewrites_tiny_files_atomically(spark, tmp_path):
+    from milan_spark.operators.layout import compact_files
+
+    p = str(tmp_path / "sink")
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    ev.repartition(24).write.parquet(p)
+    base = sorted(tuple(r) for r in spark.read.parquet(p).collect())
+
+    stats = compact_files(spark, p, target_mb=128)
+    assert stats["files_before"] >= 24
+    assert stats["files_after"] <= 2
+    assert sorted(tuple(r) for r in spark.read.parquet(p).collect()) == base
+
+
+def test_compact_files_sorted_variant_restores_clustering(spark, tmp_path):
+    from milan_spark.operators.layout import compact_files
+
+    p = str(tmp_path / "sink2")
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    ev.repartition(16).write.parquet(p)
+    compact_files(spark, p, target_mb=1, sort_by=["user_id"])
+    back = spark.read.parquet(p)
+    # rows unchanged and each output file covers a disjoint user_id range
+    assert back.count() == ev.count()
+    import pyspark.sql.functions as F
+    per_file = (
+        back.groupBy(F.input_file_name().alias("f"))
+        .agg(F.min("user_id").alias("lo"), F.max("user_id").alias("hi"))
+        .collect()
+    )
+    spans = sorted((r["lo"], r["hi"]) for r in per_file)
+    assert all(a[1] <= b[0] for a, b in zip(spans, spans[1:]))
