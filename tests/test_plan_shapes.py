@@ -556,3 +556,29 @@ def test_ivfpq_candidate_join_left_to_aqe(spark):
     assert sorted(tuple(r) for r in default.collect()) == sorted(
         tuple(r) for r in gated.collect()
     )
+
+
+def test_bfs_edge_cache_partitioning_reused_by_frontier_join(spark):
+    """BFS mechanism guard: an edge list persisted hash-partitioned on the
+    probe key satisfies the frontier join's distribution requirement from
+    cache — no fresh exchange may sit above the InMemoryTableScan (without
+    the repartition-before-persist, every BFS level re-exchanges all m
+    edges)."""
+    import re
+
+    from pyspark.sql import functions as F
+
+    edges = (
+        spark.createDataFrame([(i, i + 1) for i in range(1000)], "u long, v long")
+        .repartition("u")
+        .persist()
+    )
+    edges.count()  # materialize the cache
+    frontier = spark.createDataFrame([(0,)], "n long")
+    j = frontier.join(edges, frontier.n == edges.u).select(F.col("v").alias("n"))
+    p = plan(j, mode="simple")
+    assert "InMemoryTableScan" in p
+    assert not re.search(
+        r"Exchange hashpartitioning\(u#\d+L[^\n]*\n[^\n]*InMemoryTableScan", p
+    ), p
+    edges.unpersist()
