@@ -49,3 +49,85 @@ def snapshot_diff(
     )
     key_cols = [F.coalesce(n[k], b[k]).alias(k) for k in keys]
     return j.select(*key_cols, change.alias("change"))
+
+
+def psi_drift(
+    base: DataFrame,
+    new: DataFrame,
+    col: str,
+    buckets: int = 10,
+) -> DataFrame:
+    """Population Stability Index between two snapshots of a numeric column
+    — the standard distribution-drift monitor for feature/data pipelines:
+    PSI = Σ_i (p_i − q_i)·ln(p_i/q_i) over fixed buckets, q from the base,
+    p from the new snapshot. PSI < 0.1 ≈ stable, > 0.25 ≈ population shift.
+
+    Determinism by construction: bucket edges are fixed-width from the
+    BASE min/max (one combinable aggregate, broadcast as one row); counts
+    are exact int64 with add-one smoothing (so empty buckets need no ε
+    hack and both engines see identical rationals); each bucket contributes
+    one ln over an exact rational, summed over ≤ ``buckets`` terms and
+    compared after round(·, 6) — the bm25 float discipline.
+
+    Plan: two combinable bucket-count aggregates (one scan each side, the
+    value domain never shuffles un-aggregated), one ``buckets``-row join.
+    Output: one row per bucket (bucket, base_n, new_n, psi_contrib) —
+    sum psi_contrib for the headline number; bucket rows localize WHERE
+    the distribution moved.
+    """
+    stats = base.agg(
+        F.min(col).cast("double").alias("__lo"), F.max(col).cast("double").alias("__hi")
+    )
+
+    def bucketize(df: DataFrame) -> DataFrame:
+        b = df.select(F.col(col).cast("double").alias("__v")).where(
+            F.col("__v").isNotNull()
+        ).crossJoin(F.broadcast(stats))
+        idx = F.when(
+            F.col("__hi") == F.col("__lo"), F.lit(0)
+        ).otherwise(
+            F.least(
+                F.lit(buckets - 1),
+                F.greatest(
+                    F.lit(0),
+                    F.floor(
+                        (F.col("__v") - F.col("__lo"))
+                        * buckets
+                        / (F.col("__hi") - F.col("__lo"))
+                    ).cast("int"),
+                ),
+            )
+        )
+        return b.select(idx.alias("bucket")).groupBy("bucket").agg(
+            F.count(F.lit(1)).alias("n")
+        )
+
+    qb = bucketize(base).select("bucket", F.col("n").alias("base_n"))
+    pb = bucketize(new).select("bucket", F.col("n").alias("new_n"))
+    all_buckets = base.sparkSession.range(buckets).select(
+        F.col("id").cast("int").alias("bucket")
+    )
+    j = (
+        all_buckets.join(qb, "bucket", "left")
+        .join(pb, "bucket", "left")
+        .select(
+            "bucket",
+            F.coalesce("base_n", F.lit(0)).alias("base_n"),
+            F.coalesce("new_n", F.lit(0)).alias("new_n"),
+        )
+        # persist: feeds both the totals aggregate and the contrib select;
+        # without the barrier each consumer re-runs BOTH corpus scans
+        .persist()
+    )
+    tot = j.agg(
+        F.sum("base_n").alias("__qt"), F.sum("new_n").alias("__pt")
+    )
+    sm = j.crossJoin(F.broadcast(tot))
+    p = (F.col("new_n") + 1).cast("double") / (F.col("__pt") + buckets).cast("double")
+    q = (F.col("base_n") + 1).cast("double") / (F.col("__qt") + buckets).cast("double")
+    return sm.select(
+        "bucket",
+        "base_n",
+        "new_n",
+        F.round((p - q) * F.log(p / q), 6).alias("psi_contrib"),
+    )

@@ -1008,3 +1008,59 @@ def snapshot_diff_cdc_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     new_snap = merged.filter(F.col("c_custkey") % 5 != 0)
     return snapshot_diff(base, new_snap, keys=["c_custkey"])
+
+
+@register(
+    "psi_value_drift",
+    doc="Population Stability Index drift monitor (operators.diff."
+    "psi_drift): purchase-value distribution vs the view-value base over "
+    "10 fixed-width buckets from the base min/max. Two combinable bucket-"
+    "count aggregates (value domain never shuffles un-aggregated), a "
+    "10-row join, add-one-smoothed exact-int rationals into one ln per "
+    "bucket, round(·,6) — PSI localized per bucket, summed for the "
+    "headline drift number.",
+    oracle="""
+WITH stats AS (
+  SELECT MIN(value) AS lo, MAX(value) AS hi FROM events WHERE event_type = 'view'
+),
+bb AS (
+  SELECT CASE WHEN s.hi = s.lo THEN 0
+              ELSE LEAST(9, GREATEST(0,
+                CAST(FLOOR((e.value - s.lo) * 10 / (s.hi - s.lo)) AS INT))) END AS bucket,
+         COUNT(*) AS n
+  FROM events e, stats s WHERE e.event_type = 'view' AND e.value IS NOT NULL
+  GROUP BY 1
+),
+nb AS (
+  SELECT CASE WHEN s.hi = s.lo THEN 0
+              ELSE LEAST(9, GREATEST(0,
+                CAST(FLOOR((e.value - s.lo) * 10 / (s.hi - s.lo)) AS INT))) END AS bucket,
+         COUNT(*) AS n
+  FROM events e, stats s WHERE e.event_type = 'purchase' AND e.value IS NOT NULL
+  GROUP BY 1
+),
+j AS (
+  SELECT r.bucket,
+         CAST(COALESCE(bb.n, 0) AS BIGINT) AS base_n,
+         CAST(COALESCE(nb.n, 0) AS BIGINT) AS new_n
+  FROM (SELECT unnest(range(10)) AS bucket) r
+  LEFT JOIN bb USING (bucket) LEFT JOIN nb USING (bucket)
+),
+tot AS (SELECT SUM(base_n) AS qt, SUM(new_n) AS pt FROM j)
+SELECT j.bucket, j.base_n, j.new_n,
+       ROUND(
+         (CAST(j.new_n + 1 AS DOUBLE) / CAST(tot.pt + 10 AS DOUBLE)
+          - CAST(j.base_n + 1 AS DOUBLE) / CAST(tot.qt + 10 AS DOUBLE))
+         * ln((CAST(j.new_n + 1 AS DOUBLE) / CAST(tot.pt + 10 AS DOUBLE))
+              / (CAST(j.base_n + 1 AS DOUBLE) / CAST(tot.qt + 10 AS DOUBLE))), 6
+       ) AS psi_contrib
+FROM j, tot
+""",
+)
+def psi_value_drift_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from milan_spark.operators.diff import psi_drift
+
+    ev = table(spark, sf_dir, "events")
+    base = ev.filter(F.col("event_type") == "view")
+    new = ev.filter(F.col("event_type") == "purchase")
+    return psi_drift(base, new, "value", buckets=10)
