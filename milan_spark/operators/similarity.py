@@ -577,12 +577,22 @@ def query_ivfpq_residual_index(
     vec_col: str,
     k: int = 5,
     n_probe: int = 2,
+    broadcast_threshold: int | None = None,
 ) -> DataFrame:
     """QUERY phase: probe the ``n_probe`` nearest coarse cells per query,
     residualize against each probed centroid, score that cell's members by
-    ADC over their codes. Touches only the code table plus tiny broadcasts
+    ADC over their codes. Touches only the code table plus small broadcasts
     — never a raw corpus vector. Works identically on a just-built or a
-    loaded index (exact-int64 end to end)."""
+    loaded index (exact-int64 end to end).
+
+    Broadcast policy: ``coarse`` and ``books`` are index-side frames bounded
+    by configuration (n_cells × dim and n_cells × m_subs × codebook rows) —
+    unconditional hints. The PROBE and ADC-LUT frames grow linearly with the
+    query-batch size (O(queries · n_probe) and O(queries · n_probe · m_subs
+    · codebook) rows — a 1M-query bulk batch makes the LUT ~10^10 rows), so
+    they route through :func:`maybe_broadcast`: hinted only when the
+    Catalyst estimate fits ``broadcast_threshold``, otherwise left to AQE's
+    runtime statistics. Nothing is forced through the driver on a guess."""
     coarse, books, codes = index["coarse"], index["books"], index["codes"]
     m_subs, dim = index["meta"]["m_subs"], index["meta"]["dim"]
     d_sub = dim // m_subs
@@ -611,8 +621,11 @@ def query_ivfpq_residual_index(
         lut = l if lut is None else lut.unionByName(l)
 
     est = (
-        codes.join(F.broadcast(probes.select("query_id", "cell")), "cell")
-        .join(F.broadcast(lut), ["query_id", "cell", "sub", "code"])
+        codes.join(
+            maybe_broadcast(probes.select("query_id", "cell"), broadcast_threshold),
+            "cell",
+        )
+        .join(maybe_broadcast(lut, broadcast_threshold), ["query_id", "cell", "sub", "code"])
         .filter(F.col("__vid") != F.col("query_id"))
         .groupBy("query_id", F.col("__vid").alias("neighbor_id"))
         .agg(F.sum("__d").alias("approx_d2"))
@@ -637,6 +650,7 @@ def ann_ivfpq_residual(
     m_subs: int = 4,
     pq_iters: int = 1,
     dim: int | None = None,
+    broadcast_threshold: int | None = None,
 ) -> DataFrame:
     """IVF + RESIDUAL PQ (Jégou et al., TPAMI 2011 §III.C — the standard
     recall upgrade over :func:`ann_ivfpq`'s flat codebooks): PQ codebooks
@@ -647,7 +661,8 @@ def ann_ivfpq_residual(
 
     Plan shape (better than flat IVFPQ): there is no materialized candidate
     frame at all — the probed-cell membership IS the ``codes ⋈ probes``
-    equi-join on cell, with probes and the LUT tiny broadcasts; the grouped
+    equi-join on cell, with probes and the LUT size-gated via
+    :func:`maybe_broadcast` (they scale with the query-batch size); the grouped
     Lloyd (:func:`kmeans_cells_grouped`) trains all n_cells × m_subs
     codebooks in O(iters) jobs. Exact-int64 throughout (integer residuals,
     floor-means, (d, code)/(d, cell) struct tie-breaks) → full value
@@ -670,7 +685,8 @@ def ann_ivfpq_residual(
     )
     queries = corpus.filter(F.col(id_col).isin(list(query_ids)))
     return query_ivfpq_residual_index(
-        index, queries, id_col, vec_col, k=k, n_probe=n_probe
+        index, queries, id_col, vec_col, k=k, n_probe=n_probe,
+        broadcast_threshold=broadcast_threshold,
     )
 
 

@@ -51,10 +51,12 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 from milan_spark.plans.nodes import Node, _compile_op
 
 # ops whose batch DataFrame code is streaming-legal verbatim (distinct →
-# dropDuplicates, Spark's native streaming dedup with per-key state)
+# dropDuplicates, Spark's native streaming dedup with per-key state;
+# apply_function — a stateless Arrow-vectorized column append resolved from
+# its dotted-path FunctionReference, legal in any output mode)
 _SHARED_OPS = frozenset(
     {"filter", "map", "add_fields", "to_field", "union", "aggregate", "hint",
-     "distinct"}
+     "distinct", "apply_function"}
 )
 
 _SOURCE_OPS = frozenset({"parquet_source", "file_source", "list_source"})
@@ -349,8 +351,24 @@ def compile_node_streaming(
             if by_path is not None:
                 return by_path
             return _stream_source(n, spark)
+        if n.op == "cycle":
+            # the reference's event compiler rejects cycles by name too
+            # (EventHandlerClassGenerator.scala:23 "Cycles are not supported");
+            # the streaming realization is the sink-to-source feedback
+            # emulation in streaming.cycle, which is deployment wiring, not a
+            # plan node
+            from milan_spark.errors import MilanAnalysisError
+
+            raise MilanAnalysisError(
+                f"cycle [{n.node_id}]: cycles are not supported by the "
+                "streaming compiler; compile with plans.nodes.compile_node "
+                "(batch) or wire the feedback loop with "
+                "milan_spark.streaming.cycle.streaming_cycle"
+            )
         ins = [compile_(i) for i in n.inputs]
         p = n.params
+        if n.op == "cache":
+            return ins[0]  # persist is a batch hint; meaningless on a stream
         if n.op in _SHARED_OPS:
             return _compile_op(n, spark, ins)
         if n.op == "time_window_aggregate":

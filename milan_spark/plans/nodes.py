@@ -119,16 +119,110 @@ def compile_node(
                     f"external_stream {sid!r} is unbound; pass sources={{{sid!r}: df}}"
                 )
             df = sources[sid]
+        elif n.op == "cycle":
+            df = _run_cycle(n)
+        elif n.op == "cycle_ref":
+            raise ValueError(
+                f"cycle_ref {n.node_id} outside a cycle body has no meaning; "
+                "it must appear under a cycle node's body input"
+            )
         else:
             df = _compile_op(n, spark, [compile_(i) for i in n.inputs])
         memo[n.node_id] = df
         return df
 
+    def _run_cycle(n: Node) -> DataFrame:
+        """Milan Cycle as an IR node (StreamExpressions.scala:141; the Flink
+        compiler builds a feedback edge from the same serialized node,
+        GeneratorContext.scala:122-130,349-357). Batch realization = the
+        driver-side fixpoint ``Stream.iterate`` uses: inputs[0] is the
+        initial state, inputs[1] the body plan containing one ``cycle_ref``
+        leaf that binds to the previous iteration's result. Subtrees that do
+        NOT depend on the cycle_ref (edge tables, lookup sides) compile once
+        through the outer memo — wrap them in a ``cache`` node to persist
+        them across iterations. ``localCheckpoint`` truncates lineage every
+        round so the analyzed plan stays O(body), not O(iterations·body)."""
+        if len(n.inputs) != 2:
+            raise ValueError(
+                f"cycle {n.node_id} needs exactly [initial, body] inputs"
+            )
+        init = compile_(n.inputs[0])
+        body = n.inputs[1]
+        cur = init
+        for _ in range(int(n.params["max_iterations"])):
+            it_memo: dict[str, DataFrame] = {}
+
+            def cbody(m: Node) -> DataFrame:
+                if m.op == "cycle_ref":
+                    return cur
+                if not _contains_cycle_ref(m):
+                    return compile_(m)  # shared subtree: outer memo, one compile
+                if m.node_id in it_memo:
+                    return it_memo[m.node_id]
+                if m.op == "cycle":
+                    raise ValueError(
+                        f"cycle {m.node_id}: nested cycles are not supported "
+                        "(the reference's Flink compiler supports one feedback "
+                        "edge per cycle scope)"
+                    )
+                df = _compile_op(m, spark, [cbody(i) for i in m.inputs])
+                it_memo[m.node_id] = df
+                return df
+
+            cur = cbody(body).localCheckpoint(eager=True)
+        return cur
+
     return compile_(node)
+
+
+def _contains_cycle_ref(n: Node) -> bool:
+    return n.op == "cycle_ref" or any(_contains_cycle_ref(i) for i in n.inputs)
+
+
+def _resolve_function_ref(ref: str, node_id: str = ""):
+    """Resolve a dotted-path function reference (``pkg.module:attr`` or
+    ``pkg.module.attr``) — the engine's FunctionReference
+    (``program/Expression.scala:407`` carries UDFs in the portable IR as a
+    name pair resolved again by each consuming compiler,
+    ``ConvertExpressionHost.scala:253-269``). Failures raise
+    :class:`~milan_spark.errors.MilanAnalysisError` naming the node, not an
+    ImportError from somewhere inside a compile."""
+    from milan_spark.errors import MilanAnalysisError
+
+    import importlib
+
+    mod_name, _, attr = ref.partition(":")
+    if not attr:
+        mod_name, _, attr = ref.rpartition(".")
+    if not mod_name or not attr:
+        raise MilanAnalysisError(
+            f"apply_function [{node_id}]: malformed function reference {ref!r} "
+            "(expected 'pkg.module:attr' or 'pkg.module.attr')"
+        )
+    try:
+        obj = importlib.import_module(mod_name)
+        for part in attr.split("."):
+            obj = getattr(obj, part)
+    except (ImportError, AttributeError) as e:
+        raise MilanAnalysisError(
+            f"apply_function [{node_id}]: cannot resolve function reference "
+            f"{ref!r}: {e}"
+        ) from None
+    if not callable(obj):
+        raise MilanAnalysisError(
+            f"apply_function [{node_id}]: reference {ref!r} is not callable"
+        )
+    return obj
 
 
 def _compile_op(n: Node, spark: SparkSession, ins: list[DataFrame]) -> DataFrame:
     p = n.params
+    if n.op == "apply_function":
+        fn = _resolve_function_ref(p["ref"], n.node_id)
+        udf = F.pandas_udf(fn, p["return_type"])
+        return ins[0].withColumn(
+            p.get("alias", "result"), udf(*[F.col(c) for c in p["cols"]])
+        )
     if n.op == "parquet_source":
         from milan_spark.sources import ensure_read_conf
 
@@ -268,6 +362,13 @@ def _compile_op(n: Node, spark: SparkSession, ins: list[DataFrame]) -> DataFrame
         )
     if n.op == "hint":
         return ins[0].hint(p["name"])
+    if n.op == "cache":
+        # persist a reused subtree (edge tables under a cycle, shared join
+        # sides) — MEMORY_AND_DISK so a 100 TB-scale frame spills instead of
+        # evicting; a no-op hint on the streaming backend
+        from pyspark import StorageLevel
+
+        return ins[0].persist(StorageLevel.MEMORY_AND_DISK)
     if n.op == "distinct":
         return ins[0].dropDuplicates(p.get("subset"))
     if n.op == "order_limit":

@@ -64,10 +64,42 @@ def validate_plan(
     }
     schemas: dict[str, StructType] = {}
     frames: dict[str, DataFrame] = {}
+    cycle_stack: list[DataFrame] = []
+
+    def _sig(schema: StructType) -> list[tuple[str, str]]:
+        return [(f.name, f.dataType.simpleString()) for f in schema.fields]
 
     def walk(n: Node) -> DataFrame:
         if n.node_id in frames:
             return frames[n.node_id]
+        if n.op == "cycle":
+            # typecheck the fixpoint: the body, with cycle_ref bound to the
+            # initial state's schema, must reproduce that same schema —
+            # otherwise iteration N+1 sees different columns than iteration N
+            init = walk(n.inputs[0])
+            cycle_stack.append(_empty(spark, init.schema))
+            try:
+                body = walk(n.inputs[1])
+            finally:
+                cycle_stack.pop()
+            if _sig(body.schema) != _sig(init.schema):
+                raise MilanAnalysisError(
+                    f"cycle [{n.node_id}]: body schema {_sig(body.schema)} "
+                    f"does not match the initial state schema "
+                    f"{_sig(init.schema)} — a cycle body must be "
+                    "schema-preserving"
+                )
+            frames[n.node_id] = init
+            schemas[n.node_id] = init.schema
+            return init
+        if n.op == "cycle_ref":
+            if not cycle_stack:
+                raise MilanAnalysisError(
+                    f"cycle_ref [{n.node_id}]: appears outside any cycle body"
+                )
+            df = cycle_stack[-1]
+            schemas[n.node_id] = df.schema
+            return df
         if n.op == "external_stream":
             sid = n.params["stream_id"]
             if sid not in bindings:

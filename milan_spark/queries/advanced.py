@@ -1064,3 +1064,59 @@ def psi_value_drift_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     base = ev.filter(F.col("event_type") == "view")
     new = ev.filter(F.col("event_type") == "purchase")
     return psi_drift(base, new, "value", buckets=10)
+
+
+@register(
+    "apply_function_bundle",
+    doc="Serializable ApplyFunction in the portable IR (the reference ships "
+    "UDFs in its JSON programs as FunctionReference name pairs re-resolved "
+    "by each compiler - Expression.scala:407, ConvertExpressionHost.scala:"
+    "253-269, TreeParser.scala:23-120): an apply_function node holding the "
+    "dotted-path reference milan_spark.functions.udfs:char_fold (Arrow-"
+    "vectorized polynomial char fold) rides an Application bundle through "
+    "to_json -> from_json -> run_batch; the deserialized side re-resolves "
+    "the function by name and the aggregate hash-matches DuckDB's "
+    "list_reduce replication of the same fold.",
+    oracle="""
+SELECT source, COUNT(*) AS n_docs,
+       MAX(list_reduce(list_transform(regexp_extract_all(source, '.'),
+           c -> CAST(ascii(c) AS BIGINT)),
+           (a, c) -> (a * 31 + c) % 2147483647)) AS src_hash_max
+FROM documents
+GROUP BY source
+""",
+)
+def apply_function_bundle_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from milan_spark.application import Application
+    from milan_spark.plans.nodes import Node
+
+    plan = Node(
+        "aggregate",
+        {"keys": ["source"], "aggs": {"n_docs": "count(*)", "src_hash_max": "max(src_hash)"}},
+        [
+            Node(
+                "apply_function",
+                {
+                    "ref": "milan_spark.functions.udfs:char_fold",
+                    "return_type": "bigint",
+                    "cols": ["source"],
+                    "alias": "src_hash",
+                },
+                [
+                    Node(
+                        "map",
+                        {"exprs": ["doc_id", "source"]},
+                        [Node("external_stream", {"stream_id": "documents"})],
+                    )
+                ],
+            )
+        ],
+    )
+    app = Application(
+        app_id="bundle_udf_src_hash",
+        plan=plan,
+        sources={"documents": {"kind": "parquet", "path": f"{sf_dir}/documents.parquet"}},
+    )
+    shipped = Application.from_json(app.to_json())  # the UDF travels by name
+    df, _ = shipped.run_batch(spark)
+    return df

@@ -756,12 +756,18 @@ SELECT query_id, neighbor_id, rank, approx_d2 FROM (
     "residualized against each probed cell's centroid and scored by ADC "
     "against that cell's own codebook. No materialized candidate frame at "
     "all - probed membership IS the codes-to-probes equi-join, probes/LUT "
-    "tiny broadcasts. Exact-int64 end to end.",
-    oracle=_ivfpq_residual_oracle(),
+    "size-gated broadcasts (maybe_broadcast). Exact-int64 end to end. "
+    "Shipped at n_probe=4: SCALE.md's round-7 A/B showed n_probe=2 loses "
+    "more recall to IVF pruning than residual codebooks gain; doubling the "
+    "probe count recovers it (cost is linear in n_probe, still corpus-"
+    "sublinear).",
+    oracle=_ivfpq_residual_oracle(n_probe=4),
 )
 def ann_ivfpq_residual_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = table(spark, sf_dir, "embeddings")
-    return S.ann_ivfpq_residual(emb, "vec_id", "embedding", query_ids=range(10), k=5, dim=64)
+    return S.ann_ivfpq_residual(
+        emb, "vec_id", "embedding", query_ids=range(10), k=5, dim=64, n_probe=4
+    )
 
 
 def _semantic_dedup_oracle(threshold: float = 0.4, n_cells: int = 8, iters: int = 2) -> str:
@@ -1881,5 +1887,5 @@ def ann_index_persisted_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     loaded = S.load_ivfpq_residual_index(spark, path)
     queries = emb.filter(F.col("vec_id").isin(list(range(10))))
     return S.query_ivfpq_residual_index(
-        loaded, queries, "vec_id", "embedding", k=5, n_probe=2
+        loaded, queries, "vec_id", "embedding", k=5, n_probe=4
     )

@@ -738,3 +738,90 @@ def bfs_hops_coparts_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bfs_levels(pairs, source, a_col="src", b_col="dst", iterations=6).select(
         F.col("n").alias("node"), "dist"
     )
+
+
+@register(
+    "bfs_levels_cycle_ir",
+    doc="Iteration as a PORTABLE PLAN NODE (the reference serializes cycles "
+    "in its IR and the Flink compiler builds the feedback edge from the "
+    "deserialized node - StreamExpressions.scala:141, GeneratorContext."
+    "scala:349-357, TestFlinkGenCycle.scala): BFS hop levels on the "
+    "co-order part graph expressed as a cycle(initial, body) node - body = "
+    "state >< cached edges -> level+1 -> union -> min(level) - built as raw "
+    "IR, round-tripped through JSON, and compiled by the batch backend's "
+    "driver fixpoint (localCheckpoint per round; the edge subtree sits "
+    "under a cache node so it materializes once, and AQE broadcasts the "
+    "O(reached)-row state side of each round's join at runtime). The "
+    "hand-tuned frontier-delta bfs_hops_coparts remains the 100 TB shape; "
+    "this is the IR-portability twin: same answer FROM A JSON DOCUMENT. "
+    "The streaming compiler rejects the same node by name, matching the "
+    "reference's event compiler (EventHandlerClassGenerator.scala:23).",
+    oracle="""
+WITH RECURSIVE pairs AS (
+  SELECT DISTINCT least(a.l_partkey, b.l_partkey) AS u,
+         greatest(a.l_partkey, b.l_partkey) AS v
+  FROM lineitem a JOIN lineitem b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+), e AS (
+  SELECT u, v FROM pairs UNION ALL SELECT v, u FROM pairs
+), src AS (SELECT MIN(u) AS s FROM e),
+bfs(n, d) AS (
+  SELECT s, 0 FROM src
+  UNION
+  SELECT e.v, bfs.d + 1 FROM bfs JOIN e ON e.u = bfs.n WHERE bfs.d < 6
+)
+SELECT CAST(n AS BIGINT) AS node, CAST(MIN(d) AS INT) AS level
+FROM bfs GROUP BY n
+""",
+)
+def bfs_levels_cycle_ir_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from milan_spark.plans.nodes import Node, compile_node, from_json, to_json
+
+    pair_expr = (
+        "explode(flatten(transform(ps, (x, i) -> "
+        "transform(slice(ps, i + 2, size(ps)), "
+        "y -> struct(least(x, y) AS u, greatest(x, y) AS v))))) AS p"
+    )
+    li = Node(
+        "map",
+        {"exprs": ["l_orderkey", "l_partkey"]},
+        [Node("parquet_source", {"path": f"{sf_dir}/lineitem.parquet"})],
+    )
+    grouped = Node(
+        "aggregate",
+        {"keys": ["l_orderkey"], "aggs": {"ps": "collect_set(l_partkey)"}},
+        [li],
+    )
+    pairs = Node(
+        "distinct",
+        {"subset": None},
+        [Node("map", {"exprs": ["p.u AS u", "p.v AS v"]},
+              [Node("map", {"exprs": [pair_expr]}, [grouped])])],
+    )
+    edges = Node(
+        "cache",
+        {},
+        [Node("union", {}, [
+            Node("map", {"exprs": ["u", "v"]}, [pairs]),
+            Node("map", {"exprs": ["v AS u", "u AS v"]}, [pairs]),
+        ])],
+    )
+    seed = Node(
+        "map",
+        {"exprs": ["node", "CAST(0 AS INT) AS level"]},
+        [Node("aggregate", {"keys": [], "aggs": {"node": "min(u)"}}, [edges])],
+    )
+    by_node = Node("map", {"exprs": ["u AS node", "v"]}, [edges])
+    state = Node("cycle_ref")
+    body = Node(
+        "aggregate",
+        {"keys": ["node"], "aggs": {"level": "min(level)"}},
+        [Node("union", {}, [
+            state,
+            Node("map", {"exprs": ["v AS node", "level + 1 AS level"]},
+                 [Node("relational_join", {"on": ["node"], "how": "inner"},
+                       [state, by_node])]),
+        ])],
+    )
+    plan = Node("cycle", {"max_iterations": 6}, [seed, body])
+    return compile_node(from_json(to_json(plan)), spark)

@@ -127,9 +127,28 @@ class Stream:
             Node("to_field", {"name": name}, [self.node]),
         )
 
-    def apply_function(self, fn: Callable, return_type, *cols, alias: str = "result") -> "Stream":
+    def apply_function(self, fn: Callable | str, return_type, *cols, alias: str = "result") -> "Stream":
         """Milan ApplyFunction UDF escape hatch (Expression.scala:407) as a
-        pandas-vectorized column append."""
+        pandas-vectorized column append.
+
+        ``fn`` may be a live callable (opaque — the plan stays executable but
+        is not serializable) or a dotted-path reference string
+        (``pkg.module:attr``) — the portable form, mirroring the reference's
+        FunctionReference in the IR (``ConvertExpressionHost.scala:253-269``):
+        the node serializes and both compilers re-resolve the function by
+        name at compile time. ``return_type`` must then be a DDL string and
+        ``cols`` column names."""
+        if _is_str(fn) and isinstance(return_type, str) and all(_is_str(c) for c in cols):
+            from milan_spark.plans.nodes import _resolve_function_ref
+
+            node = Node(
+                "apply_function",
+                {"ref": fn, "return_type": return_type, "cols": list(cols), "alias": alias},
+                [self.node],
+            )
+            resolved = _resolve_function_ref(fn, node.node_id)
+            udf = F.pandas_udf(resolved, return_type)
+            return Stream(self.df.withColumn(alias, udf(*[F.col(c) for c in cols])), node)
         udf = F.pandas_udf(fn, return_type)
         return Stream(
             self.df.withColumn(alias, udf(*[F.col(c) if _is_str(c) else c for c in cols])),
@@ -551,15 +570,35 @@ class Stream:
         ``milan_spark.streaming.cycle.streaming_cycle`` — the sink-to-source
         feedback emulation the reference's Boda sample documents
         (milan-samples/.../bodaboda/BodaApp.scala:60-69; the Flink compiler's
-        true feedback edge is GeneratorContext.scala:349-357)."""
+        true feedback edge is GeneratorContext.scala:349-357).
+
+        IR capture: when ``converged`` is None and the body builds a
+        serializable plan, the result records a portable ``cycle`` node —
+        [initial, body-with-cycle_ref] — so the program JSON round-trips and
+        recompiles on the batch backend (the reference serializes cycles in
+        its IR too, StreamExpressions.scala:141); a convergence predicate or
+        an opaque body keeps today's eager-only behavior."""
+        node = Node("cycle", serializable=False, inputs=[self.node])
+        if converged is None and self.node.is_serializable:
+            # symbolic pass: run the body once against a cycle_ref-rooted
+            # twin purely to CAPTURE its plan (DataFrame building is lazy —
+            # no jobs); an opaque or failing body falls back to eager-only
+            try:
+                sym = body(Stream(self.df, Node("cycle_ref")))
+                if sym.node.is_serializable:
+                    node = Node(
+                        "cycle", {"max_iterations": max_iterations}, [self.node, sym.node]
+                    )
+            except Exception:
+                pass
         cur = self
         for _ in range(max_iterations):
             nxt = body(cur)
             nxt = Stream(nxt.df.localCheckpoint(eager=True), nxt.node)
             if converged is not None and converged(cur.df, nxt.df):
-                return nxt
+                return Stream(nxt.df, node)
             cur = nxt
-        return cur
+        return Stream(cur.df, node)
 
     # --- sinks (SURVEY §2.1) -----------------------------------------------
 

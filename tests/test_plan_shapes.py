@@ -558,6 +558,32 @@ def test_ivfpq_candidate_join_left_to_aqe(spark):
     )
 
 
+def test_ivfpq_residual_lut_probe_broadcasts_gated(spark):
+    """The residual-PQ query path no longer force-broadcasts the ADC LUT and
+    probe frames (they grow linearly with the query-batch size — O(queries ·
+    n_probe · m_subs · codebook) rows at a bulk batch): with threshold=1
+    every data-dependent hint is refused, leaving only the config-bounded
+    coarse/books hints, and results are bit-identical — the gate changes the
+    physical strategy, never the answer."""
+    from milan_spark.operators import similarity as S
+
+    emb = table(spark, SF_DIR, "embeddings")
+    kwargs = dict(query_ids=range(10), k=5, dim=64, n_probe=4)
+    default = S.ann_ivfpq_residual(emb, "vec_id", "embedding", **kwargs)
+    gated = S.ann_ivfpq_residual(
+        emb, "vec_id", "embedding", broadcast_threshold=1, **kwargs
+    )
+    n_default = _analyzed(default).count("ResolvedHint")
+    n_gated = _analyzed(gated).count("ResolvedHint")
+    # gated keeps only the unconditional coarse/books hints; default may add
+    # LUT/probe hints when (and only when) the Catalyst estimate fits
+    assert n_gated > 0
+    assert n_default >= n_gated
+    assert sorted(tuple(r) for r in default.collect()) == sorted(
+        tuple(r) for r in gated.collect()
+    )
+
+
 def test_bfs_edge_cache_partitioning_reused_by_frontier_join(spark):
     """BFS mechanism guard: an edge list persisted hash-partitioned on the
     probe key satisfies the frontier join's distribution requirement from
