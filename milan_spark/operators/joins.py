@@ -307,6 +307,97 @@ def left_windowed_join_apply(
     return out
 
 
+_WJ_FUNCS = {"sum": F.sum, "count": F.count, "min": F.min, "max": F.max}
+
+
+def _parse_agg(expr: str) -> tuple[str, str]:
+    """Split a windowed-join aggregate ``FUNC(inner)`` into (func, inner).
+    The serializable subset is the four exactly-replicable cumulative folds
+    — sum/count/min/max (SQL null-skipping); anything else raises by name
+    (general window functions use the Column-aggs / apply_in_pandas forms)."""
+    import re
+
+    m = re.match(r"^\s*(\w+)\s*\((.*)\)\s*$", expr, re.DOTALL)
+    if not m or m.group(1).lower() not in _WJ_FUNCS:
+        raise ValueError(
+            f"left_windowed_join aggregate {expr!r} is not serializable "
+            f"(supported: {', '.join(f + '(...)' for f in _WJ_FUNCS)})"
+        )
+    return m.group(1).lower(), m.group(2).strip()
+
+
+def left_windowed_agg_join(
+    left: DataFrame,
+    right: DataFrame,
+    on=None,
+    *,
+    left_on: Sequence[str] = (),
+    right_on: Sequence[str] = (),
+    aggs: dict[str, str],
+    left_seq: str = SEQ_COL,
+    right_seq: str = SEQ_COL,
+) -> DataFrame:
+    """Declarative (IR-serializable) Milan LeftWindowedJoin + apply
+    (lang/JoinedWindowedStream.scala:16-27): each LEFT arrival emits its row
+    plus SQL aggregates over the RIGHT records for its key that arrived
+    at-or-before it (``right_seq <= left_seq``, rights first on ties — the
+    same arrival order as the enrichment joins and the streaming twin's
+    CoProcessFunction buffer).
+
+    Batch realization: one shuffle + one per-key sort — aggregate arguments
+    are evaluated JVM-side on the right rows, NULL on left rows, and each
+    aggregate is a cumulative window fold that skips NULLs per SQL
+    semantics, so the left rows read off "the aggregate over rights so far"
+    with zero Python. ``aggs`` maps output alias → ``func(expr)`` with func
+    ∈ sum/count/min/max. Unlike :func:`left_windowed_join_apply` (whole
+    right group, Column aggs) this is the per-arrival temporal flavor —
+    the one the reference's streaming runtime implements.
+    """
+    left_on, right_on = _normalize_on(on, left_on, right_on)
+    parsed = {alias: _parse_agg(e) for alias, e in aggs.items()}
+    lcols = list(left.columns)
+
+    arg_types = {
+        alias: right.select(F.expr(inner).alias("x")).schema["x"].dataType
+        for alias, (_, inner) in parsed.items()
+    }
+    largs = [
+        F.lit(None).cast(arg_types[alias]).alias(f"__wj_{alias}") for alias in parsed
+    ]
+    rargs = [
+        (F.lit(1) if func == "count" and inner in ("*", "1") else F.expr(inner))
+        .alias(f"__wj_{alias}")
+        for alias, (func, inner) in parsed.items()
+    ]
+    l = left.select(
+        F.struct(*lcols).alias(_L),
+        *[F.col(c).alias(f"{_KEY}{i}") for i, c in enumerate(left_on)],
+        F.col(left_seq).cast("long").alias(_ORD),
+        F.lit(1).alias(_SIDE),
+        *largs,
+    )
+    r = right.select(
+        F.lit(None).cast(l.schema[_L].dataType).alias(_L),
+        *[F.col(c).alias(f"{_KEY}{i}") for i, c in enumerate(right_on)],
+        F.col(right_seq).cast("long").alias(_ORD),
+        F.lit(0).alias(_SIDE),
+        *rargs,
+    )
+    keys = [f"{_KEY}{i}" for i in range(len(left_on))]
+    w = (
+        W.partitionBy(*keys)
+        .orderBy(_ORD, _SIDE)
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    u = l.unionByName(r)
+    for alias, (func, _inner) in parsed.items():
+        u = u.withColumn(alias, _WJ_FUNCS[func](F.col(f"__wj_{alias}")).over(w))
+    out_cols = [F.col(f"{_L}.{c}").alias(c) for c in lcols] + [
+        F.col(a) for a in parsed
+    ]
+    return u.filter(F.col(_SIDE) == 1).select(*out_cols)
+
+
 def range_join(
     facts: DataFrame,
     ranges: DataFrame,

@@ -31,11 +31,21 @@ Supported (the serializable streaming subset):
   sum/count/min/max on every arrival (``stateful.record_window_apply``)
 - ``last`` → keyed/global max-seq streaming aggregation (complete mode)
 - ``distinct`` → Spark's native streaming ``dropDuplicates``
+- ``relational_join`` → Spark's NATIVE stream-stream join (shared with the
+  batch compiler: the node's ``watermarks`` apply only to streaming inputs
+  and its ``time_condition`` range predicate bounds join state — the
+  canonical watermarked stream-stream shape)
+- ``asof_join`` (backward) → the enrichment state machine keyed on the time
+  axis; ``apply_function`` → the same Arrow-vectorized column append as
+  batch, resolved from its dotted-path reference
+- ``scan_fold`` → lowered through the optimizer's window rewrite to
+  ``cum_window`` and run as the keyed value-state scan
+- ``left_windowed_join`` → ``stateful.left_windowed_join_apply`` when the
+  node carries serializable (SQL-string) aggregates
 
-Everything else (sorts/limits, rollup/cube, relational/asof joins)
-is batch-shaped or lacks an append-mode streaming realization and raises a
-``ValueError`` naming the op — the same explicitness as the batch compiler's
-logical-only nodes.
+Everything else (sorts/limits, rollup/cube, cycles) is batch-shaped or
+lacks an append-mode streaming realization and raises an error naming the
+op — the same explicitness as the batch compiler's logical-only nodes.
 """
 
 from __future__ import annotations
@@ -56,7 +66,7 @@ from milan_spark.plans.nodes import Node, _compile_op
 # its dotted-path FunctionReference, legal in any output mode)
 _SHARED_OPS = frozenset(
     {"filter", "map", "add_fields", "to_field", "union", "aggregate", "hint",
-     "distinct", "apply_function"}
+     "distinct", "apply_function", "relational_join"}
 )
 
 _SOURCE_OPS = frozenset({"parquet_source", "file_source", "list_source"})
@@ -312,6 +322,90 @@ def _streaming_record_window(
     return res
 
 
+def _streaming_left_windowed_join(
+    left: DataFrame,
+    right: DataFrame,
+    aggs: dict[str, str],
+    *,
+    left_on,
+    right_on,
+    left_seq: str,
+    right_seq: str,
+) -> DataFrame:
+    """Streaming twin of ``operators.joins.left_windowed_agg_join`` —
+    Milan's LeftWindowedJoin + apply (JoinedWindowedStream.scala:16-27) in
+    its per-arrival temporal flavor: the right window rides per-key state
+    (``stateful.left_windowed_join_apply``), each left arrival emits its row
+    plus sum/count/min/max over the rights buffered so far.
+
+    Aggregate arguments are evaluated JVM-side as ``__wjarg_*`` columns
+    before the rows enter state (exact int semantics; the Python fold only
+    combines); the output schema is the BATCH operator compiled against
+    zero-row frames, so both backends agree by construction.
+    """
+    from pyspark.sql.types import StructType
+
+    from milan_spark.operators.joins import _parse_agg, left_windowed_agg_join
+    from milan_spark.streaming import stateful
+
+    spark = left.sparkSession
+    parsed = {alias: _parse_agg(e) for alias, e in aggs.items()}
+    lcols = list(left.columns)
+
+    empty_l = spark.createDataFrame([], left.schema)
+    empty_r = spark.createDataFrame([], right.schema)
+    out_schema: StructType = left_windowed_agg_join(
+        empty_l, empty_r, left_on=left_on, right_on=right_on, aggs=aggs,
+        left_seq=left_seq, right_seq=right_seq,
+    ).schema
+    out_fields = {f.name: f.dataType.simpleString() for f in out_schema.fields}
+    int_out = {
+        a for a in parsed
+        if out_fields[a] in ("bigint", "int", "smallint", "tinyint")
+    }
+
+    pre_r = right
+    argcols: dict[str, str] = {}
+    for alias, (func, inner) in parsed.items():
+        if func == "count" and inner in ("*", "1"):
+            argcols[alias] = ""
+        else:
+            argcols[alias] = f"__wjarg_{alias}"
+            pre_r = pre_r.withColumn(argcols[alias], F.expr(inner))
+
+    def _live(v) -> bool:
+        return v is not None and not (isinstance(v, float) and math.isnan(v))
+
+    def fn(left_row: dict, rights: list[dict]) -> dict:
+        out = {c: left_row[c] for c in lcols}
+        for alias, (func, _inner) in parsed.items():
+            col = argcols[alias]
+            if func == "count":
+                out[alias] = (
+                    len(rights) if not col
+                    else sum(1 for r in rights if _live(r[col]))
+                )
+                continue
+            vals = [r[col] for r in rights if _live(r[col])]
+            if not vals:
+                out[alias] = None
+                continue
+            s = sum(vals) if func == "sum" else (max(vals) if func == "max" else min(vals))
+            out[alias] = int(s) if alias in int_out else s
+        return out
+
+    return stateful.left_windowed_join_apply(
+        left,
+        pre_r,
+        left_on=left_on,
+        right_on=right_on,
+        fn=fn,
+        output_schema=out_schema,
+        left_seq=left_seq,
+        right_seq=right_seq,
+    )
+
+
 def compile_node_streaming(
     node: Node,
     spark: SparkSession,
@@ -365,10 +459,29 @@ def compile_node_streaming(
                 "(batch) or wire the feedback loop with "
                 "milan_spark.streaming.cycle.streaming_cycle"
             )
+        if n.op == "scan_fold":
+            # same lowering the batch path requires (SURVEY §4's rewrite):
+            # the declarative fold becomes cum_window(+filter+map), and
+            # cum_window dispatches to the keyed value-state scan below —
+            # so the op is reachable directly from a deserialized plan.
+            # Non-associative updates raise ScanRewriteError by name.
+            from milan_spark.plans.rewrite import rule_scan_fold_to_window
+
+            return compile_(rule_scan_fold_to_window(n))
         ins = [compile_(i) for i in n.inputs]
         p = n.params
         if n.op == "cache":
             return ins[0]  # persist is a batch hint; meaningless on a stream
+        if n.op == "left_windowed_join":
+            return _streaming_left_windowed_join(
+                ins[0],
+                ins[1],
+                dict(p["aggs"]),
+                left_on=p["left_on"],
+                right_on=p["right_on"],
+                left_seq=p.get("left_seq", "__seq"),
+                right_seq=p.get("right_seq", "__seq"),
+            )
         if n.op in _SHARED_OPS:
             return _compile_op(n, spark, ins)
         if n.op == "time_window_aggregate":

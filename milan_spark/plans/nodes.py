@@ -307,8 +307,69 @@ def _compile_op(n: Node, spark: SparkSession, ins: list[DataFrame]) -> DataFrame
             kwargs["residual"] = lambda l, r: F.expr(p["residual"])
         return fn(ins[0], ins[1], **kwargs)
     if n.op == "relational_join":
+        # One node, both backends. Optional params for the stream-stream
+        # case (Spark supports watermarked stream-stream joins natively —
+        # the reference's TestFlinkGenJoin.scala:31-110 join programs are
+        # the semantic anchor):
+        #   watermarks: {"left": [ts_col, delay], "right": [ts_col, delay]}
+        #     — applied only to streaming inputs (batch ignores them), and
+        #     REQUIRED by Spark for outer stream-stream joins / state
+        #     eviction on inner ones
+        #   time_condition: SQL over l.<col> / r.<col> — the event-time
+        #     range predicate that bounds join state (e.g.
+        #     "l.ts BETWEEN r.ts AND r.ts + interval 7 days")
+        # Batch evaluates the identical predicate, so the two backends agree
+        # by construction.
         how = p.get("how", "inner")
-        return ins[0].join(ins[1], on=p["on"], how=how)
+        left, right = ins
+        wm = p.get("watermarks") or {}
+        if wm.get("left") and left.isStreaming:
+            left = left.withWatermark(*wm["left"])
+        if wm.get("right") and right.isStreaming:
+            right = right.withWatermark(*wm["right"])
+        tc = p.get("time_condition")
+        if tc is None:
+            return left.join(right, on=p["on"], how=how)
+        from functools import reduce
+        from operator import and_
+
+        keys = [p["on"]] if isinstance(p["on"], str) else list(p["on"])
+        la, ra = left.alias("l"), right.alias("r")
+        cond = reduce(
+            and_,
+            [F.col(f"l.{c}") == F.col(f"r.{c}") for c in keys] + [F.expr(tc)],
+        )
+        joined = la.join(ra, on=cond, how=how)
+        prefix = p.get("right_prefix", "r_")
+        left_cols = set(left.columns)
+        out = []
+        for c in keys:
+            key = (
+                F.coalesce(F.col(f"l.{c}"), F.col(f"r.{c}"))
+                if how in ("full", "full_outer", "outer")
+                else F.col(f"r.{c}") if how in ("right", "right_outer")
+                else F.col(f"l.{c}")
+            )
+            out.append(key.alias(c))
+        out += [F.col(f"l.{c}").alias(c) for c in left.columns if c not in keys]
+        out += [
+            F.col(f"r.{c}").alias(prefix + c if c in left_cols else c)
+            for c in right.columns
+            if c not in keys
+        ]
+        return joined.select(*out)
+    if n.op == "left_windowed_join":
+        from milan_spark.operators.joins import left_windowed_agg_join
+
+        return left_windowed_agg_join(
+            ins[0],
+            ins[1],
+            left_on=p["left_on"],
+            right_on=p["right_on"],
+            aggs=p["aggs"],
+            left_seq=p.get("left_seq", "__seq"),
+            right_seq=p.get("right_seq", "__seq"),
+        )
     if n.op == "asof_join":
         from milan_spark.operators.joins import asof_join
 

@@ -17,6 +17,7 @@ from milan_spark.operators.joins import (
     snapshot_join,
 )
 from milan_spark.sources import table
+from milan_spark.stream import Stream
 
 DEC = "decimal(18,6)"
 
@@ -310,3 +311,58 @@ def asof_join_purchase_view_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("r_event_id").alias("view_event_id"),
         (F.col("ts_us") - F.col("r_ts_us")).alias("gap_us"),
     )
+
+
+@register(
+    "left_windowed_join_temporal",
+    doc="Milan LeftWindowedJoin + apply in its per-arrival TEMPORAL flavor "
+    "(lang/JoinedWindowedStream.scala:16-27 - the semantics the reference's "
+    "streaming runtime actually implements, vs windowed_join_apply's whole-"
+    "group batch-window convenience): each purchase emits count/sum over "
+    "the VIEW events for its user that arrived at-or-before it. Batch plan "
+    "= one shuffle + one per-key sort: aggregate args evaluated JVM-side "
+    "on right rows (NULL on left rows), cumulative null-skipping window "
+    "folds, zero Python. Serializable left_windowed_join node; the "
+    "streaming twin (streaming_left_windowed_join_ir) compiles the SAME "
+    "JSON via the per-key right-window state machine.",
+    oracle="""
+WITH u AS (
+  SELECT user_id, event_id AS ord, 1 AS side, event_id,
+         CAST(NULL AS BIGINT) AS cents
+  FROM events WHERE event_type = 'purchase'
+  UNION ALL
+  SELECT user_id, event_id, 0, event_id,
+         CAST(FLOOR(value * 100 + 0.5) AS BIGINT)
+  FROM events WHERE event_type = 'view'
+), c AS (
+  SELECT *,
+         COUNT(cents) OVER w AS n_views,
+         SUM(cents) OVER w AS view_cents
+  FROM u
+  WINDOW w AS (PARTITION BY user_id ORDER BY ord, side
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+)
+SELECT event_id, user_id, n_views,
+       CAST(view_cents AS BIGINT) AS view_cents
+FROM c WHERE side = 1
+""",
+)
+def left_windowed_join_temporal_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    purchases = Stream.from_dataframe(
+        ev.filter(F.col("event_type") == "purchase").select(
+            "user_id", "event_id", F.col("event_id").alias("__seq")
+        )
+    )
+    views = Stream.from_dataframe(
+        ev.filter(F.col("event_type") == "view").select(
+            "user_id",
+            F.expr("CAST(floor(value * 100 + 0.5) AS BIGINT)").alias("cents"),
+            F.col("event_id").alias("__seq"),
+        )
+    )
+    joined = purchases.left_windowed_join(
+        views, on="user_id",
+        agg_exprs={"n_views": "count(cents)", "view_cents": "sum(cents)"},
+    )
+    return joined.df.select("event_id", "user_id", "n_views", "view_cents")

@@ -373,9 +373,40 @@ class Stream:
         return Stream(df, node)
 
     def left_windowed_join(
-        self, other: "Stream", on=None, *, left_on=(), right_on=(), aggs: Sequence[Column] = ()
+        self,
+        other: "Stream",
+        on=None,
+        *,
+        left_on=(),
+        right_on=(),
+        aggs: Sequence[Column] = (),
+        agg_exprs: dict[str, str] | None = None,
+        left_seq: str = SEQ_COL,
+        right_seq: str = SEQ_COL,
     ) -> "Stream":
-        """Milan LeftWindowedJoin+apply (lang/JoinedWindowedStream.scala:16-27)."""
+        """Milan LeftWindowedJoin+apply (lang/JoinedWindowedStream.scala:16-27).
+
+        Two forms: ``aggs`` (Column aggregates over the WHOLE right group —
+        the batch-window convenience, opaque node) or ``agg_exprs`` (alias →
+        ``sum/count/min/max(expr)`` SQL strings, per-arrival TEMPORAL
+        semantics — rights that arrived at-or-before each left; the
+        reference's streaming runtime's actual behavior). The latter records
+        a serializable ``left_windowed_join`` node both backends compile."""
+        if agg_exprs is not None:
+            from milan_spark.operators.joins import left_windowed_agg_join
+
+            lo, ro = _join_keys(on, left_on, right_on)
+            df = left_windowed_agg_join(
+                self.df, other.df, on, left_on=left_on, right_on=right_on,
+                aggs=agg_exprs, left_seq=left_seq, right_seq=right_seq,
+            )
+            node = Node(
+                "left_windowed_join",
+                {"left_on": lo, "right_on": ro, "aggs": dict(agg_exprs),
+                 "left_seq": left_seq, "right_seq": right_seq},
+                [self.node, other.node],
+            )
+            return Stream(df, node)
         from milan_spark.operators.joins import left_windowed_join_apply
 
         df = left_windowed_join_apply(self.df, other.df, on, left_on=left_on, right_on=right_on, aggs=aggs)

@@ -260,3 +260,91 @@ def test_asof_join_forward_rejected_streaming(spark):
     )
     with pytest.raises(ValueError, match="forward"):
         compile_node_streaming(from_json(to_json(j.node)), spark)
+
+
+def test_stream_stream_join_same_json_both_backends(spark):
+    """relational_join with watermarks + time-range condition: Spark's
+    native stream-stream join on the streaming backend, the identical
+    predicate on batch (watermarks are streaming-only no-ops)."""
+    from milan_spark.plans import Node
+
+    src = Node("parquet_source", {"path": EV})
+    norm = Node(
+        "map",
+        {"exprs": ["user_id", "event_id", "CAST(ts AS TIMESTAMP) AS ts", "event_type"]},
+        [src],
+    )
+    left = Node(
+        "map", {"exprs": ["user_id", "event_id AS pid", "ts AS p_ts"]},
+        [Node("filter", {"condition": "event_type = 'purchase'"}, [norm])],
+    )
+    right = Node(
+        "map", {"exprs": ["user_id", "event_id AS sid", "ts AS s_ts"]},
+        [Node("filter", {"condition": "event_type = 'signup'"}, [norm])],
+    )
+    join = Node(
+        "relational_join",
+        {
+            "on": ["user_id"], "how": "inner",
+            "watermarks": {"left": ["p_ts", "1 hour"], "right": ["s_ts", "1 hour"]},
+            "time_condition": "l.p_ts >= r.s_ts AND l.p_ts <= r.s_ts + INTERVAL 7 DAY",
+        },
+        [left, right],
+    )
+    out = Node(
+        "map",
+        {"exprs": ["pid", "user_id", "sid", "unix_micros(p_ts) AS pus", "unix_micros(s_ts) AS sus"]},
+        [join],
+    )
+    b, st = _both(spark, to_json(out), "ir_ss_join_both")
+    assert b == st and len(b) > 0
+
+
+def test_scan_fold_direct_dispatch_same_json_both_backends(spark):
+    """scan_fold straight from the deserialized plan: the STREAMING compiler
+    lowers it internally (no caller-side optimize()); batch needs the
+    explicit optimize pass (its documented logical-only contract)."""
+    from milan_spark.plans import Node
+
+    pre = Node(
+        "map",
+        {"exprs": ["user_id", "event_id",
+                   "CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents",
+                   "event_id AS __seq"]},
+        [Node("filter", {"condition": "event_type = 'purchase'"},
+              [Node("parquet_source", {"path": EV})])],
+    )
+    fold = Node(
+        "scan_fold",
+        {"state": {"rc": None}, "update": {"rc": "rc + cents"},
+         "output": {"user_id": "user_id", "event_id": "event_id", "rc": "rc"},
+         "emit_when": "rc > 1000", "keys": ["user_id"], "seq": "__seq"},
+        [pre],
+    )
+    text = to_json(fold)
+    batch = compile_node(optimize(from_json(text)), spark)
+    stream = compile_node_streaming(from_json(text), spark)  # direct dispatch
+    mem = run_to_memory(stream, "ir_scan_fold_direct")
+    assert sorted(map(tuple, batch.collect())) == sorted(map(tuple, mem.collect()))
+
+
+def test_left_windowed_join_same_json_both_backends(spark):
+    """left_windowed_join (temporal agg flavor) dispatches on both backends
+    from one JSON; the DSL's agg_exprs form records the node."""
+    ss = __import__("milan_spark").Stream
+    purchases = (
+        ss.from_parquet(spark, EV).where("event_type = 'purchase'")
+        .map("user_id", "event_id", "event_id AS __seq")
+    )
+    views = (
+        ss.from_parquet(spark, EV).where("event_type = 'view'")
+        .map("user_id", "CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents",
+             "event_id AS __seq")
+    )
+    joined = purchases.left_windowed_join(
+        views, on="user_id",
+        agg_exprs={"n_views": "count(cents)", "mx": "max(cents)"},
+    )
+    assert joined.node.is_serializable
+    b, st = _both(spark, to_json(joined.node), "ir_lwj_both")
+    assert b == st and len(b) > 0
