@@ -422,3 +422,85 @@ def unigram_lm_nll(
         )
         .select(F.col("__id").alias(id_col), "n_tokens", "avg_nll")
     )
+
+
+def bigram_lm_nll(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    lam: float = 0.7,
+) -> DataFrame:
+    """Per-document cross-entropy under a Jelinek-Mercer interpolated BIGRAM
+    LM fit on the corpus itself — the order-2 upgrade of
+    :func:`unigram_lm_nll` (Chen & Goodman '99 eq. 4 with fixed lambda):
+
+        p(w2 | w1) = lam * c(w1,w2)/c(w1.) + (1-lam) * c(w2)/T
+
+    ``avg_nll`` = −(1/B_d) Σ over the document's bigrams of ln p, in nats.
+    The unigram term is MLE (not smoothed): the model is scored on its own
+    training corpus, so every scored token has c(w2) ≥ 1 and p > 0 by
+    construction. Word-order sensitivity is the point — shuffled or
+    boilerplate-repetitive text separates from fluent text here in a way no
+    unigram score can see.
+
+    Plan shape (the 100 TB argument):
+    - bigrams are built ROW-LOCALLY from the token array (two slices +
+      arrays_zip + one explode) — no positional self-join, no corpus-wide
+      window over (doc, pos);
+    - per-(doc, w1, w2) counts FIRST (map-side combinable, collapses
+      repetition before the shuffle), persisted once because the bigram-tf
+      and left-context aggregates AND the score join all read it and
+      exchange reuse does not fire across that split (same measured
+      rationale as unigram_lm_nll);
+    - corpus bigram counts c12 and context counts c1 are vocabulary-bounded
+      re-aggregates of that frame (never the raw bigram stream);
+    - the score join is keyed on (w1, w2) / w1 / w2 — vocabulary-bounded
+      skew on stopword keys, AQE skew-join territory; the one-row total T
+      rides a broadcast crossJoin, never a driver action;
+    - unigram counts take a second scan of the text column only (columnar
+      prune; cheaper at scale than persisting a corpus-sized token stream).
+    Float safety: compared after round(·, 4); both engines evaluate the
+    literal-identical expression `lam*c12/c1 + (1-lam)*cu/T` left-to-right.
+    Docs with < 2 tokens have no bigrams and are absent from the output on
+    both engines by construction.
+    """
+    toks = df.select(F.col(id_col).alias("__id"), tokenize(text_col).alias("__t"))
+    n1 = F.greatest(F.size("__t") - F.lit(1), F.lit(0))
+    bg = toks.select(
+        "__id",
+        F.explode(
+            F.arrays_zip(
+                F.slice("__t", 1, n1).alias("w1"), F.slice("__t", 2, n1).alias("w2")
+            )
+        ).alias("__bg"),
+    ).select("__id", "__bg.w1", "__bg.w2")
+    dbf = (
+        bg.groupBy("__id", "w1", "w2").agg(F.count(F.lit(1)).alias("dbf")).persist()
+    )
+    btf = dbf.groupBy("w1", "w2").agg(F.sum("dbf").alias("c12"))
+    c1 = dbf.groupBy("w1").agg(F.sum("dbf").alias("c1"))
+    uni = (
+        df.select(F.explode(tokenize(text_col)).alias("w2"))
+        .groupBy("w2")
+        .agg(F.count(F.lit(1)).alias("cu"))
+    )
+    tot = uni.agg(F.sum("cu").alias("__T"))
+    p = F.lit(lam) * F.col("c12") / F.col("c1") + F.lit(1.0 - lam) * F.col(
+        "cu"
+    ) / F.col("__T").cast("double")
+    scored = (
+        dbf.join(btf, ["w1", "w2"])
+        .join(c1, "w1")
+        .join(uni, "w2")
+        .crossJoin(F.broadcast(tot))
+    )
+    return (
+        scored.groupBy("__id")
+        .agg(
+            F.sum("dbf").alias("n_bigrams"),
+            F.round(-F.sum(F.col("dbf") * F.log(p)) / F.sum("dbf"), 4).alias(
+                "avg_nll"
+            ),
+        )
+        .select(F.col("__id").alias(id_col), "n_bigrams", "avg_nll")
+    )

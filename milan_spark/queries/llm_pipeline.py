@@ -1796,6 +1796,59 @@ def unigram_lm_perplexity_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "bigram_lm_perplexity",
+    doc="Jelinek-Mercer interpolated BIGRAM LM quality scoring (Chen & "
+    "Goodman CSL'99 eq. 4, fixed lambda=0.7) - the order-2 upgrade of "
+    "unigram_lm_perplexity that unigram scores cannot see: word ORDER. "
+    "Bigrams are built row-locally from the token array (slices + "
+    "arrays_zip, no positional self-join, no corpus-wide window); counts "
+    "are map-side-combinable aggregates; the score join is vocabulary-"
+    "bounded on (w1,w2)/w1/w2 with the one-row total on a broadcast "
+    "crossJoin. Float discipline: both engines evaluate the literal-"
+    "identical interpolation left-to-right and compare after round(.,4).",
+    oracle="""
+WITH t AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+  FROM documents
+),
+bg AS (
+  SELECT doc_id,
+         unnest(list_slice(toks, 1, len(toks) - 1)) AS w1,
+         unnest(list_slice(toks, 2, len(toks))) AS w2
+  FROM t WHERE len(toks) >= 2
+),
+dbf AS (
+  SELECT doc_id, w1, w2, COUNT(*) AS dbf FROM bg GROUP BY 1, 2, 3
+),
+btf AS (SELECT w1, w2, CAST(SUM(dbf) AS BIGINT) AS c12 FROM dbf GROUP BY 1, 2),
+c1 AS (SELECT w1, CAST(SUM(dbf) AS BIGINT) AS c1 FROM dbf GROUP BY 1),
+uni AS (
+  SELECT w2, COUNT(*) AS cu FROM (
+    SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS w2
+    FROM documents
+  ) GROUP BY 1
+),
+tot AS (SELECT CAST(SUM(cu) AS BIGINT) AS t_total FROM uni)
+SELECT d.doc_id,
+       CAST(SUM(d.dbf) AS BIGINT) AS n_bigrams,
+       ROUND(
+         -SUM(d.dbf * ln(0.7 * b.c12 / c.c1
+                         + 0.3 * u.cu / CAST(tot.t_total AS DOUBLE)))
+         / SUM(d.dbf), 4
+       ) AS avg_nll
+FROM dbf d
+JOIN btf b USING (w1, w2)
+JOIN c1 c USING (w1)
+JOIN uni u USING (w2), tot
+GROUP BY d.doc_id
+""",
+)
+def bigram_lm_perplexity_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    return T.bigram_lm_nll(docs, "doc_id", "text", lam=0.7)
+
+
+@register(
     "dedup_keep_best_quality",
     doc="Quality-aware dedup survivorship (the FineWeb/Dolma policy: keep "
     "the BEST copy, not an arbitrary one): exact-duplicate groups by text "

@@ -274,3 +274,50 @@ def test_streaming_metrics_surface_in_query_progress(spark):
     ]
     assert observed, "no observedMetrics in streaming progress"
     assert observed[-1]["n_out"] == n_rows
+
+
+def test_bundle_with_left_windowed_join_both_lifecycles(spark):
+    """A bundle whose plan carries the round-8 serializable
+    left_windowed_join node runs from deserialized JSON on BOTH lifecycles
+    (run_batch and run_streaming) with identical results — the 'ship a
+    bundle containing the new op' contract."""
+    purchases = Node(
+        "map",
+        {"exprs": ["user_id", "event_id", "event_id AS __seq"]},
+        [Node("filter", {"condition": "event_type = 'purchase'"},
+              [Node("external_stream", {"stream_id": "ev_l"})])],
+    )
+    views = Node(
+        "map",
+        {"exprs": ["user_id",
+                   "CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents",
+                   "event_id AS __seq"]},
+        [Node("filter", {"condition": "event_type = 'view'"},
+              [Node("external_stream", {"stream_id": "ev_r"})])],
+    )
+    join = Node(
+        "left_windowed_join",
+        {"left_on": ["user_id"], "right_on": ["user_id"],
+         "aggs": {"n_views": "count(cents)", "view_cents": "sum(cents)"},
+         "left_seq": "__seq", "right_seq": "__seq"},
+        [purchases, views],
+    )
+    out = Node(
+        "map", {"exprs": ["event_id", "user_id", "n_views", "view_cents"]},
+        [join],
+    )
+    app = Application.from_json(
+        Application(
+            app_id="lwj_bundle",
+            plan=out,
+            sources={"ev_l": {"kind": "parquet", "path": EV},
+                     "ev_r": {"kind": "parquet", "path": EV}},
+            sink={"kind": "memory", "name": "lwj_bundle_out"},
+            metrics={"n_out": "count(*)"},
+        ).to_json()
+    )
+    bdf, obs = app.run_batch(spark)
+    batch = sorted(map(tuple, bdf.collect()))
+    assert len(batch) > 0 and obs.get["n_out"] == len(batch)
+    sdf = app.run_streaming(spark)
+    assert sorted(map(tuple, sdf.collect())) == batch

@@ -347,3 +347,26 @@ def test_incremental_near_dups_matches_union_pairs(spark):
             # incremental contract reports it as (delta, corpus) too
             want.add((a, b, r.jaccard))
     assert got == want and len(got) > 0
+
+
+def test_bigram_lm_nll_hand_computed(spark):
+    """JM-interpolated bigram NLL on a 2-doc corpus, verified against a
+    by-hand model fit (operators/text.py bigram_lm_nll)."""
+    import math
+
+    rows = [(1, "a b a b"), (2, "a b c"), (3, "x")]  # doc 3: no bigrams
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in T.bigram_lm_nll(df, lam=0.7).collect()}
+
+    # corpus bigrams: d1 -> (a,b)x2, (b,a); d2 -> (a,b), (b,c)
+    # c12: (a,b)=3 (b,a)=1 (b,c)=1 ; c1: a.=3 b.=2
+    # unigrams: a=3 b=3 c=1 x=1, T=8
+    def p(c12, c1, cu):
+        return 0.7 * c12 / c1 + 0.3 * cu / 8.0
+
+    d1 = -(2 * math.log(p(3, 3, 3)) + math.log(p(1, 2, 3))) / 3
+    d2 = -(math.log(p(3, 3, 3)) + math.log(p(1, 2, 1))) / 2
+    assert out[1]["n_bigrams"] == 3 and out[2]["n_bigrams"] == 2
+    assert abs(out[1]["avg_nll"] - round(d1, 4)) < 1e-9
+    assert abs(out[2]["avg_nll"] - round(d2, 4)) < 1e-9
+    assert 3 not in out  # single-token doc has no bigrams on either engine
