@@ -1061,3 +1061,95 @@ def streaming_left_windowed_join_ir_q(spark: SparkSession, sf_dir: str) -> DataF
     )
     sdf = compile_node_streaming(from_json(to_json(out)), spark)
     return run_to_memory(sdf, "streaming_left_windowed_join_ir")
+
+
+@register(
+    "streaming_stream_stream_left_join",
+    doc="NATIVE stream-stream LEFT OUTER join with watermark-bounded state "
+    "and oracle-checked null-padding (exceeds the reference, whose "
+    "relational joins are inner-only enrichment shapes): purchases from "
+    "the pre-Jan-10 cohort left-join signups within the preceding 7 days. "
+    "The recipe that makes outer results EXACT under Spark's eviction "
+    "rules (late_drop's mtime-ordered FileStreamSource staging, "
+    "maxFilesPerTrigger=1): both sides arrive as 4 deterministic "
+    "microbatches - the cohort slice first, then three far-future slices "
+    "whose only job is to advance BOTH watermarks ~2 weeks past the "
+    "cohort (eviction uses min(left wm, right wm) and fires one batch "
+    "behind, so two trailing batches guarantee every unmatched cohort "
+    "purchase is evicted and null-padded before the stream drains). A "
+    "post-join filter keeps cohort rows only, so the oracle is the "
+    "TEXTBOOK SQL LEFT JOIN - zero watermark arithmetic leaks into it. "
+    "State is bounded by the watermark horizon; at 100 TB each side "
+    "shuffles once on user_id into co-located state stores.",
+    oracle="""
+SELECT p.event_id AS purchase_id, p.user_id,
+       epoch_ns(p.ts) // 1000 AS p_ts_us,
+       s.event_id AS signup_id,
+       epoch_ns(s.ts) // 1000 AS s_ts_us
+FROM (SELECT * FROM events
+      WHERE event_type = 'purchase' AND ts < TIMESTAMP '2024-01-10') p
+LEFT JOIN (SELECT * FROM events WHERE event_type = 'signup') s
+  ON p.user_id = s.user_id
+ AND p.ts >= s.ts AND p.ts <= s.ts + INTERVAL 7 DAY
+""",
+)
+def streaming_stream_stream_left_join_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import shutil
+    import tempfile
+
+    from milan_spark.sources import table
+
+    ev = table(spark, sf_dir, "events")
+    t = lambda d: F.lit(d).cast("timestamp")  # noqa: E731
+    # slice 0 = the cohort; slices 1-3 = future watermark drivers
+    bounds = [(None, "2024-01-10"), ("2024-01-20", "2024-01-24"),
+              ("2024-01-24", "2024-01-27"), ("2024-01-27", None)]
+
+    def stage(etype: str, cols) -> str:
+        d = tempfile.mkdtemp(prefix=f"milan_sslj_{etype}_")
+        side = ev.filter(F.col("event_type") == etype)
+        for i, (lo, hi) in enumerate(bounds):
+            pred = F.lit(True)
+            if lo:
+                pred = pred & (F.col("ts") >= t(lo))
+            if hi:
+                pred = pred & (F.col("ts") < t(hi))
+            tmp = os.path.join(d, f"__tmp_{i}")
+            side.filter(pred).select(*cols).coalesce(1).write.parquet(tmp)
+            part = next(f for f in os.listdir(tmp) if f.endswith(".parquet"))
+            dst = os.path.join(d, f"batch{i}.parquet")
+            shutil.move(os.path.join(tmp, part), dst)
+            shutil.rmtree(tmp)
+            os.utime(dst, (1_000_000_000 + i * 1000,) * 2)
+        return d
+
+    p_dir = stage("purchase", ["user_id", F.col("event_id").alias("purchase_id"),
+                               F.col("ts").alias("p_ts")])
+    s_dir = stage("signup", [F.col("user_id").alias("s_user_id"),
+                             F.col("event_id").alias("signup_id"),
+                             F.col("ts").alias("s_ts")])
+
+    def src(d: str) -> DataFrame:
+        schema = spark.read.parquet(os.path.join(d, "batch0.parquet")).schema
+        return (spark.readStream.schema(schema)
+                .option("maxFilesPerTrigger", 1).parquet(d))
+
+    left = src(p_dir).withWatermark("p_ts", "1 hour")
+    right = src(s_dir).withWatermark("s_ts", "1 hour")
+    cond = (
+        (F.col("user_id") == F.col("s_user_id"))
+        & (F.col("p_ts") >= F.col("s_ts"))
+        & (F.col("p_ts") <= F.col("s_ts") + F.expr("INTERVAL 7 DAY"))
+    )
+    out = (
+        left.join(right, cond, "left_outer")
+        .filter(F.col("p_ts") < t("2024-01-10"))
+        .select(
+            "purchase_id", "user_id",
+            F.unix_micros("p_ts").alias("p_ts_us"),
+            "signup_id",
+            F.unix_micros("s_ts").alias("s_ts_us"),
+        )
+    )
+    return run_to_memory(out, "streaming_stream_stream_left_join")
