@@ -1153,3 +1153,92 @@ def streaming_stream_stream_left_join_q(spark: SparkSession, sf_dir: str) -> Dat
         )
     )
     return run_to_memory(out, "streaming_stream_stream_left_join")
+
+
+@register(
+    "streaming_stream_stream_full_join",
+    doc="NATIVE stream-stream FULL OUTER join, oracle-checked on BOTH "
+    "null-padded sides (same staging recipe as the left-outer twin: "
+    "cohort slice first, three far-future watermark-driver slices, "
+    "maxFilesPerTrigger=1, eviction fires one batch behind min(left, "
+    "right) watermark). The data gap [Jan-10, Jan-20) proves matched "
+    "pairs are cohort-cohort: an old signup (s < Jan-10) cannot match a "
+    "future purchase (p >= Jan-20 > s + 7d), so the post-join filter "
+    "coalesce(p_ts, s_ts) < Jan-10 keeps exactly the cohort's matched "
+    "pairs plus BOTH unmatched sides, and the oracle is the textbook SQL "
+    "FULL JOIN of the two cohort slices - no watermark arithmetic in it.",
+    oracle="""
+SELECT p.event_id AS purchase_id,
+       COALESCE(p.user_id, s.user_id) AS user_id,
+       epoch_ns(p.ts) // 1000 AS p_ts_us,
+       s.event_id AS signup_id,
+       epoch_ns(s.ts) // 1000 AS s_ts_us
+FROM (SELECT * FROM events
+      WHERE event_type = 'purchase' AND ts < TIMESTAMP '2024-01-10') p
+FULL JOIN (SELECT * FROM events
+           WHERE event_type = 'signup' AND ts < TIMESTAMP '2024-01-10') s
+  ON p.user_id = s.user_id
+ AND p.ts >= s.ts AND p.ts <= s.ts + INTERVAL 7 DAY
+""",
+)
+def streaming_stream_stream_full_join_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import shutil
+    import tempfile
+
+    from milan_spark.sources import table
+
+    ev = table(spark, sf_dir, "events")
+    t = lambda d: F.lit(d).cast("timestamp")  # noqa: E731
+    bounds = [(None, "2024-01-10"), ("2024-01-20", "2024-01-24"),
+              ("2024-01-24", "2024-01-27"), ("2024-01-27", None)]
+
+    def stage(etype: str, cols) -> str:
+        d = tempfile.mkdtemp(prefix=f"milan_ssfj_{etype}_")
+        side = ev.filter(F.col("event_type") == etype)
+        for i, (lo, hi) in enumerate(bounds):
+            pred = F.lit(True)
+            if lo:
+                pred = pred & (F.col("ts") >= t(lo))
+            if hi:
+                pred = pred & (F.col("ts") < t(hi))
+            tmp = os.path.join(d, f"__tmp_{i}")
+            side.filter(pred).select(*cols).coalesce(1).write.parquet(tmp)
+            part = next(f for f in os.listdir(tmp) if f.endswith(".parquet"))
+            dst = os.path.join(d, f"batch{i}.parquet")
+            shutil.move(os.path.join(tmp, part), dst)
+            shutil.rmtree(tmp)
+            os.utime(dst, (1_000_000_000 + i * 1000,) * 2)
+        return d
+
+    p_dir = stage("purchase", [F.col("user_id").alias("p_user_id"),
+                               F.col("event_id").alias("purchase_id"),
+                               F.col("ts").alias("p_ts")])
+    s_dir = stage("signup", [F.col("user_id").alias("s_user_id"),
+                             F.col("event_id").alias("signup_id"),
+                             F.col("ts").alias("s_ts")])
+
+    def src(d: str) -> DataFrame:
+        schema = spark.read.parquet(os.path.join(d, "batch0.parquet")).schema
+        return (spark.readStream.schema(schema)
+                .option("maxFilesPerTrigger", 1).parquet(d))
+
+    left = src(p_dir).withWatermark("p_ts", "1 hour")
+    right = src(s_dir).withWatermark("s_ts", "1 hour")
+    cond = (
+        (F.col("p_user_id") == F.col("s_user_id"))
+        & (F.col("p_ts") >= F.col("s_ts"))
+        & (F.col("p_ts") <= F.col("s_ts") + F.expr("INTERVAL 7 DAY"))
+    )
+    out = (
+        left.join(right, cond, "full_outer")
+        .filter(F.coalesce(F.col("p_ts"), F.col("s_ts")) < t("2024-01-10"))
+        .select(
+            "purchase_id",
+            F.coalesce(F.col("p_user_id"), F.col("s_user_id")).alias("user_id"),
+            F.unix_micros("p_ts").alias("p_ts_us"),
+            "signup_id",
+            F.unix_micros("s_ts").alias("s_ts_us"),
+        )
+    )
+    return run_to_memory(out, "streaming_stream_stream_full_join")
