@@ -348,3 +348,67 @@ def test_left_windowed_join_same_json_both_backends(spark):
     assert joined.node.is_serializable
     b, st = _both(spark, to_json(joined.node), "ir_lwj_both")
     assert b == st and len(b) > 0
+
+
+def test_left_outer_stream_stream_join_same_json_both_backends(spark, tmp_path):
+    """relational_join how=left_outer from ONE JSON: streaming runs Spark's
+    native watermarked outer join (mtime-ordered staged slices guarantee
+    unmatched-cohort eviction before the stream drains); batch evaluates the
+    identical predicate with watermarks as no-ops. The post-join cohort
+    filter makes both answers the textbook LEFT JOIN of the cohort."""
+    import os
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from milan_spark.plans import Node
+    from milan_spark.sources import table
+
+    ev = table(spark, os.path.dirname(EV), "events")
+    t = lambda d: F.lit(d).cast("timestamp")  # noqa: E731
+    bounds = [(None, "2024-01-10"), ("2024-01-20", "2024-01-24"),
+              ("2024-01-24", "2024-01-27"), ("2024-01-27", None)]
+
+    def stage(etype, cols, tag):
+        d = str(tmp_path / tag)
+        os.makedirs(d)
+        side = ev.filter(F.col("event_type") == etype)
+        for i, (lo, hi) in enumerate(bounds):
+            pred = F.lit(True)
+            if lo:
+                pred = pred & (F.col("ts") >= t(lo))
+            if hi:
+                pred = pred & (F.col("ts") < t(hi))
+            tmp = os.path.join(d, f"__tmp_{i}")
+            side.filter(pred).select(*cols).coalesce(1).write.parquet(tmp)
+            part = next(f for f in os.listdir(tmp) if f.endswith(".parquet"))
+            dst = os.path.join(d, f"batch{i}.parquet")
+            shutil.move(os.path.join(tmp, part), dst)
+            shutil.rmtree(tmp)
+            os.utime(dst, (1_000_000_000 + i * 1000,) * 2)
+        return d
+
+    p_dir = stage("purchase", ["user_id", F.col("event_id").alias("pid"),
+                               F.col("ts").alias("p_ts")], "p")
+    s_dir = stage("signup", ["user_id", F.col("event_id").alias("sid"),
+                             F.col("ts").alias("s_ts")], "s")
+    opts = {"maxFilesPerTrigger": "1"}
+    join = Node(
+        "relational_join",
+        {
+            "on": ["user_id"], "how": "left_outer",
+            "watermarks": {"left": ["p_ts", "1 hour"], "right": ["s_ts", "1 hour"]},
+            "time_condition": "l.p_ts >= r.s_ts AND l.p_ts <= r.s_ts + INTERVAL 7 DAY",
+        },
+        [Node("file_source", {"path": p_dir, "options": opts}),
+         Node("file_source", {"path": s_dir, "options": opts})],
+    )
+    out = Node(
+        "map",
+        {"exprs": ["pid", "user_id", "sid",
+                   "unix_micros(p_ts) AS pus", "unix_micros(s_ts) AS sus"]},
+        [Node("filter", {"condition": "p_ts < TIMESTAMP '2024-01-10'"}, [join])],
+    )
+    b, st = _both(spark, to_json(out), "ir_ss_left_outer_both")
+    assert b == st and len(b) > 0
+    assert any(r[2] is None for r in b)  # null-padded unmatched lefts exist
