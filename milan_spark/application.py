@@ -38,13 +38,13 @@ BUNDLE_VERSION = 1
 #   parquet: {"path": ...}
 #   file:    {"path": ..., "fmt": ..., "options": {...}}
 #   list:    {"rows": [[...], ...], "schema": "a int, b string"}  (batch only)
-_SOURCE_KINDS = ("parquet", "file", "list")
+_SOURCE_KINDS = ("parquet", "file", "list", "kinesis", "sqs", "dynamodb_stream")
 
 # sink spec kinds
 #   memory:  {"name": ..., "output_mode": "append"}  → temp view / memory sink
 #   file:    {"path": ..., "fmt": "parquet", "mode": "overwrite"}
 #   none:    {}  → just return the DataFrame
-_SINK_KINDS = ("memory", "file", "none")
+_SINK_KINDS = ("memory", "file", "none", "kinesis", "sqs", "dynamodb_table")
 
 
 @dataclass
@@ -248,6 +248,10 @@ class Application:
             return file_source(
                 spark, spec["path"], fmt=spec.get("fmt", "parquet"), options=spec.get("options")
             )
+        if kind in ("kinesis", "sqs", "dynamodb_stream"):
+            from milan_spark.sources.queues import read_queue_batch
+
+            return read_queue_batch(spark, spec)
         rows = [tuple(r) for r in spec["rows"]]
         return spark.createDataFrame(rows, schema=spec.get("schema"))
 
@@ -255,6 +259,10 @@ class Application:
         spec = self.sources[sid]
         if spec["kind"] == "list":
             raise ValueError(f"source {sid!r}: list sources have no unbounded realization")
+        if spec["kind"] in ("kinesis", "sqs", "dynamodb_stream"):
+            from milan_spark.sources.queues import open_queue_source
+
+            return open_queue_source(spark, spec)
         from milan_spark.plans.backend_streaming import _stage_dir
         from milan_spark.sources import ensure_read_conf, file_stream_source
 
@@ -415,6 +423,12 @@ class Application:
                 fmt=self.sink.get("fmt", "parquet"),
                 output_mode=self.sink.get("output_mode", "append"),
             )
+        if kind in ("kinesis", "sqs", "dynamodb_table"):
+            from milan_spark.sources.queues import open_queue_sink
+
+            q = open_queue_sink(sdf, self.sink)
+            q.awaitTermination(300)
+            return sdf
         return sdf
 
 

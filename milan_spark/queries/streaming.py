@@ -1242,3 +1242,49 @@ def streaming_stream_stream_full_join_q(spark: SparkSession, sf_dir: str) -> Dat
         )
     )
     return run_to_memory(out, "streaming_stream_stream_full_join")
+
+
+@register(
+    "streaming_kinesis_emulated_roundtrip",
+    doc="Queue connector lifecycle end to end (sources/queues.py - the "
+    "engine twin of KinesisDataSink.scala:19 + KinesisDataSource.scala:35, "
+    "declarative descriptors bound at analysis time): the purchase stream "
+    "publishes through the emulated Kinesis SINK (one JSON message file "
+    "per chunk, queue_limit=2000 bounding the producer buffer, mtime-"
+    "ordered FIFO), then the emulated Kinesis SOURCE replays the queue as "
+    "a second streaming query (maxFilesPerTrigger=1 - one microbatch per "
+    "message file) into a per-user rollup. Oracle = the direct SQL "
+    "aggregate; equality proves the queue transport is lossless and "
+    "exactly-once end to end. Remote coordinates bind real connectors or "
+    "raise MilanConnectorError naming the package at analysis time.",
+    oracle="""
+SELECT user_id, COUNT(*) AS n,
+       CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS total_cents
+FROM events WHERE event_type = 'purchase' GROUP BY user_id
+""",
+)
+def streaming_kinesis_emulated_roundtrip_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from milan_spark.sources.queues import (
+        KinesisDataSink,
+        KinesisDataSource,
+        local_queue,
+        open_queue_sink,
+        open_queue_source,
+    )
+
+    q = local_queue("kinesis_rt_")
+    s = _stream_side(
+        spark, sf_dir, "purchase",
+        ["user_id", F.floor(F.col("value") * 100 + 0.5).cast("long").alias("cents")],
+    ).drop("__seq")
+    sink = KinesisDataSink("rollup_feed", q, "local", queue_limit=2000)
+    open_queue_sink(s, sink.to_spec()).awaitTermination(300)
+
+    src = KinesisDataSource(q, "local", "user_id long, cents long")
+    feed = open_queue_source(spark, src.to_spec())
+    out = feed.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("cents").alias("total_cents")
+    )
+    return run_to_memory(
+        out, "streaming_kinesis_emulated_roundtrip", output_mode="complete"
+    )

@@ -207,6 +207,68 @@ def foreach_batch_sink(
         return w.start()
 
 
+def merge_parquet_batch(
+    batch_df: DataFrame,
+    path: str,
+    key_cols: Sequence[str],
+    *,
+    seq_col: str | None = None,
+    batch_id: int = 0,
+) -> None:
+    """One MERGE of a (micro)batch into the parquet table at ``path`` —
+    the shared idiom behind :func:`upsert_sink` and the emulated DynamoDB
+    table sink (``sources.queues``). Matched keys replaced, unmatched
+    inserted, the rest kept; read-merge-rewrite with an atomic directory
+    swap and crash recovery of a half-completed swap."""
+    import os
+    import shutil
+
+    keys = list(key_cols)
+    spark = batch_df.sparkSession
+    # Crash-recovery for the two-rename swap below: if a previous run died
+    # between `os.rename(path, old)` and `os.rename(tmp, path)`, the table
+    # is stranded in a `path.__old_<id>` sibling while `path` is missing.
+    # Restore the newest such sibling before merging so the checkpoint's
+    # replayed batch merges against the full prior table instead of
+    # silently rewriting it with only this batch's rows.
+    if not os.path.exists(path):
+        parent = os.path.dirname(path) or "."
+        base_name = os.path.basename(path)
+        stranded = sorted(
+            n for n in os.listdir(parent) if n.startswith(f"{base_name}.__old_")
+        )
+        if stranded:
+            os.rename(os.path.join(parent, stranded[-1]), path)
+            for extra in stranded[:-1]:
+                shutil.rmtree(os.path.join(parent, extra), ignore_errors=True)
+    if seq_col is not None:
+        batch_df = (
+            batch_df.groupBy(*keys)
+            .agg(F.max_by(F.struct(*batch_df.columns), F.col(seq_col)).alias("__r"))
+            .select("__r.*")
+        )
+    else:
+        n_all = batch_df.count()
+        n_keys = batch_df.select(*keys).distinct().count()
+        if n_all != n_keys:
+            raise ValueError(
+                f"upsert batch {batch_id} holds {n_all} rows for {n_keys} keys; "
+                "pass seq_col to resolve within-batch duplicates deterministically"
+            )
+    if os.path.exists(path):
+        base = spark.read.parquet(path)
+        merged = base.join(batch_df, keys, "left_anti").unionByName(batch_df)
+    else:
+        merged = batch_df
+    tmp = f"{path}.__tmp_{batch_id}"
+    merged.write.mode("overwrite").parquet(tmp)  # materializes BEFORE the swap
+    old = f"{path}.__old_{batch_id}"
+    if os.path.exists(path):
+        os.rename(path, old)
+    os.rename(tmp, path)
+    shutil.rmtree(old, ignore_errors=True)
+
+
 def upsert_sink(
     sdf: DataFrame,
     path: str,
@@ -234,55 +296,8 @@ def upsert_sink(
     partitions on a key hash and only partitions containing batch keys
     rewrite (or a transactional format takes over).
     """
-    import os
-    import shutil
-
-    keys = list(key_cols)
-
     def _merge(batch_df: DataFrame, batch_id: int) -> None:
-        spark = batch_df.sparkSession
-        # Crash-recovery for the two-rename swap below: if a previous run died
-        # between `os.rename(path, old)` and `os.rename(tmp, path)`, the table
-        # is stranded in a `path.__old_<id>` sibling while `path` is missing.
-        # Restore the newest such sibling before merging so the checkpoint's
-        # replayed batch merges against the full prior table instead of
-        # silently rewriting it with only this batch's rows.
-        if not os.path.exists(path):
-            parent = os.path.dirname(path) or "."
-            base_name = os.path.basename(path)
-            stranded = sorted(
-                n for n in os.listdir(parent) if n.startswith(f"{base_name}.__old_")
-            )
-            if stranded:
-                os.rename(os.path.join(parent, stranded[-1]), path)
-                for extra in stranded[:-1]:
-                    shutil.rmtree(os.path.join(parent, extra), ignore_errors=True)
-        if seq_col is not None:
-            batch_df = (
-                batch_df.groupBy(*keys)
-                .agg(F.max_by(F.struct(*batch_df.columns), F.col(seq_col)).alias("__r"))
-                .select("__r.*")
-            )
-        else:
-            n_all = batch_df.count()
-            n_keys = batch_df.select(*keys).distinct().count()
-            if n_all != n_keys:
-                raise ValueError(
-                    f"upsert batch {batch_id} holds {n_all} rows for {n_keys} keys; "
-                    "pass seq_col to resolve within-batch duplicates deterministically"
-                )
-        if os.path.exists(path):
-            base = spark.read.parquet(path)
-            merged = base.join(batch_df, keys, "left_anti").unionByName(batch_df)
-        else:
-            merged = batch_df
-        tmp = f"{path}.__tmp_{batch_id}"
-        merged.write.mode("overwrite").parquet(tmp)  # materializes BEFORE the swap
-        old = f"{path}.__old_{batch_id}"
-        if os.path.exists(path):
-            os.rename(path, old)
-        os.rename(tmp, path)
-        shutil.rmtree(old, ignore_errors=True)
+        merge_parquet_batch(batch_df, path, key_cols, seq_col=seq_col, batch_id=batch_id)
 
     w = (
         sdf.writeStream.foreachBatch(_merge)

@@ -81,7 +81,7 @@ def test_bundle_unbound_stream_rejected():
 
 def test_bundle_bad_kinds_rejected():
     app = _bundle()
-    app.sources["events"] = {"kind": "kinesis", "path": "arn:..."}
+    app.sources["events"] = {"kind": "rabbitmq", "path": "amqp://..."}
     with pytest.raises(ValueError, match="unknown kind"):
         app.validate()
     app = _bundle()
