@@ -293,6 +293,27 @@ def read_queue_batch(spark: SparkSession, spec: Mapping) -> DataFrame:
     return spark.read.schema(spec["schema"]).json(d)
 
 
+#: hard cap on messages the emulation will pull through the driver per
+#: microbatch. A queue is a control-plane transport; hitting this means the
+#: pipeline is pushing BULK DATA through a queue, which is wrong at any
+#: scale — the error says to use a file/parquet sink instead.
+EMULATION_BATCH_CAP = 1_000_000
+
+
+def _collect_messages(batch_df: DataFrame, coord: str) -> list[dict]:
+    """Deliberate, guarded driver-side collect: the emulated queue's
+    serialization point (a real producer serializes too). Capped so a
+    mis-routed bulk pipeline fails with advice, not an OOM."""
+    rows = batch_df.limit(EMULATION_BATCH_CAP + 1).toJSON().collect()
+    if len(rows) > EMULATION_BATCH_CAP:
+        raise MilanConnectorError(
+            f"queue {coord!r}: a single microbatch exceeds "
+            f"{EMULATION_BATCH_CAP} messages — queues are control-plane "
+            "transports; route bulk data to a file/parquet sink"
+        )
+    return [json.loads(r) for r in rows]
+
+
 def open_queue_sink(
     sdf: DataFrame,
     spec: Mapping,
@@ -328,7 +349,7 @@ def open_queue_sink(
         chunk = spec.get("queue_limit")
 
         def publish(batch_df: DataFrame, _bid: int) -> None:
-            docs = [json.loads(r) for r in batch_df.toJSON().collect()]
+            docs = _collect_messages(batch_df, coord)
             if docs:
                 _spool(base, docs, chunk=chunk)
 
@@ -350,7 +371,7 @@ def open_queue_sink(
         from milan_spark.streaming import merge_parquet_batch  # shared MERGE idiom
 
         merge_parquet_batch(batch_df, state, key_cols, batch_id=bid)
-        docs = [json.loads(r) for r in batch_df.toJSON().collect()]
+        docs = _collect_messages(batch_df, coord)
         if docs:
             _spool(changelog, docs)
 
