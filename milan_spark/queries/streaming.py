@@ -1063,6 +1063,50 @@ def streaming_left_windowed_join_ir_q(spark: SparkSession, sf_dir: str) -> DataF
     return run_to_memory(sdf, "streaming_left_windowed_join_ir")
 
 
+
+# outer stream-stream join staging: the cohort slice first, then three
+# far-future slices whose only job is to advance BOTH watermarks past the
+# cohort (eviction uses min(left, right) watermark and fires one batch
+# behind, so two trailing batches guarantee every unmatched cohort row is
+# null-padded before the stream drains). mtime pins FIFO arrival order.
+_COHORT_BOUNDS = [(None, "2024-01-10"), ("2024-01-20", "2024-01-24"),
+                  ("2024-01-24", "2024-01-27"), ("2024-01-27", None)]
+
+
+def _stage_cohort_slices(ev: DataFrame, etype: str, cols, prefix: str) -> str:
+    """Write one side of an outer-join stream as 4 mtime-ordered parquet
+    files (cohort + watermark drivers) and return the staged directory."""
+    import os
+    import shutil
+    import tempfile
+
+    t = lambda d: F.lit(d).cast("timestamp")  # noqa: E731
+    d = tempfile.mkdtemp(prefix=f"{prefix}{etype}_")
+    side = ev.filter(F.col("event_type") == etype)
+    for i, (lo, hi) in enumerate(_COHORT_BOUNDS):
+        pred = F.lit(True)
+        if lo:
+            pred = pred & (F.col("ts") >= t(lo))
+        if hi:
+            pred = pred & (F.col("ts") < t(hi))
+        tmp = os.path.join(d, f"__tmp_{i}")
+        side.filter(pred).select(*cols).coalesce(1).write.parquet(tmp)
+        part = next(f for f in os.listdir(tmp) if f.endswith(".parquet"))
+        dst = os.path.join(d, f"batch{i}.parquet")
+        shutil.move(os.path.join(tmp, part), dst)
+        shutil.rmtree(tmp)
+        os.utime(dst, (1_000_000_000 + i * 1000,) * 2)
+    return d
+
+
+def _staged_stream(spark: SparkSession, d: str) -> DataFrame:
+    import os
+
+    schema = spark.read.parquet(os.path.join(d, "batch0.parquet")).schema
+    return (spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1).parquet(d))
+
+
 @register(
     "streaming_stream_stream_left_join",
     doc="NATIVE stream-stream LEFT OUTER join with watermark-bounded state "
@@ -1094,49 +1138,21 @@ LEFT JOIN (SELECT * FROM events WHERE event_type = 'signup') s
 """,
 )
 def streaming_stream_stream_left_join_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import os
-    import shutil
-    import tempfile
-
     from milan_spark.sources import table
 
     ev = table(spark, sf_dir, "events")
     t = lambda d: F.lit(d).cast("timestamp")  # noqa: E731
-    # slice 0 = the cohort; slices 1-3 = future watermark drivers
-    bounds = [(None, "2024-01-10"), ("2024-01-20", "2024-01-24"),
-              ("2024-01-24", "2024-01-27"), ("2024-01-27", None)]
-
-    def stage(etype: str, cols) -> str:
-        d = tempfile.mkdtemp(prefix=f"milan_sslj_{etype}_")
-        side = ev.filter(F.col("event_type") == etype)
-        for i, (lo, hi) in enumerate(bounds):
-            pred = F.lit(True)
-            if lo:
-                pred = pred & (F.col("ts") >= t(lo))
-            if hi:
-                pred = pred & (F.col("ts") < t(hi))
-            tmp = os.path.join(d, f"__tmp_{i}")
-            side.filter(pred).select(*cols).coalesce(1).write.parquet(tmp)
-            part = next(f for f in os.listdir(tmp) if f.endswith(".parquet"))
-            dst = os.path.join(d, f"batch{i}.parquet")
-            shutil.move(os.path.join(tmp, part), dst)
-            shutil.rmtree(tmp)
-            os.utime(dst, (1_000_000_000 + i * 1000,) * 2)
-        return d
-
-    p_dir = stage("purchase", ["user_id", F.col("event_id").alias("purchase_id"),
-                               F.col("ts").alias("p_ts")])
-    s_dir = stage("signup", [F.col("user_id").alias("s_user_id"),
-                             F.col("event_id").alias("signup_id"),
-                             F.col("ts").alias("s_ts")])
-
-    def src(d: str) -> DataFrame:
-        schema = spark.read.parquet(os.path.join(d, "batch0.parquet")).schema
-        return (spark.readStream.schema(schema)
-                .option("maxFilesPerTrigger", 1).parquet(d))
-
-    left = src(p_dir).withWatermark("p_ts", "1 hour")
-    right = src(s_dir).withWatermark("s_ts", "1 hour")
+    p_dir = _stage_cohort_slices(
+        ev, "purchase",
+        ["user_id", F.col("event_id").alias("purchase_id"), F.col("ts").alias("p_ts")],
+        "milan_sslj_")
+    s_dir = _stage_cohort_slices(
+        ev, "signup",
+        [F.col("user_id").alias("s_user_id"), F.col("event_id").alias("signup_id"),
+         F.col("ts").alias("s_ts")],
+        "milan_sslj_")
+    left = _staged_stream(spark, p_dir).withWatermark("p_ts", "1 hour")
+    right = _staged_stream(spark, s_dir).withWatermark("s_ts", "1 hour")
     cond = (
         (F.col("user_id") == F.col("s_user_id"))
         & (F.col("p_ts") >= F.col("s_ts"))
@@ -1182,49 +1198,22 @@ FULL JOIN (SELECT * FROM events
 """,
 )
 def streaming_stream_stream_full_join_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import os
-    import shutil
-    import tempfile
-
     from milan_spark.sources import table
 
     ev = table(spark, sf_dir, "events")
     t = lambda d: F.lit(d).cast("timestamp")  # noqa: E731
-    bounds = [(None, "2024-01-10"), ("2024-01-20", "2024-01-24"),
-              ("2024-01-24", "2024-01-27"), ("2024-01-27", None)]
-
-    def stage(etype: str, cols) -> str:
-        d = tempfile.mkdtemp(prefix=f"milan_ssfj_{etype}_")
-        side = ev.filter(F.col("event_type") == etype)
-        for i, (lo, hi) in enumerate(bounds):
-            pred = F.lit(True)
-            if lo:
-                pred = pred & (F.col("ts") >= t(lo))
-            if hi:
-                pred = pred & (F.col("ts") < t(hi))
-            tmp = os.path.join(d, f"__tmp_{i}")
-            side.filter(pred).select(*cols).coalesce(1).write.parquet(tmp)
-            part = next(f for f in os.listdir(tmp) if f.endswith(".parquet"))
-            dst = os.path.join(d, f"batch{i}.parquet")
-            shutil.move(os.path.join(tmp, part), dst)
-            shutil.rmtree(tmp)
-            os.utime(dst, (1_000_000_000 + i * 1000,) * 2)
-        return d
-
-    p_dir = stage("purchase", [F.col("user_id").alias("p_user_id"),
-                               F.col("event_id").alias("purchase_id"),
-                               F.col("ts").alias("p_ts")])
-    s_dir = stage("signup", [F.col("user_id").alias("s_user_id"),
-                             F.col("event_id").alias("signup_id"),
-                             F.col("ts").alias("s_ts")])
-
-    def src(d: str) -> DataFrame:
-        schema = spark.read.parquet(os.path.join(d, "batch0.parquet")).schema
-        return (spark.readStream.schema(schema)
-                .option("maxFilesPerTrigger", 1).parquet(d))
-
-    left = src(p_dir).withWatermark("p_ts", "1 hour")
-    right = src(s_dir).withWatermark("s_ts", "1 hour")
+    p_dir = _stage_cohort_slices(
+        ev, "purchase",
+        [F.col("user_id").alias("p_user_id"), F.col("event_id").alias("purchase_id"),
+         F.col("ts").alias("p_ts")],
+        "milan_ssfj_")
+    s_dir = _stage_cohort_slices(
+        ev, "signup",
+        [F.col("user_id").alias("s_user_id"), F.col("event_id").alias("signup_id"),
+         F.col("ts").alias("s_ts")],
+        "milan_ssfj_")
+    left = _staged_stream(spark, p_dir).withWatermark("p_ts", "1 hour")
+    right = _staged_stream(spark, s_dir).withWatermark("s_ts", "1 hour")
     cond = (
         (F.col("p_user_id") == F.col("s_user_id"))
         & (F.col("p_ts") >= F.col("s_ts"))
