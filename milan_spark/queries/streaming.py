@@ -1277,3 +1277,144 @@ def streaming_kinesis_emulated_roundtrip_q(spark: SparkSession, sf_dir: str) -> 
     return run_to_memory(
         out, "streaming_kinesis_emulated_roundtrip", output_mode="complete"
     )
+
+
+@register(
+    "streaming_psi_value_drift_daily",
+    doc="PSI distribution-drift monitoring AS A STREAM (the production "
+    "deployment shape of psi_value_drift / operators.diff.psi_drift): the "
+    "base distribution is a static reference - view-value bucket counts, "
+    "10 fixed-width buckets from the base min/max, a 10-row broadcast - "
+    "and the purchase stream bucketizes row-locally against it (stream-"
+    "static join BEFORE aggregation, the allowed shape), then one "
+    "watermarked DAILY windowed count per (window, bucket) in complete "
+    "mode. The PSI decoration (add-one-smoothed exact-int rationals, one "
+    "ln per bucket, round(.,6)) is a batch epilogue over the O(windows x "
+    "10) sink table - at 100 TB the stateful work is the windowed count; "
+    "the epilogue never touches row-level data. Output: one row per "
+    "(day, bucket) with its psi_contrib - sum within a day for that day's "
+    "drift number, exactly the batch operator's discipline per window.",
+    oracle="""
+WITH stats AS (
+  SELECT MIN(value) AS lo, MAX(value) AS hi
+  FROM events WHERE event_type = 'view' AND value IS NOT NULL
+),
+base AS (
+  SELECT CASE WHEN s.hi = s.lo THEN 0
+              ELSE LEAST(9, GREATEST(0,
+                CAST(FLOOR((e.value - s.lo) * 10 / (s.hi - s.lo)) AS INT))) END AS bucket,
+         COUNT(*) AS n
+  FROM events e, stats s WHERE e.event_type = 'view' AND e.value IS NOT NULL
+  GROUP BY 1
+),
+bgrid AS (
+  SELECT r.bucket, CAST(COALESCE(base.n, 0) AS BIGINT) AS base_n
+  FROM (SELECT unnest(range(10)) AS bucket) r LEFT JOIN base USING (bucket)
+),
+qt AS (SELECT SUM(base_n) AS q FROM bgrid),
+p AS (
+  SELECT CAST(date_trunc('day', e.ts) AS TIMESTAMP) AS window_start,
+         CASE WHEN s.hi = s.lo THEN 0
+              ELSE LEAST(9, GREATEST(0,
+                CAST(FLOOR((e.value - s.lo) * 10 / (s.hi - s.lo)) AS INT))) END AS bucket,
+         COUNT(*) AS n
+  FROM events e, stats s WHERE e.event_type = 'purchase' AND e.value IS NOT NULL
+  GROUP BY 1, 2
+),
+wgrid AS (
+  SELECT w.window_start, r.bucket, CAST(COALESCE(p.n, 0) AS BIGINT) AS new_n
+  FROM (SELECT DISTINCT window_start FROM p) w
+  CROSS JOIN (SELECT unnest(range(10)) AS bucket) r
+  LEFT JOIN p USING (window_start, bucket)
+),
+pt AS (SELECT window_start, SUM(new_n) AS t FROM wgrid GROUP BY 1)
+SELECT g.window_start, g.bucket, b.base_n, g.new_n,
+       ROUND(
+         (CAST(g.new_n + 1 AS DOUBLE) / CAST(pt.t + 10 AS DOUBLE)
+          - CAST(b.base_n + 1 AS DOUBLE) / CAST(qt.q + 10 AS DOUBLE))
+         * ln((CAST(g.new_n + 1 AS DOUBLE) / CAST(pt.t + 10 AS DOUBLE))
+              / (CAST(b.base_n + 1 AS DOUBLE) / CAST(qt.q + 10 AS DOUBLE))), 6
+       ) AS psi_contrib
+FROM wgrid g JOIN bgrid b USING (bucket) JOIN pt USING (window_start), qt
+""",
+)
+def streaming_psi_value_drift_daily_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from milan_spark.sources import table
+
+    buckets = 10
+    base = (
+        table(spark, sf_dir, "events")
+        .filter((F.col("event_type") == "view") & F.col("value").isNotNull())
+    )
+    stats = base.agg(
+        F.min("value").cast("double").alias("__lo"),
+        F.max("value").cast("double").alias("__hi"),
+    )
+
+    def bucket_idx():
+        return F.when(F.col("__hi") == F.col("__lo"), F.lit(0)).otherwise(
+            F.least(
+                F.lit(buckets - 1),
+                F.greatest(
+                    F.lit(0),
+                    F.floor(
+                        (F.col("value").cast("double") - F.col("__lo"))
+                        * buckets
+                        / (F.col("__hi") - F.col("__lo"))
+                    ).cast("int"),
+                ),
+            )
+        )
+
+    bcounts = (
+        base.crossJoin(F.broadcast(stats))
+        .select(bucket_idx().alias("bucket"))
+        .groupBy("bucket").agg(F.count(F.lit(1)).alias("n"))
+    )
+    bgrid = (
+        spark.range(buckets).select(F.col("id").cast("int").alias("bucket"))
+        .join(bcounts, "bucket", "left")
+        .select("bucket", F.coalesce("n", F.lit(0)).alias("base_n"))
+        .persist()
+    )
+
+    ev = _events_stream(spark, sf_dir)
+    new = (
+        ev.filter((F.col("event_type") == "purchase") & F.col("value").isNotNull())
+        .crossJoin(F.broadcast(stats))
+        .select("ts", bucket_idx().alias("bucket"))
+        .withWatermark("ts", "1 day")
+    )
+    counts = (
+        new.groupBy(F.window("ts", "1 day").alias("w"), "bucket")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("w.start").alias("window_start"), "bucket", "n")
+    )
+    sink = run_to_memory(
+        counts, "streaming_psi_value_drift_daily", output_mode="complete"
+    )
+    # re-materialize the O(windows x buckets) sink rows as a fresh frame:
+    # the memory-sink VIEW cannot self-join (conflicting-attribute
+    # resolution on the shared MemoryPlan), and the epilogue needs it twice
+    sink = spark.createDataFrame(sink.collect(), sink.schema)
+
+    # batch epilogue on the O(windows x buckets) sink table only
+    wgrid = (
+        sink.select("window_start").distinct()
+        .crossJoin(spark.range(buckets).select(F.col("id").cast("int").alias("bucket")))
+        .join(sink, ["window_start", "bucket"], "left")
+        .select("window_start", "bucket", F.coalesce("n", F.lit(0)).alias("new_n"))
+    )
+    pt = wgrid.groupBy("window_start").agg(F.sum("new_n").alias("__pt"))
+    qt = bgrid.agg(F.sum("base_n").alias("__qt"))
+    sm = (
+        wgrid.join(F.broadcast(bgrid), "bucket")
+        .join(F.broadcast(pt), "window_start")
+        .crossJoin(F.broadcast(qt))
+    )
+    p = (F.col("new_n") + 1).cast("double") / (F.col("__pt") + buckets).cast("double")
+    q = (F.col("base_n") + 1).cast("double") / (F.col("__qt") + buckets).cast("double")
+    return sm.select(
+        "window_start", "bucket", "base_n", "new_n",
+        F.round((p - q) * F.log(p / q), 6).alias("psi_contrib"),
+    )
