@@ -212,3 +212,30 @@ def test_bundle_with_sqs_source_and_sink_both_lifecycles(spark):
         .select("user_id", "r.n", "r.total")
     )
     assert {r["user_id"]: (r["n"], r["total"]) for r in last.collect()} == batch
+
+
+def test_queue_consumer_checkpoint_recovery(spark, tmp_path):
+    """Exactly-once queue consumption across a restart: consume the spool
+    into a parquet sink with a fixed checkpoint, stop, publish MORE
+    messages, rebuild the whole query from scratch (new lineage, same
+    checkpoint) and run again. The combined sink must hold every message
+    exactly once — FileStreamSource's commit log covers the emulated queue
+    the same way it covers any directory source."""
+    from milan_spark.sources.queues import _local_dir, _spool
+    from milan_spark.streaming import file_sink
+
+    q = local_queue("recov_")
+    _spool(_local_dir(q), [{"k": 1, "v": 10}, {"k": 2, "v": 1}], chunk=1)
+    spec = SqsDataSource(q, "k long, v long").to_spec()
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+
+    def run_once():
+        sdf = open_queue_source(spark, spec)
+        file_sink(sdf, out, checkpoint=ckpt).awaitTermination(120)
+
+    run_once()
+    assert spark.read.parquet(out).count() == 2
+    _spool(_local_dir(q), [{"k": 1, "v": 5}, {"k": 3, "v": 7}], chunk=1)
+    run_once()
+    rows = sorted(map(tuple, spark.read.parquet(out).select("k", "v").collect()))
+    assert rows == [(1, 5), (1, 10), (2, 1), (3, 7)]
