@@ -33,20 +33,30 @@ def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """readStream over the events table, normalizing nanosecond timestamps the
     same way ``sources.table`` does for batch.
 
-    FileStreamSource monitors directories, not single files, so the parquet
-    file is exposed through a per-sf symlink directory (no data copy).
+    FileStreamSource monitors directories, not single files, so a
+    single-FILE events.parquet is exposed through a per-sf symlink
+    directory (no data copy). A directory-shaped events.parquet (multi-part
+    datasets, e.g. the 10x scale build) passes through unchanged —
+    FileStreamSource does NOT list through a directory symlink, so the old
+    always-symlink recipe silently produced an EMPTY stream for directory
+    datasets (caught in round 8: every _events_stream query benched ~0.2 s
+    at sf1 because it processed zero rows; correctness gates never saw it
+    because sf0.01/0.1 store single files).
     """
     import hashlib
     import os
     import tempfile
 
     path = f"{sf_dir}/events.parquet"
-    tag = hashlib.sha1(os.path.abspath(path).encode()).hexdigest()[:12]
-    stage = os.path.join(tempfile.gettempdir(), f"milan_stream_src_{tag}")
-    os.makedirs(stage, exist_ok=True)
-    link = os.path.join(stage, "events.parquet")
-    if not os.path.exists(link):
-        os.symlink(os.path.abspath(path), link)
+    if os.path.isdir(path):
+        stage = path
+    else:
+        tag = hashlib.sha1(os.path.abspath(path).encode()).hexdigest()[:12]
+        stage = os.path.join(tempfile.gettempdir(), f"milan_stream_src_{tag}")
+        os.makedirs(stage, exist_ok=True)
+        link = os.path.join(stage, "events.parquet")
+        if not os.path.exists(link):
+            os.symlink(os.path.abspath(path), link)
     from milan_spark.sources import _normalize_events_ts, ensure_read_conf
 
     ensure_read_conf(spark)
