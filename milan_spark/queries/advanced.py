@@ -12,7 +12,7 @@ import pandas as pd  # module-level so pandas_udf annotations resolve under PEP 
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
-from milan_spark.catalog import register
+from milan_spark.catalog import REGISTRY, register
 from milan_spark.operators.graph import connected_components
 from milan_spark.queries.llm_pipeline import _SQL_SHINGLES
 from milan_spark.sources import file_source, table
@@ -174,6 +174,29 @@ def dedup_clusters_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     # set an LSH banding would flood the pair join with
     pairs = ngram_jaccard_pairs(docs, "doc_id", "text", n=2, threshold=0.8)
     cc = connected_components(pairs, "id_a", "id_b")
+    return cc.select(F.col("node").alias("doc_id"), F.col("label").alias("cluster_id"))
+
+
+@register(
+    "dedup_clusters_star",
+    doc="The SAME dedup clustering computed by the alternating large-star/"
+    "small-star algorithm (Kiveris et al. SoCC'14; operators.graph."
+    "connected_components_star) instead of min-label propagation: O(log n) "
+    "rounds regardless of graph DIAMETER, vs min-label's O(diameter). "
+    "Measured head-to-head (SCALE.md round 8): star wins even on the "
+    "catalog's dense shallow dedup graph (14.6 vs 22.1 s warm at 10x) and "
+    "6x on a 128-hop chain - the contracting edge set beats re-joining "
+    "full label frames. Identical output contract, identical oracle: two "
+    "physical algorithms, one function.",
+    oracle=REGISTRY["dedup_clusters"].oracle,
+)
+def dedup_clusters_star_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from milan_spark.operators.dedup import ngram_jaccard_pairs
+    from milan_spark.operators.graph import connected_components_star
+
+    docs = table(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(docs, "doc_id", "text", n=2, threshold=0.8)
+    cc = connected_components_star(pairs, "id_a", "id_b")
     return cc.select(F.col("node").alias("doc_id"), F.col("label").alias("cluster_id"))
 
 
