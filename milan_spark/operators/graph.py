@@ -494,3 +494,46 @@ def bfs_levels(
         dist = dist.unionByName(new)
         frontier = new.select("n")
     return dist
+
+
+def kcore(
+    pairs: DataFrame,
+    k: int,
+    a_col: str = "src",
+    b_col: str = "dst",
+    rounds: int = 8,
+) -> DataFrame:
+    """Bounded k-core peeling: repeatedly delete nodes of degree < ``k``
+    (with their edges) for ``rounds`` synchronous rounds; return every
+    surviving node with its degree inside the surviving subgraph.
+
+    The classic iterative-deletion algorithm (Matula/Beck 1983) in its
+    distributed synchronous form: each round is ONE map-side-combinable
+    degree aggregate plus two semi-joins of the edge list against the
+    surviving-node set — no all-pairs work, and the edge set only ever
+    shrinks, so per-round cost is monotonically non-increasing. Lineage is
+    truncated every round (``localCheckpoint``, the ``bfs_levels`` pattern)
+    so the analyzed plan stays O(1) deep at any round count. The round
+    count is a FIXED truncation on both engine and oracle: degrees are
+    exact ints and deletion is a pure set function of the previous round,
+    so the trajectory is deterministic under any partitioning; once peeling
+    converges the remaining rounds are no-ops.
+
+    Output: (node, core_deg) — nodes in the ``rounds``-truncated k-core.
+    """
+    fwd = pairs.select(F.col(a_col).alias("u"), F.col(b_col).alias("v"))
+    edges = (
+        fwd.unionByName(fwd.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        .localCheckpoint(eager=False)
+    )
+    for _ in range(rounds):
+        deg = edges.groupBy("u").agg(F.count(F.lit(1)).alias("deg"))
+        alive = deg.filter(F.col("deg") >= k).select("u")
+        edges = (
+            edges.join(alive, "u", "left_semi")
+            .join(alive.withColumnRenamed("u", "v"), "v", "left_semi")
+            .localCheckpoint(eager=False)
+        )
+    return edges.groupBy(F.col("u").alias("node")).agg(
+        F.count(F.lit(1)).alias("core_deg")
+    )

@@ -98,3 +98,120 @@ def bm25_topk(
     topk = per_doc.orderBy(F.col("bm25").desc(), F.col(id_col)).limit(top_n)
     w = W.orderBy(F.col("bm25").desc(), F.col(id_col))
     return topk.withColumn("rank", F.row_number().over(w)).orderBy("rank")
+
+
+def jaccard_topk(
+    docs: DataFrame,
+    query_ids,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    top_n: int = 20,
+) -> DataFrame:
+    """Per-query top-``top_n`` documents by distinct-token Jaccard similarity
+    to each query document (self excluded) — the sparse leg of hybrid
+    retrieval.
+
+    Scale shape mirrors :func:`bm25_topk`: each document's distinct-token
+    count is computed row-local BEFORE the explode and rides every token row,
+    so no corpus-sized length relation or join exists; the query side is
+    O(|Q|·tokens) and broadcast, so the corpus token stream meets it in one
+    broadcast-hash join and only query-vocabulary matches ever reach the
+    (query, doc) shuffle.
+
+    Determinism: intersection/union sizes are exact ints (both sides explode
+    DISTINCT token arrays, so join multiplicity is 1×1); the Jaccard ratio is
+    one correctly-rounded double division, ranked with an ``id_col``
+    tie-break — engine- and partition-exact.
+
+    Output: (query_id, item_id, jaccard, rank) with rank ≤ top_n per query.
+    """
+    base = docs.select(
+        F.col(id_col), F.array_distinct(tokenize(text_col)).alias("__ts")
+    )
+    q = base.filter(F.col(id_col).isin(list(query_ids))).select(
+        F.col(id_col).alias("query_id"),
+        F.array_size("__ts").alias("q_sz"),
+        F.explode("__ts").alias("token"),
+    )
+    c = base.select(
+        F.col(id_col).alias("item_id"),
+        F.array_size("__ts").alias("c_sz"),
+        F.explode("__ts").alias("token"),
+    )
+    inter = (
+        c.join(F.broadcast(q), "token")
+        .filter(F.col("item_id") != F.col("query_id"))
+        .groupBy("query_id", "item_id")
+        .agg(
+            F.count(F.lit(1)).alias("inter"),
+            F.min("q_sz").alias("q_sz"),
+            F.min("c_sz").alias("c_sz"),
+        )
+    )
+    jac = F.col("inter").cast("double") / (
+        F.col("q_sz") + F.col("c_sz") - F.col("inter")
+    ).cast("double")
+    ranked = inter.withColumn("jaccard", F.round(jac, 6)).withColumn(
+        "rank",
+        F.row_number().over(
+            W.partitionBy("query_id").orderBy(jac.desc(), F.col("item_id"))
+        ),
+    )
+    return ranked.filter(F.col("rank") <= top_n).select(
+        "query_id", "item_id", "jaccard", "rank"
+    )
+
+
+def rrf_fuse(
+    ranked: dict[str, DataFrame],
+    *,
+    k: int = 60,
+    top_n: int = 10,
+) -> DataFrame:
+    """Reciprocal-rank fusion (Cormack/Clarke/Büttcher SIGIR'09) of named
+    ranked lists: ``score(q, d) = Σ_lists 1/(k + rank_list(q, d))``, missing
+    membership contributing 0.
+
+    Each input frame must carry (query_id, item_id, rank). The fusion is a
+    chain of full-outer joins on the (query, item) key — every list is
+    already truncated to its own top-k, so the joined relation is
+    O(queries · Σ top-k) however large the corpus: fusion cost is a function
+    of the rank budget, not the data. Each 1/(k+rank) term is a correctly-
+    rounded double of exact ints and the sum folds len(ranked) such terms in
+    a fixed written order, so scores and the (score desc, item_id) ranking
+    are engine-exact.
+
+    Output: (query_id, item_id, <name>_rank per list, rrf_score, fused_rank)
+    with fused_rank ≤ top_n per query.
+    """
+    names = list(ranked)
+    fused: DataFrame | None = None
+    for name in names:
+        part = ranked[name].select(
+            "query_id", "item_id", F.col("rank").alias(f"{name}_rank")
+        )
+        fused = part if fused is None else fused.join(
+            part, ["query_id", "item_id"], "full_outer"
+        )
+    assert fused is not None, "rrf_fuse needs at least one ranked list"
+    score = None
+    for name in names:
+        term = F.coalesce(
+            F.lit(1.0) / (F.lit(k).cast("double") + F.col(f"{name}_rank")),
+            F.lit(0.0),
+        )
+        score = term if score is None else score + term
+    scored = fused.withColumn("__rrf", score)
+    w = W.partitionBy("query_id").orderBy(F.col("__rrf").desc(), F.col("item_id"))
+    return (
+        scored.withColumn("fused_rank", F.row_number().over(w))
+        .filter(F.col("fused_rank") <= top_n)
+        .select(
+            "query_id",
+            "item_id",
+            *[f"{name}_rank" for name in names],
+            F.round("__rrf", 6).alias("rrf_score"),
+            "fused_rank",
+        )
+    )

@@ -292,6 +292,9 @@ def _compile_op(n: Node, spark: SparkSession, ins: list[DataFrame]) -> DataFrame
     if n.op in ("rollup", "cube"):
         grouped = getattr(ins[0], n.op)(*p["keys"])
         return grouped.agg(*[F.expr(e).alias(a) for a, e in p.get("aggs", {}).items()])
+    if n.op == "grouping_sets":
+        grouped = ins[0].groupingSets([list(s) for s in p["sets"]], *p["keys"])
+        return grouped.agg(*[F.expr(e).alias(a) for a, e in p.get("aggs", {}).items()])
     if n.op in ("left_enrichment_join", "full_enrichment_join", "left_inner_enrichment_join"):
         from milan_spark.operators import joins as J
 
@@ -340,6 +343,13 @@ def _compile_op(n: Node, spark: SparkSession, ins: list[DataFrame]) -> DataFrame
             [F.col(f"l.{c}") == F.col(f"r.{c}") for c in keys] + [F.expr(tc)],
         )
         joined = la.join(ra, on=cond, how=how)
+        if how in ("left_semi", "semi", "leftsemi", "left_anti", "anti", "leftanti"):
+            # semi/anti keep ONLY left columns — there is no right side to
+            # project (Spark supports watermarked stream-stream left-semi
+            # natively; matched rows emit without waiting for eviction)
+            return joined.select(
+                *[F.col(f"l.{c}").alias(c) for c in left.columns]
+            )
         prefix = p.get("right_prefix", "r_")
         left_cols = set(left.columns)
         out = []

@@ -1143,3 +1143,112 @@ def apply_function_bundle_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     shipped = Application.from_json(app.to_json())  # the UDF travels by name
     df, _ = shipped.run_batch(spark)
     return df
+
+
+@register(
+    "grouping_sets_revenue",
+    doc="Arbitrary GROUPING SETS aggregation (Stream.grouping_sets -> "
+    "df.groupingSets; the general form rollup/cube specialize — SURVEY "
+    "§2.4 exceeds-parity, completing the multi-dim family): order counts "
+    "and exact DECIMAL revenue for the NON-hierarchical sets (status), "
+    "(priority), (status, priority) in ONE pass over orders — Spark "
+    "expands the sets map-side, so the fact table is read and shuffled "
+    "once, not once per set. grouping_id disambiguates a NULL group key "
+    "from a rolled-up one (the standard bitmask both engines define).",
+    oracle="""
+SELECT o_orderstatus, o_orderpriority,
+       CAST(GROUPING(o_orderstatus, o_orderpriority) AS BIGINT) AS gid,
+       COUNT(*) AS n,
+       CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,6))), 2) AS DOUBLE) AS revenue
+FROM orders
+GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority),
+                        (o_orderstatus, o_orderpriority))
+""",
+)
+def grouping_sets_revenue_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from milan_spark.stream import Stream
+
+    orders = table(spark, sf_dir, "orders")
+    return (
+        Stream.from_dataframe(orders)
+        .grouping_sets(
+            [["o_orderstatus"], ["o_orderpriority"],
+             ["o_orderstatus", "o_orderpriority"]],
+            "o_orderstatus",
+            "o_orderpriority",
+            gid="CAST(grouping_id() AS BIGINT)",
+            n="count(1)",
+            revenue="CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,6))), 2) AS DOUBLE)",
+        )
+        .to_df()
+    )
+
+
+@register(
+    "kmv_intersect_distinct_users",
+    doc="KMV sketch set-algebra COMPLETION (operators.sketch.kmv_sketch/"
+    "kmv_merge, k=64): distinct users doing BOTH click and view estimated "
+    "by inclusion-exclusion over three sketch-derived estimates — "
+    "est(A) + est(B) - est(A∪B) — touching the per-type sketches only "
+    "(the union estimate comes from kmv_merge's exact sketch-union, never "
+    "a re-scan). This is the roll-up algebra sketch warehouses ship: "
+    "per-segment sketches stored once answer pairwise-overlap questions "
+    "at O(k) cost each. All three estimates are the documented "
+    "correctly-rounded doubles of exact ints; the intersection is one "
+    "fixed-order sum of the ROUNDED values, so it is engine-exact.",
+    oracle=f"""
+WITH hashed AS (
+  SELECT DISTINCT event_type, {_SQL_KMV_HASH.format(s='user_id')} AS h
+  FROM events WHERE user_id IS NOT NULL AND event_type IN ('click', 'view')
+), per_ranked AS (
+  SELECT event_type, h,
+         ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY h) AS rk
+  FROM hashed
+), per_est AS (
+  SELECT event_type,
+         round(CASE WHEN COUNT(*) < 64 THEN CAST(COUNT(*) AS DOUBLE)
+                    ELSE 63.0 * 2147483647.0 / MAX(h) END, 4) AS est
+  FROM per_ranked WHERE rk <= 64 GROUP BY 1
+), un_ranked AS (
+  SELECT h, ROW_NUMBER() OVER (ORDER BY h) AS rk
+  FROM (SELECT DISTINCT h FROM hashed)
+), un_est AS (
+  SELECT round(CASE WHEN COUNT(*) < 64 THEN CAST(COUNT(*) AS DOUBLE)
+                    ELSE 63.0 * 2147483647.0 / MAX(h) END, 4) AS est_union
+  FROM un_ranked WHERE rk <= 64
+)
+SELECT c.est AS est_click, v.est AS est_view, u.est_union,
+       round(c.est + v.est - u.est_union, 4) AS est_intersect
+FROM per_est c, per_est v, un_est u
+WHERE c.event_type = 'click' AND v.event_type = 'view'
+""",
+)
+def kmv_intersect_distinct_users_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from milan_spark.operators.sketch import kmv_merge, kmv_sketch
+
+    ev = table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("click", "view")
+    )
+    sk = kmv_sketch(ev, "user_id", k=64, keys=["event_type"])
+    per = kmv_merge(sk, k=64, keys=["event_type"]).select(
+        "event_type", "distinct_est"
+    )
+    un = kmv_merge(sk.drop("event_type"), k=64).select(
+        F.col("distinct_est").alias("est_union")
+    )
+    wide = per.groupBy().agg(
+        F.max(
+            F.when(F.col("event_type") == "click", F.col("distinct_est"))
+        ).alias("est_click"),
+        F.max(
+            F.when(F.col("event_type") == "view", F.col("distinct_est"))
+        ).alias("est_view"),
+    )
+    return wide.crossJoin(un).select(
+        "est_click",
+        "est_view",
+        "est_union",
+        F.round(
+            F.col("est_click") + F.col("est_view") - F.col("est_union"), 4
+        ).alias("est_intersect"),
+    )

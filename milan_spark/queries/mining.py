@@ -23,6 +23,12 @@ _SQL_HASH01 = (
     " * 2654435761) % 2147483647"
 )
 
+# same 2^20 integer quantization grid the similarity oracles pin
+# (llm_pipeline._SQL_QUANT; operators/similarity.py QUANT)
+_SQL_QUANT_MINING = (
+    "[CAST(floor(CAST(x AS DOUBLE) * 1048576 + 0.5) AS BIGINT) FOR x IN embedding]"
+)
+
 _BM25_TERMS = ["join", "filter", "window", "sort", "dup"]
 _BM25_K1 = 1.2
 _BM25_B = 0.75
@@ -825,3 +831,241 @@ def bfs_levels_cycle_ir_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     plan = Node("cycle", {"max_iterations": 6}, [seed, body])
     return compile_node(from_json(to_json(plan)), spark)
+
+
+@register(
+    "hybrid_rrf_retrieval",
+    doc="Hybrid retrieval via reciprocal-rank fusion (operators.retrieval."
+    "jaccard_topk + operators.similarity.ann_brute_force fused by "
+    "operators.retrieval.rrf_fuse, k=60; Cormack et al. SIGIR'09): for 5 "
+    "query documents, the sparse leg ranks by distinct-token Jaccard "
+    "(doc length rides each token row — no corpus-sized length join; "
+    "query vocabulary broadcast so only matches shuffle) and the dense "
+    "leg by exact-integer cosine over the embeddings; fusion is a "
+    "full-outer join of the two top-20 lists — O(queries x rank budget) "
+    "however large the corpus — scored 1/(60+rank) per list. Exact-int "
+    "ratios and fixed tie-breaks make every rank engine-exact.",
+    oracle=f"""
+WITH tok_base AS (
+  SELECT doc_id, list_distinct(regexp_extract_all(lower(text), '[a-z0-9]+')) AS ts
+  FROM documents
+), toks AS (
+  SELECT doc_id, len(ts) AS sz, unnest(ts) AS token FROM tok_base
+), inter AS (
+  SELECT q.doc_id AS query_id, c.doc_id AS item_id, COUNT(*) AS inter,
+         MIN(q.sz) AS q_sz, MIN(c.sz) AS c_sz
+  FROM toks q JOIN toks c ON q.token = c.token AND q.doc_id < 5 AND c.doc_id <> q.doc_id
+  GROUP BY 1, 2
+), sparse AS (
+  SELECT query_id, item_id,
+         CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+           ORDER BY CAST(inter AS DOUBLE) / (q_sz + c_sz - inter) DESC, item_id) AS INT)
+           AS sparse_rank
+  FROM inter
+  QUALIFY sparse_rank <= 20
+), qv AS (
+  SELECT vec_id, {_SQL_QUANT_MINING} AS v FROM embeddings
+), ex AS (
+  SELECT vec_id, unnest(v) AS x, generate_subscripts(v, 1) AS i FROM qv
+), norms AS (
+  SELECT vec_id, SUM(x * x) AS nn FROM ex GROUP BY 1
+), pairs AS (
+  SELECT qa.vec_id AS query_id, ca.vec_id AS item_id, SUM(qa.x * ca.x) AS dot
+  FROM ex qa JOIN ex ca ON qa.i = ca.i AND qa.vec_id < 5 AND ca.vec_id != qa.vec_id
+  GROUP BY 1, 2
+), dense AS (
+  SELECT query_id, item_id,
+         CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+           ORDER BY dot / (sqrt(CAST(nq.nn AS DOUBLE)) * sqrt(CAST(nc.nn AS DOUBLE))) DESC,
+                    item_id) AS INT) AS dense_rank
+  FROM pairs JOIN norms nq ON query_id = nq.vec_id JOIN norms nc ON item_id = nc.vec_id
+  QUALIFY dense_rank <= 20
+), fused AS (
+  SELECT coalesce(s.query_id, d.query_id) AS query_id,
+         coalesce(s.item_id, d.item_id) AS item_id,
+         s.sparse_rank, d.dense_rank,
+         coalesce(1.0e0 / (60e0 + s.sparse_rank), 0.0e0)
+           + coalesce(1.0e0 / (60e0 + d.dense_rank), 0.0e0) AS rrf
+  FROM sparse s FULL JOIN dense d ON s.query_id = d.query_id AND s.item_id = d.item_id
+)
+SELECT query_id, item_id, sparse_rank, dense_rank, round(rrf, 6) AS rrf_score,
+       CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY rrf DESC, item_id) AS INT)
+         AS fused_rank
+FROM fused
+QUALIFY fused_rank <= 10
+""",
+)
+def hybrid_rrf_retrieval_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from milan_spark.operators.retrieval import jaccard_topk, rrf_fuse
+    from milan_spark.operators.similarity import ann_brute_force
+
+    docs = table(spark, sf_dir, "documents")
+    emb = table(spark, sf_dir, "embeddings")
+    sparse = jaccard_topk(docs, range(5), top_n=20)
+    dense = ann_brute_force(
+        emb, "vec_id", "embedding", query_ids=range(5), k=20
+    ).select("query_id", F.col("neighbor_id").alias("item_id"), "rank")
+    return rrf_fuse({"sparse": sparse, "dense": dense}, k=60, top_n=10)
+
+
+def _sssp_oracle(rounds: int) -> str:
+    """Unrolled Bellman-Ford (AS MATERIALIZED so DuckDB evaluates each
+    relaxation round once — inlined CTEs re-evaluate exponentially)."""
+    sql = [
+        """
+WITH ord_pairs AS MATERIALIZED (
+  SELECT DISTINCT a.l_orderkey AS ok, least(a.l_partkey, b.l_partkey) AS u,
+         greatest(a.l_partkey, b.l_partkey) AS v
+  FROM lineitem a JOIN lineitem b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+), wpairs AS MATERIALIZED (
+  SELECT u, v, COUNT(*) AS w FROM ord_pairs GROUP BY 1, 2
+), e AS MATERIALIZED (
+  SELECT u, v, w FROM wpairs UNION ALL SELECT v AS u, u AS v, w FROM wpairs
+), d0 AS MATERIALIZED (
+  SELECT MIN(u) AS node, CAST(0 AS BIGINT) AS dist FROM e
+)"""
+    ]
+    for r in range(1, rounds + 1):
+        sql.append(
+            f""", d{r} AS MATERIALIZED (
+  SELECT node, MIN(dist) AS dist FROM (
+    SELECT node, dist FROM d{r - 1}
+    UNION ALL
+    SELECT e.v AS node, d.dist + e.w AS dist
+    FROM d{r - 1} d JOIN e ON e.u = d.node
+  ) GROUP BY 1
+)"""
+        )
+    sql.append(f"\nSELECT node, dist FROM d{rounds}")
+    return "".join(sql)
+
+
+@register(
+    "sssp_weighted_cycle_ir",
+    doc="Weighted single-source shortest paths (Bellman-Ford, 6 relaxation "
+    "rounds) expressed AS A PORTABLE CYCLE NODE like bfs_levels_cycle_ir "
+    "(the reference serializes cycles in its IR - StreamExpressions.scala"
+    ":141, GeneratorContext.scala:349-357): edge weight = co-order count "
+    "of the part pair (exact int), state = (node, best dist), body = "
+    "state >< cached weighted edges -> dist+w -> union -> min. Built as "
+    "raw IR, JSON round-tripped, compiled by the batch backend's driver "
+    "fixpoint (localCheckpoint per round, edges cached once). Fixed "
+    "round-count truncation on BOTH sides makes the trajectory exact: "
+    "integer distances, min-fold determinism under any partitioning. "
+    "Per round the work is O(reached x adjacency) - the frontier-delta "
+    "variant (bfs_hops_coparts) remains the 100 TB shape; this is the "
+    "IR-portability twin with weights.",
+    oracle=_sssp_oracle(6),
+)
+def sssp_weighted_cycle_ir_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from milan_spark.plans.nodes import Node, compile_node, from_json, to_json
+
+    pair_expr = (
+        "explode(flatten(transform(ps, (x, i) -> "
+        "transform(slice(ps, i + 2, size(ps)), "
+        "y -> struct(least(x, y) AS u, greatest(x, y) AS v))))) AS p"
+    )
+    li = Node(
+        "map",
+        {"exprs": ["l_orderkey", "l_partkey"]},
+        [Node("parquet_source", {"path": f"{sf_dir}/lineitem.parquet"})],
+    )
+    grouped = Node(
+        "aggregate",
+        {"keys": ["l_orderkey"], "aggs": {"ps": "collect_set(l_partkey)"}},
+        [li],
+    )
+    wpairs = Node(
+        "aggregate",
+        {"keys": ["p.u AS u", "p.v AS v"], "aggs": {"w": "count(1)"}},
+        [Node("map", {"exprs": [pair_expr]}, [grouped])],
+    )
+    edges = Node(
+        "cache",
+        {},
+        [Node("union", {}, [
+            Node("map", {"exprs": ["u", "v", "w"]}, [wpairs]),
+            Node("map", {"exprs": ["v AS u", "u AS v", "w"]}, [wpairs]),
+        ])],
+    )
+    seed = Node(
+        "map",
+        {"exprs": ["node", "CAST(0 AS BIGINT) AS dist"]},
+        [Node("aggregate", {"keys": [], "aggs": {"node": "min(u)"}}, [edges])],
+    )
+    by_node = Node("map", {"exprs": ["u AS node", "v", "w"]}, [edges])
+    state = Node("cycle_ref")
+    body = Node(
+        "aggregate",
+        {"keys": ["node"], "aggs": {"dist": "min(dist)"}},
+        [Node("union", {}, [
+            state,
+            Node("map", {"exprs": ["v AS node", "dist + w AS dist"]},
+                 [Node("relational_join", {"on": ["node"], "how": "inner"},
+                       [state, by_node])]),
+        ])],
+    )
+    plan = Node("cycle", {"max_iterations": 6}, [seed, body])
+    return compile_node(from_json(to_json(plan)), spark)
+
+
+def _kcore_oracle(k: int, rounds: int) -> str:
+    """Unrolled synchronous k-core peeling (AS MATERIALIZED per round —
+    inlined CTEs re-evaluate exponentially, see the LPA/SSSP oracles)."""
+    sql = [
+        """
+WITH ord_pairs AS MATERIALIZED (
+  SELECT DISTINCT a.l_orderkey AS ok, least(a.l_partkey, b.l_partkey) AS u,
+         greatest(a.l_partkey, b.l_partkey) AS v
+  FROM lineitem a JOIN lineitem b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+), wpairs AS MATERIALIZED (
+  SELECT u, v FROM ord_pairs GROUP BY u, v HAVING COUNT(*) >= 2
+), e0 AS MATERIALIZED (
+  SELECT u, v FROM wpairs UNION ALL SELECT v AS u, u AS v FROM wpairs
+)"""
+    ]
+    for r in range(1, rounds + 1):
+        sql.append(
+            f""", dg{r} AS (
+  SELECT u, COUNT(*) AS deg FROM e{r - 1} GROUP BY 1
+), a{r} AS MATERIALIZED (
+  SELECT u FROM dg{r} WHERE deg >= {k}
+), e{r} AS MATERIALIZED (
+  SELECT e.u, e.v FROM e{r - 1} e
+  JOIN a{r} x ON e.u = x.u JOIN a{r} y ON e.v = y.u
+)"""
+        )
+    sql.append(
+        f"\nSELECT u AS node, COUNT(*) AS core_deg FROM e{rounds} GROUP BY 1"
+    )
+    return "".join(sql)
+
+
+@register(
+    "kcore_strong_coparts",
+    doc="k-core decomposition by bounded synchronous peeling (operators."
+    "graph.kcore, k=3, 8 rounds; Matula/Beck 1983) over the STRONG co-order "
+    "part graph (pairs co-ordered >= 2 times — the raw copart graph is "
+    "denser than any interesting core, so the weight threshold plays the "
+    "role edge significance filters play in production co-occurrence "
+    "mining). Per round: one combinable degree aggregate + two semi-joins "
+    "of the monotonically-shrinking edge list against the survivors; "
+    "lineage truncated per round. Fixed round-count truncation on BOTH "
+    "sides makes the trajectory engine-exact (peeling is a pure set "
+    "function of the previous round; converged rounds are no-ops). "
+    "Output: surviving nodes with their in-core degree, exact ints.",
+    oracle=_kcore_oracle(3, 8),
+)
+def kcore_strong_coparts_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from milan_spark.operators.graph import kcore
+
+    strong = (
+        _copart_pairs(spark, sf_dir)
+        .groupBy("src", "dst")
+        .agg(F.count(F.lit(1)).alias("w"))
+        .filter(F.col("w") >= 2)
+        .select("src", "dst")
+    )
+    return kcore(strong, k=3, rounds=8)

@@ -1428,3 +1428,64 @@ def streaming_psi_value_drift_daily_q(spark: SparkSession, sf_dir: str) -> DataF
         "window_start", "bucket", "base_n", "new_n",
         F.round((p - q) * F.log(p / q), 6).alias("psi_contrib"),
     )
+
+
+@register(
+    "streaming_stream_stream_semi_join",
+    doc="NATIVE stream-stream LEFT SEMI join from the IR, completing the "
+    "stream-stream family (inner/left/full/semi — the reference's "
+    "relational joins are inner-only enrichment shapes, TestFlinkGenJoin."
+    "scala:31-110): signups that CONVERTED (a purchase within 7 days) as "
+    "one relational_join node with how=left_semi, watermarks on both "
+    "sides, and the event-time range condition bounding join state. Semi "
+    "matches emit WITHOUT waiting for watermark eviction (each left row "
+    "at most once), so no outer-join staging recipe is needed — the "
+    "whole events file streams as one source. The batch backend compiles "
+    "the identical node to a batch semi join, so one JSON document means "
+    "one answer on both compilers; oracle is the textbook EXISTS.",
+    oracle="""
+SELECT s.event_id AS signup_id, s.user_id,
+       epoch_ns(s.ts) // 1000 AS s_ts_us
+FROM events s
+WHERE s.event_type = 'signup' AND EXISTS (
+  SELECT 1 FROM events p
+  WHERE p.event_type = 'purchase' AND p.user_id = s.user_id
+    AND p.ts >= s.ts AND p.ts <= s.ts + INTERVAL 7 DAY)
+""",
+)
+def streaming_stream_stream_semi_join_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from milan_spark.plans import Node, compile_node_streaming, from_json, to_json
+
+    src = Node("parquet_source", {"path": f"{sf_dir}/events.parquet"})
+    norm = Node(
+        "map",
+        {"exprs": ["user_id", "event_id", "CAST(ts AS TIMESTAMP) AS ts", "event_type"]},
+        [src],
+    )
+    left = Node(
+        "map",
+        {"exprs": ["user_id", "event_id AS signup_id", "ts AS s_ts"]},
+        [Node("filter", {"condition": "event_type = 'signup'"}, [norm])],
+    )
+    right = Node(
+        "map",
+        {"exprs": ["user_id", "event_id AS purchase_id", "ts AS p_ts"]},
+        [Node("filter", {"condition": "event_type = 'purchase'"}, [norm])],
+    )
+    join = Node(
+        "relational_join",
+        {
+            "on": ["user_id"],
+            "how": "left_semi",
+            "watermarks": {"left": ["s_ts", "1 hour"], "right": ["p_ts", "1 hour"]},
+            "time_condition": "r.p_ts >= l.s_ts AND r.p_ts <= l.s_ts + INTERVAL 7 DAY",
+        },
+        [left, right],
+    )
+    out = Node(
+        "map",
+        {"exprs": ["signup_id", "user_id", "unix_micros(s_ts) AS s_ts_us"]},
+        [join],
+    )
+    sdf = compile_node_streaming(from_json(to_json(out)), spark)
+    return run_to_memory(sdf, "streaming_stream_stream_semi_join")

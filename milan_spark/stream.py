@@ -565,6 +565,26 @@ class Stream:
         """All-combination subtotal aggregation (SURVEY §2.4)."""
         return self._multi_dim_agg("cube", keys, aggs)
 
+    def grouping_sets(
+        self, sets: list[list[str]], *keys: str, **aggs: str | Column
+    ) -> "Stream":
+        """Arbitrary grouping-set aggregation — the general form rollup and
+        cube are special cases of (SURVEY §2.4 exceeds-parity). ``sets`` is
+        the explicit list of grouping-column subsets; ``keys`` the full
+        grouping-column universe. Serializes to a ``grouping_sets`` IR node
+        when the aggregate expressions are strings."""
+        cols = [F.expr(e).alias(a) if _is_str(e) else e.alias(a) for a, e in aggs.items()]
+        serializable = all(_is_str(e) for e in aggs.values())
+        node = Node(
+            "grouping_sets",
+            {"sets": [list(s) for s in sets], "keys": list(keys), "aggs": dict(aggs)}
+            if serializable
+            else {},
+            [self.node],
+            serializable=serializable,
+        )
+        return Stream(self.df.groupingSets([list(s) for s in sets], *keys).agg(*cols), node)
+
     def _multi_dim_agg(self, op: str, keys, aggs) -> "Stream":
         cols = [F.expr(e).alias(a) if _is_str(e) else e.alias(a) for a, e in aggs.items()]
         serializable = all(_is_str(e) for e in aggs.values())

@@ -1,0 +1,91 @@
+"""Unit semantics for the round-8 additions: k-core peeling, Jaccard
+sparse retrieval, RRF fusion, and the grouping_sets DSL/IR node."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from milan_spark.operators.graph import kcore
+from milan_spark.operators.retrieval import jaccard_topk, rrf_fuse
+
+
+def _kcore(spark, edges, k, rounds=8):
+    df = spark.createDataFrame(edges, "src long, dst long")
+    return {r["node"]: r["core_deg"] for r in kcore(df, k=k, rounds=rounds).collect()}
+
+
+def test_kcore_triangle_with_pendant(spark):
+    # triangle 1-2-3 plus pendant 3-4: 2-core is exactly the triangle
+    got = _kcore(spark, [(1, 2), (2, 3), (1, 3), (3, 4)], k=2)
+    assert got == {1: 2, 2: 2, 3: 2}
+
+
+def test_kcore_cascading_peel(spark):
+    # chain 1-2-3-4-5: every node ends below degree 2 once ends peel -> empty
+    got = _kcore(spark, [(1, 2), (2, 3), (3, 4), (4, 5)], k=2)
+    assert got == {}
+
+
+def test_kcore_round_truncation(spark):
+    # chain of 6: peeling needs 3 rounds to empty; 1 round only removes
+    # the two endpoints' edges (degree recomputed synchronously)
+    edges = [(1, 2), (2, 3), (3, 4), (4, 5), (5, 6)]
+    one_round = _kcore(spark, edges, k=2, rounds=1)
+    assert set(one_round) == {2, 3, 4, 5}
+    assert _kcore(spark, edges, k=2, rounds=8) == {}
+
+
+def test_jaccard_topk_exact_scores(spark):
+    docs = spark.createDataFrame(
+        [
+            (0, "apple banana cherry"),
+            (1, "apple banana durian"),
+            (2, "apple fig grape"),
+            (3, "kiwi lemon mango"),
+        ],
+        "doc_id long, text string",
+    )
+    out = jaccard_topk(docs, [0], top_n=10).collect()
+    by_item = {r["item_id"]: (r["jaccard"], r["rank"]) for r in out}
+    assert by_item[1] == (0.5, 1)  # {apple,banana} / 4
+    assert by_item[2] == (0.2, 2)  # {apple} / 5
+    assert 3 not in by_item  # zero overlap never materializes
+    assert 0 not in by_item  # self excluded
+
+
+def test_rrf_fuse_missing_membership_and_ties(spark):
+    sparse = spark.createDataFrame(
+        [(0, 11, 1), (0, 10, 2)], "query_id long, item_id long, rank int"
+    )
+    dense = spark.createDataFrame(
+        [(0, 11, 1), (0, 12, 2)], "query_id long, item_id long, rank int"
+    )
+    out = rrf_fuse({"sparse": sparse, "dense": dense}, k=60, top_n=10).collect()
+    rows = {r["item_id"]: r for r in out}
+    # item 11 in both lists wins; 10 and 12 tie on score -> item_id break
+    assert rows[11]["fused_rank"] == 1
+    assert rows[11]["rrf_score"] == round(1 / 61 + 1 / 61, 6)
+    assert rows[10]["fused_rank"] == 2 and rows[10]["dense_rank"] is None
+    assert rows[12]["fused_rank"] == 3 and rows[12]["sparse_rank"] is None
+    assert rows[10]["rrf_score"] == rows[12]["rrf_score"] == round(1 / 62, 6)
+
+
+def test_grouping_sets_ir_roundtrip(spark, tmp_path):
+    from milan_spark.plans.nodes import compile_node, from_json, to_json
+    from milan_spark.stream import Stream
+
+    path = str(tmp_path / "gs.parquet")
+    spark.createDataFrame(
+        [("a", "x", 1), ("a", "y", 2), ("b", "x", 3)], "g string, h string, v int"
+    ).write.parquet(path)
+    s = Stream.from_parquet(spark, path).grouping_sets(
+        [["g"], ["h"]], "g", "h", n="count(1)", total="sum(v)"
+    )
+    direct = {(r["g"], r["h"]): (r["n"], r["total"]) for r in s.to_df().collect()}
+    assert direct[("a", None)] == (2, 3)
+    assert direct[(None, "x")] == (2, 4)
+    # the IR node round-trips through JSON and compiles to the same result
+    assert s.node.is_serializable
+    replayed = compile_node(from_json(to_json(s.node)), spark)
+    got = {(r["g"], r["h"]): (r["n"], r["total"]) for r in replayed.collect()}
+    assert got == direct

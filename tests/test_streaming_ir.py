@@ -412,3 +412,44 @@ def test_left_outer_stream_stream_join_same_json_both_backends(spark, tmp_path):
     b, st = _both(spark, to_json(out), "ir_ss_left_outer_both")
     assert b == st and len(b) > 0
     assert any(r[2] is None for r in b)  # null-padded unmatched lefts exist
+
+
+def test_stream_stream_semi_join_same_json_both_backends(spark):
+    """relational_join how=left_semi: matched left rows emit exactly once
+    on the streaming backend (no eviction dependency), and the batch
+    backend compiles the identical node to a batch semi join — only left
+    columns survive on both."""
+    from milan_spark.plans import Node
+
+    src = Node("parquet_source", {"path": EV})
+    norm = Node(
+        "map",
+        {"exprs": ["user_id", "event_id", "CAST(ts AS TIMESTAMP) AS ts", "event_type"]},
+        [src],
+    )
+    left = Node(
+        "map", {"exprs": ["user_id", "event_id AS sid", "ts AS s_ts"]},
+        [Node("filter", {"condition": "event_type = 'signup'"}, [norm])],
+    )
+    right = Node(
+        "map", {"exprs": ["user_id", "event_id AS pid", "ts AS p_ts"]},
+        [Node("filter", {"condition": "event_type = 'purchase'"}, [norm])],
+    )
+    join = Node(
+        "relational_join",
+        {
+            "on": ["user_id"], "how": "left_semi",
+            "watermarks": {"left": ["s_ts", "1 hour"], "right": ["p_ts", "1 hour"]},
+            "time_condition": "r.p_ts >= l.s_ts AND r.p_ts <= l.s_ts + INTERVAL 7 DAY",
+        },
+        [left, right],
+    )
+    out = Node(
+        "map",
+        {"exprs": ["sid", "user_id", "unix_micros(s_ts) AS sus"]},
+        [join],
+    )
+    b, st = _both(spark, to_json(out), "ir_ss_semi_join_both")
+    assert b == st and len(b) > 0
+    # at-most-once per left row
+    assert len(b) == len(set(b))
