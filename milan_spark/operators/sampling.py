@@ -285,3 +285,62 @@ def exact_quantiles(
         .filter(F.col("__r") == F.col("__need"))
         .select(*key_list, "p", F.col(value_col).alias("q_value"))
     )
+
+
+def weighted_sample(
+    df: DataFrame,
+    strata: list[str],
+    n_per_stratum: int,
+    key: Column | str,
+    weight: Column | str,
+    rank_col: str = "sample_rank",
+    es_col: str = "es_key",
+) -> DataFrame:
+    """Weighted sampling WITHOUT replacement (Efraimidis–Spirakis A-ES,
+    IPL 2006): per stratum keep the ``n_per_stratum`` records with the
+    smallest exponential keys ``-ln(u)/w`` — each record's inclusion
+    probability is proportional to its weight, exactly the reservoir
+    algorithm's distribution, but expressed as pure column algebra.
+
+    ``u`` is the record's deterministic content hash mapped into (0, 1] —
+    no RNG (same rationale as the uniform samplers above: task retries
+    resample ``rand()``; a hash is a property of the record). The same
+    two-phase composite-key top-n as :func:`stratified_sample` caps any
+    single task at ~1/32 of the heaviest stratum. Rows with weight <= 0 or
+    NULL are excluded (zero mass).
+
+    Determinism: the ES key is ranked ROUNDED to 9 decimals with a ``key``
+    tie-break, so a last-ulp ``ln`` disagreement between engines cannot
+    flip the ordering (the bm25 discipline).
+    """
+    keyc = F.col(key) if isinstance(key, str) else key
+    wc = F.col(weight) if isinstance(weight, str) else weight
+    p31 = 2_147_483_647
+    h = hash_bucket(keyc, 1 << 30).cast("long")
+    # (h*scramble mod P31 + 1)/(P31+1) in (0, 1] — u=0 impossible, ln finite
+    u = ((h * F.lit(2_654_435_761) % F.lit(p31)) + F.lit(1)).cast("double") / F.lit(
+        float(p31 + 1)
+    )
+    es = F.round(-F.log(u) / wc.cast("double"), 9)
+    out = (
+        df.filter(wc.isNotNull() & (wc > 0))
+        .withColumn(es_col, es)
+        .withColumn("__ordh", h)
+    )
+    n_slices = 32
+    slice_step = (1 << 30) // n_slices
+    w1 = (
+        W.partitionBy(*strata, F.expr(f"__ordh div {slice_step}"))
+        .orderBy(es_col, keyc)
+    )
+    pruned = (
+        out.withColumn("__r1", F.row_number().over(w1))
+        .filter(F.col("__r1") <= n_per_stratum)
+        .drop("__r1")
+    )
+    w2 = W.partitionBy(*strata).orderBy(es_col, keyc)
+    return (
+        pruned.withColumn(rank_col, F.row_number().over(w2))
+        .filter(F.col(rank_col) <= n_per_stratum)
+        .drop("__ordh")
+    )

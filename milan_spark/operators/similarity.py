@@ -863,3 +863,44 @@ def ann_ivfpq(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "rank", "approx_d2")
     )
+
+
+def random_projection(
+    corpus: DataFrame,
+    id_col: str,
+    vec_col: str,
+    out_dim: int = 16,
+    in_dim: int = 64,
+) -> DataFrame:
+    """Johnson-Lindenstrauss dimensionality reduction with a DETERMINISTIC
+    ±1 sign matrix (Achlioptas JCSS 2003 — database-friendly projections):
+    ``y_p = Σ_d qx_d · s(p, d)`` over the quantized integer vector, where
+    ``s(p, d)`` is the sign of the same fixed integer grid the LSH planes
+    use (``(p+1)·73856093 + (d+1)·19349663 mod 2000003 − 1000001``).
+
+    Everything stays exact int64: |y_p| ≤ in_dim · 2^20 · max|x|, so dots
+    and norms of projected vectors are still order-independent integer
+    sums — the projection is engine-exact and oracle-checkable, unlike a
+    Gaussian matrix. At 100 TB this is the standard pre-ANN shrink: a
+    narrow per-row map (no shuffle, no model broadcast — the matrix is a
+    formula), cutting downstream index memory ``in_dim/out_dim``-fold.
+
+    Output: (id_col, proj array<long> of length out_dim).
+    """
+    def sgn(p: int, d: int) -> int:
+        return 1 if ((p + 1) * 73856093 + (d + 1) * 19349663) % 2000003 - 1000001 >= 0 else -1
+
+    qv = quantize(vec_col)
+    comps = [
+        F.aggregate(
+            F.zip_with(
+                qv,
+                F.array(*[F.lit(sgn(p, d)).cast("long") for d in range(in_dim)]),
+                lambda x, s: x * s,
+            ),
+            F.lit(0).cast("long"),
+            lambda acc, v: acc + v,
+        )
+        for p in range(out_dim)
+    ]
+    return corpus.select(F.col(id_col), F.array(*comps).alias("proj"))

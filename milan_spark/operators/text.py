@@ -504,3 +504,35 @@ def bigram_lm_nll(
         )
         .select(F.col("__id").alias(id_col), "n_bigrams", "avg_nll")
     )
+
+
+def feature_hash_bow(
+    docs: DataFrame,
+    n_buckets: int = 64,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Hashing-trick bag-of-words vectorizer (Weinberger et al. ICML'09):
+    every token maps to ``bucket = mix(h31, h131) % n_buckets`` with a
+    ±1 sign from the second hash's parity; the document's feature vector
+    is the per-bucket SIGNED count. The signed variant keeps collision
+    noise zero-mean — the property that lets a fixed tiny bucket space
+    stand in for an unbounded vocabulary at 100 TB (no vocabulary build,
+    no dictionary broadcast, no OOV path).
+
+    Scale shape: one narrow explode + one map-side-combinable
+    (doc, bucket) sum — nothing vocabulary-sized ever exists. All integer
+    arithmetic on the portable char folds, so bucket, sign, and weight are
+    engine-exact. Output: (id_col, bucket, weight) sparse rows (absent
+    bucket = 0; colliding signs may cancel to an explicit 0 row).
+    """
+    toks = docs.select(F.col(id_col), F.explode(tokenize(text_col)).alias("token"))
+    h31 = token_hash31(F.col("token"), 31)
+    h131 = token_hash31(F.col("token"), 131)
+    bucket = (h31.bitwiseXOR(h131 * F.lit(65537) % F.lit(P31)) % n_buckets).cast("int")
+    sign = F.when(h131 % 2 == 0, F.lit(1)).otherwise(F.lit(-1)).cast("long")
+    return (
+        toks.select(F.col(id_col), bucket.alias("bucket"), sign.alias("sign"))
+        .groupBy(id_col, "bucket")
+        .agg(F.sum("sign").alias("weight"))
+    )

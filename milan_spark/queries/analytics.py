@@ -1108,3 +1108,39 @@ def table_profile_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("l_shipdate").alias("ship_min"),
         F.max("l_shipdate").alias("ship_max"),
     )
+
+
+@register(
+    "weighted_sample_orders",
+    doc="Weighted sampling WITHOUT replacement (operators.sampling."
+    "weighted_sample; Efraimidis-Spirakis A-ES, IPL 2006): 10 orders per "
+    "priority with inclusion probability proportional to o_totalprice — "
+    "the data-mixing primitive for importance-weighted corpus selection. "
+    "The exponential key -ln(u)/w uses the record's deterministic content "
+    "hash as u (task retries cannot resample it, unlike rand()); the same "
+    "two-phase composite-key top-n as stratified_sample caps any task at "
+    "~1/32 of the heaviest stratum. Ranked on the key ROUNDED to 9 "
+    "decimals with an id tie-break, so a last-ulp ln() disagreement "
+    "cannot flip the order across engines (the bm25 discipline).",
+    oracle=f"""
+WITH es AS (
+  SELECT o_orderkey, o_orderpriority,
+         round(-ln(CAST(({_BUCKET.format(s="CAST(o_orderkey AS VARCHAR)", n=1073741824)}
+                         * 2654435761) % 2147483647 + 1 AS DOUBLE) / 2147483648e0)
+               / CAST(o_totalprice AS DOUBLE), 9) AS es_key
+  FROM orders WHERE o_totalprice > 0
+)
+SELECT o_orderkey, o_orderpriority, es_key, sample_rank FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+                               ORDER BY es_key, o_orderkey) AS sample_rank
+  FROM es
+) WHERE sample_rank <= 10
+""",
+)
+def weighted_sample_orders_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from milan_spark.operators.sampling import weighted_sample
+
+    orders = table(spark, sf_dir, "orders")
+    return weighted_sample(
+        orders, ["o_orderpriority"], 10, "o_orderkey", "o_totalprice"
+    ).select("o_orderkey", "o_orderpriority", "es_key", "sample_rank")

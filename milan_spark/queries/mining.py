@@ -1069,3 +1069,107 @@ def kcore_strong_coparts_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("src", "dst")
     )
     return kcore(strong, k=3, rounds=8)
+
+
+@register(
+    "feature_hash_bow",
+    doc="Hashing-trick bag-of-words vectorizer (operators.text."
+    "feature_hash_bow, 64 signed buckets; Weinberger et al. ICML'09): "
+    "per-document sparse feature vectors with NO vocabulary build — "
+    "bucket from the XOR-mixed char folds, ±1 sign from the second "
+    "fold's parity keeping collision noise zero-mean. One narrow "
+    "explode + one combinable (doc, bucket) sum; nothing "
+    "vocabulary-sized ever exists, the property that matters when the "
+    "corpus vocabulary is unbounded at 100 TB. Integer-exact.",
+    oracle="""
+WITH toks AS (
+  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS token
+  FROM documents
+), hashed AS (
+  SELECT doc_id,
+         CAST(xor(
+           list_reduce(list_transform(regexp_extract_all(token, '.'),
+             c -> CAST(ascii(c) AS BIGINT)), (a, c) -> (a * 31 + c) % 2147483647),
+           (list_reduce(list_transform(regexp_extract_all(token, '.'),
+             c -> CAST(ascii(c) AS BIGINT)), (a, c) -> (a * 131 + c) % 2147483647)
+            * 65537) % 2147483647
+         ) % 64 AS INT) AS bucket,
+         CASE WHEN list_reduce(list_transform(regexp_extract_all(token, '.'),
+             c -> CAST(ascii(c) AS BIGINT)), (a, c) -> (a * 131 + c) % 2147483647)
+             % 2 = 0 THEN 1 ELSE -1 END AS sign
+  FROM toks
+)
+SELECT doc_id, bucket, CAST(SUM(sign) AS BIGINT) AS weight
+FROM hashed GROUP BY 1, 2
+""",
+)
+def feature_hash_bow_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from milan_spark.operators.text import feature_hash_bow
+
+    return feature_hash_bow(table(spark, sf_dir, "documents"), n_buckets=64)
+
+
+@register(
+    "jl_projection_neighbors",
+    doc="Dimensionality-reduced neighbor search (operators.similarity."
+    "random_projection, 64 -> 16 dims; Achlioptas JCSS 2003 sign-JL): "
+    "exact top-5 cosine in the PROJECTED space for 10 queries — the "
+    "standard pre-ANN shrink that cuts index memory 4x. The ±1 matrix is "
+    "a fixed integer-grid formula (no model to broadcast, the projection "
+    "is a narrow per-row map), and projected vectors stay exact int64, "
+    "so dots/norms/ranks are engine-exact like every similarity oracle.",
+    oracle=f"""
+WITH q AS (
+  SELECT vec_id, {_SQL_QUANT_MINING} AS v FROM embeddings
+), ex AS (
+  SELECT vec_id, unnest(v) AS x, generate_subscripts(v, 1) AS i FROM q
+), planes AS (
+  SELECT p.p AS p, d.d AS d,
+         CASE WHEN ((p.p + 1) * 73856093 + (d.d + 1) * 19349663) % 2000003
+                   - 1000001 >= 0 THEN 1 ELSE -1 END AS s
+  FROM range(16) p(p), range(64) d(d)
+), proj AS (
+  SELECT e.vec_id, pl.p, SUM(e.x * pl.s) AS y
+  FROM ex e JOIN planes pl ON e.i = pl.d + 1
+  GROUP BY 1, 2
+), norms AS (
+  SELECT vec_id, SUM(y * y) AS nn FROM proj GROUP BY 1
+), pairs AS (
+  SELECT qa.vec_id AS query_id, ca.vec_id AS neighbor_id, SUM(qa.y * ca.y) AS dot
+  FROM proj qa JOIN proj ca ON qa.p = ca.p AND qa.vec_id < 10 AND ca.vec_id != qa.vec_id
+  GROUP BY 1, 2
+), scored AS (
+  SELECT query_id, neighbor_id,
+         dot / (sqrt(CAST(nq.nn AS DOUBLE)) * sqrt(CAST(nc.nn AS DOUBLE))) AS pcos
+  FROM pairs JOIN norms nq ON query_id = nq.vec_id JOIN norms nc ON neighbor_id = nc.vec_id
+)
+SELECT query_id, neighbor_id, rank, round(pcos, 6) AS pcos
+FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY pcos DESC, neighbor_id) AS rank
+  FROM scored
+)
+WHERE rank <= 5
+""",
+)
+def jl_projection_neighbors_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    from milan_spark.operators.similarity import cosine, random_projection
+
+    emb = table(spark, sf_dir, "embeddings")
+    proj = random_projection(emb, "vec_id", "embedding", out_dim=16, in_dim=64)
+    q = proj.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), F.col("proj").alias("__qv")
+    )
+    c = proj.select(F.col("vec_id").alias("neighbor_id"), F.col("proj").alias("__cv"))
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("pcos", cosine(F.col("__qv"), F.col("__cv")))
+    )
+    w = W.partitionBy("query_id").orderBy(F.col("pcos").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 5)
+        .select("query_id", "neighbor_id", "rank", F.round("pcos", 6).alias("pcos"))
+    )

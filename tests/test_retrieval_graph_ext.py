@@ -89,3 +89,68 @@ def test_grouping_sets_ir_roundtrip(spark, tmp_path):
     replayed = compile_node(from_json(to_json(s.node)), spark)
     got = {(r["g"], r["h"]): (r["n"], r["total"]) for r in replayed.collect()}
     assert got == direct
+
+
+def _h(s: str, base: int) -> int:
+    h = 0
+    for c in s:
+        h = (h * base + ord(c)) % 2_147_483_647
+    return h
+
+
+def test_feature_hash_bow_known_tokens(spark):
+    from milan_spark.operators.text import feature_hash_bow
+
+    docs = spark.createDataFrame(
+        [(0, "apple apple banana")], "doc_id long, text string"
+    )
+    rows = feature_hash_bow(docs, n_buckets=64).collect()
+    exp = {}
+    for tok, cnt in (("apple", 2), ("banana", 1)):
+        b = (_h(tok, 31) ^ (_h(tok, 131) * 65537 % 2_147_483_647)) % 64
+        s = 1 if _h(tok, 131) % 2 == 0 else -1
+        exp[b] = exp.get(b, 0) + s * cnt
+    assert {r["bucket"]: r["weight"] for r in rows} == exp
+
+
+def test_weighted_sample_structure(spark):
+    from milan_spark.operators.sampling import weighted_sample
+
+    df = spark.createDataFrame(
+        [(i, "a" if i % 2 == 0 else "b", float(i % 5)) for i in range(1, 101)],
+        "id long, stratum string, w double",
+    )
+    out = weighted_sample(df, ["stratum"], 7, "id", "w").collect()
+    by_s = {}
+    for r in out:
+        by_s.setdefault(r["stratum"], []).append(r)
+    assert sorted(len(v) for v in by_s.values()) == [7, 7]
+    # zero-weight rows (i % 5 == 0) can never be drawn
+    assert all(r["w"] > 0 for r in out)
+    # ranks are 1..7 ordered by the rounded ES key
+    for rows in by_s.values():
+        rows.sort(key=lambda r: r["sample_rank"])
+        assert [r["sample_rank"] for r in rows] == list(range(1, 8))
+        assert all(
+            rows[i]["es_key"] <= rows[i + 1]["es_key"] for i in range(len(rows) - 1)
+        )
+    # partitioning-independence: same result at a different parallelism
+    again = weighted_sample(df.repartition(13), ["stratum"], 7, "id", "w").collect()
+    assert sorted((r["id"], r["sample_rank"]) for r in again) == sorted(
+        (r["id"], r["sample_rank"]) for r in out
+    )
+
+
+def test_random_projection_exact_ints(spark):
+    from milan_spark.operators.similarity import random_projection
+
+    vec = [0.5] * 4
+    df = spark.createDataFrame([(1, vec)], "vec_id long, embedding array<float>")
+    row = random_projection(df, "vec_id", "embedding", out_dim=3, in_dim=4).collect()[0]
+    qx = [int((0.5 * (1 << 20)) + 0.5)] * 4
+
+    def sgn(p, d):
+        return 1 if ((p + 1) * 73856093 + (d + 1) * 19349663) % 2000003 - 1000001 >= 0 else -1
+
+    exp = [sum(qx[d] * sgn(p, d) for d in range(4)) for p in range(3)]
+    assert list(row["proj"]) == exp
