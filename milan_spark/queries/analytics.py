@@ -1144,3 +1144,154 @@ def weighted_sample_orders_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return weighted_sample(
         orders, ["o_orderpriority"], 10, "o_orderkey", "o_totalprice"
     ).select("o_orderkey", "o_orderpriority", "es_key", "sample_rank")
+
+
+@register(
+    "conversion_funnel",
+    doc="Ordered 3-step conversion funnel (view -> click within 30d -> "
+    "purchase within 30d, strict event-time order) — the sequential-"
+    "pattern query every product-analytics engine ships and the "
+    "reference's keyed aggregation cannot express in one pass. Shape: "
+    "ONE combinable shuffle collects each user's (ts, type) pairs; the "
+    "funnel walk is row-local array algebra (array_sort + filter on the "
+    "sorted struct array — JVM higher-order functions, no Python, no "
+    "per-step self-join over the fact table). Per-user fan-in is bounded "
+    "by the user's event count, the same trade _copart_pairs documents. "
+    "The oracle re-derives the funnel as chained per-step MIN joins — "
+    "two independent formulations, one answer.",
+    oracle="""
+WITH v AS (
+  SELECT user_id, MIN(ts) AS v_ts FROM events
+  WHERE event_type = 'view' AND user_id IS NOT NULL GROUP BY 1
+), c AS (
+  SELECT e.user_id, MIN(e.ts) AS c_ts FROM events e JOIN v USING (user_id)
+  WHERE e.event_type = 'click' AND e.ts > v.v_ts
+    AND e.ts <= v.v_ts + INTERVAL 30 DAY
+  GROUP BY 1
+), p AS (
+  SELECT e.user_id, MIN(e.ts) AS p_ts FROM events e JOIN c USING (user_id)
+  WHERE e.event_type = 'purchase' AND e.ts > c.c_ts
+    AND e.ts <= c.c_ts + INTERVAL 30 DAY
+  GROUP BY 1
+)
+SELECT * FROM (
+  SELECT 1 AS stage_idx, 'view' AS stage, (SELECT COUNT(*) FROM v) AS users
+  UNION ALL
+  SELECT 2, 'click', (SELECT COUNT(*) FROM c)
+  UNION ALL
+  SELECT 3, 'purchase', (SELECT COUNT(*) FROM p)
+)
+""",
+)
+def conversion_funnel_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = (
+        table(spark, sf_dir, "events")
+        .filter(
+            F.col("user_id").isNotNull()
+            & F.col("event_type").isin("view", "click", "purchase")
+        )
+        .select("user_id", "event_type", "ts")
+    )
+    per_user = ev.groupBy("user_id").agg(
+        F.array_sort(
+            F.collect_list(F.struct(F.col("ts"), F.col("event_type").alias("et")))
+        ).alias("seq")
+    )
+    day30 = F.expr("INTERVAL 30 DAY")
+    # seq is ts-sorted, so try_element_at(filter(...), 1) is the EARLIEST
+    # match, NULL when the stage is never reached (a user with no 'view'
+    # must yield NULL, not an ANSI out-of-bounds error)
+    v_ts = F.try_element_at(
+        F.filter(F.col("seq"), lambda x: x["et"] == "view"), F.lit(1)
+    )["ts"]
+    stages = per_user.select(F.col("user_id"), v_ts.alias("v_ts"), F.col("seq"))
+    c_ts = F.try_element_at(
+        F.filter(
+            F.col("seq"),
+            lambda x: (x["et"] == "click")
+            & (x["ts"] > F.col("v_ts"))
+            & (x["ts"] <= F.col("v_ts") + day30),
+        ),
+        F.lit(1),
+    )["ts"]
+    stages = stages.select("user_id", "v_ts", c_ts.alias("c_ts"), "seq")
+    p_ts = F.try_element_at(
+        F.filter(
+            F.col("seq"),
+            lambda x: (x["et"] == "purchase")
+            & (x["ts"] > F.col("c_ts"))
+            & (x["ts"] <= F.col("c_ts") + day30),
+        ),
+        F.lit(1),
+    )["ts"]
+    stages = stages.select("user_id", "v_ts", "c_ts", p_ts.alias("p_ts"))
+    counts = stages.agg(
+        F.count("v_ts").alias("n_v"),
+        F.count("c_ts").alias("n_c"),
+        F.count("p_ts").alias("n_p"),
+    )
+    return counts.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit(1).alias("stage_idx"),
+                    F.lit("view").alias("stage"),
+                    F.col("n_v").alias("users"),
+                ),
+                F.struct(
+                    F.lit(2).alias("stage_idx"),
+                    F.lit("click").alias("stage"),
+                    F.col("n_c").alias("users"),
+                ),
+                F.struct(
+                    F.lit(3).alias("stage_idx"),
+                    F.lit("purchase").alias("stage"),
+                    F.col("n_p").alias("users"),
+                ),
+            )
+        ).alias("s")
+    ).select("s.stage_idx", "s.stage", "s.users")
+
+
+@register(
+    "retention_cohorts",
+    doc="Weekly retention-cohort matrix — the second canonical product-"
+    "analytics shape: users cohorted by the Monday week of their FIRST "
+    "event, counted as retained in each of weeks +0..+3 they were active "
+    "in. Two combinable shuffles total: per-user first-event min, and "
+    "the distinct (user, week) activity set joined back (broadcast-able "
+    "cohort side is O(users)); the (cohort, week_k) count is map-side "
+    "combinable. Calendar math is date_trunc('week')/date_diff — exact "
+    "int days, identical Monday-start convention in both engines.",
+    oracle="""
+WITH first_ev AS (
+  SELECT user_id, date_trunc('week', MIN(ts)) AS cohort_week
+  FROM events WHERE user_id IS NOT NULL GROUP BY 1
+), activity AS (
+  SELECT DISTINCT user_id, date_trunc('week', ts) AS act_week
+  FROM events WHERE user_id IS NOT NULL
+)
+SELECT f.cohort_week,
+       CAST(date_diff('day', f.cohort_week, a.act_week) // 7 AS INT) AS week_k,
+       COUNT(DISTINCT f.user_id) AS active_users
+FROM first_ev f JOIN activity a USING (user_id)
+WHERE date_diff('day', f.cohort_week, a.act_week) // 7 BETWEEN 0 AND 3
+GROUP BY 1, 2
+""",
+)
+def retention_cohorts_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events").filter(F.col("user_id").isNotNull())
+    first_ev = ev.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).alias("cohort_week")
+    )
+    activity = ev.select(
+        "user_id", F.date_trunc("week", F.col("ts")).alias("act_week")
+    ).distinct()
+    week_k = (F.datediff(F.col("act_week"), F.col("cohort_week")) / 7).cast("int")
+    return (
+        first_ev.join(activity, "user_id")
+        .withColumn("week_k", week_k)
+        .filter(F.col("week_k").between(0, 3))
+        .groupBy("cohort_week", "week_k")
+        .agg(F.count_distinct("user_id").alias("active_users"))
+    )

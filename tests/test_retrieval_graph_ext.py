@@ -154,3 +154,33 @@ def test_random_projection_exact_ints(spark):
 
     exp = [sum(qx[d] * sgn(p, d) for d in range(4)) for p in range(3)]
     assert list(row["proj"]) == exp
+
+
+def test_conversion_funnel_ordering_and_horizon(spark, tmp_path):
+    from datetime import datetime as dt
+
+    from milan_spark.catalog import queries
+
+    rows = [
+        # user 1: full ordered funnel within horizons
+        (1, 1, dt(2024, 1, 1), "view", 1.0, ""),
+        (2, 1, dt(2024, 1, 2), "click", 1.0, ""),
+        (3, 1, dt(2024, 1, 3), "purchase", 1.0, ""),
+        # user 2: purchase BEFORE click — reaches click stage only
+        (4, 2, dt(2024, 1, 1), "view", 1.0, ""),
+        (5, 2, dt(2024, 1, 2), "purchase", 1.0, ""),
+        (6, 2, dt(2024, 1, 3), "click", 1.0, ""),
+        # user 3: click with no view — reaches nothing
+        (7, 3, dt(2024, 1, 2), "click", 1.0, ""),
+        # user 4: click 31 days after view — outside the 30d horizon
+        (8, 4, dt(2024, 1, 1), "view", 1.0, ""),
+        (9, 4, dt(2024, 2, 2), "click", 1.0, ""),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts timestamp, event_type string, value double, props string"
+    )
+    df.write.parquet(str(tmp_path / "events.parquet"))
+    out = queries()["conversion_funnel"](spark, str(tmp_path)).collect()
+    got = {r["stage"]: r["users"] for r in out}
+    # user 2's purchase@Jan2 is not after their click@Jan3; user 4 misses horizon
+    assert got == {"view": 3, "click": 2, "purchase": 1}
