@@ -131,3 +131,34 @@ def psi_drift(
         "new_n",
         F.round((p - q) * F.log(p / q), 6).alias("psi_contrib"),
     )
+
+
+def incremental_agg_refresh(
+    partials: DataFrame,
+    delta: DataFrame,
+    keys: Sequence[str],
+    *,
+    sum_cols: Sequence[str] = (),
+    count_col: str = "n",
+    min_cols: Sequence[str] = (),
+    max_cols: Sequence[str] = (),
+) -> DataFrame:
+    """Algebraic materialized-view maintenance for insert-only deltas:
+    refresh a stored aggregate from its PARTIALS plus the delta's partials,
+    never rescanning the base data — ``refresh(view, Δ) = merge(partials,
+    partial(Δ))``, the identity every combinable aggregate satisfies.
+
+    ``partials`` and ``delta`` both carry keys + the partial columns
+    (``sum_cols`` exact sums, ``count_col`` row count, ``min_cols`` /
+    ``max_cols`` monotone extrema — the insert-only-safe aggregate algebra;
+    deletions would need the full CDC diff, :func:`snapshot_diff`). The
+    merge is ONE map-side-combinable groupBy over O(groups + Δ-groups)
+    rows — at 100 TB the base is never read, which is the entire point of
+    maintaining a view.
+    """
+    key_list = list(keys)
+    aggs = [F.sum(c).alias(c) for c in sum_cols]
+    aggs.append(F.sum(count_col).alias(count_col))
+    aggs += [F.min(c).alias(c) for c in min_cols]
+    aggs += [F.max(c).alias(c) for c in max_cols]
+    return partials.unionByName(delta).groupBy(*key_list).agg(*aggs)

@@ -1252,3 +1252,100 @@ def kmv_intersect_distinct_users_q(spark: SparkSession, sf_dir: str) -> DataFram
             F.col("est_click") + F.col("est_view") - F.col("est_union"), 4
         ).alias("est_intersect"),
     )
+
+
+@register(
+    "incremental_agg_refresh",
+    doc="Algebraic materialized-view maintenance (operators.diff."
+    "incremental_agg_refresh): a per-event-type aggregate view (count, "
+    "exact cents sum, min/max event_id) is maintained from its stored "
+    "PARTIALS plus an insert-only delta's partials — refresh(view, d) = "
+    "merge(partials, partial(d)), one combinable groupBy over O(groups) "
+    "rows, the base NEVER rescanned. The oracle computes the aggregate "
+    "from the FULL raw table, so the hash match proves the maintenance "
+    "identity merge(partial(A), partial(B)) == agg(A ∪ B) bit-for-bit — "
+    "the algebra that makes view refresh O(delta) at 100 TB.",
+    oracle="""
+SELECT event_type, COUNT(*) AS n,
+       CAST(SUM(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS cents,
+       MIN(event_id) AS min_eid, MAX(event_id) AS max_eid
+FROM events GROUP BY 1
+""",
+)
+def incremental_agg_refresh_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from milan_spark.operators.diff import incremental_agg_refresh
+
+    ev = table(spark, sf_dir, "events").select(
+        "event_type",
+        "ts",
+        "event_id",
+        F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long").alias("cents_row"),
+    )
+    cutoff = F.lit("2024-01-20").cast("timestamp")
+
+    def partial(df: DataFrame) -> DataFrame:
+        return df.groupBy("event_type").agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("cents_row").alias("cents"),
+            F.min("event_id").alias("min_eid"),
+            F.max("event_id").alias("max_eid"),
+        )
+
+    base = partial(ev.filter(F.col("ts") < cutoff))
+    delta = partial(ev.filter(F.col("ts") >= cutoff))
+    return incremental_agg_refresh(
+        base,
+        delta,
+        ["event_type"],
+        sum_cols=["cents"],
+        count_col="n",
+        min_cols=["min_eid"],
+        max_cols=["max_eid"],
+    )
+
+
+@register(
+    "fuzzy_name_pairs",
+    doc="Blocked fuzzy entity matching (the record-linkage staple): "
+    "near-duplicate part NAMES at edit distance 1-2, computed over the "
+    "DISTINCT name dictionary (names repeat across parts; resolving the "
+    "dictionary once is the production shape — the dictionary is orders "
+    "of magnitude smaller than the fact table). Candidate generation is "
+    "BLOCKED on (last token, |length diff| <= 2) — the noun is the "
+    "stable discriminative field in these names, so the quadratic runs "
+    "within blocks, never all-pairs (standard blocking recall trade: an "
+    "edit inside the blocking token escapes the block; production "
+    "linkage runs a second pass on another key to recover). "
+    "levenshtein() is deterministic and identical in both engines; "
+    "canonical a < b ordering dedupes pairs.",
+    oracle="""
+WITH names AS (SELECT DISTINCT p_name FROM part)
+SELECT a.p_name AS name_a, b.p_name AS name_b,
+       CAST(levenshtein(a.p_name, b.p_name) AS INT) AS dist
+FROM names a JOIN names b
+  ON (string_split(a.p_name, ' '))[-1] = (string_split(b.p_name, ' '))[-1]
+ AND a.p_name < b.p_name
+ AND abs(length(a.p_name) - length(b.p_name)) <= 2
+WHERE levenshtein(a.p_name, b.p_name) <= 2
+""",
+)
+def fuzzy_name_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    names = table(spark, sf_dir, "part").select("p_name").distinct()
+    a = names.select(F.col("p_name").alias("name_a"))
+    b = names.select(F.col("p_name").alias("name_b"))
+    pairs = a.join(
+        b,
+        (
+            F.element_at(F.split("name_a", " "), -1)
+            == F.element_at(F.split("name_b", " "), -1)
+        )
+        & (F.col("name_a") < F.col("name_b"))
+        & (
+            F.abs(F.length("name_a") - F.length("name_b")) <= 2
+        ),
+    )
+    return pairs.filter(
+        F.levenshtein("name_a", "name_b") <= 2
+    ).select(
+        "name_a", "name_b", F.levenshtein("name_a", "name_b").alias("dist")
+    )

@@ -953,9 +953,16 @@ WITH ord_pairs AS MATERIALIZED (
     "fixpoint (localCheckpoint per round, edges cached once). Fixed "
     "round-count truncation on BOTH sides makes the trajectory exact: "
     "integer distances, min-fold determinism under any partitioning. "
-    "Per round the work is O(reached x adjacency) - the frontier-delta "
-    "variant (bfs_hops_coparts) remains the 100 TB shape; this is the "
-    "IR-portability twin with weights.",
+    "The body is the FRONTIER-DELTA form, in the IR itself: state carries "
+    "a changed flag, only changed nodes join the edge cache each round "
+    "(round r relaxation is a no-op for nodes whose dist round r-1 kept), "
+    "and the flag is recomputed by one min(struct(dist, flag)) aggregate "
+    "whose tie-break prefers the OLD row — so after R rounds the dists "
+    "equal plain Bellman-Ford's (both explore exactly <=R-edge paths) and "
+    "the oracle stays the simple unrolled relaxation. Measured 1.2x at "
+    "sf0.1 (9.1 -> 7.3 s warm; this graph reaches ~everything by round 2, "
+    "so the min-aggregate still carries full state — the delta join-side "
+    "saving is what grows with diameter and scale; see SCALE.md).",
     oracle=_sssp_oracle(6),
 )
 def sssp_weighted_cycle_ir_q(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -991,22 +998,39 @@ def sssp_weighted_cycle_ir_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     seed = Node(
         "map",
-        {"exprs": ["node", "CAST(0 AS BIGINT) AS dist"]},
+        {"exprs": ["node", "CAST(0 AS BIGINT) AS dist", "CAST(1 AS INT) AS changed"]},
         [Node("aggregate", {"keys": [], "aggs": {"node": "min(u)"}}, [edges])],
     )
     by_node = Node("map", {"exprs": ["u AS node", "v", "w"]}, [edges])
     state = Node("cycle_ref")
-    body = Node(
-        "aggregate",
-        {"keys": ["node"], "aggs": {"dist": "min(dist)"}},
-        [Node("union", {}, [
-            state,
-            Node("map", {"exprs": ["v AS node", "dist + w AS dist"]},
-                 [Node("relational_join", {"on": ["node"], "how": "inner"},
-                       [state, by_node])]),
+    # delta relaxation: only last round's improved nodes probe the edges
+    relax = Node(
+        "map",
+        {"exprs": ["v AS node", "dist + w AS dist", "CAST(1 AS INT) AS flag"]},
+        [Node("relational_join", {"on": ["node"], "how": "inner"}, [
+            Node("map", {"exprs": ["node", "dist"]},
+                 [Node("filter", {"condition": "changed = 1"}, [state])]),
+            by_node,
         ])],
     )
-    plan = Node("cycle", {"max_iterations": 6}, [seed, body])
+    old = Node("map", {"exprs": ["node", "dist", "CAST(0 AS INT) AS flag"]}, [state])
+    # min(struct(dist, flag)): smallest dist wins; a TIE keeps flag=0 (the
+    # old row), so changed=1 exactly when a candidate strictly improved —
+    # the Bellman-Ford delta invariant
+    body = Node(
+        "map",
+        {"exprs": ["node", "s.dist AS dist", "s.flag AS changed"]},
+        [Node(
+            "aggregate",
+            {"keys": ["node"], "aggs": {"s": "min(struct(dist, flag))"}},
+            [Node("union", {}, [old, relax])],
+        )],
+    )
+    plan = Node(
+        "map",
+        {"exprs": ["node", "dist"]},
+        [Node("cycle", {"max_iterations": 6}, [seed, body])],
+    )
     return compile_node(from_json(to_json(plan)), spark)
 
 

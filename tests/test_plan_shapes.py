@@ -608,3 +608,32 @@ def test_bfs_edge_cache_partitioning_reused_by_frontier_join(spark):
         r"Exchange hashpartitioning\(u#\d+L[^\n]*\n[^\n]*InMemoryTableScan", p
     ), p
     edges.unpersist()
+
+
+def test_jaccard_topk_broadcasts_query_tokens(spark):
+    """The sparse retrieval leg's only join must be a broadcast of the
+    (tiny) query-token side — the corpus token stream meeting it in one
+    BHJ is what keeps corpus-sized rows out of any shuffle until the
+    query-vocabulary filter has run. No sort-merge join, no Python."""
+    from milan_spark.operators.retrieval import jaccard_topk
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    p = plan(jaccard_topk(docs, range(5), top_n=20), mode="simple")
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p
+    assert "Python" not in p
+
+
+def test_feature_hash_bow_single_combinable_shuffle(spark):
+    """The hashing-trick vectorizer is one explode + ONE map-side-combinable
+    (doc, bucket) aggregation: exactly one exchange, partial aggregation
+    below it, and no join of any kind (no vocabulary ever exists)."""
+    import re
+
+    from milan_spark.operators.text import feature_hash_bow
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    p = plan(feature_hash_bow(docs, n_buckets=64), mode="simple")
+    assert len(re.findall(r"Exchange hashpartitioning", p)) == 1
+    assert "partial_sum" in p or "partial sum" in p.lower()
+    assert "Join" not in p
