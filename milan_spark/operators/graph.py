@@ -537,3 +537,88 @@ def kcore(
     return edges.groupBy(F.col("u").alias("node")).agg(
         F.count(F.lit(1)).alias("core_deg")
     )
+
+
+def ktruss(
+    pairs: DataFrame,
+    k: int,
+    a_col: str = "src",
+    b_col: str = "dst",
+    rounds: int = 4,
+) -> DataFrame:
+    """Bounded k-truss peeling (Cohen 2008; the edge-cohesion analog of
+    k-core): each round deletes every edge in fewer than k-2 triangles,
+    for ``rounds`` synchronous rounds; returns the surviving edges with
+    their support IN the surviving subgraph.
+
+    Support enumeration reuses :func:`triangle_count`'s degree-ordered
+    shape — orientation bounds out-degree at O(sqrt(m)), adjacency lists
+    ride O(m) equi-joins, and common neighbors are a row-local
+    ``array_intersect`` — but then EXPLODES the intersection: each
+    triangle (lo, hi, w) credits its three undirected edges, and one
+    combinable (u, v) count yields per-edge support (O(triangles) rows —
+    the minimum any per-edge attribution can touch). Edges with no
+    support row are deleted implicitly by the inner filter-join (support
+    0 < k-2 for every k > 2). Lineage truncated per round; the edge set
+    only shrinks. Fixed round-count truncation is a pure set function of
+    the input on both engine and oracle, so the trajectory is exact.
+
+    Output: (u, v, support) — canonical u < v edges of the truncated
+    k-truss, support computed ON the final edge set (0 if triangle-free,
+    possible only when truncation stopped before convergence).
+    """
+    a, b = F.col(a_col), F.col(b_col)
+    und = (
+        pairs.filter(a != b)
+        .select(F.least(a, b).alias("u"), F.greatest(a, b).alias("v"))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+
+    def support(edges: DataFrame) -> DataFrame:
+        deg = (
+            edges.select(F.col("u").alias("n"))
+            .unionAll(edges.select(F.col("v").alias("n")))
+            .groupBy("n")
+            .agg(F.count(F.lit(1)).alias("deg"))
+        )
+        du = deg.select(F.col("n").alias("u"), F.col("deg").alias("du"))
+        dv = deg.select(F.col("n").alias("v"), F.col("deg").alias("dv"))
+        ranked = edges.join(du, "u").join(dv, "v")
+        lo_is_u = (F.col("du") < F.col("dv")) | (
+            (F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))
+        )
+        oriented = ranked.select(
+            F.when(lo_is_u, F.col("u")).otherwise(F.col("v")).alias("lo"),
+            F.when(lo_is_u, F.col("v")).otherwise(F.col("u")).alias("hi"),
+        )
+        adj = oriented.groupBy("lo").agg(F.collect_list("hi").alias("nbrs"))
+        tri = (
+            oriented.join(adj, "lo")
+            .join(
+                adj.select(F.col("lo").alias("hi"), F.col("nbrs").alias("nbrs_hi")),
+                "hi",
+            )
+            .select(
+                "lo",
+                "hi",
+                F.explode(F.array_intersect("nbrs", "nbrs_hi")).alias("w"),
+            )
+        )
+        credits = (
+            tri.select(F.least("lo", "hi").alias("u"), F.greatest("lo", "hi").alias("v"))
+            .unionAll(tri.select(F.least("lo", "w").alias("u"), F.greatest("lo", "w").alias("v")))
+            .unionAll(tri.select(F.least("hi", "w").alias("u"), F.greatest("hi", "w").alias("v")))
+        )
+        return credits.groupBy("u", "v").agg(F.count(F.lit(1)).alias("support"))
+
+    for _ in range(rounds):
+        sup = support(und)
+        und = (
+            und.join(sup.filter(F.col("support") >= k - 2), ["u", "v"], "left_semi")
+            .localCheckpoint(eager=False)
+        )
+    final_sup = support(und)
+    return und.join(final_sup, ["u", "v"], "left").select(
+        "u", "v", F.coalesce("support", F.lit(0).cast("long")).alias("support")
+    )

@@ -1197,3 +1197,77 @@ def jl_projection_neighbors_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= 5)
         .select("query_id", "neighbor_id", "rank", F.round("pcos", 6).alias("pcos"))
     )
+
+
+def _ktruss_oracle(k: int, rounds: int) -> str:
+    """Unrolled k-truss peeling over the raw co-order part graph (AS
+    MATERIALIZED per round). The oracle enumerates triangles by canonical
+    id order (x<y<z triple join) — the engine enumerates degree-ordered;
+    the triangle SET and per-edge support are orientation-independent, so
+    the two formulations must agree exactly."""
+    sql = [
+        """
+WITH e0 AS MATERIALIZED (
+  SELECT DISTINCT least(a.l_partkey, b.l_partkey) AS u,
+         greatest(a.l_partkey, b.l_partkey) AS v
+  FROM lineitem a JOIN lineitem b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+)"""
+    ]
+    for r in range(1, rounds + 1):
+        sql.append(
+            f""", tri{r} AS (
+  SELECT a.u AS x, a.v AS y, b.v AS z
+  FROM e{r - 1} a JOIN e{r - 1} b ON b.u = a.v
+  JOIN e{r - 1} c ON c.u = a.u AND c.v = b.v
+), sup{r} AS MATERIALIZED (
+  SELECT u, v, COUNT(*) AS sup FROM (
+    SELECT x AS u, y AS v FROM tri{r}
+    UNION ALL SELECT y AS u, z AS v FROM tri{r}
+    UNION ALL SELECT x AS u, z AS v FROM tri{r}
+  ) GROUP BY 1, 2
+), e{r} AS MATERIALIZED (
+  SELECT e.u, e.v FROM e{r - 1} e
+  JOIN sup{r} s ON e.u = s.u AND e.v = s.v AND s.sup >= {k - 2}
+)"""
+        )
+    R = rounds
+    sql.append(
+        f""", trif AS (
+  SELECT a.u AS x, a.v AS y, b.v AS z
+  FROM e{R} a JOIN e{R} b ON b.u = a.v
+  JOIN e{R} c ON c.u = a.u AND c.v = b.v
+), supf AS (
+  SELECT u, v, COUNT(*) AS sup FROM (
+    SELECT x AS u, y AS v FROM trif
+    UNION ALL SELECT y AS u, z AS v FROM trif
+    UNION ALL SELECT x AS u, z AS v FROM trif
+  ) GROUP BY 1, 2
+)
+SELECT e.u, e.v, CAST(coalesce(s.sup, 0) AS BIGINT) AS support
+FROM e{R} e LEFT JOIN supf s ON e.u = s.u AND e.v = s.v"""
+    )
+    return "".join(sql)
+
+
+@register(
+    "ktruss_coparts",
+    doc="Bounded 12-truss peeling (operators.graph.ktruss, 4 rounds; Cohen "
+    "2008) on the raw co-order part graph: each round deletes edges in "
+    "fewer than 10 triangles — the edge-cohesion analog of kcore_strong_"
+    "coparts, completing the dense-subgraph family (components, "
+    "PageRank, triangles, communities, BFS/SSSP, core, truss). Support "
+    "enumeration reuses triangle_count's degree-ordered O(m^1.5) shape "
+    "with row-local array_intersect, exploded only to O(triangles) "
+    "credit rows -> one combinable (u, v) count. The measured cascade at "
+    "sf0.01 is 115,729 -> 69,588 -> 22,275 -> 2,565 -> 1,127 edges "
+    "(converged: round 5 is a no-op), so the fixed 4-round truncation "
+    "returns the true 12-truss here. Oracle enumerates triangles by id "
+    "order instead of degree order — support is orientation-independent, "
+    "two formulations, one answer.",
+    oracle=_ktruss_oracle(12, 4),
+)
+def ktruss_coparts_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from milan_spark.operators.graph import ktruss
+
+    return ktruss(_copart_pairs(spark, sf_dir), k=12, rounds=4)

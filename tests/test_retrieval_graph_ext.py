@@ -184,3 +184,32 @@ def test_conversion_funnel_ordering_and_horizon(spark, tmp_path):
     got = {r["stage"]: r["users"] for r in out}
     # user 2's purchase@Jan2 is not after their click@Jan3; user 4 misses horizon
     assert got == {"view": 3, "click": 2, "purchase": 1}
+
+
+def test_ktruss_k4_clique_survives_pendant_triangle_peels(spark):
+    from milan_spark.operators.graph import ktruss
+
+    # K4 on 1-4 (every edge in 2 triangles) + triangle 4-5-6 (support 1)
+    k4 = [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4)]
+    pend = [(4, 5), (4, 6), (5, 6)]
+    df = spark.createDataFrame(k4 + pend, "src long, dst long")
+    out = {(r["u"], r["v"]): r["support"] for r in ktruss(df, k=4, rounds=4).collect()}
+    assert out == {e: 2 for e in k4}
+
+
+def test_ktruss_round_truncation(spark):
+    from milan_spark.operators.graph import ktruss
+
+    # two triangles sharing edge (2,3): that edge alone has support 2
+    tris = [(1, 2), (2, 3), (1, 3), (3, 4), (2, 4)]
+    df = spark.createDataFrame(tris, "src long, dst long")
+    # k=4 round 1 keeps only (2,3); its FINAL support (alone) is 0 — the
+    # truncation artifact the docstring documents
+    got1 = {(r["u"], r["v"]): r["support"] for r in ktruss(df, k=4, rounds=1).collect()}
+    assert got1 == {(2, 3): 0}
+    # round 2 peels it (0 < 2): the true 4-truss is empty
+    assert ktruss(df, k=4, rounds=2).count() == 0
+    # k=3 (support>=1): edges (2,3),(1,3),(1,2) and (3,4),(2,4),(2,3) each
+    # have a triangle; everything survives with its own support
+    got = {(r["u"], r["v"]): r["support"] for r in ktruss(df, k=3, rounds=2).collect()}
+    assert got == {(1, 2): 1, (1, 3): 1, (2, 3): 2, (2, 4): 1, (3, 4): 1}
