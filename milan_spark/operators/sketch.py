@@ -20,6 +20,8 @@ global sort shuffle.
 
 from __future__ import annotations
 
+from typing import Sequence
+
 from pyspark.sql import DataFrame, Window as W, functions as F
 
 from milan_spark.operators.text import P31, char_fold_hash
@@ -411,3 +413,84 @@ def hll_distinct(df: DataFrame, value_col: str, *, keys=()) -> DataFrame:
     """HLL distinct-count estimate of ``value_col`` per group — the
     register build composed with the estimator fold."""
     return hll_estimate(hll_registers(df, value_col, keys=keys), keys=keys)
+
+
+def histogram_quantiles(
+    df: DataFrame,
+    value_col: str,
+    *,
+    keys=(),
+    bins: int = 64,
+    percents: Sequence[int] = (50, 95),
+) -> DataFrame:
+    """Mergeable QUANTILE summary — the two-pass equi-width histogram
+    sketch, completing the sketch family (KMV/HLL distinct, CMS/heavy
+    hitters frequency, Bloom membership): pass 1 takes per-group integer
+    min/max, pass 2 bins every value into ``bins`` equal-width buckets of
+    [min, max+1) with pure int arithmetic, and quantiles interpolate
+    linearly inside the hit bucket. Bucket counts are map-side-combinable
+    sums — histograms for the same group/range merge by ADDITION, the
+    property that lets per-partition/per-day summaries roll up without
+    touching data again (the KMV-merge argument, for quantiles).
+
+    Determinism: ``value_col`` must be integer-exact (cast/scale floats
+    first — the cents discipline); bucket index ``(x-mn)·bins div span``
+    and target rank ``ceil(p·n/100)`` are exact ints, so the only doubles
+    are the final interpolation — one fixed expression over exact ints,
+    identical in ANSI SQL. Estimation error is bounded by the bucket
+    width (span/bins), the standard equi-width trade.
+
+    Output: keys + (n, mn, mx) + one ``p{P}_est`` per requested percent.
+    """
+    key_list = list(keys)
+    v = F.col(value_col)
+    stats = df.groupBy(*key_list).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min(v).alias("mn"),
+        F.max(v).alias("mx"),
+    )
+    span = F.col("mx") - F.col("mn") + F.lit(1)
+    binned = (
+        df.join(F.broadcast(stats), key_list or None, "inner")
+        if key_list
+        else df.crossJoin(F.broadcast(stats))
+    )
+    # floor(double ratio) == exact int division here: products stay well
+    # under 2^53 and true quotients sit >= 1/span from any wrong integer,
+    # so the correctly-rounded double cannot cross a floor boundary —
+    # identical in ANSI SQL via floor(a*b/s)
+    bin_idx = F.least(
+        F.lit(bins - 1),
+        F.floor((v - F.col("mn")) * bins / span).cast("long"),
+    )
+    counts = binned.select(
+        *key_list, F.col("n"), F.col("mn"), F.col("mx"), bin_idx.alias("bin")
+    ).groupBy(*key_list, "n", "mn", "mx", "bin").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    wcum = W.partitionBy(*(key_list or [F.lit(1)])).orderBy("bin")
+    cum = counts.withColumn("cum", F.sum("c").over(wcum)).withColumn(
+        "cum_before", F.col("cum") - F.col("c")
+    )
+    out = None
+    span_d = (F.col("mx") - F.col("mn") + F.lit(1)).cast("double")
+    for p in percents:
+        # target rank ceil(p*n/100) as exact ints
+        t = F.floor((F.col("n") * p + F.lit(99)) / 100).cast("long")
+        hit = cum.filter(F.col("cum") >= t).groupBy(*key_list, "n", "mn", "mx").agg(
+            F.min(F.struct("bin", "c", "cum_before")).alias("h")
+        )
+        est = (
+            F.col("mn").cast("double")
+            + F.col("h.bin").cast("double") * span_d / F.lit(float(bins))
+            + span_d
+            / F.lit(float(bins))
+            * (t - F.col("h.cum_before")).cast("double")
+            / F.col("h.c").cast("double")
+        )
+        part = hit.select(
+            *key_list, "n", "mn", "mx", F.round(est, 4).alias(f"p{p}_est")
+        )
+        join_keys = key_list + ["n", "mn", "mx"]
+        out = part if out is None else out.join(part, join_keys)
+    return out

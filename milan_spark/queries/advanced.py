@@ -1349,3 +1349,77 @@ def fuzzy_name_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(
         "name_a", "name_b", F.levenshtein("name_a", "name_b").alias("dist")
     )
+
+
+@register(
+    "histogram_quantile_sketch",
+    doc="Mergeable quantile summary (operators.sketch.histogram_quantiles, "
+    "64 equi-width buckets, two passes): per-event-type p50/p95 of exact "
+    "cents estimated from bucket counts with in-bucket linear "
+    "interpolation. Bucket counts are combinable sums, so histograms "
+    "merge by ADDITION — per-partition/per-day quantile summaries roll "
+    "up without re-scanning, completing the sketch family "
+    "(distinct: KMV/HLL, frequency: CMS/heavy-hitters, membership: "
+    "Bloom, quantiles: this). Bucket index and target rank are exact "
+    "int arithmetic (floor of ratios of exact ints); the interpolation "
+    "is one fixed double expression — engine-exact, error bounded by "
+    "span/64. The oracle replays the identical two passes.",
+    oracle="""
+WITH base AS (
+  SELECT event_type, CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+  FROM events
+), stats AS (
+  SELECT event_type, COUNT(*) AS n, MIN(cents) AS mn, MAX(cents) AS mx
+  FROM base GROUP BY 1
+), binned AS (
+  SELECT b.event_type, s.n, s.mn, s.mx,
+         least(63, CAST(floor((b.cents - s.mn) * 64 / (s.mx - s.mn + 1)) AS BIGINT)) AS bin
+  FROM base b JOIN stats s USING (event_type)
+), counts AS (
+  SELECT event_type, n, mn, mx, bin, COUNT(*) AS c
+  FROM binned GROUP BY 1, 2, 3, 4, 5
+), cum AS (
+  SELECT *, SUM(c) OVER (PARTITION BY event_type ORDER BY bin) AS cum,
+         SUM(c) OVER (PARTITION BY event_type ORDER BY bin) - c AS cum_before
+  FROM counts
+), hit50 AS (
+  SELECT event_type, n, mn, mx,
+         MIN(struct_pack(bin := bin, c := c, cum_before := cum_before)) AS h
+  FROM cum WHERE cum >= CAST(floor((n * 50 + 99) / 100) AS BIGINT)
+  GROUP BY 1, 2, 3, 4
+), hit95 AS (
+  SELECT event_type, n, mn, mx,
+         MIN(struct_pack(bin := bin, c := c, cum_before := cum_before)) AS h
+  FROM cum WHERE cum >= CAST(floor((n * 95 + 99) / 100) AS BIGINT)
+  GROUP BY 1, 2, 3, 4
+), p50 AS (
+  SELECT event_type, n, mn, mx,
+         round(CAST(mn AS DOUBLE)
+               + CAST(h.bin AS DOUBLE) * CAST(mx - mn + 1 AS DOUBLE) / 64.0e0
+               + CAST(mx - mn + 1 AS DOUBLE) / 64.0e0
+                 * CAST(CAST(floor((n * 50 + 99) / 100) AS BIGINT) - h.cum_before AS DOUBLE)
+                 / CAST(h.c AS DOUBLE), 4) AS p50_est
+  FROM hit50
+), p95 AS (
+  SELECT event_type, n, mn, mx,
+         round(CAST(mn AS DOUBLE)
+               + CAST(h.bin AS DOUBLE) * CAST(mx - mn + 1 AS DOUBLE) / 64.0e0
+               + CAST(mx - mn + 1 AS DOUBLE) / 64.0e0
+                 * CAST(CAST(floor((n * 95 + 99) / 100) AS BIGINT) - h.cum_before AS DOUBLE)
+                 / CAST(h.c AS DOUBLE), 4) AS p95_est
+  FROM hit95
+)
+SELECT event_type, n, mn, mx, p50.p50_est, p95.p95_est
+FROM p50 JOIN p95 USING (event_type, n, mn, mx)
+""",
+)
+def histogram_quantile_sketch_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from milan_spark.operators.sketch import histogram_quantiles
+
+    ev = table(spark, sf_dir, "events").select(
+        "event_type",
+        F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long").alias("cents"),
+    )
+    return histogram_quantiles(
+        ev, "cents", keys=["event_type"], bins=64, percents=(50, 95)
+    )
