@@ -1271,3 +1271,72 @@ def ktruss_coparts_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from milan_spark.operators.graph import ktruss
 
     return ktruss(_copart_pairs(spark, sf_dir), k=12, rounds=4)
+
+
+@register(
+    "kcore_cycle_ir",
+    doc="k-core peeling AS A PORTABLE PLAN (the third cycle-node program, "
+    "after BFS and delta-SSSP, and the first whose body references the "
+    "state THREE times and uses the IR's semi-join dispatch): state = the "
+    "directed strong-copart edge set; body = degree aggregate -> filter "
+    ">= k -> two left_semi relational_joins of the state against the "
+    "survivors (one per endpoint). Built as raw IR, JSON round-tripped, "
+    "compiled by the batch backend's driver fixpoint. Same k=3 / 8-round "
+    "truncation and SAME ORACLE as kcore_strong_coparts (operators.graph."
+    "kcore) — the DSL operator and the deserialized plan must produce "
+    "identical cores, the portability property the reference's serialized "
+    "cycles guarantee (StreamExpressions.scala:141).",
+    oracle=_kcore_oracle(3, 8),
+)
+def kcore_cycle_ir_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from milan_spark.plans.nodes import Node, compile_node, from_json, to_json
+
+    pair_expr = (
+        "explode(flatten(transform(ps, (x, i) -> "
+        "transform(slice(ps, i + 2, size(ps)), "
+        "y -> struct(least(x, y) AS u, greatest(x, y) AS v))))) AS p"
+    )
+    li = Node(
+        "map",
+        {"exprs": ["l_orderkey", "l_partkey"]},
+        [Node("parquet_source", {"path": f"{sf_dir}/lineitem.parquet"})],
+    )
+    grouped = Node(
+        "aggregate",
+        {"keys": ["l_orderkey"], "aggs": {"ps": "collect_set(l_partkey)"}},
+        [li],
+    )
+    strong = Node(
+        "filter",
+        {"condition": "w >= 2"},
+        [Node(
+            "aggregate",
+            {"keys": ["p.u AS u", "p.v AS v"], "aggs": {"w": "count(1)"}},
+            [Node("map", {"exprs": [pair_expr]}, [grouped])],
+        )],
+    )
+    seed = Node("union", {}, [
+        Node("map", {"exprs": ["u", "v"]}, [strong]),
+        Node("map", {"exprs": ["v AS u", "u AS v"]}, [strong]),
+    ])
+    state = Node("cycle_ref")
+    alive = Node(
+        "filter",
+        {"condition": "deg >= 3"},
+        [Node("aggregate", {"keys": ["u"], "aggs": {"deg": "count(1)"}}, [state])],
+    )
+    alive_u = Node("map", {"exprs": ["u"]}, [alive])
+    alive_v = Node("map", {"exprs": ["u AS v"]}, [alive])
+    body = Node(
+        "relational_join",
+        {"on": ["v"], "how": "left_semi"},
+        [Node("relational_join", {"on": ["u"], "how": "left_semi"},
+              [state, alive_u]),
+         alive_v],
+    )
+    plan = Node(
+        "aggregate",
+        {"keys": ["u AS node"], "aggs": {"core_deg": "count(1)"}},
+        [Node("cycle", {"max_iterations": 8}, [seed, body])],
+    )
+    return compile_node(from_json(to_json(plan)), spark)
