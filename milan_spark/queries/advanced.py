@@ -1423,3 +1423,171 @@ def histogram_quantile_sketch_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return histogram_quantiles(
         ev, "cents", keys=["event_type"], bins=64, percents=(50, 95)
     )
+
+
+@register(
+    "k_anonymity_audit",
+    doc="k-anonymity audit over the quasi-identifier pair (nation, market "
+    "segment) — the privacy gate a training corpus runs before release: "
+    "every QI equivalence class with fewer than k=5 members is a "
+    "re-identification risk. One map-side-combinable groupBy; the audit "
+    "emits per-class size, the risk flag, and the smallest member id as "
+    "the investigation handle (deterministic min, not an arbitrary "
+    "sample). Output is the full class inventory so the oracle hash "
+    "covers compliant AND risky classes.",
+    oracle="""
+SELECT c_nationkey, c_mktsegment, COUNT(*) AS class_size,
+       COUNT(*) < 5 AS at_risk,
+       MIN(c_custkey) AS example_custkey
+FROM customer
+GROUP BY 1, 2
+""",
+)
+def k_anonymity_audit_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = table(spark, sf_dir, "customer")
+    return cust.groupBy("c_nationkey", "c_mktsegment").agg(
+        F.count(F.lit(1)).alias("class_size"),
+        (F.count(F.lit(1)) < 5).alias("at_risk"),
+        F.min("c_custkey").alias("example_custkey"),
+    )
+
+
+@register(
+    "mad_outlier_audit",
+    doc="Robust outlier detection by median absolute deviation (the "
+    "Hampel X84 rule, |x - med| > 3·MAD) on exact cents per event type. "
+    "Medians are EXACT lower-medians (value at rank ceil(n/2) — the "
+    "quantile_disc discipline, no float interpolation, engine-identical "
+    "for any n), computed by rank windows over the per-(type, value) "
+    "count table so the raw stream is aggregated before any sort. "
+    "Output: per-type med, mad, and outlier count — integer-exact end "
+    "to end (3·MAD compare in plain int64).",
+    oracle="""
+WITH base AS (
+  SELECT event_type, CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+  FROM events
+), vc AS (
+  SELECT event_type, cents, COUNT(*) AS c FROM base GROUP BY 1, 2
+), ranked AS (
+  SELECT *, SUM(c) OVER (PARTITION BY event_type ORDER BY cents) AS cum,
+         SUM(c) OVER (PARTITION BY event_type) AS n
+  FROM vc
+), med AS (
+  SELECT event_type, MIN(cents) AS med FROM ranked
+  WHERE cum >= CAST(floor((n + 1) / 2) AS BIGINT) GROUP BY 1
+), dev AS (
+  SELECT b.event_type, abs(b.cents - m.med) AS d, m.med
+  FROM base b JOIN med m USING (event_type)
+), dvc AS (
+  SELECT event_type, med, d, COUNT(*) AS c FROM dev GROUP BY 1, 2, 3
+), dranked AS (
+  SELECT *, SUM(c) OVER (PARTITION BY event_type ORDER BY d) AS cum,
+         SUM(c) OVER (PARTITION BY event_type) AS n
+  FROM dvc
+), mad AS (
+  SELECT event_type, med, MIN(d) AS mad FROM dranked
+  WHERE cum >= CAST(floor((n + 1) / 2) AS BIGINT) GROUP BY 1, 2
+)
+SELECT b.event_type, m.med, m.mad,
+       CAST(SUM(CASE WHEN abs(b.cents - m.med) > 3 * m.mad THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_outliers,
+       COUNT(*) AS n
+FROM base b JOIN mad m USING (event_type)
+GROUP BY 1, 2, 3
+""",
+)
+def mad_outlier_audit_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    ev = table(spark, sf_dir, "events").select(
+        "event_type",
+        F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long").alias("cents"),
+    )
+
+    def lower_median(df: DataFrame, col: str) -> DataFrame:
+        vc = df.groupBy("event_type", col).agg(F.count(F.lit(1)).alias("c"))
+        w = W.partitionBy("event_type").orderBy(col)
+        wn = W.partitionBy("event_type")
+        ranked = vc.withColumn("cum", F.sum("c").over(w)).withColumn(
+            "n", F.sum("c").over(wn)
+        )
+        t = F.floor((F.col("n") + 1) / 2).cast("long")
+        return (
+            ranked.filter(F.col("cum") >= t)
+            .groupBy("event_type")
+            .agg(F.min(col).alias(f"med_{col}"))
+        )
+
+    med = lower_median(ev, "cents").withColumnRenamed("med_cents", "med")
+    dev = ev.join(med, "event_type").select(
+        "event_type", "med", F.abs(F.col("cents") - F.col("med")).alias("d")
+    )
+    mad = (
+        lower_median(dev.select("event_type", F.col("d").alias("cents")), "cents")
+        .withColumnRenamed("med_cents", "mad")
+    )
+    stats = med.join(mad, "event_type")
+    return (
+        ev.join(F.broadcast(stats), "event_type")
+        .groupBy("event_type", "med", "mad")
+        .agg(
+            F.sum(
+                F.when(
+                    F.abs(F.col("cents") - F.col("med")) > 3 * F.col("mad"), 1
+                ).otherwise(0)
+            ).cast("long").alias("n_outliers"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+
+
+@register(
+    "gaps_and_islands",
+    doc="Gaps-and-islands: maximal runs of CONSECUTIVE active days per "
+    "user (the classic sequential-SQL pattern; streak analytics, "
+    "contiguous-coverage audits). The island id is day - dense_rank over "
+    "the user's distinct active days — constant within a run, different "
+    "across gaps — so the whole query is the distinct-day aggregate plus "
+    "ONE window over per-user days and one final groupBy; the raw event "
+    "stream is reduced before any sort. Output: per-user islands of "
+    "length >= 2 with start/end day and length, exact date ints.",
+    oracle="""
+WITH days AS (
+  SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+  WHERE user_id IS NOT NULL
+), marked AS (
+  SELECT user_id, day,
+         CAST(day - CAST(DENSE_RANK() OVER (PARTITION BY user_id ORDER BY day) AS INT)
+              AS DATE) AS island
+  FROM days
+)
+SELECT user_id, MIN(day) AS start_day, MAX(day) AS end_day,
+       COUNT(*) AS len
+FROM marked GROUP BY user_id, island
+HAVING COUNT(*) >= 2
+""",
+)
+def gaps_and_islands_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    ev = table(spark, sf_dir, "events").filter(F.col("user_id").isNotNull())
+    days = ev.select("user_id", F.col("ts").cast("date").alias("day")).distinct()
+    rk = F.dense_rank().over(W.partitionBy("user_id").orderBy("day"))
+    marked = days.withColumn("island", F.date_sub(F.col("day"), rk))
+    return (
+        marked.groupBy("user_id", "island")
+        .agg(
+            F.min("day").alias("start_day"),
+            F.max("day").alias("end_day"),
+            F.count(F.lit(1)).alias("len"),
+        )
+        .filter(F.col("len") >= 2)
+        # timestamps out: pandas reads DuckDB DATE as datetime64, Spark DATE
+        # as objects — cast so both engines land on the same dtype
+        .select(
+            "user_id",
+            F.col("start_day").cast("timestamp").alias("start_day"),
+            F.col("end_day").cast("timestamp").alias("end_day"),
+            "len",
+        )
+    )
