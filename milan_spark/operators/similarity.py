@@ -904,3 +904,59 @@ def random_projection(
         for p in range(out_dim)
     ]
     return corpus.select(F.col(id_col), F.array(*comps).alias("proj"))
+
+
+def hard_negatives(
+    corpus: DataFrame,
+    id_col: str,
+    vec_col: str,
+    label_col: str,
+    query_ids,
+    k: int = 5,
+) -> DataFrame:
+    """Hard-negative mining for contrastive training: for each query vector,
+    the top-``k`` most-similar corpus vectors with a DIFFERENT label — the
+    negatives a triplet/InfoNCE objective learns most from (the "hardest"
+    ones, by cosine).
+
+    Same topology as :func:`ann_brute_force` — the query batch broadcasts,
+    the corpus streams through one narrow stage, and the label-mismatch
+    predicate rides the broadcast join so mined negatives never shuffle.
+    For corpus-scale mining batches, swap the exact scorer for the IVF path
+    and apply the same label filter to its candidate frame; the mining
+    semantics (rank among label-mismatched neighbors) are unchanged.
+    Exact-integer dot products → deterministic doubles; ties break on
+    neighbor id ascending.
+
+    Output: query_id, neighbor_id, neg_label, rank, cosine (rounded to 6).
+    """
+    q = corpus.filter(F.col(id_col).isin(list(query_ids))).select(
+        F.col(id_col).alias("query_id"),
+        F.col(label_col).alias("__qlabel"),
+        quantize(vec_col).alias("__qv"),
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(label_col).alias("neg_label"),
+        quantize(vec_col).alias("__cv"),
+    )
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .filter(
+            (F.col("neighbor_id") != F.col("query_id"))
+            & (F.col("neg_label") != F.col("__qlabel"))
+        )
+        .withColumn("cosine", cosine(F.col("__qv"), F.col("__cv")))
+    )
+    w = W.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "neighbor_id",
+            "neg_label",
+            "rank",
+            F.round("cosine", 6).alias("cosine"),
+        )
+    )

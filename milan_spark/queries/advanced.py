@@ -1591,3 +1591,142 @@ def gaps_and_islands_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             "len",
         )
     )
+
+
+def _hits_oracle(iterations: int = 4, scale: int = 1_000_000, offset: int = 10_000_000) -> str:
+    """Unrolled fixed-iteration HITS as chained CTEs — the recursion-free
+    mirror of operators.graph.hits_scaled, constant-for-constant (scale and
+    iteration count are formatted from the SAME Python integers the catalog
+    query passes, so the two sides cannot drift).
+
+    Every round CTE is AS MATERIALIZED: the raw-score CTEs are referenced
+    twice (once for the values, once inside the scalar MAX), and DuckDB's
+    default CTE inlining re-evaluates each reference — doubling per
+    half-step compounds to 2^(2·iterations) copies of the whole chain
+    (measured: the un-materialized form did not finish at sf0.01)."""
+    ctes = [f"h0 AS MATERIALIZED (SELECT node, CAST({scale} AS BIGINT) AS s FROM nodes)"]
+    prev_h = "h0"
+    for k in range(1, iterations + 1):
+        ctes.append(
+            f"""a{k}r AS MATERIALIZED (
+  SELECT e.v AS node, SUM(h.s) AS s FROM e JOIN {prev_h} h ON h.node = e.u GROUP BY e.v
+), a{k} AS MATERIALIZED (
+  SELECT node, CAST((s * {scale}) // (SELECT MAX(s) FROM a{k}r) AS BIGINT) AS s FROM a{k}r
+), h{k}r AS MATERIALIZED (
+  SELECT e.u AS node, SUM(a.s) AS s FROM e JOIN a{k} a ON a.node = e.v GROUP BY e.u
+), h{k} AS MATERIALIZED (
+  SELECT node, CAST((s * {scale}) // (SELECT MAX(s) FROM h{k}r) AS BIGINT) AS s FROM h{k}r
+)"""
+        )
+        prev_h = f"h{k}"
+    return f"""
+WITH e AS (
+  SELECT DISTINCT l.l_suppkey AS u, o.o_custkey + {offset} AS v
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+),
+nodes AS (SELECT u AS node FROM e UNION SELECT v FROM e),
+{', '.join(ctes)}
+SELECT n.node,
+       COALESCE(h.s, CAST(0 AS BIGINT)) AS hub,
+       COALESCE(a.s, CAST(0 AS BIGINT)) AS auth
+FROM nodes n
+LEFT JOIN h{iterations} h ON h.node = n.node
+LEFT JOIN a{iterations} a ON a.node = n.node
+"""
+
+
+@register(
+    "hits_hub_authority",
+    doc="Fixed-iteration HITS (Kleinberg 1999) over the bipartite "
+    "supplier→customer fulfillment graph (customers offset by 10^7 so the "
+    "two key spaces stay disjoint): suppliers score as hubs, customers as "
+    "authorities. Scaled int64 arithmetic with max-normalization per "
+    "half-step — sums and floor divisions only, bit-identical on any "
+    "engine/partitioning (float HITS cannot hash-match). Four rounds of "
+    "two equi-join+combinable-sum passes over a persisted edge list plus "
+    "one-row broadcast maxes; broadcast_scores keeps the edge list "
+    "shuffle-free (node universe = entity keys, KBs at any edge scale). "
+    "See operators.graph.hits_scaled.",
+    oracle=_hits_oracle(),
+)
+def hits_hub_authority_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from milan_spark.operators.graph import hits_scaled
+
+    li = table(spark, sf_dir, "lineitem")
+    orders = table(spark, sf_dir, "orders")
+    edges = li.join(orders, li.l_orderkey == orders.o_orderkey).select(
+        F.col("l_suppkey").alias("src"),
+        (F.col("o_custkey") + F.lit(10_000_000)).cast("long").alias("dst"),
+    )
+    return hits_scaled(edges, "src", "dst", iterations=4, broadcast_scores=True)
+
+
+@register(
+    "scc_nation_trade",
+    doc="Strongly connected components of the thinned nation→nation trade "
+    "digraph: an edge supp_nation→cust_nation survives when its lineitem "
+    "count exceeds 1.25× the mean edge count (exact cross-multiplied "
+    "integer test — cnt·n_edges·100 > total·125 — so both engines keep "
+    "the identical edge set). SCC by semi-naive transitive closure "
+    "(Δ ⋈ E minus known pairs per round, per-round lineage truncation) "
+    "+ one transpose self-join for mutual reach + a combinable min — "
+    "viable exactly where SCC is run in practice: metadata-scale graphs "
+    "(or a corpus graph after CC contraction/trim). The oracle is "
+    "DuckDB's RECURSIVE CTE — an independent realization of the same "
+    "closure. See operators.graph.strongly_connected_components.",
+    oracle="""
+WITH RECURSIVE pairs AS (
+  SELECT s.s_nationkey AS u, c.c_nationkey AS v, COUNT(*) AS cnt
+  FROM lineitem l
+  JOIN orders o ON l.l_orderkey = o.o_orderkey
+  JOIN customer c ON o.o_custkey = c.c_custkey
+  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+  WHERE s.s_nationkey <> c.c_nationkey
+  GROUP BY 1, 2
+), tot AS (
+  SELECT CAST(SUM(cnt) AS BIGINT) AS t, COUNT(*) AS ne FROM pairs
+), e AS (
+  SELECT CAST(u AS BIGINT) AS u, CAST(v AS BIGINT) AS v
+  FROM pairs, tot WHERE cnt * ne * 100 > t * 125
+), tc AS (
+  SELECT u, v FROM e
+  UNION
+  SELECT tc.u, e.v FROM tc JOIN e ON tc.v = e.u
+), nodes AS (
+  SELECT u AS node FROM e UNION SELECT v FROM e
+)
+SELECT n.node,
+       CAST(MIN(LEAST(n.node, COALESCE(m.peer, n.node))) AS BIGINT) AS scc_id
+FROM nodes n LEFT JOIN (
+  SELECT a.u AS node, a.v AS peer FROM tc a JOIN tc b ON a.u = b.v AND a.v = b.u
+) m ON m.node = n.node
+GROUP BY n.node
+""",
+)
+def scc_nation_trade_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from milan_spark.operators.graph import strongly_connected_components
+
+    li = table(spark, sf_dir, "lineitem")
+    orders = table(spark, sf_dir, "orders")
+    cust = table(spark, sf_dir, "customer")
+    supp = table(spark, sf_dir, "supplier")
+    pairs = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(supp, li.l_suppkey == supp.s_suppkey)
+        .filter(F.col("s_nationkey") != F.col("c_nationkey"))
+        .groupBy(
+            F.col("s_nationkey").cast("long").alias("u"),
+            F.col("c_nationkey").cast("long").alias("v"),
+        )
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    tot = pairs.agg(
+        F.sum("cnt").cast("long").alias("t"), F.count(F.lit(1)).alias("ne")
+    )
+    edges = (
+        pairs.crossJoin(F.broadcast(tot))
+        .filter(F.col("cnt") * F.col("ne") * 100 > F.col("t") * 125)
+        .select(F.col("u").alias("src"), F.col("v").alias("dst"))
+    )
+    return strongly_connected_components(edges)

@@ -1295,3 +1295,205 @@ def retention_cohorts_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("cohort_week", "week_k")
         .agg(F.count_distinct("user_id").alias("active_users"))
     )
+
+
+def _corr_matrix_oracle() -> str:
+    """Pairwise-Pearson oracle generated from the SAME column list and the
+    SAME expression tree the Spark builder uses (one f-string loop builds
+    both sides, so the 15 power sums and 6 corr formulas cannot drift)."""
+    cols = _CORR_COLS
+    # DECIMAL(30,6) operands: DuckDB multiplies DECIMAL(18,6) pairs in int64
+    # and overflows on price² ticks; 30 digits forces int128. The VALUES are
+    # exact either way, so the Spark side's decimal(18,6)→(37,12) products
+    # land on identical numbers.
+    sums = ["CAST(COUNT(*) AS DOUBLE) AS n"]
+    for a, (short_a, col_a) in enumerate(cols):
+        sums.append(
+            f"CAST(ROUND(SUM(CAST({col_a} AS DECIMAL(30,6))), 6) AS DOUBLE) AS s_{short_a}"
+        )
+        for short_b, col_b in cols[a:]:
+            sums.append(
+                f"CAST(ROUND(SUM(CAST({col_a} AS DECIMAL(30,6)) * CAST({col_b} AS DECIMAL(30,6))), 6) AS DOUBLE)"
+                f" AS ss_{short_a}_{short_b}"
+            )
+    legs = []
+    for a, (sa, _) in enumerate(cols):
+        for sb, _ in cols[a + 1 :]:
+            legs.append(
+                f"""SELECT '{sa}' AS col_a, '{sb}' AS col_b, CAST(n AS BIGINT) AS n_rows,
+       (ss_{sa}_{sb} - s_{sa} * s_{sb} / n)
+         / (sqrt(ss_{sa}_{sa} - s_{sa} * s_{sa} / n) * sqrt(ss_{sb}_{sb} - s_{sb} * s_{sb} / n)) AS corr
+FROM sums"""
+            )
+    return (
+        "WITH sums AS (\n  SELECT " + ",\n         ".join(sums) + "\n  FROM lineitem\n)\n"
+        + "\nUNION ALL\n".join(legs)
+    )
+
+
+_CORR_COLS = [
+    ("qty", "l_quantity"),
+    ("price", "l_extendedprice"),
+    ("disc", "l_discount"),
+    ("tax", "l_tax"),
+]
+
+
+@register(
+    "feature_correlation_matrix",
+    doc="Pairwise Pearson correlation matrix over the four lineitem measures "
+    "(feature-screening profile, tidy rows): ONE pass computes all 15 exact "
+    "DECIMAL power sums as a single combinable aggregate (no per-pair "
+    "rescans — the multi-pair generalization of stats_moments), then each "
+    "of the 6 correlations is the identical IEEE double formula on both "
+    "engines. At 100 TB this stays one scan + one 1-row reduce; the "
+    "pair-expansion is driver-free column algebra on the single result "
+    "row.",
+    oracle=_corr_matrix_oracle(),
+)
+def feature_correlation_matrix_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+
+    def dsum(c, name):
+        return F.round(mf.agg_sum(c), 6).cast("double").alias(name)
+
+    aggs = [mf.agg_count().cast("double").alias("n")]
+    for a, (sa, ca) in enumerate(_CORR_COLS):
+        x = F.col(ca).cast(DEC)
+        aggs.append(dsum(x, f"s_{sa}"))
+        for sb, cb in _CORR_COLS[a:]:
+            aggs.append(dsum(x * F.col(cb).cast(DEC), f"ss_{sa}_{sb}"))
+    sums = li.agg(*aggs)
+    # ONE aggregate row exploded into the 6 pair rows — a per-leg union would
+    # plan 6 scans of lineitem; this keeps exactly one
+    n = F.col("n")
+    pair_structs = []
+    for a, (sa, _) in enumerate(_CORR_COLS):
+        for sb, _ in _CORR_COLS[a + 1 :]:
+            sx, sy = F.col(f"s_{sa}"), F.col(f"s_{sb}")
+            sxx, syy = F.col(f"ss_{sa}_{sa}"), F.col(f"ss_{sb}_{sb}")
+            sxy = F.col(f"ss_{sa}_{sb}")
+            corr = (sxy - sx * sy / n) / (
+                F.sqrt(sxx - sx * sx / n) * F.sqrt(syy - sy * sy / n)
+            )
+            pair_structs.append(
+                F.struct(
+                    F.lit(sa).alias("col_a"),
+                    F.lit(sb).alias("col_b"),
+                    corr.alias("corr"),
+                )
+            )
+    return sums.select(
+        n.cast("long").alias("n_rows"), F.explode(F.array(*pair_structs)).alias("p")
+    ).select("p.col_a", "p.col_b", "n_rows", "p.corr")
+
+
+_ZSCORE_ORACLE = """
+WITH v AS (
+  SELECT event_id, user_id, CAST(floor(value * 100 + 0.5) AS BIGINT) AS v FROM events
+), pre AS (
+  SELECT event_id, user_id, v,
+         COUNT(*) OVER w AS n,
+         SUM(v) OVER w AS s,
+         SUM(v * v) OVER w AS s2
+  FROM v
+  WINDOW w AS (PARTITION BY user_id ORDER BY event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+)
+SELECT event_id, user_id, v AS value_cents, CAST(n AS BIGINT) AS n_prior
+FROM pre
+WHERE n >= 8 AND (v * n - s) * (v * n - s) > 9 * (n * s2 - s * s)
+"""
+
+
+@register(
+    "zscore_anomaly",
+    doc="Per-key running z-score anomaly flags (monitoring staple): an event "
+    "is anomalous when it sits >3 running standard deviations from the "
+    "mean of its key's PRIOR events (n_prior ≥ 8). The z² > 9 test is "
+    "cross-multiplied into pure integer arithmetic — (v·n − s)² > "
+    "9·(n·s2 − s²) over exact cents sums, DECIMAL(38)-widened so the "
+    "squares cannot overflow at any key cardinality — so the flag set is "
+    "bit-identical on any engine (a float z-score would flip borderline "
+    "events under reordered partial sums). One shuffle on the key, one "
+    "running window — the same plan at 100 TB.",
+    oracle=_ZSCORE_ORACLE,
+)
+def zscore_anomaly_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    v = F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("event_id")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    d38 = "decimal(38,0)"
+    pre = ev.select(
+        "event_id",
+        "user_id",
+        v.alias("v"),
+        F.count(F.lit(1)).over(w).alias("n"),
+        # widen BEFORE the sum: a long running sum would overflow before the
+        # decimal cast on hot keys at extreme scale (DuckDB sums in int128)
+        F.sum(v.cast(d38)).over(w).alias("s"),
+        F.sum((v * v).cast(d38)).over(w).alias("s2"),
+    )
+    vn = F.col("v").cast(d38) * F.col("n").cast(d38)
+    lhs = (vn - F.col("s")) * (vn - F.col("s"))
+    rhs = F.lit(9).cast(d38) * (
+        F.col("n").cast(d38) * F.col("s2") - F.col("s") * F.col("s")
+    )
+    return pre.filter((F.col("n") >= 8) & (lhs > rhs)).select(
+        "event_id",
+        "user_id",
+        F.col("v").alias("value_cents"),
+        F.col("n").cast("long").alias("n_prior"),
+    )
+
+
+@register(
+    "event_transition_matrix",
+    doc="First-order Markov transition matrix over per-user event sequences "
+    "(clickstream staple): LAG each user's event_id-ordered stream by one, "
+    "count (from_type → to_type) transitions, and attach the row-normalized "
+    "transition probability (exact BIGINT counts; one IEEE division, "
+    "rounded, identical on both engines). One shuffle on the key for the "
+    "window + one combinable groupBy + a tiny per-from_type reduce "
+    "broadcast back — the same plan at 100 TB.",
+    oracle="""
+WITH seq AS (
+  SELECT user_id, event_type,
+         LAG(event_type) OVER (PARTITION BY user_id ORDER BY event_id) AS prev_type
+  FROM events
+), trans AS (
+  SELECT prev_type AS from_type, event_type AS to_type, COUNT(*) AS n_transitions
+  FROM seq WHERE prev_type IS NOT NULL GROUP BY 1, 2
+), totals AS (
+  SELECT from_type, CAST(SUM(n_transitions) AS BIGINT) AS n_from FROM trans GROUP BY 1
+)
+SELECT t.from_type, t.to_type, t.n_transitions,
+       round(CAST(t.n_transitions AS DOUBLE) / o.n_from, 6) AS p
+FROM trans t JOIN totals o ON t.from_type = o.from_type
+""",
+)
+def event_transition_matrix_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    seq = ev.select(
+        "user_id",
+        "event_type",
+        F.lag("event_type").over(W.partitionBy("user_id").orderBy("event_id")).alias("prev_type"),
+    )
+    trans = (
+        seq.filter(F.col("prev_type").isNotNull())
+        .groupBy(F.col("prev_type").alias("from_type"), F.col("event_type").alias("to_type"))
+        .agg(F.count(F.lit(1)).alias("n_transitions"))
+    )
+    totals = trans.groupBy("from_type").agg(
+        F.sum("n_transitions").cast("long").alias("n_from")
+    )
+    return trans.join(F.broadcast(totals), "from_type").select(
+        "from_type",
+        "to_type",
+        "n_transitions",
+        F.round(F.col("n_transitions").cast("double") / F.col("n_from"), 6).alias("p"),
+    )

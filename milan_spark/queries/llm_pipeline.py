@@ -1957,3 +1957,169 @@ def ann_index_persisted_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.query_ivfpq_residual_index(
         loaded, queries, "vec_id", "embedding", k=5, n_probe=4
     )
+
+
+@register(
+    "ngram_diversity_by_source",
+    doc="Corpus diversity/repetition metrics per source (the self-BLEU-style "
+    "signal data-quality dashboards track): type-token ratio over unigrams "
+    "and distinct-over-total word-trigram ratio, on the shared tokenize() "
+    "convention ([a-z0-9]+ lowercased). Two map-side-exploded legs — one "
+    "combinable count + one exact distinct each — joined on the tiny "
+    "source dimension; ratios are IEEE divisions of exact BIGINTs so both "
+    "engines round the same doubles. At 100 TB the exact distinct is the "
+    "only heavy exchange and is the one you'd swap for HLL "
+    "(operators.sketch) when ±2% suffices — stated here so the exact "
+    "form's cost is a choice, not an accident.",
+    oracle="""
+WITH t AS (
+  SELECT source, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks FROM documents
+), uni AS (
+  SELECT source, unnest(toks) AS tok FROM t
+), tri AS (
+  SELECT source, array_to_string(toks[r.i:r.i+2], ' ') AS gram
+  FROM t, range(512) r(i) WHERE r.i >= 1 AND r.i <= len(toks) - 2
+), ustat AS (
+  SELECT source, COUNT(*) AS total_tokens, COUNT(DISTINCT tok) AS distinct_tokens
+  FROM uni GROUP BY source
+), tstat AS (
+  SELECT source, COUNT(*) AS total_trigrams, COUNT(DISTINCT gram) AS distinct_trigrams
+  FROM tri GROUP BY source
+), docs AS (
+  SELECT source, COUNT(*) AS n_docs FROM documents GROUP BY source
+)
+SELECT d.source, d.n_docs,
+       u.total_tokens, u.distinct_tokens,
+       round(CAST(u.distinct_tokens AS DOUBLE) / u.total_tokens, 6) AS ttr,
+       s.total_trigrams, s.distinct_trigrams,
+       round(CAST(s.distinct_trigrams AS DOUBLE) / s.total_trigrams, 6) AS trigram_diversity
+FROM docs d JOIN ustat u ON d.source = u.source JOIN tstat s ON d.source = s.source
+""",
+)
+def ngram_diversity_by_source_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    toks = docs.select("source", T.tokenize("text").alias("toks"))
+    uni = toks.select("source", F.explode("toks").alias("tok")).groupBy("source").agg(
+        F.count(F.lit(1)).alias("total_tokens"),
+        F.countDistinct("tok").alias("distinct_tokens"),
+    )
+    tri = (
+        docs.select("source", F.explode(T.word_ngrams("text", 3)).alias("gram"))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("total_trigrams"),
+            F.countDistinct("gram").alias("distinct_trigrams"),
+        )
+    )
+    nd = docs.groupBy("source").agg(F.count(F.lit(1)).alias("n_docs"))
+    return (
+        nd.join(uni, "source")
+        .join(tri, "source")
+        .select(
+            "source",
+            "n_docs",
+            "total_tokens",
+            "distinct_tokens",
+            F.round(
+                F.col("distinct_tokens").cast("double") / F.col("total_tokens"), 6
+            ).alias("ttr"),
+            "total_trigrams",
+            "distinct_trigrams",
+            F.round(
+                F.col("distinct_trigrams").cast("double") / F.col("total_trigrams"), 6
+            ).alias("trigram_diversity"),
+        )
+    )
+
+
+@register(
+    "hard_negative_mining",
+    doc="Contrastive-training hard negatives: per query vector, the top-5 "
+    "most-similar corpus vectors with a DIFFERENT label (the negatives a "
+    "triplet/InfoNCE objective learns most from). Broadcast query batch, "
+    "label-mismatch predicate riding the join, exact-int64 cosine — same "
+    "one-narrow-stage topology as ann_brute_force; at corpus scale the "
+    "scorer swaps for the IVF candidate path with the identical filter. "
+    "See operators.similarity.hard_negatives.",
+    oracle=_SQL_VEC_EX
+    + """
+, lab AS (
+  SELECT vec_id, label FROM embeddings
+), pairs AS (
+  SELECT qa.vec_id AS query_id, ca.vec_id AS neighbor_id, lc.label AS neg_label,
+         SUM(qa.x * ca.x) AS dot
+  FROM ex qa
+  JOIN ex ca ON qa.i = ca.i AND qa.vec_id < 10 AND ca.vec_id != qa.vec_id
+  JOIN lab lq ON lq.vec_id = qa.vec_id
+  JOIN lab lc ON lc.vec_id = ca.vec_id AND lc.label <> lq.label
+  GROUP BY 1, 2, 3
+), scored AS (
+  SELECT query_id, neighbor_id, neg_label,
+         dot / (sqrt(CAST(nq.nn AS DOUBLE)) * sqrt(CAST(nc.nn AS DOUBLE))) AS cosine
+  FROM pairs JOIN norms nq ON query_id = nq.vec_id JOIN norms nc ON neighbor_id = nc.vec_id
+)
+SELECT query_id, neighbor_id, neg_label, rank, round(cosine, 6) AS cosine
+FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
+  FROM scored
+)
+WHERE rank <= 5
+""",
+)
+def hard_negative_mining_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = table(spark, sf_dir, "embeddings")
+    return S.hard_negatives(
+        emb, "vec_id", "embedding", "label", query_ids=range(10), k=5
+    )
+
+
+@register(
+    "readability_flesch_gate",
+    doc="Flesch reading-ease per document (a standard text-quality gate "
+    "alongside the Gopher rules): sentences = terminator runs [.!?]+, "
+    "words = the shared tokenize() convention, syllables = vowel-group "
+    "runs [aeiouy]+ on the lowercased text (contiguity never crosses a "
+    "word boundary, so whole-text matching equals the per-word sum). The "
+    "score is one IEEE expression over three exact BIGINT counts — "
+    "deterministic on both engines; zero-sentence/zero-word docs guard "
+    "through greatest(1, n). Pure JVM regexp columns, embarrassingly "
+    "parallel — the 100 TB plan is the scan itself.",
+    oracle="""
+WITH c AS (
+  SELECT doc_id,
+         CAST(len(regexp_extract_all(text, '[.!?]+')) AS BIGINT) AS n_sentences,
+         CAST(len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS BIGINT) AS n_words,
+         CAST(len(regexp_extract_all(lower(text), '[aeiouy]+')) AS BIGINT) AS n_syllables
+  FROM documents
+)
+SELECT doc_id, n_sentences, n_words, n_syllables,
+       round(206.835
+             - 1.015 * (CAST(n_words AS DOUBLE) / GREATEST(n_sentences, 1))
+             - 84.6 * (CAST(n_syllables AS DOUBLE) / GREATEST(n_words, 1)), 4) AS flesch
+FROM c
+""",
+)
+def readability_flesch_gate_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    low = F.lower(F.col("text"))
+    c = docs.select(
+        "doc_id",
+        F.array_size(F.regexp_extract_all(F.col("text"), F.lit("[.!?]+"), F.lit(0)))
+        .cast("long")
+        .alias("n_sentences"),
+        F.array_size(T.tokenize("text")).cast("long").alias("n_words"),
+        F.array_size(F.regexp_extract_all(low, F.lit("[aeiouy]+"), F.lit(0)))
+        .cast("long")
+        .alias("n_syllables"),
+    )
+    flesch = (
+        F.lit(206.835)
+        - F.lit(1.015)
+        * (F.col("n_words").cast("double") / F.greatest(F.col("n_sentences"), F.lit(1)))
+        - F.lit(84.6)
+        * (F.col("n_syllables").cast("double") / F.greatest(F.col("n_words"), F.lit(1)))
+    )
+    return c.select(
+        "doc_id", "n_sentences", "n_words", "n_syllables",
+        F.round(flesch, 4).alias("flesch"),
+    )

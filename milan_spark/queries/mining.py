@@ -1340,3 +1340,130 @@ def kcore_cycle_ir_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         [Node("cycle", {"max_iterations": 8}, [seed, body])],
     )
     return compile_node(from_json(to_json(plan)), spark)
+
+
+@register(
+    "scc_cycle_ir",
+    doc="Strongly connected components AS A PORTABLE PLAN — the fourth "
+    "cycle-node program (after BFS, delta-SSSP, k-core): state = the "
+    "reachability pair set seeded with the thinned nation-trade edges; "
+    "body = distinct(state ∪ project(state ⋈ edges)) — naive transitive "
+    "closure, one hop per round (the semi-naive delta form is the DSL "
+    "operator's optimization; the IR program trades it for a body with a "
+    "single state reference). The edge subtree sits under a cache node so "
+    "it compiles once outside the loop. Post-cycle: mutual reach is one "
+    "left_semi join of the closure against its own transpose, then a "
+    "combinable min. Built as raw IR, JSON round-tripped, compiled by the "
+    "batch backend's driver fixpoint — SAME ORACLE as scc_nation_trade "
+    "(the DSL twin): a deserialized plan must produce identical "
+    "components, the portability property the reference's serialized "
+    "cycles guarantee (StreamExpressions.scala:141).",
+    oracle=None,  # set below: shares scc_nation_trade's oracle verbatim
+)
+def scc_cycle_ir_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from milan_spark.plans.nodes import Node, compile_node, from_json, to_json
+
+    def src(t, exprs):
+        return Node(
+            "map",
+            {"exprs": exprs},
+            [Node("parquet_source", {"path": f"{sf_dir}/{t}.parquet"})],
+        )
+
+    li = src("lineitem", ["l_orderkey", "l_suppkey"])
+    orders = src("orders", ["o_orderkey AS l_orderkey", "o_custkey"])
+    cust = src("customer", ["c_custkey AS o_custkey", "c_nationkey"])
+    supp = src("supplier", ["s_suppkey AS l_suppkey", "s_nationkey"])
+    joined = Node(
+        "relational_join",
+        {"on": ["l_suppkey"]},
+        [
+            Node(
+                "relational_join",
+                {"on": ["o_custkey"]},
+                [Node("relational_join", {"on": ["l_orderkey"]}, [li, orders]), cust],
+            ),
+            supp,
+        ],
+    )
+    pairs = Node(
+        "aggregate",
+        {
+            "keys": [
+                "CAST(s_nationkey AS BIGINT) AS u",
+                "CAST(c_nationkey AS BIGINT) AS v",
+            ],
+            "aggs": {"cnt": "count(1)"},
+        },
+        [Node("filter", {"condition": "s_nationkey <> c_nationkey"}, [joined])],
+    )
+    tot = Node(
+        "map",
+        {"exprs": ["k", "CAST(t AS BIGINT) AS t", "ne"]},
+        [Node(
+            "aggregate",
+            {"keys": ["1 AS k"], "aggs": {"t": "sum(cnt)", "ne": "count(1)"}},
+            [pairs],
+        )],
+    )
+    edges = Node("cache", {}, [Node(
+        "map",
+        {"exprs": ["u", "v"]},
+        [Node(
+            "filter",
+            {"condition": "cnt * ne * 100 > t * 125"},
+            [Node(
+                "relational_join",
+                {"on": ["k"]},
+                [Node("map", {"exprs": ["u", "v", "cnt", "1 AS k"]}, [pairs]), tot],
+            )],
+        )],
+    )])
+    state = Node("cycle_ref")
+    step = Node(
+        "map",
+        {"exprs": ["u", "v"]},
+        [Node(
+            "filter",
+            {"condition": "u <> v"},
+            [Node(
+                "relational_join",
+                {"on": ["m"]},
+                [
+                    Node("map", {"exprs": ["u", "v AS m"]}, [state]),
+                    Node("map", {"exprs": ["u AS m", "v"]}, [edges]),
+                ],
+            )],
+        )],
+    )
+    body = Node("distinct", {}, [Node("union", {}, [state, step])])
+    reach = Node("cycle", {"max_iterations": 12}, [edges, body])
+    transpose = Node("map", {"exprs": ["v AS u", "u AS v"]}, [reach])
+    mutual = Node(
+        "map",
+        {"exprs": ["u AS node", "v AS peer"]},
+        [Node("relational_join", {"on": ["u", "v"], "how": "left_semi"},
+              [reach, transpose])],
+    )
+    nodes = Node("distinct", {}, [Node("union", {}, [
+        Node("map", {"exprs": ["u AS node"]}, [edges]),
+        Node("map", {"exprs": ["v AS node"]}, [edges]),
+    ])])
+    plan = Node(
+        "aggregate",
+        {"keys": ["node"], "aggs": {
+            "scc_id": "CAST(min(least(node, coalesce(peer, node))) AS BIGINT)"
+        }},
+        [Node("relational_join", {"on": ["node"], "how": "left"}, [nodes, mutual])],
+    )
+    return compile_node(from_json(to_json(plan)), spark)
+
+
+def _borrow_scc_oracle():
+    from milan_spark.catalog import REGISTRY
+    from milan_spark.queries import advanced as _advanced  # noqa: F401 — registers the DSL twin
+
+    REGISTRY["scc_cycle_ir"].oracle = REGISTRY["scc_nation_trade"].oracle
+
+
+_borrow_scc_oracle()

@@ -20,6 +20,7 @@ from milan_spark.catalog import REGISTRY, register
 
 # imported for registration side effects — this module shares their oracles
 from milan_spark.queries import advanced as _advanced  # noqa: F401
+from milan_spark.queries import analytics as _analytics  # noqa: F401
 from milan_spark.queries import joins as _joins  # noqa: F401
 from milan_spark.queries import scans as _scans  # noqa: F401
 from milan_spark.queries import windows as _windows  # noqa: F401
@@ -1514,3 +1515,41 @@ def streaming_stream_stream_semi_join_q(spark: SparkSession, sf_dir: str) -> Dat
     )
     sdf = compile_node_streaming(from_json(to_json(out)), spark)
     return run_to_memory(sdf, "streaming_stream_stream_semi_join")
+
+
+@register(
+    "streaming_zscore_anomaly",
+    doc="Per-key running z-score anomaly flags on the streaming backend: the "
+    "batch twin's cross-multiplied integer test — (v·n − s)² > 9·(n·s2 − "
+    "s²) over PRIOR events, n_prior ≥ 8 — evaluated in per-key value "
+    "state holding exact (n, Σv, Σv²) as arbitrary-precision ints (the "
+    "Python state machine cannot overflow where fixed-width SQL sums "
+    "must widen). Same Scan state shape as ScanProcessFunction.scala:17; "
+    "same oracle as the batch twin.",
+    oracle=REGISTRY["zscore_anomaly"].oracle,
+)
+def streaming_zscore_anomaly_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events_stream(spark, sf_dir).select("event_id", "user_id", "value")
+
+    def fold(state, rec):
+        n, s, s2 = state
+        v = int(math.floor(rec.value * 100 + 0.5))
+        out = None
+        if n >= 8 and (v * n - s) ** 2 > 9 * (n * s2 - s * s):
+            out = {
+                "event_id": int(rec.event_id),
+                "user_id": int(rec.user_id),
+                "value_cents": v,
+                "n_prior": n,
+            }
+        return [n + 1, s + v, s2 + v * v], out
+
+    out = stateful.scan(
+        ev,
+        fold,
+        initial_state=[0, 0, 0],
+        output_schema="event_id long, user_id long, value_cents long, n_prior long",
+        keys=["user_id"],
+        seq="event_id",
+    )
+    return run_to_memory(out, "streaming_zscore_anomaly")
