@@ -1497,3 +1497,50 @@ def event_transition_matrix_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_transitions",
         F.round(F.col("n_transitions").cast("double") / F.col("n_from"), 6).alias("p"),
     )
+
+
+@register(
+    "target_encode_categories",
+    doc="Smoothed target encoding (the standard categorical-feature ML "
+    "transform): per o_orderpriority, enc = (Σ target + m·global_mean) / "
+    "(n + m) with m=10 — the additive-smoothing form that shrinks rare "
+    "categories toward the prior. Sums are exact DECIMAL (round 2 → "
+    "double), the blend is one IEEE expression shared verbatim by both "
+    "engines. Two combinable aggregates + a one-row broadcast — the same "
+    "plan at any scale.",
+    oracle="""
+WITH g AS (
+  SELECT CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(30,6))), 2) AS DOUBLE) AS gs,
+         CAST(COUNT(*) AS BIGINT) AS gn
+  FROM orders
+), per AS (
+  SELECT o_orderpriority,
+         CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(30,6))), 2) AS DOUBLE) AS s,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM orders GROUP BY 1
+)
+SELECT p.o_orderpriority, p.n,
+       round((p.s + 10.0 * (g.gs / g.gn)) / (p.n + 10), 6) AS enc
+FROM per p, g
+""",
+)
+def target_encode_categories_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = table(spark, sf_dir, "orders")
+    dec = F.col("o_totalprice").cast("decimal(30,6)")
+    g = orders.agg(
+        F.round(F.sum(dec), 2).cast("double").alias("gs"),
+        F.count(F.lit(1)).alias("gn"),
+    )
+    per = orders.groupBy("o_orderpriority").agg(
+        F.round(F.sum(dec), 2).cast("double").alias("s"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    return per.crossJoin(F.broadcast(g)).select(
+        "o_orderpriority",
+        "n",
+        F.round(
+            (F.col("s") + F.lit(10.0) * (F.col("gs") / F.col("gn")))
+            / (F.col("n") + F.lit(10)),
+            6,
+        ).alias("enc"),
+    )

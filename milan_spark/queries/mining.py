@@ -1467,3 +1467,63 @@ def _borrow_scc_oracle():
 
 
 _borrow_scc_oracle()
+
+
+@register(
+    "negative_edge_samples",
+    doc="Negative sampling for link-prediction training (the graph-ML twin "
+    "of hard_negative_mining): for every supplier, k=4 pseudo-random "
+    "customer candidates generated by a deterministic integer hash — "
+    "(u·2654435761 + i·40503) mod 1000003 mod n_cust, exploiting the "
+    "contiguous 0..n-1 customer key space — then one left_anti join "
+    "removes true fulfillment edges. Generation is O(nodes·k) fan-out, "
+    "NEVER the O(N²) non-edge universe; the anti-join is the only "
+    "shuffle. Collisions (a sampled pair that IS an edge) are dropped, "
+    "not resampled — the standard negative-sampling simplification, "
+    "stated so the oracle matches by definition.",
+    oracle="""
+WITH n_c AS (SELECT COUNT(*) AS n FROM customer),
+gen AS (
+  SELECT s.s_suppkey AS src,
+         ((s.s_suppkey * 2654435761 + i.i * 40503) % 1000003) % (SELECT n FROM n_c) AS dst,
+         i.i AS sample_i
+  FROM supplier s, range(4) i(i)
+), e AS (
+  SELECT DISTINCT l.l_suppkey AS src, o.o_custkey AS dst
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+)
+SELECT g.src, CAST(g.dst AS BIGINT) AS dst, CAST(g.sample_i AS BIGINT) AS sample_i
+FROM gen g LEFT JOIN e ON g.src = e.src AND g.dst = e.dst
+WHERE e.src IS NULL
+""",
+)
+def negative_edge_samples_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    orders = table(spark, sf_dir, "orders")
+    supp = table(spark, sf_dir, "supplier")
+    cust = table(spark, sf_dir, "customer")
+    n_c = cust.agg(F.count(F.lit(1)).alias("n"))
+    gen = (
+        supp.select(F.col("s_suppkey").alias("src"))
+        .crossJoin(F.broadcast(n_c))
+        .select(
+            "src",
+            F.explode(F.sequence(F.lit(0), F.lit(3))).alias("sample_i"),
+            "n",
+        )
+        .select(
+            "src",
+            (
+                (F.col("src") * F.lit(2654435761) + F.col("sample_i") * F.lit(40503))
+                % F.lit(1000003)
+                % F.col("n")
+            )
+            .cast("long")
+            .alias("dst"),
+            F.col("sample_i").cast("long").alias("sample_i"),
+        )
+    )
+    edges = li.join(orders, li.l_orderkey == orders.o_orderkey).select(
+        F.col("l_suppkey").alias("src"), F.col("o_custkey").alias("dst")
+    )
+    return gen.join(edges, ["src", "dst"], "left_anti")
