@@ -126,3 +126,86 @@ def validate_plan(
 
     walk(node)
     return schemas
+
+
+def audit_shared_subtrees(node: Node) -> list[str]:
+    """Advisory lint: name every subtree that feeds TWO OR MORE consumers
+    without a ``cache`` boundary between it and them.
+
+    Motivation is a measured failure, not a hypothetical: the first HITS
+    draft fed each half-step's raw-score frame into both its max aggregate
+    and its rescale projection; with lazy evaluation the doubled subtree
+    compounds per round — 4 iterations re-evaluated the upstream chain
+    2^8 = 256 times (184 s → 4.9 s at sf0.01 once truncated). The same
+    shape sank the first DuckDB oracle (un-MATERIALIZED CTEs referenced
+    twice). Spark's optimizer does NOT deduplicate arbitrary repeated
+    subplans — only explicit persist/checkpoint/cache boundaries (or AQE
+    exchange reuse, which needs identical exchanges) break the blowup.
+
+    Returns one advisory per offending TOP-MOST subtree:
+    ``"<op> [<node_id>] feeds N consumers — wrap in a cache node or
+    localCheckpoint the compiled frame"``. Structural duplicates (same op,
+    params, and inputs under distinct objects/ids) count as ONE subtree:
+    serialized plans lose object identity, so a round-tripped plan's
+    sharing is re-derived from structure. Descendants of a flagged subtree
+    are suppressed (fixing the top fixes the whole chain). Exempt: source
+    nodes (a re-read is a scan, not a re-computation — and Spark dedupes
+    identical scans), ``cache`` nodes (the fix itself), and ``cycle_ref``
+    leaves (the cycle compiler rebinds them per round to one checkpointed
+    frame).
+    """
+    import json as _json
+
+    fp_memo: dict[int, str] = {}
+
+    def fp(n: Node) -> str:
+        if id(n) not in fp_memo:
+            fp_memo[id(n)] = _json.dumps(
+                {"op": n.op, "p": n.params, "in": [fp(i) for i in n.inputs]},
+                sort_keys=True, default=str,
+            )
+        return fp_memo[id(n)]
+
+    consumers: dict[str, int] = {}
+    rep: dict[str, Node] = {}
+    visited: set[int] = set()
+
+    def walk(n: Node) -> None:
+        if id(n) in visited:
+            return
+        visited.add(id(n))
+        for child in n.inputs:
+            if child.op == "cycle_ref":
+                continue
+            # every input SLOT is a consumer — a parent listing the same
+            # child twice (union(x, x)) evaluates it twice
+            k = fp(child)
+            consumers[k] = consumers.get(k, 0) + 1
+            rep[k] = child
+            walk(child)
+
+    def descendants(n: Node, acc: set) -> None:
+        for child in n.inputs:
+            if child.op != "cycle_ref" and fp(child) not in acc:
+                acc.add(fp(child))
+                descendants(child, acc)
+
+    walk(node)
+    exempt = ("cache", "parquet_source", "file_source", "list_source")
+    flagged = {
+        k for k, cnt in consumers.items() if cnt >= 2 and rep[k].op not in exempt
+    }
+    # suppress descendants of other flagged subtrees: report the top-most
+    covered: set[str] = set()
+    for k in flagged:
+        d: set = set()
+        descendants(rep[k], d)
+        covered |= d
+    out = []
+    for k in flagged - covered:
+        n = rep[k]
+        out.append(
+            f"{n.op} [{n.node_id}] feeds {consumers[k]} consumers — wrap in a "
+            "cache node or localCheckpoint the compiled frame"
+        )
+    return sorted(out)

@@ -1,0 +1,60 @@
+"""audit_shared_subtrees: the HITS-blowup detector over Node plans.
+
+Pure plan analysis — no SparkSession needed."""
+
+from __future__ import annotations
+
+from milan_spark.plans.nodes import Node, from_json, to_json
+from milan_spark.plans.validate import audit_shared_subtrees
+
+
+def _src():
+    return Node("parquet_source", {"path": "/tmp/x.parquet"})
+
+
+def test_linear_chain_is_clean():
+    plan = Node("filter", {"condition": "a > 1"}, [Node("map", {"exprs": ["a"]}, [_src()])])
+    assert audit_shared_subtrees(plan) == []
+
+
+def test_two_consumer_fanout_flagged_topmost_only():
+    # raw feeds both an aggregate and a projection (the HITS shape);
+    # raw's own child must NOT be reported separately
+    inner = Node("map", {"exprs": ["a"]}, [_src()])
+    raw = Node("aggregate", {"keys": ["a"], "aggs": {"s": "sum(a)"}}, [inner])
+    mx = Node("aggregate", {"keys": [], "aggs": {"m": "max(s)"}}, [raw])
+    plan = Node("relational_join", {"on": ["m"]}, [raw, mx])
+    out = audit_shared_subtrees(plan)
+    assert len(out) == 1
+    assert out[0].startswith("aggregate") and "feeds 2 consumers" in out[0]
+
+
+def test_cache_boundary_suppresses():
+    inner = Node("map", {"exprs": ["a"]}, [_src()])
+    raw = Node("cache", {}, [Node("aggregate", {"keys": ["a"], "aggs": {"s": "sum(a)"}}, [inner])])
+    mx = Node("aggregate", {"keys": [], "aggs": {"m": "max(s)"}}, [raw])
+    plan = Node("relational_join", {"on": ["m"]}, [raw, mx])
+    assert audit_shared_subtrees(plan) == []
+
+
+def test_shared_source_is_exempt():
+    s = _src()
+    plan = Node("union", {}, [Node("map", {"exprs": ["a"]}, [s]), Node("map", {"exprs": ["b"]}, [s])])
+    assert audit_shared_subtrees(plan) == []
+
+
+def test_structural_duplicate_across_round_trip():
+    # JSON round-trip rebuilds shared objects as distinct instances with the
+    # same structure; the audit must still see the sharing
+    shared = Node("filter", {"condition": "a > 1"}, [Node("map", {"exprs": ["a"]}, [_src()])])
+    plan = Node("union", {}, [shared, shared])
+    rt = from_json(to_json(plan))
+    out = audit_shared_subtrees(rt)
+    assert len(out) == 1 and "feeds 2 consumers" in out[0]
+
+
+def test_cycle_ref_exempt():
+    state = Node("cycle_ref")
+    body = Node("union", {}, [state, Node("filter", {"condition": "u <> v"}, [state])])
+    plan = Node("cycle", {"max_iterations": 3}, [_src(), body])
+    assert audit_shared_subtrees(plan) == []
