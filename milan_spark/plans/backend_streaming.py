@@ -472,6 +472,10 @@ def compile_node_streaming(
         p = n.params
         if n.op == "cache":
             return ins[0]  # persist is a batch hint; meaningless on a stream
+        if n.op == "checkpoint":
+            # batch lineage truncation; microbatch execution re-plans per
+            # batch and state stores bound lineage — pass through
+            return ins[0]
         if n.op == "left_windowed_join":
             return _streaming_left_windowed_join(
                 ins[0],

@@ -440,6 +440,16 @@ def _compile_op(n: Node, spark: SparkSession, ins: list[DataFrame]) -> DataFrame
         from pyspark import StorageLevel
 
         return ins[0].persist(StorageLevel.MEMORY_AND_DISK)
+    if n.op == "checkpoint":
+        # lineage truncation as a PLAN op: materialize-once for a subtree that
+        # feeds multiple consumers (the blowup plans/validate.
+        # audit_shared_subtrees flags — a two-consumer frame inside an
+        # iteration re-evaluates its upstream per consumer per round; measured
+        # 2^8x on the first HITS draft). Lazy: computes on first access within
+        # the enclosing job, reused after. Streaming backend treats it as a
+        # pass-through — microbatch execution re-plans per batch and state
+        # stores bound lineage, so there is nothing to truncate.
+        return ins[0].localCheckpoint(eager=False)
     if n.op == "distinct":
         return ins[0].dropDuplicates(p.get("subset"))
     if n.op == "order_limit":

@@ -150,20 +150,26 @@ def audit_shared_subtrees(node: Node) -> list[str]:
     sharing is re-derived from structure. Descendants of a flagged subtree
     are suppressed (fixing the top fixes the whole chain). Exempt: source
     nodes (a re-read is a scan, not a re-computation — and Spark dedupes
-    identical scans), ``cache`` nodes (the fix itself), and ``cycle_ref``
-    leaves (the cycle compiler rebinds them per round to one checkpointed
-    frame).
+    identical scans), ``cache``/``checkpoint`` nodes (the fixes themselves),
+    and ``cycle_ref`` leaves (the cycle compiler rebinds them per round to
+    one checkpointed frame).
     """
+    import hashlib
     import json as _json
 
     fp_memo: dict[int, str] = {}
 
     def fp(n: Node) -> str:
+        # children embed as fixed-size DIGESTS, not raw JSON: embedding the
+        # child string re-escapes its quotes at every level, so a depth-d
+        # plan pays 2^d backslashes per original quote (measured: a 44-node
+        # depth-27 plan did not finish fingerprinting)
         if id(n) not in fp_memo:
-            fp_memo[id(n)] = _json.dumps(
+            doc = _json.dumps(
                 {"op": n.op, "p": n.params, "in": [fp(i) for i in n.inputs]},
                 sort_keys=True, default=str,
             )
+            fp_memo[id(n)] = hashlib.sha1(doc.encode()).hexdigest()
         return fp_memo[id(n)]
 
     consumers: dict[str, int] = {}
@@ -191,7 +197,8 @@ def audit_shared_subtrees(node: Node) -> list[str]:
                 descendants(child, acc)
 
     walk(node)
-    exempt = ("cache", "parquet_source", "file_source", "list_source")
+    # cycle output is eagerly checkpointed by its compiler — materialized once
+    exempt = ("cache", "checkpoint", "cycle", "parquet_source", "file_source", "list_source")
     flagged = {
         k for k, cnt in consumers.items() if cnt >= 2 and rep[k].op not in exempt
     }

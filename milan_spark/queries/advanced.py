@@ -1730,3 +1730,113 @@ def scc_nation_trade_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("u").alias("src"), F.col("v").alias("dst"))
     )
     return strongly_connected_components(edges)
+
+
+@register(
+    "hits_cycle_ir",
+    doc="HITS AS A PORTABLE PLAN — the fifth cycle-node program, and the "
+    "first carrying TWO evolving quantities through the single-state cycle "
+    "contract: hub and authority rows ride one tagged frame (role ∈ "
+    "{'h','a'}), the body filters out the hub half, runs both max-"
+    "normalized half-steps, and re-tags. Every multi-consumer subtree in "
+    "the body sits under the new ``checkpoint`` IR node (raw scores feed "
+    "max + rescale; normalized auth feeds the hub step + the output union) "
+    "— the exact blowup plans.validate.audit_shared_subtrees flags, "
+    "asserted clean in tests/test_plan_audit.py. Built as raw IR, JSON "
+    "round-tripped, compiled by the batch driver fixpoint; SAME ORACLE as "
+    "hits_hub_authority — the DSL operator and the deserialized plan must "
+    "be bit-identical (StreamExpressions.scala:141 portability).",
+    oracle=_hits_oracle(),
+)
+def hits_cycle_ir_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from milan_spark.plans.nodes import compile_node, from_json, to_json
+
+    return compile_node(from_json(to_json(_hits_ir_plan(sf_dir))), spark)
+
+
+def _hits_ir_plan(sf_dir: str):
+    """The hits_cycle_ir Node plan, exposed for the shared-subtree audit
+    test (tests/test_plan_audit.py asserts the body is checkpoint-clean)."""
+    from milan_spark.plans.nodes import Node
+
+    scale = 1_000_000
+    li = Node(
+        "map",
+        {"exprs": ["l_orderkey", "l_suppkey"]},
+        [Node("parquet_source", {"path": f"{sf_dir}/lineitem.parquet"})],
+    )
+    orders = Node(
+        "map",
+        {"exprs": ["o_orderkey AS l_orderkey", "o_custkey"]},
+        [Node("parquet_source", {"path": f"{sf_dir}/orders.parquet"})],
+    )
+    edges = Node("cache", {}, [Node("distinct", {}, [Node(
+        "map",
+        {"exprs": ["l_suppkey AS u", "CAST(o_custkey + 10000000 AS BIGINT) AS v"]},
+        [Node("relational_join", {"on": ["l_orderkey"]}, [li, orders])],
+    )])])
+    nodes = Node("cache", {}, [Node("distinct", {}, [Node("union", {}, [
+        Node("map", {"exprs": ["u AS node"]}, [edges]),
+        Node("map", {"exprs": ["v AS node"]}, [edges]),
+    ])])])
+    seed = Node(
+        "map",
+        {"exprs": ["node", f"CAST({scale} AS BIGINT) AS s", "'h' AS role"]},
+        [nodes],
+    )
+
+    def half_step(score_in: Node, join_col: str, out_key: str) -> Node:
+        # one HITS half-step: edges ⋈ scores on join_col, combinable sum
+        # keyed by the other endpoint, then max-normalize. The raw frame
+        # feeds TWO consumers (max + rescale) → checkpoint node.
+        raw = Node("checkpoint", {}, [Node(
+            "aggregate",
+            {"keys": [f"{out_key} AS node"], "aggs": {"s": "sum(s)"}},
+            [Node(
+                "relational_join",
+                {"on": [join_col]},
+                [edges, Node("map", {"exprs": [f"node AS {join_col}", "s"]}, [score_in])],
+            )],
+        )])
+        mx = Node(
+            "aggregate",
+            {"keys": ["1 AS k"], "aggs": {"mx": "max(s)"}},
+            [raw],
+        )
+        return Node(
+            "map",
+            {"exprs": ["node", f"CAST((s * {scale}) div mx AS BIGINT) AS s"]},
+            [Node(
+                "relational_join",
+                {"on": ["k"]},
+                [Node("map", {"exprs": ["node", "s", "1 AS k"]}, [raw]), mx],
+            )],
+        )
+
+    state = Node("cycle_ref")
+    h = Node("filter", {"condition": "role = 'h'"}, [state])
+    a_new = Node("checkpoint", {}, [half_step(h, "u", "v")])   # auth from hubs
+    h_new = half_step(a_new, "v", "u")                          # hubs from auths
+    body = Node("union", {}, [
+        Node("map", {"exprs": ["node", "s", "'h' AS role"]}, [h_new]),
+        Node("map", {"exprs": ["node", "s", "'a' AS role"]}, [a_new]),
+    ])
+    final = Node("cycle", {"max_iterations": 4}, [seed, body])
+    hub = Node("map", {"exprs": ["node", "s AS hub"]},
+               [Node("filter", {"condition": "role = 'h'"}, [final])])
+    auth = Node("map", {"exprs": ["node", "s AS auth"]},
+                [Node("filter", {"condition": "role = 'a'"}, [final])])
+    plan = Node(
+        "map",
+        {"exprs": [
+            "node",
+            "CAST(coalesce(hub, 0) AS BIGINT) AS hub",
+            "CAST(coalesce(auth, 0) AS BIGINT) AS auth",
+        ]},
+        [Node(
+            "relational_join",
+            {"on": ["node"], "how": "left"},
+            [Node("relational_join", {"on": ["node"], "how": "left"}, [nodes, hub]), auth],
+        )],
+    )
+    return plan

@@ -58,3 +58,31 @@ def test_cycle_ref_exempt():
     body = Node("union", {}, [state, Node("filter", {"condition": "u <> v"}, [state])])
     plan = Node("cycle", {"max_iterations": 3}, [_src(), body])
     assert audit_shared_subtrees(plan) == []
+
+
+def test_hits_cycle_ir_body_is_checkpoint_clean():
+    # the real catalog plan: every multi-consumer subtree sits under a
+    # checkpoint/cache node, so the audit reports nothing
+    from milan_spark.queries.advanced import _hits_ir_plan
+
+    assert audit_shared_subtrees(_hits_ir_plan("/tmp/sf")) == []
+
+
+def test_unchecked_hits_shape_is_flagged():
+    # strip one checkpoint from the HITS half-step shape and the audit
+    # names the doubled raw-score aggregate
+    edges = Node("cache", {}, [Node("map", {"exprs": ["u", "v"]}, [_src()])])
+    scores = Node("map", {"exprs": ["node", "s"]}, [_src()])
+    raw = Node(  # NOT checkpointed: feeds max + rescale
+        "aggregate",
+        {"keys": ["v AS node"], "aggs": {"s": "sum(s)"}},
+        [Node("relational_join", {"on": ["u"]}, [edges, scores])],
+    )
+    mx = Node("aggregate", {"keys": ["1 AS k"], "aggs": {"mx": "max(s)"}}, [raw])
+    plan = Node(
+        "relational_join",
+        {"on": ["k"]},
+        [Node("map", {"exprs": ["node", "s", "1 AS k"]}, [raw]), mx],
+    )
+    out = audit_shared_subtrees(plan)
+    assert len(out) == 1 and out[0].startswith("aggregate") and "feeds 2" in out[0]
