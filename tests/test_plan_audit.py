@@ -86,3 +86,33 @@ def test_unchecked_hits_shape_is_flagged():
     )
     out = audit_shared_subtrees(plan)
     assert len(out) == 1 and out[0].startswith("aggregate") and "feeds 2" in out[0]
+
+
+def test_checkpoint_node_batch_compile_and_roundtrip(spark):
+    from milan_spark.plans.nodes import compile_node, from_json, to_json
+
+    plan = Node(
+        "aggregate",
+        {"keys": ["a"], "aggs": {"n": "count(1)"}},
+        [Node("checkpoint", {}, [Node(
+            "list_source",
+            {"rows": [(1,), (1,), (2,)], "schema": "a long"},
+        )])],
+    )
+    rt = from_json(to_json(plan))  # checkpoint must survive serialization
+    got = {r["a"]: r["n"] for r in compile_node(rt, spark).collect()}
+    assert got == {1: 2, 2: 1}
+
+
+def test_checkpoint_node_streaming_passthrough(spark):
+    # streaming backend treats checkpoint as a no-op pass-through: the
+    # compiled frame is still a streaming DataFrame and the op doesn't raise
+    from milan_spark.plans.backend_streaming import compile_node_streaming
+    from milan_spark.plans.nodes import Node as N
+
+    import tempfile, os
+    d = tempfile.mkdtemp(prefix="milan_ckpt_stream_")
+    spark.createDataFrame([(1, "x")], "a long, b string").write.parquet(os.path.join(d, "t.parquet"))
+    plan = N("checkpoint", {}, [N("parquet_source", {"path": os.path.join(d, "t.parquet")})])
+    sdf = compile_node_streaming(plan, spark)
+    assert sdf.isStreaming
