@@ -114,3 +114,25 @@ def test_scc_two_cycles_and_bridge(spark):
     df = spark.createDataFrame(edges, "src long, dst long")
     got = {r["node"]: r["scc_id"] for r in strongly_connected_components(df).collect()}
     assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 99: 99}
+
+
+hits_digraphs = st.sets(
+    st.tuples(st.integers(0, 5), st.integers(0, 5)).filter(lambda e: e[0] != e[1]),
+    min_size=1,
+    max_size=14,
+).map(sorted)
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+@given(hits_digraphs)
+def test_hits_property_matches_python_model(spark, edges):
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {
+        r["node"]: (r["hub"], r["auth"])
+        for r in hits_scaled(df, iterations=2).collect()
+    }
+    assert got == _py_hits(edges, iterations=2)
