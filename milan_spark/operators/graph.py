@@ -797,3 +797,99 @@ def strongly_connected_components(
             .alias("scc_id")
         )
     )
+
+
+def random_walks(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    *,
+    walks_per_node: int = 2,
+    walk_length: int = 4,
+    hash_a: int = 1_000_003,
+    hash_b: int = 10_007,
+    hash_c: int = 31,
+    hash_m: int = 2_147_483_647,
+) -> DataFrame:
+    """DeepWalk-style random-walk corpus generation (Perozzi et al., KDD'14):
+    ``walks_per_node`` fixed-length walks from every node with out-edges,
+    emitted as (walk_id, step, node) rows — the training corpus a skip-gram
+    graph-embedding run consumes.
+
+    The "random" next hop is DETERMINISTIC: neighbor position
+    ``H(walk_id, step, cur) mod out_degree(cur)`` with
+    ``H = (walk_id·a + step·b + cur·c) mod m`` — pure int64 algebra, so the
+    corpus is bit-identical under any partitioning and engine (the property
+    every sampling operator in this repo pins: retry-stable, no RNG state),
+    and a DuckDB recursive CTE can replay it exactly. Different walk_ids from
+    the same node diverge because the hash mixes the walk id every step.
+
+    Plan shape (the 100 TB story): the neighbor index is built ONCE — one
+    row_number window over the distinct edge list keyed by ``src`` (the same
+    exchange an adjacency-list write pays), persisted hash-partitioned with
+    its degree projection. Each of the ``walk_length`` steps then shuffles
+    only the O(#walks) frontier: degree lookup + position-indexed neighbor
+    pick are both EQUI-joins (position is computed before the adjacency
+    join, so there is no per-neighbor fan-out-then-filter). That is the
+    frontier-delta BFS shape (:func:`bfs_levels`) with walks instead of
+    levels; per-step lineage truncation keeps the plan flat. Walks reaching
+    a sink (no out-edges) simply stop extending — their prefix rows are
+    already emitted.
+    """
+    e = (
+        edges.select(F.col(src).cast("long").alias("src"), F.col(dst).cast("long").alias("dst"))
+        .distinct()
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("src").orderBy("dst")
+    adj = e.withColumn("pos", (F.row_number().over(w) - 1).cast("long")).persist()
+    # degree rides the already-built index (max pos + 1) — no second scan of e
+    deg = adj.groupBy("src").agg((F.max("pos") + 1).alias("deg")).persist()
+
+    # disjoint column names on the (persisted, reused) index frames — frontier
+    # lineage passes through both, so qualified self-join refs would be
+    # ambiguous otherwise
+    deg_idx = deg.select(F.col("src").alias("__dsrc"), F.col("deg").alias("__deg"))
+    adj_idx = adj.select(
+        F.col("src").alias("__asrc"), F.col("pos").alias("__apos"), F.col("dst").alias("__adst")
+    )
+
+    starts = deg.select(F.col("src").alias("node"))
+    frontier = starts.select(
+        F.explode(F.sequence(F.lit(0), F.lit(walks_per_node - 1))).alias("w"), "node"
+    ).select(
+        (F.col("node") * walks_per_node + F.col("w")).cast("long").alias("walk_id"),
+        F.col("node").alias("cur"),
+    )
+    out = [
+        frontier.select(
+            "walk_id", F.lit(0).cast("int").alias("step"), F.col("cur").alias("node")
+        )
+    ]
+    for s in range(walk_length):
+        hashed = (
+            F.col("walk_id") * F.lit(hash_a)
+            + F.lit(s) * F.lit(hash_b)
+            + F.col("cur") * F.lit(hash_c)
+        ) % F.lit(hash_m)
+        picked = frontier.join(
+            deg_idx, frontier["cur"] == deg_idx["__dsrc"], "inner"
+        ).select("walk_id", "cur", (hashed % F.col("__deg")).alias("pos"))
+        frontier = (
+            picked.join(
+                adj_idx,
+                (picked["cur"] == adj_idx["__asrc"]) & (picked["pos"] == adj_idx["__apos"]),
+            )
+            .select("walk_id", F.col("__adst").alias("cur"))
+            .localCheckpoint(eager=False)
+        )
+        out.append(
+            frontier.select(
+                "walk_id", F.lit(s + 1).cast("int").alias("step"), F.col("cur").alias("node")
+            )
+        )
+    res = out[0]
+    for frame in out[1:]:
+        res = res.unionByName(frame)
+    return res

@@ -1527,3 +1527,56 @@ def negative_edge_samples_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("l_suppkey").alias("src"), F.col("o_custkey").alias("dst")
     )
     return gen.join(edges, ["src", "dst"], "left_anti")
+
+
+@register(
+    "random_walk_corpus",
+    doc="DeepWalk-style random-walk corpus (operators.graph.random_walks, "
+    "Perozzi KDD'14): 2 walks x 4 steps from every node of the symmetric "
+    "supplier<->customer fulfillment graph (customer ids offset by 10^6 to "
+    "keep the entity spaces disjoint), emitted as (walk_id, step, node) "
+    "skip-gram training rows. Next hop = H(walk_id, step, cur) mod "
+    "out-degree over a row_number-indexed adjacency list — deterministic "
+    "int64 algebra, so the corpus is bit-identical under any partitioning "
+    "and the oracle (DuckDB WITH RECURSIVE) replays it exactly. Plan: the "
+    "neighbor index is built once (one window exchange, persisted); each "
+    "step shuffles only the O(#walks) frontier through two equi-joins "
+    "(position computed BEFORE the adjacency join — no neighbor fan-out).",
+    oracle="""
+WITH RECURSIVE fwd AS (
+  SELECT DISTINCT l.l_suppkey AS src, o.o_custkey + 1000000 AS dst
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+), e AS (
+  SELECT src, dst FROM fwd UNION SELECT dst AS src, src AS dst FROM fwd
+), adj AS (
+  SELECT src, dst, ROW_NUMBER() OVER (PARTITION BY src ORDER BY dst) - 1 AS pos FROM e
+), deg AS (
+  SELECT src, COUNT(*) AS deg FROM e GROUP BY src
+), walks(walk_id, step, node) AS (
+  SELECT CAST(src * 2 + w AS BIGINT), CAST(0 AS INTEGER), CAST(src AS BIGINT)
+  FROM deg, (SELECT UNNEST([0, 1]) AS w)
+  UNION ALL
+  SELECT walks.walk_id, CAST(walks.step + 1 AS INTEGER), CAST(a.dst AS BIGINT)
+  FROM walks
+  JOIN deg d ON d.src = walks.node
+  JOIN adj a ON a.src = walks.node
+   AND a.pos = ((walks.walk_id * 1000003 + walks.step * 10007 + walks.node * 31)
+                % 2147483647) % d.deg
+  WHERE walks.step < 4
+)
+SELECT walk_id, step, node FROM walks
+""",
+)
+def random_walk_corpus_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from milan_spark.operators.graph import random_walks
+
+    li = table(spark, sf_dir, "lineitem")
+    orders = table(spark, sf_dir, "orders")
+    fwd = li.join(orders, li.l_orderkey == orders.o_orderkey).select(
+        F.col("l_suppkey").cast("long").alias("src"),
+        (F.col("o_custkey") + 1_000_000).cast("long").alias("dst"),
+    )
+    edges = fwd.unionByName(
+        fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    return random_walks(edges, walks_per_node=2, walk_length=4)

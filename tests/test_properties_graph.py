@@ -155,3 +155,47 @@ def test_histogram_quantile_error_bound(spark, values, p):
     t = -(-(p * n) // 100)  # ceil
     true_q = svals[t - 1]
     assert abs(row[f"p{p}_est"] - true_q) <= width + 1e-9
+
+
+def _py_random_walks(edges, walks_per_node=2, walk_length=4,
+                     a=1_000_003, b=10_007, c=31, m=2_147_483_647):
+    """Definitional replay of operators.graph.random_walks: indexed adjacency
+    (neighbors sorted), next hop H(walk_id, step, cur) mod degree."""
+    adj = {}
+    for u, v in set(edges):
+        adj.setdefault(u, set()).add(v)
+    adj = {u: sorted(vs) for u, vs in adj.items()}
+    rows = set()
+    for node in sorted(adj):
+        for w in range(walks_per_node):
+            wid = node * walks_per_node + w
+            cur = node
+            rows.add((wid, 0, node))
+            for s in range(walk_length):
+                nbrs = adj.get(cur)
+                if not nbrs:
+                    break
+                h = (wid * a + s * b + cur * c) % m
+                cur = nbrs[h % len(nbrs)]
+                rows.add((wid, s + 1, cur))
+    return rows
+
+
+directed_edge_sets = st.sets(
+    st.tuples(st.integers(0, 7), st.integers(0, 7)).filter(lambda e: e[0] != e[1]),
+    min_size=1,
+    max_size=20,
+).map(sorted)
+
+
+@given(edges=directed_edge_sets, wpn=st.integers(1, 3), length=st.integers(1, 5))
+@settings(**SETTINGS)
+def test_random_walks_match_python_model(spark, edges, wpn, length):
+    from milan_spark.operators.graph import random_walks
+
+    df = spark.createDataFrame(edges, "src long, dst long").repartition(5)
+    got = {
+        (r.walk_id, r.step, r.node)
+        for r in random_walks(df, walks_per_node=wpn, walk_length=length).collect()
+    }
+    assert got == _py_random_walks(edges, walks_per_node=wpn, walk_length=length)
