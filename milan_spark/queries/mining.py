@@ -1580,3 +1580,48 @@ def random_walk_corpus_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     )
     return random_walks(edges, walks_per_node=2, walk_length=4)
+
+
+@register(
+    "market_basket_rules",
+    doc="Association-rule mining at the pair level (operators.association."
+    "association_rules — the item-to-item collaborative-filtering input, "
+    "Linden IEEE IC'03): parts co-ordered in the same order, support >= 3 "
+    "and lift > 3/2 (rational threshold multiplied through in "
+    "DECIMAL(38,0) — the filter never touches a float). Pair expansion is "
+    "row-local (sorted basket array + slice-past-position explode, work "
+    "bounded by basket-size cap, never corpus-squared); supports attach by "
+    "catalog-bounded item joins; confidence/lift are single IEEE divisions "
+    "over exact counts. The oracle derives pairs by txn self-join — an "
+    "independent formulation of the same set.",
+    oracle="""
+WITH ti AS (
+  SELECT DISTINCT l_orderkey AS txn, l_partkey AS item FROM lineitem
+), n AS (SELECT COUNT(DISTINCT txn) AS n_txn FROM ti),
+supports AS (SELECT item, COUNT(*) AS n_item FROM ti GROUP BY item),
+pairs AS (
+  SELECT a.item AS item_a, b.item AS item_b, COUNT(*) AS n_pair
+  FROM ti a JOIN ti b ON a.txn = b.txn AND a.item < b.item
+  GROUP BY 1, 2 HAVING COUNT(*) >= 3
+),
+rules AS (
+  SELECT item_a AS ante, item_b AS cons, n_pair FROM pairs
+  UNION ALL
+  SELECT item_b AS ante, item_a AS cons, n_pair FROM pairs
+)
+SELECT r.ante, r.cons, r.n_pair, x.n_item AS n_ante, y.n_item AS n_cons, n.n_txn,
+       CAST(r.n_pair AS DOUBLE) / CAST(x.n_item AS DOUBLE) AS confidence,
+       (CAST(r.n_pair AS DOUBLE) * CAST(n.n_txn AS DOUBLE))
+         / (CAST(x.n_item AS DOUBLE) * CAST(y.n_item AS DOUBLE)) AS lift
+FROM rules r JOIN supports x ON x.item = r.ante JOIN supports y ON y.item = r.cons, n
+WHERE 2 * CAST(r.n_pair AS HUGEINT) * CAST(n.n_txn AS HUGEINT)
+      > 3 * CAST(x.n_item AS HUGEINT) * CAST(y.n_item AS HUGEINT)
+""",
+)
+def market_basket_rules_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from milan_spark.operators.association import association_rules
+
+    li = table(spark, sf_dir, "lineitem")
+    return association_rules(
+        li, "l_orderkey", "l_partkey", min_count=3, min_lift=(3, 2)
+    )

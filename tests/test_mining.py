@@ -349,3 +349,41 @@ def test_mmr_k64_truncated_plan_keeps_greedy_prefix(spark):
     assert len({r["vec_id"] for r in k64}) == 64
     k8 = mmr_select(emb, dim=64, k=8).collect()
     assert [tuple(r) for r in k8] == [tuple(r) for r in k64[:8]]
+
+
+def test_association_rules_hand_computed(spark):
+    """4 baskets: {1,2,3}, {1,2}, {2,3}, {1,4} — verify pair counts,
+    confidence and lift against hand arithmetic (duplicate (txn,item) rows
+    must not inflate supports)."""
+    from milan_spark.operators.association import association_rules, basket_pairs
+
+    rows = [
+        (10, 1), (10, 2), (10, 3), (10, 2),  # duplicate (10, 2)
+        (20, 1), (20, 2),
+        (30, 2), (30, 3),
+        (40, 1), (40, 4),
+    ]
+    df = spark.createDataFrame(rows, ["txn", "item"]).repartition(4)
+    pairs = {(r.item_a, r.item_b): r.n_pair for r in basket_pairs(df, min_count=1).collect()}
+    assert pairs == {(1, 2): 2, (1, 3): 1, (2, 3): 2, (1, 4): 1}
+
+    got = {
+        (r.ante, r.cons): (r.n_pair, r.n_ante, r.n_cons, r.n_txn, r.confidence, r.lift)
+        for r in association_rules(df, min_count=2, min_lift=(1, 1)).collect()
+    }
+    # supports: n_1=3, n_2=3, n_3=2; N=4
+    # (1,2): lift = 2*4/(3*3) = 8/9 < 1 → filtered out both directions
+    # (2,3): lift = 2*4/(3*2) = 4/3 > 1 → kept both directions
+    assert set(got) == {(2, 3), (3, 2)}
+    assert got[(2, 3)] == (2, 3, 2, 4, 2 / 3, 8 / 6)
+    assert got[(3, 2)] == (2, 2, 3, 4, 1.0, 8 / 6)
+
+
+def test_association_rules_partitioning_invariant(spark):
+    from milan_spark.operators.association import association_rules
+
+    rows = [(t, i) for t in range(30) for i in range(1, 6) if (t * i) % 3 != 1]
+    a = spark.createDataFrame(rows, ["txn", "item"])
+    one = sorted(map(tuple, association_rules(a, min_count=2).collect()))
+    many = sorted(map(tuple, association_rules(a.repartition(16), min_count=2).collect()))
+    assert one == many and len(one) > 0
