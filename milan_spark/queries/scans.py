@@ -222,3 +222,45 @@ def running_mean_by_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .to_df()
     )
+
+
+@register(
+    "ewma_smoothing",
+    doc="Per-user EWMA time-series smoothing as a Milan Scan (the genuinely "
+    "sequential fold the Scan op exists for — EWMA is NOT associative, so "
+    "no window rewrite applies): alpha = 1/8 realized as the integer "
+    "update s += floor((x - s) / 8) over exact cents, so the trajectory "
+    "is bit-identical across engines and partitionings. Executed as the "
+    "ordered per-key mapInPandas fold; the oracle replays the recurrence "
+    "with a DuckDB recursive CTE.",
+    oracle="""
+WITH RECURSIVE ev AS (
+  SELECT event_id, user_id, CAST(floor(value * 100 + 0.5) AS BIGINT) AS x,
+         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY event_id) AS rn
+  FROM events
+), rec(user_id, rn, event_id, s) AS (
+  SELECT user_id, rn, event_id, x FROM ev WHERE rn = 1
+  UNION ALL
+  SELECT e.user_id, e.rn, e.event_id,
+         r.s + CAST(floor((e.x - r.s) / 8.0) AS BIGINT)
+  FROM rec r JOIN ev e ON e.user_id = r.user_id AND e.rn = r.rn + 1
+)
+SELECT event_id, user_id, s AS ewma_cents FROM rec
+""",
+)
+def ewma_smoothing_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events").select("event_id", "user_id", "value")
+
+    def fold(state, rec):
+        x = int(math.floor(rec.value * 100 + 0.5))
+        state = x if state is None else state + (x - state) // 8
+        return state, {"event_id": rec.event_id, "user_id": rec.user_id, "ewma_cents": state}
+
+    return scan(
+        ev,
+        fold,
+        initial_state=None,
+        output_schema="event_id long, user_id long, ewma_cents long",
+        keys=["user_id"],
+        seq="event_id",
+    )

@@ -1553,3 +1553,31 @@ def streaming_zscore_anomaly_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         seq="event_id",
     )
     return run_to_memory(out, "streaming_zscore_anomaly")
+
+
+@register(
+    "streaming_ewma_smoothing",
+    doc="Per-user EWMA smoothing on the streaming backend: the same "
+    "non-associative integer recurrence (s += floor((x - s)/8), exact "
+    "cents) in per-key value state — the anomaly-baseline shape a "
+    "monitoring pipeline runs on live events. Same oracle as the batch "
+    "twin (DuckDB recursive CTE).",
+    oracle=REGISTRY["ewma_smoothing"].oracle,
+)
+def streaming_ewma_smoothing_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events_stream(spark, sf_dir).select("event_id", "user_id", "value")
+
+    def fold(state, rec):
+        x = int(math.floor(rec.value * 100 + 0.5))
+        state = x if state is None else state + (x - state) // 8
+        return state, {"event_id": rec.event_id, "user_id": rec.user_id, "ewma_cents": state}
+
+    out = stateful.scan(
+        ev,
+        fold,
+        initial_state=None,
+        output_schema="event_id long, user_id long, ewma_cents long",
+        keys=["user_id"],
+        seq="event_id",
+    )
+    return run_to_memory(out, "streaming_ewma_smoothing")

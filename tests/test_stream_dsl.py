@@ -172,3 +172,30 @@ def test_order_limit_topk_dsl(spark):
     assert per.count() == 6
     best = {(r["k"], r["id"]) for r in per.collect()}
     assert (0, 0) in best and (1, 1) in best and (2, 2) in best
+
+
+def test_ewma_fold_floor_semantics_on_negative_deltas(spark):
+    """EWMA integer update must FLOOR (arithmetic-shift semantics), not
+    truncate toward zero, on decreasing series — the batch fold and the
+    DuckDB oracle's floor((x-s)/8.0) agree only under floor division."""
+    from milan_spark.operators.scans import scan
+
+    rows = [(i + 1, 1, v) for i, v in enumerate([100.0, 0.0, 0.0, 50.0])]
+    df = spark.createDataFrame(rows, "event_id long, user_id long, value double")
+
+    def fold(state, rec):
+        x = int(rec.value * 100)
+        state = x if state is None else state + (x - state) // 8
+        return state, {"event_id": rec.event_id, "s": state}
+
+    got = {
+        r.event_id: r.s
+        for r in scan(
+            df, fold, initial_state=None,
+            output_schema="event_id long, s long", keys=["user_id"], seq="event_id",
+        ).collect()
+    }
+    # s1=10000; s2 = 10000 + (-10000)//8 = 10000 - 1250 = 8750
+    # s3 = 8750 + (-8750)//8 = 8750 + (-1094) = 7656   (floor, not -1093)
+    # s4 = 7656 + (5000-7656)//8 = 7656 + (-332) = 7324
+    assert got == {1: 10000, 2: 8750, 3: 7656, 4: 7324}
