@@ -181,6 +181,7 @@ def pagerank_scaled(
     scale: int = 1_000_000,
     checkpoint_every: int | None = None,
     broadcast_ranks: bool = False,
+    seeds: "Sequence[int] | None" = None,
 ) -> DataFrame:
     """Fixed-iteration PageRank in scaled INTEGER arithmetic — every rank is
     an int64 in units of ``1/scale``, every step is sum + floor-division, so
@@ -210,6 +211,15 @@ def pagerank_scaled(
     construct, lang/Stream.scala:143-147); this composes the same
     driver-fixpoint realization connected_components uses.
 
+    ``seeds`` switches to PERSONALIZED PageRank (the "related items"
+    random-walk-with-restart of item-to-item recommendation): the restart
+    mass ``base`` lands only on the seed nodes (others get 0) and the
+    initial rank vector is ``scale`` on seeds / 0 elsewhere — same integer
+    algebra, same plan shape, so the personalized variant stays
+    bit-identical and oracle-checkable. Seeds are plan literals (a seed SET
+    is an entity handful by definition; a seed *distribution* at scale
+    would join a frame instead).
+
     Caching contract: the edge list and node table are ``persist()``-ed and
     stay cached after the returned plan materializes (the plan is lazy, so
     they cannot be dropped here without forfeiting reuse across rounds).
@@ -233,7 +243,15 @@ def pagerank_scaled(
         .select("node", F.coalesce("outdeg", F.lit(0)).cast("long").alias("outdeg"))
         .persist()
     )
-    ranks = nodes.select("node", "outdeg", F.lit(int(scale)).cast("long").alias("rank"))
+    if seeds is not None:
+        seed_list = sorted(int(s) for s in seeds)
+        is_seed = F.col("node").isin(seed_list)
+        base_col = F.when(is_seed, F.lit(base)).otherwise(F.lit(0)).cast("long")
+        init_rank = F.when(is_seed, F.lit(int(scale))).otherwise(F.lit(0)).cast("long")
+    else:
+        base_col = F.lit(base).cast("long")
+        init_rank = F.lit(int(scale)).cast("long")
+    ranks = nodes.select("node", "outdeg", init_rank.alias("rank"))
     for i in range(iterations):
         srcs = ranks.where(F.col("outdeg") > 0).select(
             F.col("node").alias("u"), F.expr("rank div outdeg").alias("c")
@@ -253,7 +271,7 @@ def pagerank_scaled(
                 "node",
                 "outdeg",
                 (
-                    F.lit(base)
+                    base_col
                     + F.expr(f"({num} * coalesce(s, CAST(0 AS BIGINT))) div {den}")
                 )
                 .cast("long")

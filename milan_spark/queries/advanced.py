@@ -860,17 +860,32 @@ def zorder_layout_prune_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _pagerank_oracle(iterations: int = 5, num: int = 85, den: int = 100, scale: int = 1_000_000) -> str:
+def _pagerank_oracle(
+    iterations: int = 5,
+    num: int = 85,
+    den: int = 100,
+    scale: int = 1_000_000,
+    seeds: tuple[int, ...] | None = None,
+) -> str:
     """Unrolled fixed-iteration PageRank as chained CTEs — the recursion-free
     mirror of operators.graph.pagerank_scaled, constant-for-constant (base
     and damping are formatted from the SAME Python integers the operator
-    uses, so the two sides cannot drift)."""
+    uses, so the two sides cannot drift). ``seeds`` mirrors the operator's
+    personalized variant: restart mass and initial rank land on seed nodes
+    only."""
     base = (scale * (den - num)) // den
-    ctes = [f"r0 AS (SELECT node, CAST({scale} AS BIGINT) AS rank FROM nodes)"]
+    if seeds is not None:
+        in_list = ", ".join(str(int(s)) for s in sorted(seeds))
+        init = f"CASE WHEN node IN ({in_list}) THEN CAST({scale} AS BIGINT) ELSE CAST(0 AS BIGINT) END"
+        base_sql = f"CASE WHEN n.node IN ({in_list}) THEN {base} ELSE 0 END"
+    else:
+        init = f"CAST({scale} AS BIGINT)"
+        base_sql = str(base)
+    ctes = [f"r0 AS (SELECT node, {init} AS rank FROM nodes)"]
     for k in range(1, iterations + 1):
         ctes.append(
             f"""r{k} AS (
-  SELECT n.node, CAST({base} + ({num} * COALESCE(m.s, 0)) // {den} AS BIGINT) AS rank
+  SELECT n.node, CAST({base_sql} + ({num} * COALESCE(m.s, 0)) // {den} AS BIGINT) AS rank
   FROM nodes n LEFT JOIN (
     SELECT e.v AS node, SUM(r.rank // d.outdeg) AS s
     FROM e JOIN r{k - 1} r ON r.node = e.u JOIN outdeg d ON d.node = e.u
@@ -1840,3 +1855,27 @@ def _hits_ir_plan(sf_dir: str):
         )],
     )
     return plan
+
+
+@register(
+    "personalized_pagerank_seeds",
+    doc="PERSONALIZED PageRank (random-walk-with-restart, the related-items "
+    "recommendation shape): restart mass and initial rank concentrated on "
+    "seed suppliers {1,2,3} over the supplier->customer fulfillment graph "
+    "— same scaled-int64 algebra and two-joins-per-round plan as "
+    "pagerank_supplier_customer (operators.graph.pagerank_scaled "
+    "seeds=...), so the personalized variant stays bit-identical and "
+    "oracle-checkable. Nodes unreachable from the seeds read exactly 0.",
+    oracle=_pagerank_oracle(seeds=(1, 2, 3)),
+)
+def personalized_pagerank_seeds_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from milan_spark.operators.graph import pagerank_scaled
+
+    li = table(spark, sf_dir, "lineitem")
+    orders = table(spark, sf_dir, "orders")
+    edges = li.join(orders, li.l_orderkey == orders.o_orderkey).select(
+        F.col("l_suppkey").alias("src"), F.col("o_custkey").alias("dst")
+    )
+    return pagerank_scaled(
+        edges, "src", "dst", iterations=5, broadcast_ranks=True, seeds=(1, 2, 3)
+    )

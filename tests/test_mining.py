@@ -387,3 +387,16 @@ def test_association_rules_partitioning_invariant(spark):
     one = sorted(map(tuple, association_rules(a, min_count=2).collect()))
     many = sorted(map(tuple, association_rules(a.repartition(16), min_count=2).collect()))
     assert one == many and len(one) > 0
+
+
+def test_personalized_pagerank_mass_stays_reachable(spark):
+    """Seeded restart: nodes unreachable from the seed read exactly 0; the
+    seed keeps restart mass; a chain neighbor receives damped mass."""
+    from milan_spark.operators.graph import pagerank_scaled
+
+    # two disjoint chains: 1->2->3 and 10->11
+    df = spark.createDataFrame([(1, 2), (2, 3), (10, 11)], ["src", "dst"])
+    got = {r.node: r.rank for r in pagerank_scaled(df, iterations=3, seeds=(1,)).collect()}
+    assert got[10] == 0 and got[11] == 0
+    assert got[1] == 150_000  # base only: (10^6 * 15)//100
+    assert got[2] > 0 and got[3] > 0
