@@ -1879,3 +1879,105 @@ def personalized_pagerank_seeds_q(spark: SparkSession, sf_dir: str) -> DataFrame
     return pagerank_scaled(
         edges, "src", "dst", iterations=5, broadcast_ranks=True, seeds=(1, 2, 3)
     )
+
+
+@register(
+    "l_diversity_audit",
+    doc="l-diversity audit (Machanavajjhala TKDD'07, the k-anonymity "
+    "companion): within each quasi-identifier class (nation, market "
+    "segment), the SENSITIVE attribute (order priority of the class "
+    "members' orders) must take at least l=3 distinct values — a class "
+    "can be k-anonymous yet leak via a homogeneous sensitive column. One "
+    "join + one combinable groupBy with an exact distinct; emits the full "
+    "class inventory (sizes, distinct sensitive count, risk flag) so the "
+    "hash covers compliant and risky classes alike.",
+    oracle="""
+SELECT c.c_nationkey, c.c_mktsegment,
+       COUNT(*) AS n_rows,
+       COUNT(DISTINCT o.o_orderpriority) AS distinct_sensitive,
+       COUNT(DISTINCT o.o_orderpriority) < 3 AS at_risk
+FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+GROUP BY 1, 2
+""",
+)
+def l_diversity_audit_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey", "c_mktsegment"
+    )
+    orders = table(spark, sf_dir, "orders").select("o_custkey", "o_orderpriority")
+    joined = orders.join(cust, orders.o_custkey == cust.c_custkey)
+    return joined.groupBy("c_nationkey", "c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.countDistinct("o_orderpriority").alias("distinct_sensitive"),
+        (F.countDistinct("o_orderpriority") < 3).alias("at_risk"),
+    )
+
+
+@register(
+    "entity_resolution_pipeline",
+    doc="Entity-resolution FLAGSHIP (record linkage end to end): blocked "
+    "fuzzy matching over the distinct part-name dictionary (edit distance "
+    "<= 2 within (last token, length band) blocks — the fuzzy_name_pairs "
+    "stage), near-match graph collapsed to entities by "
+    "operators.graph.connected_components (min-label propagation — string "
+    "labels compare byte-wise identically in both engines), then "
+    "SURVIVORSHIP: every fact row resolves to its cluster's canonical "
+    "(minimum) name, unpaired names resolve to themselves, and the audit "
+    "emits per-entity fact count, variant-name count, and the smallest "
+    "partkey as the investigation handle. The oracle re-derives the "
+    "clusters with a DuckDB recursive reachability CTE — an independent "
+    "CC implementation.",
+    oracle="""
+WITH RECURSIVE names AS (SELECT DISTINCT p_name FROM part),
+pairs AS (
+  SELECT a.p_name AS na, b.p_name AS nb
+  FROM names a JOIN names b
+    ON (string_split(a.p_name, ' '))[-1] = (string_split(b.p_name, ' '))[-1]
+   AND a.p_name < b.p_name
+   AND abs(length(a.p_name) - length(b.p_name)) <= 2
+  WHERE levenshtein(a.p_name, b.p_name) <= 2
+),
+e AS (SELECT na AS u, nb AS v FROM pairs UNION ALL SELECT nb AS u, na AS v FROM pairs),
+reach(n, l) AS (
+  SELECT u, u FROM (SELECT DISTINCT u FROM e)
+  UNION
+  SELECT e.v, reach.l FROM reach JOIN e ON e.u = reach.n
+),
+lab AS (SELECT n, MIN(l) AS label FROM reach GROUP BY n)
+SELECT COALESCE(lab.label, p.p_name) AS canonical_name,
+       COUNT(*) AS n_parts,
+       COUNT(DISTINCT p.p_name) AS n_names,
+       MIN(p.p_partkey) AS example_partkey
+FROM part p LEFT JOIN lab ON lab.n = p.p_name
+GROUP BY 1
+""",
+)
+def entity_resolution_pipeline_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from milan_spark.operators.graph import connected_components
+
+    part = table(spark, sf_dir, "part").select("p_partkey", "p_name")
+    names = part.select("p_name").distinct()
+    a = names.select(F.col("p_name").alias("name_a"))
+    b = names.select(F.col("p_name").alias("name_b"))
+    pairs = a.join(
+        b,
+        (
+            F.element_at(F.split("name_a", " "), -1)
+            == F.element_at(F.split("name_b", " "), -1)
+        )
+        & (F.col("name_a") < F.col("name_b"))
+        & (F.abs(F.length("name_a") - F.length("name_b")) <= 2),
+    ).filter(F.levenshtein("name_a", "name_b") <= 2)
+    labels = connected_components(pairs, "name_a", "name_b").select(
+        F.col("node").alias("p_name"), F.col("label").alias("canonical")
+    )
+    resolved = part.join(labels, "p_name", "left").select(
+        "p_partkey",
+        "p_name",
+        F.coalesce("canonical", "p_name").alias("canonical_name"),
+    )
+    return resolved.groupBy("canonical_name").agg(
+        F.count(F.lit(1)).alias("n_parts"),
+        F.countDistinct("p_name").alias("n_names"),
+        F.min("p_partkey").alias("example_partkey"),
+    )
