@@ -1581,3 +1581,75 @@ def streaming_ewma_smoothing_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         seq="event_id",
     )
     return run_to_memory(out, "streaming_ewma_smoothing")
+
+
+@register(
+    "streaming_conversion_funnel",
+    doc="Streaming 3-step conversion funnel: per-user stage machine "
+    "(view -> click within 30d -> purchase within 30d) in keyed value "
+    "state, emitting a row the moment a stage completes — the live "
+    "product-analytics shape (the batch conversion_funnel re-derives the "
+    "same funnel as array algebra over event-TIME order; the streaming "
+    "contract is ARRIVAL order, so this query carries its own oracle: "
+    "chained per-step MIN-event_id joins with the same microsecond "
+    "windows). State is 3 ints per user forever.",
+    oracle="""
+WITH base AS (
+  SELECT event_id, user_id, event_type, epoch_ns(ts) // 1000 AS ts_us
+  FROM events WHERE user_id IS NOT NULL
+), v AS (
+  SELECT user_id, MIN(event_id) AS v_eid FROM base
+  WHERE event_type = 'view' GROUP BY 1
+), vts AS (
+  SELECT b.user_id, v.v_eid, b.ts_us AS v_us
+  FROM v JOIN base b ON b.event_id = v.v_eid
+), c AS (
+  SELECT b.user_id, MIN(b.event_id) AS c_eid FROM base b JOIN vts USING (user_id)
+  WHERE b.event_type = 'click' AND b.event_id > vts.v_eid
+    AND b.ts_us > vts.v_us AND b.ts_us <= vts.v_us + 2592000000000
+  GROUP BY 1
+), cts AS (
+  SELECT b.user_id, c.c_eid, b.ts_us AS c_us
+  FROM c JOIN base b ON b.event_id = c.c_eid
+), p AS (
+  SELECT b.user_id, MIN(b.event_id) AS p_eid FROM base b JOIN cts USING (user_id)
+  WHERE b.event_type = 'purchase' AND b.event_id > cts.c_eid
+    AND b.ts_us > cts.c_us AND b.ts_us <= cts.c_us + 2592000000000
+  GROUP BY 1
+), pts AS (
+  SELECT b.user_id, b.ts_us AS p_us FROM p JOIN base b ON b.event_id = p.p_eid
+)
+SELECT user_id, CAST(1 AS INT) AS stage_idx, v_us AS ts_us FROM vts
+UNION ALL
+SELECT user_id, CAST(2 AS INT), c_us FROM cts
+UNION ALL
+SELECT user_id, CAST(3 AS INT), p_us FROM pts
+""",
+)
+def streaming_conversion_funnel_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    day30_us = 30 * 86400 * 1_000_000
+    ev = (
+        _events_stream(spark, sf_dir)
+        .filter(F.col("user_id").isNotNull())
+        .select("event_id", "user_id", "event_type", F.unix_micros("ts").alias("ts_us"))
+    )
+
+    def fold(state, rec):
+        stage, v_us, c_us = state if state is not None else (0, 0, 0)
+        if stage == 0 and rec.event_type == "view":
+            return (1, rec.ts_us, 0), {"user_id": rec.user_id, "stage_idx": 1, "ts_us": rec.ts_us}
+        if stage == 1 and rec.event_type == "click" and v_us < rec.ts_us <= v_us + day30_us:
+            return (2, v_us, rec.ts_us), {"user_id": rec.user_id, "stage_idx": 2, "ts_us": rec.ts_us}
+        if stage == 2 and rec.event_type == "purchase" and c_us < rec.ts_us <= c_us + day30_us:
+            return (3, v_us, c_us), {"user_id": rec.user_id, "stage_idx": 3, "ts_us": rec.ts_us}
+        return (stage, v_us, c_us), None
+
+    out = stateful.scan(
+        ev,
+        fold,
+        initial_state=None,
+        output_schema="user_id long, stage_idx int, ts_us long",
+        keys=["user_id"],
+        seq="event_id",
+    )
+    return run_to_memory(out, "streaming_conversion_funnel")
