@@ -1653,3 +1653,89 @@ def streaming_conversion_funnel_q(spark: SparkSession, sf_dir: str) -> DataFrame
         seq="event_id",
     )
     return run_to_memory(out, "streaming_conversion_funnel")
+
+
+@register(
+    "streaming_weighted_sample",
+    doc="Streaming weighted reservoir sampling WITHOUT replacement "
+    "(Efraimidis-Spirakis A-ES — the actual reservoir algorithm the batch "
+    "weighted_sample linearizes): top-10 events per type by exponential "
+    "key -ln(u)/value, where u is the record's deterministic content hash "
+    "(computed JVM-side on the stream — the Python state machine only "
+    "maintains the 10-row reservoir per key). Because the ES key is a "
+    "property of the record, the streamed reservoir's final snapshot is "
+    "BIT-IDENTICAL to the batch two-phase top-n — the oracle is the plain "
+    "ranked formulation. Snapshots are versioned; the query reconstructs "
+    "latest-per-stratum, the versioned-sink contract every stateful "
+    "summary here follows. State: 10 (es, id) pairs per stratum, forever.",
+    oracle=f"""
+WITH es AS (
+  SELECT event_id, event_type,
+         round(-ln(CAST(({_analytics._BUCKET.format(s="CAST(event_id AS VARCHAR)", n=1073741824)}
+                         * 2654435761) % 2147483647 + 1 AS DOUBLE) / 2147483648e0)
+               / CAST(value AS DOUBLE), 9) AS es_key
+  FROM events WHERE value > 0 AND event_type IS NOT NULL
+)
+SELECT event_id, event_type, es_key, sample_rank FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY event_type
+                               ORDER BY es_key, event_id) AS sample_rank
+  FROM es
+) WHERE sample_rank <= 10
+""",
+)
+def streaming_weighted_sample_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    from milan_spark.operators.sampling import hash_bucket
+
+    p31 = 2_147_483_647
+    ev = (
+        _events_stream(spark, sf_dir)
+        .filter(F.col("value").isNotNull() & (F.col("value") > 0) & F.col("event_type").isNotNull())
+        .select("event_id", "event_type", "value")
+    )
+    h = hash_bucket(F.col("event_id"), 1 << 30).cast("long")
+    u = ((h * F.lit(2_654_435_761) % F.lit(p31)) + F.lit(1)).cast("double") / F.lit(float(p31 + 1))
+    ev = ev.select(
+        "event_id", "event_type",
+        F.round(-F.log(u) / F.col("value").cast("double"), 9).alias("es_key"),
+    )
+
+    def fold(state, rec):
+        version, items = state if state is not None else (0, [])
+        cand = [rec.es_key, rec.event_id]
+        if len(items) < 10:
+            items = sorted(items + [cand])
+        elif cand < items[-1]:
+            items = sorted(items[:-1] + [cand])
+        else:
+            return (version, items), None
+        version += 1
+        return (version, items), {
+            "event_type": rec.event_type,
+            "version": version,
+            "items": [{"es_key": e, "event_id": i} for e, i in items],
+        }
+
+    snaps = stateful.scan(
+        ev,
+        fold,
+        initial_state=None,
+        output_schema="event_type string, version long, "
+        "items array<struct<es_key double, event_id long>>",
+        keys=["event_type"],
+        seq="event_id",
+    )
+    tbl = run_to_memory(snaps, "streaming_weighted_sample")
+    w = W.partitionBy("event_type")
+    cur = tbl.withColumn("__maxv", F.max("version").over(w)).where(
+        F.col("version") == F.col("__maxv")
+    )
+    return cur.select(
+        "event_type", F.posexplode("items").alias("pos", "it")
+    ).select(
+        F.col("it.event_id").alias("event_id"),
+        "event_type",
+        F.col("it.es_key").alias("es_key"),
+        (F.col("pos") + 1).cast("int").alias("sample_rank"),
+    )
