@@ -494,3 +494,53 @@ def histogram_quantiles(
         join_keys = key_list + ["n", "mn", "mx"]
         out = part if out is None else out.join(part, join_keys)
     return out
+
+
+def join_size_estimate(
+    a: DataFrame,
+    a_key: str,
+    b: DataFrame | None = None,
+    b_key: str | None = None,
+    *,
+    sample_den: int = 16,
+) -> DataFrame:
+    """Join-cardinality estimation by COORDINATED key sampling (the
+    end-biased-sampling estimator, Estan & Naughton ICDE'06 family): keep
+    only rows whose KEY hashes into the lowest 1/sample_den of the hash
+    space — the same hash on both sides, so any key is sampled on both or
+    neither — then |A ⋈ B| = Σ_k f_A(k)·f_B(k) over the sampled keys,
+    scaled back by ``sample_den``. ``b=None`` estimates the SELF-join size
+    Σ_k f(k)² — the skew diagnostic that prices a groupBy/distinct/join
+    before running it (it is exactly the second frequency moment F₂).
+
+    Plan: the key-hash filter evaluates row-local BEFORE any exchange, so
+    shuffle volume drops by the sampling factor; per-key counts are
+    combinable; the sampled-key join is 1/sample_den of the key domain.
+    Deterministic hash → the estimate is a pure function of the input
+    (engine-reproducible, retry-stable), unlike rand()-sampled estimators.
+
+    Returns one row: (n_sampled_keys, sampled_pairs, est_pairs).
+    """
+    from milan_spark.operators.sampling import hash_bucket
+
+    n_space = 1 << 30
+    thr = n_space // sample_den
+    fa = (
+        a.filter(hash_bucket(F.col(a_key), n_space) < thr)
+        .groupBy(F.col(a_key).alias("key"))
+        .agg(F.count(F.lit(1)).alias("fa"))
+    )
+    if b is None:
+        pairs = fa.select("key", (F.col("fa") * F.col("fa")).alias("p"))
+    else:
+        fb = (
+            b.filter(hash_bucket(F.col(b_key or a_key), n_space) < thr)
+            .groupBy(F.col(b_key or a_key).alias("key"))
+            .agg(F.count(F.lit(1)).alias("fb"))
+        )
+        pairs = fa.join(fb, "key").select("key", (F.col("fa") * F.col("fb")).alias("p"))
+    return pairs.agg(
+        F.count(F.lit(1)).cast("long").alias("n_sampled_keys"),
+        F.coalesce(F.sum("p"), F.lit(0)).cast("long").alias("sampled_pairs"),
+        (F.coalesce(F.sum("p"), F.lit(0)) * sample_den).cast("long").alias("est_pairs"),
+    )

@@ -1544,3 +1544,154 @@ def target_encode_categories_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("enc"),
     )
+
+
+@register(
+    "self_join_size_estimate",
+    doc="Join-cardinality estimation by coordinated key sampling "
+    "(operators.sketch.join_size_estimate — the F2/end-biased estimator): "
+    "the self-join size Sum f(k)^2 of lineitem on l_partkey from the 1/16 "
+    "of keys whose deterministic hash falls lowest, scaled back by 16. "
+    "This is the skew diagnostic an optimizer prices a shuffle with "
+    "before running it; the row-local key filter drops shuffle volume "
+    "16x before the combinable count. Deterministic hash -> the estimate "
+    "is a pure function of the input, so the oracle replays it exactly.",
+    oracle=f"""
+WITH k AS (
+  SELECT l_partkey AS key, COUNT(*) AS f FROM lineitem
+  WHERE {_BUCKET.format(s="CAST(l_partkey AS VARCHAR)", n=1073741824)} < 67108864
+  GROUP BY 1
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_sampled_keys,
+       CAST(COALESCE(SUM(f * f), 0) AS BIGINT) AS sampled_pairs,
+       CAST(COALESCE(SUM(f * f), 0) * 16 AS BIGINT) AS est_pairs
+FROM k
+""",
+)
+def self_join_size_estimate_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from milan_spark.operators.sketch import join_size_estimate
+
+    li = table(spark, sf_dir, "lineitem")
+    return join_size_estimate(li, "l_partkey", sample_den=16)
+
+
+@register(
+    "event_sessionization",
+    doc="Sessionization (session-id assignment): per-user sessions split at "
+    "30-minute inactivity gaps — LAG + cumulative new-session flags (the "
+    "gaps-and-islands device on timestamps), then one combinable rollup "
+    "per session: event count, exact microsecond start/end/duration. One "
+    "key-partitioned window exchange over (user, ts, event_id)-ordered "
+    "rows; ties broken on event_id so the split is engine-exact.",
+    oracle="""
+WITH base AS (
+  SELECT user_id, event_id, epoch_ns(ts) // 1000 AS ts_us
+  FROM events WHERE user_id IS NOT NULL
+), flagged AS (
+  SELECT user_id, event_id, ts_us,
+         CASE WHEN ts_us - LAG(ts_us) OVER w > 1800000000
+              OR LAG(ts_us) OVER w IS NULL THEN 1 ELSE 0 END AS new_sess
+  FROM base WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)
+), sess AS (
+  SELECT user_id, event_id, ts_us,
+         SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS session_idx
+  FROM flagged
+)
+SELECT user_id, CAST(session_idx AS BIGINT) AS session_idx,
+       COUNT(*) AS n_events,
+       MIN(ts_us) AS start_us, MAX(ts_us) AS end_us,
+       MAX(ts_us) - MIN(ts_us) AS duration_us
+FROM sess GROUP BY 1, 2
+""",
+)
+def event_sessionization_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    base = (
+        table(spark, sf_dir, "events")
+        .filter(F.col("user_id").isNotNull())
+        .select("user_id", "event_id", F.unix_micros("ts").alias("ts_us"))
+    )
+    w = W.partitionBy("user_id").orderBy("ts_us", "event_id")
+    flagged = base.withColumn(
+        "new_sess",
+        F.when(
+            F.lag("ts_us").over(w).isNull()
+            | (F.col("ts_us") - F.lag("ts_us").over(w) > 1_800_000_000),
+            F.lit(1),
+        ).otherwise(F.lit(0)),
+    )
+    sess = flagged.withColumn(
+        "session_idx",
+        F.sum("new_sess").over(w.rowsBetween(W.unboundedPreceding, W.currentRow)).cast("long"),
+    )
+    return sess.groupBy("user_id", "session_idx").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.min("ts_us").alias("start_us"),
+        F.max("ts_us").alias("end_us"),
+        (F.max("ts_us") - F.min("ts_us")).alias("duration_us"),
+    )
+
+
+@register(
+    "winsorized_value_stats",
+    doc="Winsorized (p95-clipped) robust statistics per event type — the "
+    "outlier-capped feature the raw mean is not: the exact discrete p95 "
+    "(value at rank ceil(95n/100) in cents, integer rank arithmetic — "
+    "no float interpolation) caps every value above it, then one "
+    "combinable aggregate emits n, the cap, clipped sum, and the clipped "
+    "mean as a single exact-int division pair. Per-type partitions are "
+    "domain-bounded (5 event types), so the rank window is cheap here; "
+    "the selection-based exact_quantiles operator is the 100 TB path for "
+    "high-cardinality strata (quantile_selection_prices demonstrates it).",
+    oracle="""
+WITH base AS (
+  SELECT event_type, event_id, CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+  FROM events WHERE event_type IS NOT NULL
+), ranked AS (
+  SELECT event_type, cents,
+         ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY cents, event_id) AS rn,
+         COUNT(*) OVER (PARTITION BY event_type) AS n
+  FROM base
+), p95 AS (
+  SELECT event_type, MIN(cents) AS p95_cents
+  FROM ranked WHERE rn >= CAST(ceil(95 * n / 100.0) AS BIGINT) GROUP BY 1
+)
+SELECT b.event_type, COUNT(*) AS n, p.p95_cents,
+       SUM(LEAST(b.cents, p.p95_cents)) AS clipped_sum_cents,
+       CAST(SUM(LEAST(b.cents, p.p95_cents)) AS DOUBLE) / COUNT(*) AS clipped_mean_cents
+FROM base b JOIN p95 p USING (event_type)
+GROUP BY 1, 3
+""",
+)
+def winsorized_value_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    base = (
+        table(spark, sf_dir, "events")
+        .filter(F.col("event_type").isNotNull())
+        .select(
+            "event_type",
+            "event_id",
+            F.floor(F.col("value") * 100 + 0.5).cast("long").alias("cents"),
+        )
+    )
+    w = W.partitionBy("event_type").orderBy("cents", "event_id")
+    ranked = base.withColumn("rn", F.row_number().over(w)).withColumn(
+        "n", F.count(F.lit(1)).over(W.partitionBy("event_type"))
+    )
+    p95 = (
+        ranked.filter(F.col("rn") >= F.ceil(95 * F.col("n") / 100.0).cast("long"))
+        .groupBy("event_type")
+        .agg(F.min("cents").alias("p95_cents"))
+    )
+    clipped = base.join(F.broadcast(p95), "event_type").select(
+        "event_type", "p95_cents", F.least("cents", F.col("p95_cents")).alias("cc")
+    )
+    return clipped.groupBy("event_type", "p95_cents").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("cc").alias("clipped_sum_cents"),
+        (F.sum("cc").cast("double") / F.count(F.lit(1))).alias("clipped_mean_cents"),
+    ).select("event_type", "n", "p95_cents", "clipped_sum_cents", "clipped_mean_cents")

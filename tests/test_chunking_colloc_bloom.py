@@ -111,3 +111,17 @@ def test_bloom_deterministic_across_runs(spark):
     a = bloom_build(build, "k", m_bits=1024).collect()[0].bloom
     b = bloom_build(build.repartition(7), "k", m_bits=1024).collect()[0].bloom
     assert a == b
+
+
+def test_join_size_estimate_den1_is_exact(spark):
+    """sample_den=1 keeps every key, so the 'estimate' must equal the true
+    join cardinality — both for the two-table and self-join forms."""
+    from milan_spark.operators.sketch import join_size_estimate
+
+    a = spark.createDataFrame([(k,) for k in [1, 1, 2, 3, 3, 3]], ["k"])
+    b = spark.createDataFrame([(k,) for k in [1, 3, 3, 4]], ["k"])
+    two = join_size_estimate(a, "k", b, "k", sample_den=1).first()
+    assert two.est_pairs == a.join(b, "k").count() == 8
+    self_ = join_size_estimate(a, "k", sample_den=1).first()
+    assert self_.est_pairs == 4 + 1 + 9
+    assert self_.n_sampled_keys == 3
