@@ -1695,3 +1695,122 @@ def winsorized_value_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("cc").alias("clipped_sum_cents"),
         (F.sum("cc").cast("double") / F.count(F.lit(1))).alias("clipped_mean_cents"),
     ).select("event_type", "n", "p95_cents", "clipped_sum_cents", "clipped_mean_cents")
+
+
+@register(
+    "twap_user_value",
+    doc="Time-weighted average (the TWAP/monitoring-gauge aggregate): each "
+    "observation weighted by its holding interval to the next event "
+    "(LEAD), exact microsecond-by-cents products accumulated in "
+    "DECIMAL(38,0) — order-independent exact sums far past int64 — and "
+    "ONE final exact-decimal-to-double division rounded to 4 places. "
+    "One key-partitioned window exchange + one combinable aggregate; "
+    "users with a single event (no interval) drop out by definition.",
+    oracle="""
+WITH base AS (
+  SELECT user_id, event_id, epoch_ns(ts) // 1000 AS ts_us,
+         CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+  FROM events WHERE user_id IS NOT NULL
+), iv AS (
+  SELECT user_id, cents,
+         LEAD(ts_us) OVER (PARTITION BY user_id ORDER BY ts_us, event_id) - ts_us
+           AS dur_us
+  FROM base
+)
+SELECT user_id,
+       COUNT(*) AS n_intervals,
+       CAST(SUM(dur_us) AS BIGINT) AS total_dur_us,
+       round(CAST(SUM(CAST(cents AS DECIMAL(38,0)) * CAST(dur_us AS DECIMAL(38,0))) AS DOUBLE)
+             / CAST(SUM(dur_us) AS DOUBLE), 4) AS twap_cents
+FROM iv WHERE dur_us IS NOT NULL AND dur_us > 0
+GROUP BY 1
+""",
+)
+def twap_user_value_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    base = (
+        table(spark, sf_dir, "events")
+        .filter(F.col("user_id").isNotNull())
+        .select(
+            "user_id",
+            "event_id",
+            F.unix_micros("ts").alias("ts_us"),
+            F.floor(F.col("value") * 100 + 0.5).cast("long").alias("cents"),
+        )
+    )
+    w = W.partitionBy("user_id").orderBy("ts_us", "event_id")
+    iv = base.select(
+        "user_id", "cents", (F.lead("ts_us").over(w) - F.col("ts_us")).alias("dur_us")
+    ).filter(F.col("dur_us").isNotNull() & (F.col("dur_us") > 0))
+    d38 = "decimal(38,0)"
+    return iv.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_intervals"),
+        F.sum("dur_us").cast("long").alias("total_dur_us"),
+        F.round(
+            F.sum(F.col("cents").cast(d38) * F.col("dur_us").cast(d38)).cast("double")
+            / F.sum("dur_us").cast("double"),
+            4,
+        ).alias("twap_cents"),
+    )
+
+
+@register(
+    "sequence_pattern_counts",
+    doc="Sequential-pattern counting (the MATCH_RECOGNIZE-lite every "
+    "clickstream stack ships): each user's event-type history becomes one "
+    "letter string in (ts, event_id) order — built with ONE combinable "
+    "shuffle (sorted struct array -> transform -> join, all JVM higher-"
+    "order functions, no Python) — and occurrences of the "
+    "view->click->purchase motif count by non-overlapping left-to-right "
+    "REPLACE arithmetic, the same algorithm in both engines. Per-user "
+    "strings are event-count-bounded (the _copart_pairs trade, stated).",
+    oracle="""
+WITH base AS (
+  SELECT user_id, epoch_ns(ts) // 1000 AS ts_us, event_id,
+         CASE event_type WHEN 'view' THEN 'v' WHEN 'click' THEN 'c'
+              WHEN 'purchase' THEN 'p' WHEN 'signup' THEN 's' ELSE 'e' END AS letter
+  FROM events WHERE user_id IS NOT NULL
+), seqs AS (
+  SELECT user_id, string_agg(letter, '' ORDER BY ts_us, event_id) AS s
+  FROM base GROUP BY 1
+)
+SELECT user_id, CAST(length(s) AS BIGINT) AS seq_len,
+       CAST((length(s) - length(replace(s, 'vcp', ''))) // 3 AS BIGINT) AS n_vcp
+FROM seqs
+""",
+)
+def sequence_pattern_counts_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    base = (
+        table(spark, sf_dir, "events")
+        .filter(F.col("user_id").isNotNull())
+        .select(
+            "user_id",
+            F.unix_micros("ts").alias("ts_us"),
+            "event_id",
+            F.when(F.col("event_type") == "view", "v")
+            .when(F.col("event_type") == "click", "c")
+            .when(F.col("event_type") == "purchase", "p")
+            .when(F.col("event_type") == "signup", "s")
+            .otherwise("e")
+            .alias("letter"),
+        )
+    )
+    seqs = base.groupBy("user_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct("ts_us", "event_id", "letter"))
+                ),
+                lambda x: x["letter"],
+            ),
+            "",
+        ).alias("s")
+    )
+    return seqs.select(
+        "user_id",
+        F.length("s").cast("long").alias("seq_len"),
+        ((F.length("s") - F.length(F.replace(F.col("s"), F.lit("vcp"), F.lit("")))) / 3)
+        .cast("long")
+        .alias("n_vcp"),
+    )

@@ -1625,3 +1625,64 @@ def market_basket_rules_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return association_rules(
         li, "l_orderkey", "l_partkey", min_count=3, min_lift=(3, 2)
     )
+
+
+@register(
+    "skipgram_pairs_from_walks",
+    doc="Skip-gram training-pair generation from the deterministic walk "
+    "corpus (the second half of DeepWalk: walks -> (center, context) "
+    "pairs within window 2): the walk table materializes ONCE (persisted "
+    "— it feeds both sides of the pair join; the shared-subtree lesson), "
+    "then one equi-join on walk_id with a row-local step-distance "
+    "predicate and a combinable pair count. Pair volume is "
+    "O(walks · length · window), independent of graph size. Oracle: the "
+    "same recursive-CTE walk replay self-joined.",
+    oracle="""
+WITH RECURSIVE fwd AS (
+  SELECT DISTINCT l.l_suppkey AS src, o.o_custkey + 1000000 AS dst
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+), e AS (
+  SELECT src, dst FROM fwd UNION SELECT dst AS src, src AS dst FROM fwd
+), adj AS (
+  SELECT src, dst, ROW_NUMBER() OVER (PARTITION BY src ORDER BY dst) - 1 AS pos FROM e
+), deg AS (
+  SELECT src, COUNT(*) AS deg FROM e GROUP BY src
+), walks(walk_id, step, node) AS (
+  SELECT CAST(src * 2 + w AS BIGINT), CAST(0 AS INTEGER), CAST(src AS BIGINT)
+  FROM deg, (SELECT UNNEST([0, 1]) AS w)
+  UNION ALL
+  SELECT walks.walk_id, CAST(walks.step + 1 AS INTEGER), CAST(a.dst AS BIGINT)
+  FROM walks
+  JOIN deg d ON d.src = walks.node
+  JOIN adj a ON a.src = walks.node
+   AND a.pos = ((walks.walk_id * 1000003 + walks.step * 10007 + walks.node * 31)
+                % 2147483647) % d.deg
+  WHERE walks.step < 4
+)
+SELECT a.node AS center, b.node AS context, COUNT(*) AS n_pairs
+FROM walks a JOIN walks b
+  ON a.walk_id = b.walk_id AND a.step <> b.step AND abs(a.step - b.step) <= 2
+GROUP BY 1, 2
+""",
+)
+def skipgram_pairs_from_walks_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from milan_spark.operators.graph import random_walks
+
+    li = table(spark, sf_dir, "lineitem")
+    orders = table(spark, sf_dir, "orders")
+    fwd = li.join(orders, li.l_orderkey == orders.o_orderkey).select(
+        F.col("l_suppkey").cast("long").alias("src"),
+        (F.col("o_custkey") + 1_000_000).cast("long").alias("dst"),
+    )
+    edges = fwd.unionByName(
+        fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    walks = random_walks(edges, walks_per_node=2, walk_length=4).persist()
+    a = walks.select("walk_id", F.col("step").alias("sa"), F.col("node").alias("center"))
+    b = walks.select("walk_id", F.col("step").alias("sb"), F.col("node").alias("context"))
+    return (
+        a.join(b, "walk_id")
+        .filter((F.col("sa") != F.col("sb")) & (F.abs(F.col("sa") - F.col("sb")) <= 2))
+        .groupBy("center", "context")
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+    )
