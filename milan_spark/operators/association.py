@@ -32,27 +32,20 @@ from pyspark.sql import DataFrame, functions as F
 D38 = "decimal(38,0)"
 
 
-def basket_pairs(
-    df: DataFrame,
-    txn_col: str = "txn",
-    item_col: str = "item",
-    *,
-    min_count: int = 2,
-) -> DataFrame:
-    """Unordered co-occurrence pairs (item_a < item_b) with basket counts.
-
-    One combinable distinct + groupBy(txn), then a row-local ordered-pair
-    explode: for each position i in the sorted item array, pair with the
-    slice strictly past i — every unordered pair exactly once, no quadratic
-    row fan-out before the pair even forms.
-    """
-    ti = df.select(
-        F.col(txn_col).alias("__txn"), F.col(item_col).alias("__item")
-    ).distinct()
-    baskets = ti.groupBy("__txn").agg(F.sort_array(F.collect_set("__item")).alias("items"))
-    heads = baskets.select(
-        "items", F.posexplode("items").alias("i", "item_a")
+def _baskets(df: DataFrame, txn_col: str, item_col: str) -> DataFrame:
+    """(txn, sorted distinct item array) — the ONE shuffle the raw fact table
+    pays in this module: ``collect_set`` dedupes map-side during partial
+    aggregation, so no separate distinct pass (and no second raw-table
+    exchange) is needed."""
+    return (
+        df.select(F.col(txn_col).alias("__txn"), F.col(item_col).alias("__item"))
+        .groupBy("__txn")
+        .agg(F.sort_array(F.collect_set("__item")).alias("items"))
     )
+
+
+def _pairs_from_baskets(baskets: DataFrame, min_count: int) -> DataFrame:
+    heads = baskets.select("items", F.posexplode("items").alias("i", "item_a"))
     pairs = heads.select(
         "item_a",
         F.explode(F.expr("slice(items, i + 2, size(items))")).alias("item_b"),
@@ -62,6 +55,24 @@ def basket_pairs(
         .agg(F.count(F.lit(1)).alias("n_pair"))
         .filter(F.col("n_pair") >= min_count)
     )
+
+
+def basket_pairs(
+    df: DataFrame,
+    txn_col: str = "txn",
+    item_col: str = "item",
+    *,
+    min_count: int = 2,
+) -> DataFrame:
+    """Unordered co-occurrence pairs (item_a < item_b) with basket counts.
+
+    One combinable groupBy(txn) (collect_set dedupes map-side — the raw
+    table never shuffles twice), then a row-local ordered-pair explode: for
+    each position i in the sorted item array, pair with the slice strictly
+    past i — every unordered pair exactly once, no quadratic row fan-out
+    before the pair even forms.
+    """
+    return _pairs_from_baskets(_baskets(df, txn_col, item_col), min_count)
 
 
 def association_rules(
@@ -79,15 +90,20 @@ def association_rules(
     both emitted as one IEEE division over exact integer counts (the
     collocations discipline), with the ``min_lift`` rational threshold
     multiplied through in DECIMAL(38,0) so the FILTER never touches a float.
+
+    Everything derives from ONE persisted basket table — the raw fact table
+    shuffles exactly once (on txn), then N, supports, and pairs are all
+    basket-table aggregates (supports explode the deduped arrays, not the
+    raw rows).
     """
-    ti = df.select(
-        F.col(txn_col).alias("__txn"), F.col(item_col).alias("__item")
-    ).distinct()
-    n_txn = ti.select(F.countDistinct("__txn").alias("n_txn"))
-    supports = ti.groupBy(F.col("__item").alias("item")).agg(
-        F.count(F.lit(1)).alias("n_item")
+    baskets = _baskets(df, txn_col, item_col).persist()
+    n_txn = baskets.agg(F.count(F.lit(1)).alias("n_txn"))
+    supports = (
+        baskets.select(F.explode("items").alias("item"))
+        .groupBy("item")
+        .agg(F.count(F.lit(1)).alias("n_item"))
     )
-    pairs = basket_pairs(df, txn_col, item_col, min_count=min_count)
+    pairs = _pairs_from_baskets(baskets, min_count)
     rules = pairs.select(
         F.col("item_a").alias("ante"), F.col("item_b").alias("cons"), "n_pair"
     ).unionByName(

@@ -1739,3 +1739,140 @@ def streaming_weighted_sample_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("it.es_key").alias("es_key"),
         (F.col("pos") + 1).cast("int").alias("sample_rank"),
     )
+
+
+@register(
+    "streaming_twap_user_value",
+    doc="Streaming time-weighted average: each arrival closes the previous "
+    "observation's holding interval (state = last (ts, cents) per user), "
+    "the closed interval emits as a row, and the versioned-sink "
+    "post-aggregate applies the same DECIMAL(38) exact-sum TWAP formula "
+    "as the batch twin. The streaming contract is ARRIVAL order, so the "
+    "oracle is the batch formulation with LEAD ordered by event_id.",
+    oracle="""
+WITH base AS (
+  SELECT user_id, event_id, epoch_ns(ts) // 1000 AS ts_us,
+         CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+  FROM events WHERE user_id IS NOT NULL
+), iv AS (
+  SELECT user_id, cents,
+         LEAD(ts_us) OVER (PARTITION BY user_id ORDER BY event_id) - ts_us AS dur_us
+  FROM base
+)
+SELECT user_id,
+       COUNT(*) AS n_intervals,
+       CAST(SUM(dur_us) AS BIGINT) AS total_dur_us,
+       round(CAST(SUM(CAST(cents AS DECIMAL(38,0)) * CAST(dur_us AS DECIMAL(38,0))) AS DOUBLE)
+             / CAST(SUM(dur_us) AS DOUBLE), 4) AS twap_cents
+FROM iv WHERE dur_us IS NOT NULL AND dur_us > 0
+GROUP BY 1
+""",
+)
+def streaming_twap_user_value_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = (
+        _events_stream(spark, sf_dir)
+        .filter(F.col("user_id").isNotNull())
+        .select(
+            "event_id",
+            "user_id",
+            F.unix_micros("ts").alias("ts_us"),
+            F.floor(F.col("value") * 100 + 0.5).cast("long").alias("cents"),
+        )
+    )
+
+    def fold(state, rec):
+        out = None
+        if state is not None:
+            prev_ts, prev_cents = state
+            dur = rec.ts_us - prev_ts
+            if dur > 0:
+                out = {"user_id": rec.user_id, "cents": prev_cents, "dur_us": dur}
+        return (rec.ts_us, rec.cents), out
+
+    intervals = stateful.scan(
+        ev,
+        fold,
+        initial_state=None,
+        output_schema="user_id long, cents long, dur_us long",
+        keys=["user_id"],
+        seq="event_id",
+    )
+    tbl = run_to_memory(intervals, "streaming_twap_user_value")
+    d38 = "decimal(38,0)"
+    return tbl.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_intervals"),
+        F.sum("dur_us").cast("long").alias("total_dur_us"),
+        F.round(
+            F.sum(F.col("cents").cast(d38) * F.col("dur_us").cast(d38)).cast("double")
+            / F.sum("dur_us").cast("double"),
+            4,
+        ).alias("twap_cents"),
+    )
+
+
+@register(
+    "streaming_sequence_dfa",
+    doc="Streaming sequential-pattern matching as a per-key DFA in value "
+    "state (the MATCH_RECOGNIZE-lite, live): the view->click->purchase "
+    "motif compiles to a 3-state machine (reset-on-mismatch is exact for "
+    "a borderless pattern — identical to non-overlapping left-to-right "
+    "REPLACE counting); each completed match emits the user's running "
+    "count, the post-aggregate keeps the max. O(2 ints) state per user "
+    "forever. Oracle: arrival-order string_agg + REPLACE arithmetic, "
+    "matches > 0.",
+    oracle="""
+WITH base AS (
+  SELECT user_id, event_id,
+         CASE event_type WHEN 'view' THEN 'v' WHEN 'click' THEN 'c'
+              WHEN 'purchase' THEN 'p' WHEN 'signup' THEN 's' ELSE 'e' END AS letter
+  FROM events WHERE user_id IS NOT NULL
+), seqs AS (
+  SELECT user_id, string_agg(letter, '' ORDER BY event_id) AS s FROM base GROUP BY 1
+)
+SELECT user_id,
+       CAST((length(s) - length(replace(s, 'vcp', ''))) // 3 AS BIGINT) AS n_vcp
+FROM seqs
+WHERE length(s) - length(replace(s, 'vcp', '')) > 0
+""",
+)
+def streaming_sequence_dfa_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = (
+        _events_stream(spark, sf_dir)
+        .filter(F.col("user_id").isNotNull())
+        .select(
+            "event_id",
+            "user_id",
+            F.when(F.col("event_type") == "view", "v")
+            .when(F.col("event_type") == "click", "c")
+            .when(F.col("event_type") == "purchase", "p")
+            .when(F.col("event_type") == "signup", "s")
+            .otherwise("e")
+            .alias("letter"),
+        )
+    )
+    # DFA for 'vcp' (no proper border, so mismatch resets clean — except a
+    # fresh 'v' restarts at state 1 from ANY state)
+    def fold(state, rec):
+        dfa, n = state if state is not None else (0, 0)
+        ch = rec.letter
+        if dfa == 0:
+            dfa = 1 if ch == "v" else 0
+        elif dfa == 1:
+            dfa = 2 if ch == "c" else (1 if ch == "v" else 0)
+        else:  # dfa == 2
+            if ch == "p":
+                n += 1
+                return (0, n), {"user_id": rec.user_id, "n_vcp": n}
+            dfa = 1 if ch == "v" else 0
+        return (dfa, n), None
+
+    matches = stateful.scan(
+        ev,
+        fold,
+        initial_state=None,
+        output_schema="user_id long, n_vcp long",
+        keys=["user_id"],
+        seq="event_id",
+    )
+    tbl = run_to_memory(matches, "streaming_sequence_dfa")
+    return tbl.groupBy("user_id").agg(F.max("n_vcp").alias("n_vcp"))
