@@ -911,3 +911,89 @@ def random_walks(
     for frame in out[1:]:
         res = res.unionByName(frame)
     return res
+
+
+def maximal_independent_set(
+    edges: DataFrame,
+    a_col: str = "src",
+    b_col: str = "dst",
+    *,
+    rounds: int = 8,
+    hash_a: int = 1_000_003,
+    hash_b: int = 10_007,
+    hash_m: int = 2_147_483_647,
+) -> DataFrame:
+    """Maximal independent set by Luby's algorithm (Luby SICOMP'86) with
+    DETERMINISTIC per-round priorities: node v joins the MIS in round r iff
+    its priority ``H(v, r) = (v·a + r·b) mod m`` (ties broken by node id —
+    the comparison key is ``H·2³¹ + v``, one int64) beats every still-alive
+    neighbor's; winners and their neighbors leave the graph. Expected
+    O(log n) rounds; the hash makes every round a pure function of the
+    input, so an unrolled SQL oracle replays it bit-for-bit. MIS is the
+    symmetry-breaking primitive distributed coloring/matching builds on.
+
+    Plan per round (the k-core shape): one join + combinable MIN for the
+    neighbor-priority message, one anti-join to shrink the alive set, two
+    semi-joins to contract the edge set — every frame MONOTONICALLY
+    shrinks, per-round lineage truncation, no driver state beyond the loop
+    counter (the early-exit probe rides the round's own checkpoint).
+
+    Returns (node, in_mis): true = selected, false = dominated by a
+    neighbor, NULL = undecided after ``rounds`` (the caller's signal to
+    raise the bound; converged runs have no NULLs).
+    """
+    big = 1 << 31
+    sym = edges.select(F.col(a_col).cast("long").alias("u"), F.col(b_col).cast("long").alias("v"))
+    e0 = (
+        sym.unionByName(sym.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+    nodes = e0.select(F.col("u").alias("node")).distinct().persist()
+    cur_e = e0.localCheckpoint(eager=False)
+    alive = nodes.localCheckpoint(eager=False)
+    mis_frames = []
+    for r in range(rounds):
+        pr = (
+            (F.col("node") * F.lit(hash_a) + F.lit(r * hash_b)) % F.lit(hash_m)
+        ) * F.lit(big) + F.col("node")
+        pri = alive.select("node", pr.alias("__pr"))
+        nmin = (
+            cur_e.join(pri.select(F.col("node").alias("v"), F.col("__pr").alias("__npr")), "v")
+            .groupBy("u")
+            .agg(F.min("__npr").alias("__nmin"))
+        )
+        cand = (
+            pri.join(nmin, pri["node"] == nmin["u"], "left")
+            .filter(F.col("__nmin").isNull() | (F.col("__pr") < F.col("__nmin")))
+            .select("node")
+            .localCheckpoint(eager=False)
+        )
+        mis_frames.append(cand)
+        dominated = cur_e.join(
+            cand.select(F.col("node").alias("u")), "u"
+        ).select(F.col("v").alias("node"))
+        removed = cand.unionByName(dominated).distinct()
+        alive = alive.join(removed, "node", "left_anti").localCheckpoint(eager=False)
+        cur_e = (
+            cur_e.join(alive.select(F.col("node").alias("u")), "u", "left_semi")
+            .join(alive.select(F.col("node").alias("v")), "v", "left_semi")
+            .select("u", "v")
+            .localCheckpoint(eager=False)
+        )
+        if alive.isEmpty():
+            break
+    mis = mis_frames[0]
+    for frame in mis_frames[1:]:
+        mis = mis.unionByName(frame)
+    return (
+        nodes.join(mis.withColumn("__m", F.lit(True)), "node", "left")
+        .join(alive.withColumn("__a", F.lit(True)), "node", "left")
+        .select(
+            "node",
+            F.when(F.col("__m"), F.lit(True))
+            .when(F.col("__a"), F.lit(None).cast("boolean"))
+            .otherwise(F.lit(False))
+            .alias("in_mis"),
+        )
+    )

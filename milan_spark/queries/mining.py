@@ -1686,3 +1686,62 @@ def skipgram_pairs_from_walks_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("center", "context")
         .agg(F.count(F.lit(1)).alias("n_pairs"))
     )
+
+
+def _mis_oracle(rounds: int = 8, a: int = 1_000_003, b: int = 10_007, m: int = 2_147_483_647) -> str:
+    """Unrolled Luby rounds as chained CTEs — the recursion-free mirror of
+    operators.graph.maximal_independent_set, constant-for-constant."""
+    big = 1 << 31
+    ctes = []
+    for r in range(rounds):
+        ctes.append(f"""p{r} AS MATERIALIZED (
+  SELECT node, ((node * {a} + {r * b}) % {m}) * {big} + node AS pr FROM a{r}
+), m{r} AS MATERIALIZED (
+  SELECT p.node FROM p{r} p WHERE NOT EXISTS (
+    SELECT 1 FROM e JOIN p{r} q ON e.u = p.node AND e.v = q.node AND q.pr < p.pr)
+), rm{r} AS MATERIALIZED (
+  SELECT node FROM m{r}
+  UNION
+  SELECT e.v AS node FROM e JOIN m{r} ON e.u = m{r}.node
+), a{r + 1} AS MATERIALIZED (
+  SELECT node FROM a{r} WHERE node NOT IN (SELECT node FROM rm{r})
+)""")
+    mis_union = "\nUNION ALL\n".join(f"SELECT node FROM m{r}" for r in range(rounds))
+    return f"""
+WITH pairs AS MATERIALIZED (
+  SELECT DISTINCT least(x.l_partkey, y.l_partkey) AS u,
+         greatest(x.l_partkey, y.l_partkey) AS v
+  FROM lineitem x JOIN lineitem y
+    ON x.l_orderkey = y.l_orderkey AND x.l_partkey < y.l_partkey
+), e AS MATERIALIZED (
+  SELECT u, v FROM pairs UNION ALL SELECT v AS u, u AS v FROM pairs
+), a0 AS MATERIALIZED (SELECT DISTINCT u AS node FROM e),
+{', '.join(ctes)},
+mis AS ({mis_union})
+SELECT n.node AS node,
+       CASE WHEN mis.node IS NOT NULL THEN TRUE
+            WHEN a{rounds}.node IS NOT NULL THEN CAST(NULL AS BOOLEAN)
+            ELSE FALSE END AS in_mis
+FROM a0 n
+LEFT JOIN (SELECT DISTINCT node FROM mis) mis ON mis.node = n.node
+LEFT JOIN a{rounds} ON a{rounds}.node = n.node
+"""
+
+
+@register(
+    "luby_mis_coparts",
+    doc="Maximal independent set by Luby's algorithm (operators.graph."
+    "maximal_independent_set, Luby SICOMP'86) on the co-order part graph "
+    "— the symmetry-breaking primitive distributed coloring and matching "
+    "build on. Deterministic per-round hash priorities make every round "
+    "a pure function of the input: the oracle unrolls the rounds as "
+    "chained CTEs with NOT EXISTS dominance tests, constant-for-constant "
+    "with the operator. Per round: one combinable neighbor-MIN + one "
+    "anti-join + two edge semi-joins over MONOTONICALLY shrinking "
+    "frames (the k-core shape).",
+    oracle=_mis_oracle(),
+)
+def luby_mis_coparts_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from milan_spark.operators.graph import maximal_independent_set
+
+    return maximal_independent_set(_copart_pairs(spark, sf_dir), rounds=8)

@@ -199,3 +199,47 @@ def test_random_walks_match_python_model(spark, edges, wpn, length):
         for r in random_walks(df, walks_per_node=wpn, walk_length=length).collect()
     }
     assert got == _py_random_walks(edges, walks_per_node=wpn, walk_length=length)
+
+
+def _py_luby_mis(edges, rounds=8, a=1_000_003, b=10_007, m=2_147_483_647):
+    big = 1 << 31
+    adj = {}
+    for u, v in edges:
+        adj.setdefault(u, set()).add(v)
+        adj.setdefault(v, set()).add(u)
+    alive = set(adj)
+    status = {}
+    for r in range(rounds):
+        if not alive:
+            break
+        pr = {v: ((v * a + r * b) % m) * big + v for v in alive}
+        winners = {v for v in alive if all(pr[v] < pr[u] for u in adj[v] & alive)}
+        for w in winners:
+            status[w] = True
+            for u in adj[w] & alive:
+                status.setdefault(u, False)
+        alive -= winners | {u for w in winners for u in adj[w]}
+    for v in alive:
+        status[v] = None
+    return status
+
+
+@given(edges=edge_sets)
+@settings(**SETTINGS)
+def test_luby_mis_matches_python_and_is_valid(spark, edges):
+    from milan_spark.operators.graph import maximal_independent_set
+
+    df = spark.createDataFrame(edges, "src long, dst long").repartition(4)
+    got = {r.node: r.in_mis for r in maximal_independent_set(df, rounds=8).collect()}
+    assert got == _py_luby_mis(edges)
+    # validity on converged runs: independence + maximality
+    adj = {}
+    for u, v in edges:
+        adj.setdefault(u, set()).add(v)
+        adj.setdefault(v, set()).add(u)
+    mis = {v for v, s in got.items() if s is True}
+    for u, v in edges:
+        assert not (u in mis and v in mis)  # independent
+    for v, s in got.items():
+        if s is False:
+            assert adj[v] & mis  # dominated nodes really have a MIS neighbor
