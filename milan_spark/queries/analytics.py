@@ -1814,3 +1814,49 @@ def sequence_pattern_counts_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("n_vcp"),
     )
+
+
+@register(
+    "feature_binning_ntile",
+    doc="Equal-frequency feature binning (NTILE decile bins per event type "
+    "over exact cents, (cents, event_id) tie order so bin edges are "
+    "engine-exact) — the discretization step before target encoding or "
+    "monotonic-feature models. One window exchange + one combinable "
+    "rollup: per-bin count, min/max cents (the bin-edge table a scorer "
+    "ships).",
+    oracle="""
+WITH base AS (
+  SELECT event_type, event_id, CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+  FROM events WHERE event_type IS NOT NULL
+), binned AS (
+  SELECT event_type, cents,
+         NTILE(10) OVER (PARTITION BY event_type ORDER BY cents, event_id) AS bin
+  FROM base
+)
+SELECT event_type, CAST(bin AS INT) AS bin, COUNT(*) AS n,
+       MIN(cents) AS lo_cents, MAX(cents) AS hi_cents
+FROM binned GROUP BY 1, 2
+""",
+)
+def feature_binning_ntile_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    base = (
+        table(spark, sf_dir, "events")
+        .filter(F.col("event_type").isNotNull())
+        .select(
+            "event_type",
+            "event_id",
+            F.floor(F.col("value") * 100 + 0.5).cast("long").alias("cents"),
+        )
+    )
+    w = W.partitionBy("event_type").orderBy("cents", "event_id")
+    return (
+        base.withColumn("bin", F.ntile(10).over(w).cast("int"))
+        .groupBy("event_type", "bin")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("cents").alias("lo_cents"),
+            F.max("cents").alias("hi_cents"),
+        )
+    )

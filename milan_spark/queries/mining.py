@@ -1745,3 +1745,60 @@ def luby_mis_coparts_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from milan_spark.operators.graph import maximal_independent_set
 
     return maximal_independent_set(_copart_pairs(spark, sf_dir), rounds=8)
+
+
+@register(
+    "also_bought_top3",
+    doc="Item-to-item recommendation serving table ('customers also "
+    "bought', Linden IEEE IC'03): top-3 counterpart items per antecedent "
+    "by lift (support >= 3, lift > 1), ranked on the exact integer "
+    "cross-product comparison n_pair*n_txn*... via the rounded lift with "
+    "(n_pair desc, cons) tie-breaks so ordering is engine-exact. One "
+    "row_number window over the catalog-bounded rules table — the serving "
+    "artifact a recommender materializes nightly.",
+    oracle="""
+WITH ti AS (
+  SELECT DISTINCT l_orderkey AS txn, l_partkey AS item FROM lineitem
+), n AS (SELECT COUNT(DISTINCT txn) AS n_txn FROM ti),
+supports AS (SELECT item, COUNT(*) AS n_item FROM ti GROUP BY item),
+pairs AS (
+  SELECT a.item AS item_a, b.item AS item_b, COUNT(*) AS n_pair
+  FROM ti a JOIN ti b ON a.txn = b.txn AND a.item < b.item
+  GROUP BY 1, 2 HAVING COUNT(*) >= 3
+),
+rules AS (
+  SELECT item_a AS ante, item_b AS cons, n_pair FROM pairs
+  UNION ALL
+  SELECT item_b AS ante, item_a AS cons, n_pair FROM pairs
+),
+scored AS (
+  SELECT r.ante, r.cons, r.n_pair,
+         round((CAST(r.n_pair AS DOUBLE) * CAST(n.n_txn AS DOUBLE))
+               / (CAST(x.n_item AS DOUBLE) * CAST(y.n_item AS DOUBLE)), 9) AS lift
+  FROM rules r JOIN supports x ON x.item = r.ante JOIN supports y ON y.item = r.cons, n
+  WHERE CAST(r.n_pair AS HUGEINT) * CAST(n.n_txn AS HUGEINT)
+        > CAST(x.n_item AS HUGEINT) * CAST(y.n_item AS HUGEINT)
+)
+SELECT ante, cons, n_pair, lift,
+       ROW_NUMBER() OVER (PARTITION BY ante ORDER BY lift DESC, n_pair DESC, cons) AS rec_rank
+FROM scored
+QUALIFY rec_rank <= 3
+""",
+)
+def also_bought_top3_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    from milan_spark.operators.association import association_rules
+
+    li = table(spark, sf_dir, "lineitem")
+    rules = association_rules(li, "l_orderkey", "l_partkey", min_count=3, min_lift=(1, 1))
+    scored = rules.select(
+        "ante", "cons", "n_pair", F.round(F.col("lift"), 9).alias("lift")
+    )
+    w = W.partitionBy("ante").orderBy(
+        F.col("lift").desc(), F.col("n_pair").desc(), F.col("cons")
+    )
+    return (
+        scored.withColumn("rec_rank", F.row_number().over(w))
+        .filter(F.col("rec_rank") <= 3)
+    )
