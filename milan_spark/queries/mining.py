@@ -293,10 +293,10 @@ def quality_classifier_gate_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return quality_classifier(docs)
 
 
-def _kmeans_oracle(k: int = 8, iters: int = 2, dim: int = 64, scale: int = 1_000_000) -> str:
-    """Unrolled-CTE DuckDB replica of kmeans_fixed (the pagerank_scaled
-    oracle pattern): one assignment+update block per round, then a final
-    assignment and the per-cluster profile. Every value int64-exact."""
+def _kmeans_chain(k: int = 8, iters: int = 2, dim: int = 64, scale: int = 1_000_000) -> str:
+    """The unrolled-CTE replica of kmeans_fixed up to the FINAL assignment
+    a{iters+1} — shared by the cluster-profile oracle and every downstream
+    oracle that consumes kmeans assignments (e.g. cluster labeling)."""
     sql = [
         f"""
 WITH pts AS (
@@ -338,9 +338,17 @@ WITH pts AS (
   FROM cell{r} GROUP BY cid
 )"""
             )
+    return "".join(sql)
+
+
+def _kmeans_oracle(k: int = 8, iters: int = 2, dim: int = 64, scale: int = 1_000_000) -> str:
+    """Unrolled-CTE DuckDB replica of kmeans_fixed (the pagerank_scaled
+    oracle pattern): one assignment+update block per round, then a final
+    assignment and the per-cluster profile. Every value int64-exact."""
     f = iters + 1
-    sql.append(
-        f""", cstat AS (
+    return (
+        _kmeans_chain(k, iters, dim, scale)
+        + f""", cstat AS (
   SELECT cid,
          CAST(list_sum(list_transform(c, x -> abs(x))) AS BIGINT) AS centroid_l1,
          CAST(list_sum(list_transform(range({dim}), i -> c[i+1] * (i+1))) AS BIGINT)
@@ -353,7 +361,6 @@ FROM a{f} a JOIN cstat cs ON cs.cid = a.cid
 GROUP BY a.cid, cs.centroid_l1, cs.centroid_checksum
 ORDER BY a.cid"""
     )
-    return "".join(sql)
 
 
 @register(
@@ -1801,4 +1808,81 @@ def also_bought_top3_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         scored.withColumn("rec_rank", F.row_number().over(w))
         .filter(F.col("rec_rank") <= 3)
+    )
+
+
+@register(
+    "cluster_top_terms",
+    doc="Cluster LABELING — the human-readable handle on an embedding "
+    "clustering: documents join their kmeans_fixed cluster (bit-identical "
+    "integer Lloyd, the kmeans_embedding_clusters substrate), then each "
+    "cluster's top-3 characteristic terms rank by term LIFT (tf_in_cluster "
+    "x total_tokens / (cluster_tokens x term_total) — PMI-without-the-log, "
+    "the collocations discipline: the FILTER and tie-breaks never touch "
+    "a float beyond one rounded division). tf >= 5 floors noise terms. "
+    "Shape: one token-count aggregate over cluster-joined docs, two "
+    "vocabulary-bounded marginal joins, one per-cluster top-k window.",
+    oracle=_kmeans_chain()
+    + """
+, toks AS (
+  SELECT a.cid, unnest(regexp_extract_all(lower(d.text), '[a-z0-9]+')) AS token
+  FROM a3 a JOIN documents d ON d.doc_id = a.vec_id
+), tf AS (
+  SELECT cid, token, COUNT(*) AS tf FROM toks GROUP BY 1, 2
+), ct AS (SELECT cid, SUM(tf) AS cluster_toks FROM tf GROUP BY 1),
+tt AS (SELECT token, SUM(tf) AS term_total FROM tf GROUP BY 1),
+tot AS (SELECT SUM(tf) AS n_total FROM tf),
+scored AS (
+  SELECT tf.cid, tf.token, tf.tf,
+         round((CAST(tf.tf AS DOUBLE) * CAST(tot.n_total AS DOUBLE))
+               / (CAST(ct.cluster_toks AS DOUBLE) * CAST(tt.term_total AS DOUBLE)), 9)
+           AS lift
+  FROM tf JOIN ct USING (cid) JOIN tt USING (token), tot
+  WHERE tf.tf >= 5
+)
+SELECT cid, token, tf, lift,
+       ROW_NUMBER() OVER (PARTITION BY cid ORDER BY lift DESC, tf DESC, token)
+         AS term_rank
+FROM scored
+QUALIFY term_rank <= 3
+""",
+)
+def cluster_top_terms_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    from milan_spark.operators.clustering import kmeans_fixed
+    from milan_spark.operators.text import tokenize
+
+    emb = table(spark, sf_dir, "embeddings")
+    docs = table(spark, sf_dir, "documents")
+    assign, _ = kmeans_fixed(emb, dim=64, k=8, iters=2)
+    toks = (
+        docs.join(assign.select(F.col("vec_id").alias("doc_id"), "cid"), "doc_id")
+        .select("cid", F.explode(tokenize("text")).alias("token"))
+    )
+    tf = toks.groupBy("cid", "token").agg(F.count(F.lit(1)).alias("tf"))
+    tf = tf.persist()  # feeds all three marginals + the scored join
+    ct = tf.groupBy("cid").agg(F.sum("tf").alias("cluster_toks"))
+    tt = tf.groupBy("token").agg(F.sum("tf").alias("term_total"))
+    tot = tf.agg(F.sum("tf").alias("n_total"))
+    scored = (
+        tf.filter(F.col("tf") >= 5)
+        .join(F.broadcast(ct), "cid")
+        .join(tt, "token")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "cid",
+            "token",
+            "tf",
+            F.round(
+                (F.col("tf").cast("double") * F.col("n_total").cast("double"))
+                / (F.col("cluster_toks").cast("double") * F.col("term_total").cast("double")),
+                9,
+            ).alias("lift"),
+        )
+    )
+    w = W.partitionBy("cid").orderBy(F.col("lift").desc(), F.col("tf").desc(), F.col("token"))
+    return (
+        scored.withColumn("term_rank", F.row_number().over(w))
+        .filter(F.col("term_rank") <= 3)
     )
