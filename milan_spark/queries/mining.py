@@ -29,6 +29,17 @@ _SQL_QUANT_MINING = (
     "[CAST(floor(CAST(x AS DOUBLE) * 1048576 + 0.5) AS BIGINT) FOR x IN embedding]"
 )
 
+# the exploded-quantized-vector CTE prefix (llm_pipeline._SQL_VEC_EX twin)
+_SQL_VEC_EX_MINING = f"""
+WITH q AS (
+  SELECT vec_id, {_SQL_QUANT_MINING} AS v FROM embeddings
+), ex AS (
+  SELECT vec_id, unnest(v) AS x, generate_subscripts(v, 1) AS i FROM q
+), norms AS (
+  SELECT vec_id, SUM(x * x) AS nn FROM ex GROUP BY 1
+)
+"""
+
 _BM25_TERMS = ["join", "filter", "window", "sort", "dup"]
 _BM25_K1 = 1.2
 _BM25_B = 0.75
@@ -1885,4 +1896,138 @@ def cluster_top_terms_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         scored.withColumn("term_rank", F.row_number().over(w))
         .filter(F.col("term_rank") <= 3)
+    )
+
+
+@register(
+    "knn_label_agreement",
+    doc="Embedding-quality evaluation by kNN label agreement (the standard "
+    "intrinsic metric for a two-tower/encoder checkpoint): for 50 query "
+    "vectors, the 5 exact cosine neighbors vote on the label (majority, "
+    "count-desc + smallest-label ties), and per-class accuracy is one "
+    "rounded division over exact counts. Composes the broadcast-query "
+    "brute-force ANN (the recall baseline every approximate index in this "
+    "repo is A/B'd against) with a label join and two combinable "
+    "aggregates.",
+    oracle=_SQL_VEC_EX_MINING
+    + """
+, pairs AS (
+  SELECT qa.vec_id AS query_id, ca.vec_id AS neighbor_id, SUM(qa.x * ca.x) AS dot
+  FROM ex qa JOIN ex ca ON qa.i = ca.i AND qa.vec_id < 50 AND ca.vec_id != qa.vec_id
+  GROUP BY 1, 2
+), scored AS (
+  SELECT query_id, neighbor_id,
+         dot / (sqrt(CAST(nq.nn AS DOUBLE)) * sqrt(CAST(nc.nn AS DOUBLE))) AS cosine
+  FROM pairs JOIN norms nq ON query_id = nq.vec_id JOIN norms nc ON neighbor_id = nc.vec_id
+), topk AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
+    FROM scored
+  ) WHERE rank <= 5
+), votes AS (
+  SELECT t.query_id, e.label AS nlabel, COUNT(*) AS c
+  FROM topk t JOIN embeddings e ON e.vec_id = t.neighbor_id GROUP BY 1, 2
+), pred AS (
+  SELECT query_id, nlabel FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY c DESC, nlabel) AS rn
+    FROM votes
+  ) WHERE rn = 1
+)
+SELECT e.label, COUNT(*) AS n_queries,
+       SUM(CASE WHEN p.nlabel = e.label THEN 1 ELSE 0 END) AS n_correct,
+       round(CAST(SUM(CASE WHEN p.nlabel = e.label THEN 1 ELSE 0 END) AS DOUBLE)
+             / COUNT(*), 6) AS accuracy
+FROM pred p JOIN embeddings e ON e.vec_id = p.query_id
+GROUP BY 1
+""",
+)
+def knn_label_agreement_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    from milan_spark.operators.similarity import ann_brute_force
+
+    emb = table(spark, sf_dir, "embeddings")
+    nn = ann_brute_force(emb, "vec_id", "embedding", query_ids=range(50), k=5)
+    lab = emb.select("vec_id", "label")
+    votes = (
+        nn.join(
+            lab.select(F.col("vec_id").alias("neighbor_id"), F.col("label").alias("nlabel")),
+            "neighbor_id",
+        )
+        .groupBy("query_id", "nlabel")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    w = W.partitionBy("query_id").orderBy(F.col("c").desc(), F.col("nlabel"))
+    pred = (
+        votes.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("query_id", "nlabel")
+    )
+    truth = lab.select(F.col("vec_id").alias("query_id"), "label")
+    return (
+        pred.join(truth, "query_id")
+        .groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n_queries"),
+            F.sum((F.col("nlabel") == F.col("label")).cast("long")).alias("n_correct"),
+            F.round(
+                F.sum((F.col("nlabel") == F.col("label")).cast("long")).cast("double")
+                / F.count(F.lit(1)),
+                6,
+            ).alias("accuracy"),
+        )
+    )
+
+
+@register(
+    "graph_diameter_double_sweep",
+    doc="Graph diameter lower bound by DOUBLE-SWEEP BFS (Magnien et al. "
+    "JEA'09 — the standard cheap diameter estimator, exact on trees): "
+    "frontier BFS from the smallest node, hop to the farthest reached "
+    "node (dist desc, id tie-break), BFS again; the second eccentricity "
+    "is the bound. Two O(frontier-adjacent-edges)-per-level sweeps over "
+    "the persisted co-order part graph (operators.graph.bfs_levels); the "
+    "two scalar hops between sweeps are one-row driver decision probes, "
+    "the bfs_hops_coparts house pattern. Scope: the start node's "
+    "component (stated; production runs it per-component after CC).",
+    oracle="""
+WITH RECURSIVE pairs AS MATERIALIZED (
+  SELECT DISTINCT least(x.l_partkey, y.l_partkey) AS u,
+         greatest(x.l_partkey, y.l_partkey) AS v
+  FROM lineitem x JOIN lineitem y
+    ON x.l_orderkey = y.l_orderkey AND x.l_partkey < y.l_partkey
+), e AS MATERIALIZED (
+  SELECT u, v FROM pairs UNION ALL SELECT v AS u, u AS v FROM pairs
+), src AS (SELECT MIN(u) AS s FROM e),
+b1(n, d) AS (
+  SELECT s, 0 FROM src
+  UNION
+  SELECT e.v, b1.d + 1 FROM b1 JOIN e ON e.u = b1.n WHERE b1.d < 8
+), d1 AS MATERIALIZED (SELECT n, MIN(d) AS d FROM b1 GROUP BY n),
+far AS MATERIALIZED (SELECT n FROM d1 ORDER BY d DESC, n LIMIT 1),
+b2(n, d) AS (
+  SELECT n, 0 FROM far
+  UNION
+  SELECT e.v, b2.d + 1 FROM b2 JOIN e ON e.u = b2.n WHERE b2.d < 8
+), d2 AS MATERIALIZED (SELECT n, MIN(d) AS d FROM b2 GROUP BY n)
+SELECT CAST((SELECT s FROM src) AS BIGINT) AS start_node,
+       CAST((SELECT n FROM far) AS BIGINT) AS far_node,
+       CAST((SELECT MAX(d) FROM d1) AS INT) AS ecc_start,
+       CAST((SELECT MAX(d) FROM d2) AS INT) AS diameter_lb
+""",
+)
+def graph_diameter_double_sweep_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from milan_spark.operators.graph import bfs_levels
+
+    pairs = _copart_pairs(spark, sf_dir).persist()
+    source = int(pairs.agg(F.min(F.least("src", "dst"))).first()[0])
+    l1 = bfs_levels(pairs, source, a_col="src", b_col="dst", iterations=8)
+    far_row = l1.orderBy(F.col("dist").desc(), F.col("n")).first()
+    far_node, ecc_start = int(far_row["n"]), int(far_row["dist"])
+    l2 = bfs_levels(pairs, far_node, a_col="src", b_col="dst", iterations=8)
+    return l2.agg(F.max("dist").alias("__m")).select(
+        F.lit(source).cast("long").alias("start_node"),
+        F.lit(far_node).cast("long").alias("far_node"),
+        F.lit(ecc_start).cast("int").alias("ecc_start"),
+        F.col("__m").cast("int").alias("diameter_lb"),
     )
