@@ -1860,3 +1860,72 @@ def feature_binning_ntile_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("cents").alias("hi_cents"),
         )
     )
+
+
+@register(
+    "trending_parts_rank_delta",
+    doc="Trending detection by rank delta: parts ranked by exact revenue "
+    "cents inside each of the two most recent months present, full-outer "
+    "join of the rank tables (absent = NULL, new entrants surface), delta "
+    "= old_rank - new_rank. Two combinable aggregates + two "
+    "month-partitioned rank windows + one key join; revenue kept in "
+    "DECIMAL-exact cents so ranks cannot drift between engines.",
+    oracle="""
+WITH m AS (
+  SELECT l_partkey,
+         date_trunc('month', l_shipdate) AS mon,
+         SUM(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)) AS cents
+  FROM lineitem GROUP BY 1, 2
+), last2 AS (
+  SELECT DISTINCT mon FROM m ORDER BY mon DESC LIMIT 2
+), ranked AS (
+  SELECT l_partkey, mon, cents,
+         ROW_NUMBER() OVER (PARTITION BY mon ORDER BY cents DESC, l_partkey) AS rnk
+  FROM m WHERE mon IN (SELECT mon FROM last2)
+), newm AS (SELECT MAX(mon) AS mon FROM last2),
+cur AS (SELECT l_partkey, cents, rnk FROM ranked WHERE mon = (SELECT mon FROM newm)),
+prev AS (SELECT l_partkey, rnk FROM ranked WHERE mon < (SELECT mon FROM newm))
+SELECT COALESCE(c.l_partkey, p.l_partkey) AS l_partkey,
+       c.rnk AS new_rank, p.rnk AS old_rank,
+       c.cents AS new_cents,
+       CASE WHEN c.rnk IS NOT NULL AND p.rnk IS NOT NULL
+            THEN p.rnk - c.rnk END AS rank_delta
+FROM cur c FULL OUTER JOIN prev p ON c.l_partkey = p.l_partkey
+""",
+)
+def trending_parts_rank_delta_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    li = table(spark, sf_dir, "lineitem")
+    m = li.groupBy(
+        "l_partkey", F.date_trunc("month", "l_shipdate").alias("mon")
+    ).agg(
+        F.sum(F.floor(F.col("l_extendedprice") * 100 + 0.5).cast("long")).alias("cents")
+    )
+    last2 = m.select("mon").distinct().orderBy(F.col("mon").desc()).limit(2)
+    newm = last2.agg(F.max("mon").alias("mon")).first()[0]
+    months = [r["mon"] for r in last2.collect()]
+    ranked = m.filter(F.col("mon").isin(months)).withColumn(
+        "rnk",
+        F.row_number().over(
+            W.partitionBy("mon").orderBy(F.col("cents").desc(), F.col("l_partkey"))
+        ),
+    )
+    cur = ranked.filter(F.col("mon") == newm).select(
+        F.col("l_partkey").alias("ck"), F.col("cents").alias("new_cents"),
+        F.col("rnk").alias("new_rank"),
+    )
+    prev = ranked.filter(F.col("mon") != newm).select(
+        F.col("l_partkey").alias("pk"), F.col("rnk").alias("old_rank")
+    )
+    j = cur.join(prev, cur["ck"] == prev["pk"], "full_outer")
+    return j.select(
+        F.coalesce("ck", "pk").alias("l_partkey"),
+        "new_rank",
+        "old_rank",
+        "new_cents",
+        F.when(
+            F.col("new_rank").isNotNull() & F.col("old_rank").isNotNull(),
+            F.col("old_rank") - F.col("new_rank"),
+        ).alias("rank_delta"),
+    )

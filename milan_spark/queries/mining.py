@@ -2031,3 +2031,78 @@ def graph_diameter_double_sweep_q(spark: SparkSession, sf_dir: str) -> DataFrame
         F.lit(ecc_start).cast("int").alias("ecc_start"),
         F.col("__m").cast("int").alias("diameter_lb"),
     )
+
+
+@register(
+    "int8_quantization_audit",
+    doc="Scalar int8 quantization audit — the compression step a vector "
+    "store applies before PQ is even considered: per-dimension affine "
+    "codes code = (q-lo)*255 div (hi-lo) over the shared 2^20 integer "
+    "grid, reconstruction kept as the EXACT 255-denominator rational "
+    "(recon*255 = 255*lo + code*(hi-lo)), so max-abs error is pure int64 "
+    "and SSE accumulates in DECIMAL(38) before one deterministic "
+    "double conversion. Shape: one posexplode scan, one combinable "
+    "per-dim min/max, one broadcast join back, one combinable error "
+    "rollup — no shuffle of the vector corpus beyond the dim key.",
+    oracle="""
+WITH q AS (
+  SELECT vec_id,
+         [CAST(floor(CAST(x AS DOUBLE) * 1048576 + 0.5) AS BIGINT) FOR x IN embedding] AS v
+  FROM embeddings
+), ex AS (
+  SELECT vec_id, unnest(v) AS x, generate_subscripts(v, 1) - 1 AS dim FROM q
+), bounds AS (
+  SELECT dim, MIN(x) AS lo, MAX(x) AS hi FROM ex GROUP BY 1
+), coded AS (
+  SELECT e.dim, b.lo, b.hi,
+         CASE WHEN b.hi > b.lo
+              THEN 255 * e.x - (255 * b.lo + ((e.x - b.lo) * 255 // (b.hi - b.lo)) * (b.hi - b.lo))
+              ELSE 0 END AS err255
+  FROM ex e JOIN bounds b USING (dim)
+)
+SELECT CAST(dim AS INT) AS dim, lo, hi,
+       MAX(abs(err255)) AS max_abs_err_255,
+       round(sqrt(CAST(SUM(CAST(err255 AS DECIMAL(38,0)) * CAST(err255 AS DECIMAL(38,0)))
+                       AS DOUBLE) / COUNT(*)) / 255.0, 6) AS rmse_grid
+FROM coded GROUP BY 1, 2, 3
+""",
+)
+def int8_quantization_audit_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = table(spark, sf_dir, "embeddings")
+    ex = emb.select(
+        "vec_id",
+        F.posexplode(
+            F.transform(
+                "embedding",
+                lambda x: F.floor(x.cast("double") * 1048576 + 0.5).cast("long"),
+            )
+        ).alias("dim", "x"),
+    )
+    bounds = ex.groupBy("dim").agg(F.min("x").alias("lo"), F.max("x").alias("hi"))
+    coded = ex.join(F.broadcast(bounds), "dim").select(
+        "dim",
+        "lo",
+        "hi",
+        F.when(
+            F.col("hi") > F.col("lo"),
+            255 * F.col("x")
+            - (
+                255 * F.col("lo")
+                + F.expr("((x - lo) * 255) div (hi - lo)") * (F.col("hi") - F.col("lo"))
+            ),
+        )
+        .otherwise(F.lit(0))
+        .alias("err255"),
+    )
+    d38 = "decimal(38,0)"
+    return coded.groupBy("dim", "lo", "hi").agg(
+        F.max(F.abs("err255")).alias("max_abs_err_255"),
+        F.round(
+            F.sqrt(
+                F.sum(F.col("err255").cast(d38) * F.col("err255").cast(d38)).cast("double")
+                / F.count(F.lit(1))
+            )
+            / 255.0,
+            6,
+        ).alias("rmse_grid"),
+    ).select("dim", "lo", "hi", "max_abs_err_255", "rmse_grid")
