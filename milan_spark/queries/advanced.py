@@ -1981,3 +1981,105 @@ def entity_resolution_pipeline_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("p_name").alias("n_names"),
         F.min("p_partkey").alias("example_partkey"),
     )
+
+
+@register(
+    "merge_upsert_with_deletes",
+    doc="MERGE with tombstones (the CDC-apply step change-data-feed "
+    "pipelines run): the updates batch carries an is_delete flag — "
+    "matched tombstones REMOVE the base row, matched updates replace it, "
+    "unmatched non-tombstone updates insert, unmatched base survives. "
+    "Still ONE full-outer join on the key + a row-local CASE (the "
+    "merge_upsert plan with one extra filter); tombstones for absent "
+    "keys are no-ops by construction.",
+    oracle="""
+WITH base AS (
+  SELECT c_custkey, c_name, CAST(c_acctbal AS DECIMAL(18,6)) AS bal
+  FROM customer WHERE c_custkey % 2 = 0
+),
+updates AS (
+  SELECT c_custkey, c_name, CAST(c_acctbal AS DECIMAL(18,6)) + 100 AS bal,
+         c_custkey % 5 = 0 AS is_delete
+  FROM customer WHERE c_custkey % 3 = 0
+  UNION ALL
+  SELECT c_custkey + 1000000, c_name, CAST(0 AS DECIMAL(18,6)), FALSE
+  FROM customer WHERE c_custkey % 7 = 0
+)
+SELECT COALESCE(u.c_custkey, b.c_custkey) AS c_custkey,
+       COALESCE(u.c_name, b.c_name) AS c_name,
+       CAST(COALESCE(u.bal, b.bal) AS DOUBLE) AS bal
+FROM base b FULL OUTER JOIN updates u ON b.c_custkey = u.c_custkey
+WHERE NOT COALESCE(u.is_delete, FALSE)
+""",
+)
+def merge_upsert_with_deletes_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = table(spark, sf_dir, "customer")
+    bal = F.col("c_acctbal").cast("decimal(18,6)")
+    base = cust.filter(F.col("c_custkey") % 2 == 0).select(
+        "c_custkey", "c_name", bal.alias("bal")
+    )
+    updates = (
+        cust.filter(F.col("c_custkey") % 3 == 0)
+        .select(
+            "c_custkey", "c_name", (bal + 100).alias("bal"),
+            (F.col("c_custkey") % 5 == 0).alias("is_delete"),
+        )
+        .unionByName(
+            cust.filter(F.col("c_custkey") % 7 == 0).select(
+                (F.col("c_custkey") + 1_000_000).alias("c_custkey"),
+                "c_name",
+                F.lit(0).cast("decimal(18,6)").alias("bal"),
+                F.lit(False).alias("is_delete"),
+            )
+        )
+    )
+    b, u = base.alias("b"), updates.alias("u")
+    merged = b.join(u, F.col("b.c_custkey") == F.col("u.c_custkey"), "full_outer")
+    return merged.filter(
+        ~F.coalesce(F.col("u.is_delete"), F.lit(False))
+    ).select(
+        F.coalesce(F.col("u.c_custkey"), F.col("b.c_custkey")).alias("c_custkey"),
+        F.coalesce(F.col("u.c_name"), F.col("b.c_name")).alias("c_name"),
+        F.coalesce(F.col("u.bal"), F.col("b.bal")).cast("double").alias("bal"),
+    )
+
+
+@register(
+    "incremental_join_maintenance",
+    doc="Incremental view maintenance for a JOIN view (the delta-join rule "
+    "dBase engines and stream processors share): with A split into "
+    "(A_old, dA) and B into (B_old, dB), the view delta is "
+    "dA><B_old  U  A_old><dB  U  dA><dB — the OLD view is never "
+    "rescanned and the big sides join only against deltas. Here "
+    "A=orders (delta: last month present), B=customer (delta: custkey%10 "
+    "= 3 'late-arriving dims'); the oracle simply recomputes the FULL "
+    "join, hash-proving the maintenance identity view_old U delta = "
+    "full.",
+    oracle="""
+SELECT o.o_orderkey, o.o_custkey,
+       CAST(floor(o.o_totalprice * 100 + 0.5) AS BIGINT) AS price_cents,
+       c.c_mktsegment
+FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+""",
+)
+def incremental_join_maintenance_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_custkey",
+        F.floor(F.col("o_totalprice") * 100 + 0.5).cast("long").alias("price_cents"),
+        "o_orderdate",
+    )
+    cust = table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    cutoff = orders.agg(F.date_trunc("month", F.max("o_orderdate"))).first()[0]
+    a_old = orders.filter(F.col("o_orderdate") < cutoff)
+    d_a = orders.filter(F.col("o_orderdate") >= cutoff)
+    b_old = cust.filter(F.col("c_custkey") % 10 != 3)
+    d_b = cust.filter(F.col("c_custkey") % 10 == 3)
+    cols = ["o_orderkey", "o_custkey", "price_cents", "c_mktsegment"]
+
+    def j(a, b):
+        return a.join(b, a["o_custkey"] == b["c_custkey"]).select(*cols)
+
+    view_old = j(a_old, b_old)
+    delta = j(d_a, b_old).unionByName(j(a_old, d_b)).unionByName(j(d_a, d_b))
+    return view_old.unionByName(delta)

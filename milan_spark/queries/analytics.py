@@ -1994,3 +1994,88 @@ def bitmap_distinct_set_algebra_q(spark: SparkSession, sf_dir: str) -> DataFrame
     return per_type.crossJoin(F.broadcast(both)).select(
         "event_type", "distinct_users", F.col("n").alias("view_and_purchase_users")
     )
+
+
+@register(
+    "theilsen_user_trend",
+    doc="Theil-Sen robust trend per user — the median of all pairwise "
+    "slopes (cents per microsecond, rounded to 9 so engines agree at the "
+    "last ulp), the estimator that shrugs off the outliers OLS folds in. "
+    "Pair expansion is ROW-LOCAL (sorted per-user struct array + slice-"
+    "past-position explode — the basket-pairs device; work is "
+    "per-user-count-squared, the stated trade), and the median is "
+    "VALUE-BASED over the (user, slope) count table (cumulative locate, "
+    "no per-user sort of raw pairs — the MAD discipline). Zero-dt pairs "
+    "are excluded by definition.",
+    oracle="""
+WITH base AS (
+  SELECT user_id, epoch_ns(ts) // 1000 AS ts_us, event_id,
+         CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+  FROM events WHERE user_id IS NOT NULL
+), ordered AS (
+  SELECT user_id, ts_us, cents,
+         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts_us, event_id) AS rn
+  FROM base
+), slopes AS (
+  SELECT a.user_id,
+         round(CAST(b.cents - a.cents AS DOUBLE) / CAST(b.ts_us - a.ts_us AS DOUBLE), 9)
+           AS slope
+  FROM ordered a JOIN ordered b
+    ON a.user_id = b.user_id AND a.rn < b.rn AND b.ts_us > a.ts_us
+), vc AS (
+  SELECT user_id, slope, COUNT(*) AS c FROM slopes GROUP BY 1, 2
+), ranked AS (
+  SELECT *, SUM(c) OVER (PARTITION BY user_id ORDER BY slope) AS cum,
+         SUM(c) OVER (PARTITION BY user_id) AS n
+  FROM vc
+)
+SELECT user_id, CAST(MAX(n) AS BIGINT) AS n_pairs,
+       MIN(CASE WHEN cum >= CAST(floor((n + 1) / 2) AS BIGINT) THEN slope END)
+         AS median_slope
+FROM ranked GROUP BY user_id
+""",
+)
+def theilsen_user_trend_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    base = (
+        table(spark, sf_dir, "events")
+        .filter(F.col("user_id").isNotNull())
+        .select(
+            "user_id",
+            F.unix_micros("ts").alias("ts_us"),
+            "event_id",
+            F.floor(F.col("value") * 100 + 0.5).cast("long").alias("cents"),
+        )
+    )
+    arrs = base.groupBy("user_id").agg(
+        F.array_sort(F.collect_list(F.struct("ts_us", "event_id", "cents"))).alias("seq")
+    )
+    heads = arrs.select("user_id", "seq", F.posexplode("seq").alias("i", "a"))
+    pairs = heads.select(
+        "user_id",
+        F.col("a"),
+        F.explode(F.expr("slice(seq, i + 2, size(seq))")).alias("b"),
+    ).filter(F.col("b.ts_us") > F.col("a.ts_us"))
+    slopes = pairs.select(
+        "user_id",
+        F.round(
+            (F.col("b.cents") - F.col("a.cents")).cast("double")
+            / (F.col("b.ts_us") - F.col("a.ts_us")).cast("double"),
+            9,
+        ).alias("slope"),
+    )
+    vc = slopes.groupBy("user_id", "slope").agg(F.count(F.lit(1)).alias("c"))
+    wo = W.partitionBy("user_id").orderBy("slope")
+    ranked = vc.withColumn(
+        "cum", F.sum("c").over(wo.rowsBetween(W.unboundedPreceding, W.currentRow))
+    ).withColumn("n", F.sum("c").over(W.partitionBy("user_id")))
+    return ranked.groupBy("user_id").agg(
+        F.max("n").cast("long").alias("n_pairs"),
+        F.min(
+            F.when(
+                F.col("cum") >= F.floor((F.col("n") + 1) / 2).cast("long"),
+                F.col("slope"),
+            )
+        ).alias("median_slope"),
+    )
