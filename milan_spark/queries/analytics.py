@@ -1660,7 +1660,7 @@ WITH base AS (
   FROM ranked WHERE rn >= CAST(ceil(95 * n / 100.0) AS BIGINT) GROUP BY 1
 )
 SELECT b.event_type, COUNT(*) AS n, p.p95_cents,
-       SUM(LEAST(b.cents, p.p95_cents)) AS clipped_sum_cents,
+       CAST(SUM(LEAST(b.cents, p.p95_cents)) AS BIGINT) AS clipped_sum_cents,
        CAST(SUM(LEAST(b.cents, p.p95_cents)) AS DOUBLE) / COUNT(*) AS clipped_mean_cents
 FROM base b JOIN p95 p USING (event_type)
 GROUP BY 1, 3
@@ -1874,7 +1874,7 @@ def feature_binning_ntile_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 WITH m AS (
   SELECT l_partkey,
          date_trunc('month', l_shipdate) AS mon,
-         SUM(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)) AS cents
+         CAST(SUM(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS cents
   FROM lineitem GROUP BY 1, 2
 ), last2 AS (
   SELECT DISTINCT mon FROM m ORDER BY mon DESC LIMIT 2

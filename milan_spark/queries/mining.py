@@ -1934,7 +1934,7 @@ def cluster_top_terms_q(spark: SparkSession, sf_dir: str) -> DataFrame:
   ) WHERE rn = 1
 )
 SELECT e.label, COUNT(*) AS n_queries,
-       SUM(CASE WHEN p.nlabel = e.label THEN 1 ELSE 0 END) AS n_correct,
+       CAST(SUM(CASE WHEN p.nlabel = e.label THEN 1 ELSE 0 END) AS BIGINT) AS n_correct,
        round(CAST(SUM(CASE WHEN p.nlabel = e.label THEN 1 ELSE 0 END) AS DOUBLE)
              / COUNT(*), 6) AS accuracy
 FROM pred p JOIN embeddings e ON e.vec_id = p.query_id

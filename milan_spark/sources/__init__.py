@@ -15,7 +15,7 @@ parallelize natively; we deliberately do not reproduce that bottleneck.
 | S3DataSource (S3DataSource.scala:21)   | same readers on ``s3a://``   |
 | CsvDataInputFormat (CsvDataInputFormat.scala:42-48) | fmt="csv" opts  |
 | JsonDataInputFormat (JsonDataInputFormat.scala:21)  | fmt="json"      |
-| Kinesis/DynamoDb/Sqs sources           | out of scope (connectors)    |
+| Kinesis/DynamoDb/Sqs sources           | :mod:`milan_spark.sources.queues` (descriptors + local emulation) |
 """
 
 from __future__ import annotations
