@@ -2083,3 +2083,60 @@ def incremental_join_maintenance_q(spark: SparkSession, sf_dir: str) -> DataFram
     view_old = j(a_old, b_old)
     delta = j(d_a, b_old).unionByName(j(a_old, d_b)).unionByName(j(d_a, d_b))
     return view_old.unionByName(delta)
+
+
+@register(
+    "asof_join_forward_next_signup",
+    doc="FORWARD as-of join (operators.joins.asof_join direction='forward' "
+    "— the time-to-next-event shape churn/attribution analyses run): each "
+    "purchase pairs with the user's NEXT signup at-or-after its event "
+    "time. Same one-shuffle-one-sort-per-key plan as the backward family; "
+    "rights pre-deduplicated per (user, ts) with max_by. The oracle maps "
+    "forward onto DuckDB's native backward ASOF by negating the time axis "
+    "(greatest -ts_d <= -ts_f == smallest ts_d >= ts_f, ties included).",
+    oracle="""
+WITH base AS (
+  SELECT event_id, user_id, event_type, value, epoch_ns(ts) // 1000 AS ts_us
+  FROM events
+), dim AS (
+  SELECT user_id, ts_us AS sig_us, -ts_us AS neg_sig,
+         max_by(value, event_id) AS signup_value
+  FROM base WHERE event_type = 'signup' GROUP BY 1, 2, 3
+), f AS (
+  SELECT event_id, user_id, ts_us, -ts_us AS neg_ts, value
+  FROM base WHERE event_type = 'purchase'
+)
+SELECT f.event_id, f.user_id, f.ts_us, f.value,
+       d.signup_value AS next_signup_value, d.sig_us AS next_signup_us
+FROM f ASOF LEFT JOIN dim d
+  ON f.user_id = d.user_id AND f.neg_ts >= d.neg_sig
+""",
+)
+def asof_join_forward_next_signup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from milan_spark.operators.joins import asof_join
+
+    base = table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "value",
+        F.unix_micros("ts").alias("ts_us"),
+    )
+    dim = (
+        base.filter(F.col("event_type") == "signup")
+        .groupBy("user_id", "ts_us")
+        .agg(F.max_by("value", "event_id").alias("next_signup_value"))
+        .select("user_id", "ts_us", "next_signup_value")
+    )
+    facts = base.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts_us", "value"
+    )
+    out = asof_join(
+        facts, dim, on="user_id", left_ord="ts_us", right_ord="ts_us",
+        direction="forward",
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        "ts_us",
+        "value",
+        "next_signup_value",
+        F.col("r_ts_us").alias("next_signup_us"),
+    )
