@@ -460,6 +460,24 @@ def compile_node_streaming(
                 "milan_spark.streaming.cycle.streaming_cycle"
             )
         if n.op == "scan_fold":
+            if n.params.get("fold_ref"):
+                # opaque fold carried as a dotted-path FunctionReference
+                # (plans/nodes.py resolves the same ref for batch): dispatch
+                # straight to the keyed value-state scan — the streaming twin
+                # of the ordered mapInPandas fold, same (state, rec) contract
+                from milan_spark.plans.nodes import _resolve_function_ref
+                from milan_spark.streaming import stateful
+
+                p0 = n.params
+                fn = _resolve_function_ref(p0["fold_ref"], n.node_id)
+                return stateful.scan(
+                    compile_(n.inputs[0]),
+                    fn,
+                    initial_state=p0.get("initial_state"),
+                    output_schema=p0["output_schema"],
+                    keys=p0.get("keys", []),
+                    seq=p0.get("seq", "__seq"),
+                )
             # same lowering the batch path requires (SURVEY §4's rewrite):
             # the declarative fold becomes cum_window(+filter+map), and
             # cum_window dispatches to the keyed value-state scan below —

@@ -410,10 +410,28 @@ def _compile_op(n: Node, spark: SparkSession, ins: list[DataFrame]) -> DataFrame
 
         return last(ins[0], keys=p.get("keys", []), seq=p.get("seq", "__seq"))
     if n.op == "scan_fold":
+        if p.get("fold_ref"):
+            # opaque (non-associative) fold carried in the portable IR as a
+            # dotted-path FunctionReference — the same mechanism apply_function
+            # uses (the reference's Scan holds its step function the same way,
+            # program/StreamExpressions.scala:505). Batch realization: the
+            # ordered per-key mapInPandas fold.
+            from milan_spark.operators.scans import scan as scan_op
+
+            fn = _resolve_function_ref(p["fold_ref"], n.node_id)
+            return scan_op(
+                ins[0],
+                fn,
+                initial_state=p.get("initial_state"),
+                output_schema=p["output_schema"],
+                keys=p.get("keys", []),
+                seq=p.get("seq", "__seq"),
+            )
         raise ValueError(
             "scan_fold is a logical-only node: run milan_spark.plans.rewrite.optimize() "
             "to lower it to window aggregates before compiling (general non-associative "
-            "folds use Stream.scan, which is deliberately not plan-serializable)"
+            "folds carry a fold_ref FunctionReference, or use Stream.scan, which is "
+            "deliberately not plan-serializable)"
         )
     if n.op == "grouped_rank":
         raise ValueError(

@@ -111,6 +111,10 @@ def rule_scan_fold_to_window(node: Node, spark=None) -> Node | None:
     if node.op != "scan_fold":
         return None
     p = node.params
+    if p.get("fold_ref"):
+        # opaque fold carried by FunctionReference — both backends dispatch
+        # it to the ordered scan directly; there is nothing to lower
+        return None
     states = set(p["state"])
     folds = {}
     for name, update in p["update"].items():

@@ -10,7 +10,7 @@ import math
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
-from milan_spark.catalog import register
+from milan_spark.catalog import REGISTRY, register
 from milan_spark.operators.scans import last, running_sum_by, scan, stream_max_by, stream_min_by
 from milan_spark.sources import table
 
@@ -264,3 +264,32 @@ def ewma_smoothing_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         keys=["user_id"],
         seq="event_id",
     )
+
+
+@register(
+    "ewma_smoothing_from_ir",
+    doc="The same non-associative EWMA fold, but carried THROUGH the portable "
+    "JSON IR as a dotted-path FunctionReference (scan_fold.fold_ref — the "
+    "reference ships Scan step functions in its serialized programs the "
+    "same way, StreamExpressions.scala:505 / Expression.scala:407): the "
+    "plan is serialized, re-parsed, and compiled by the batch backend, so "
+    "this entry proves an opaque fold survives the define/ship/run-"
+    "elsewhere lifecycle. Same recursive-CTE oracle as the direct twin.",
+    oracle=REGISTRY["ewma_smoothing"].oracle,
+)
+def ewma_smoothing_from_ir_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from milan_spark.plans.nodes import compile_node, from_json, to_json
+    from milan_spark.stream import Stream
+
+    s = (
+        Stream.from_parquet(spark, f"{sf_dir}/events.parquet")
+        .map("event_id", "user_id", "value")
+        .scan(
+            "milan_spark.functions.folds:ewma_cents_fold",
+            initial_state=None,
+            output_schema="event_id long, user_id long, ewma_cents long",
+            keys=["user_id"],
+            seq="event_id",
+        )
+    )
+    return compile_node(from_json(to_json(s.node)), spark)

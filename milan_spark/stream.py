@@ -449,11 +449,48 @@ class Stream:
             Node("stream_min_by", {"arg": arg, "keys": list(keys)} if _is_str(arg) else {}, [self.node], serializable=_is_str(arg)),
         )
 
-    def scan(self, fold: Callable, *, initial_state, output_schema, keys: Sequence[str] = ()) -> "Stream":
-        """Milan Scan (lang/Stream.scala:176) — general stateful fold."""
+    def scan(
+        self,
+        fold: Callable | str,
+        *,
+        initial_state,
+        output_schema,
+        keys: Sequence[str] = (),
+        seq: str = SEQ_COL,
+    ) -> "Stream":
+        """Milan Scan (lang/Stream.scala:176) — general stateful fold.
+
+        Passing a live callable keeps the plan non-serializable (the opaque
+        escape hatch). Passing a dotted-path string (``pkg.module:fn``)
+        records the fold as a FunctionReference in a serializable
+        ``scan_fold`` node — the reference ships Scan step functions in its
+        portable IR the same way (StreamExpressions.scala:505) — and BOTH
+        plan compilers re-resolve it (batch → ordered mapInPandas fold,
+        streaming → keyed value state). ``initial_state`` must then be
+        JSON-serializable.
+        """
         from milan_spark.operators.scans import scan as scan_op
 
-        df = scan_op(self.df, fold, initial_state=initial_state, output_schema=output_schema, keys=keys)
+        if isinstance(fold, str):
+            from milan_spark.plans.nodes import _resolve_function_ref
+
+            params = {
+                "fold_ref": fold,
+                "initial_state": initial_state,
+                "output_schema": output_schema,
+                "keys": list(keys),
+                "seq": seq,
+            }
+            fn = _resolve_function_ref(fold)
+            df = scan_op(
+                self.df, fn, initial_state=initial_state,
+                output_schema=output_schema, keys=keys, seq=seq,
+            )
+            return Stream(df, Node("scan_fold", params, [self.node]))
+        df = scan_op(
+            self.df, fold, initial_state=initial_state,
+            output_schema=output_schema, keys=keys, seq=seq,
+        )
         return Stream(df, Node("scan", serializable=False, inputs=[self.node]))
 
     def scan_fold(

@@ -453,3 +453,44 @@ def test_stream_stream_semi_join_same_json_both_backends(spark):
     assert b == st and len(b) > 0
     # at-most-once per left row
     assert len(b) == len(set(b))
+
+
+def test_opaque_scan_fold_ref_same_json_both_backends(spark):
+    """scan_fold carrying a dotted-path fold_ref (the FunctionReference
+    mechanism): the SAME serialized plan runs the non-associative EWMA fold
+    on the batch backend (ordered mapInPandas) and the streaming backend
+    (keyed value state) with identical per-record emissions."""
+    s = (
+        Stream.from_parquet(spark, EV)
+        .map("event_id", "user_id", "value")
+        .scan(
+            "milan_spark.functions.folds:ewma_cents_fold",
+            initial_state=None,
+            output_schema="event_id long, user_id long, ewma_cents long",
+            keys=["user_id"],
+            seq="event_id",
+        )
+    )
+    text = to_json(s.node)  # would raise if the node were non-serializable
+    # optimize() must leave the opaque fold alone (no window lowering)
+    assert optimize(from_json(text), spark).op == "scan_fold"
+    b, st = _both(spark, text, "ir_opaque_scan_both")
+    assert b == st and len(b) > 0
+
+
+def test_opaque_scan_fold_bad_ref_named_error(spark):
+    from milan_spark.errors import MilanAnalysisError
+    from milan_spark.plans.nodes import Node
+
+    plan = Node(
+        "scan_fold",
+        {
+            "fold_ref": "milan_spark.functions.folds:no_such_fold",
+            "initial_state": None,
+            "output_schema": "event_id long",
+            "keys": [],
+        },
+        [Node("parquet_source", {"path": EV})],
+    )
+    with pytest.raises(MilanAnalysisError, match="no_such_fold"):
+        compile_node(from_json(to_json(plan)), spark)
