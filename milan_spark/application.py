@@ -212,6 +212,12 @@ class Application:
             if spec["kind"] == "list":
                 df = self._resolve_batch(spark, sid)
                 schemas[sid] = df.schema
+            elif spec["kind"] in ("kinesis", "sqs", "dynamodb_stream"):
+                # queue descriptors carry their record schema explicitly (the
+                # reference's TypeDescriptor generic argument)
+                from pyspark.sql.types import StructType as _ST
+
+                schemas[sid] = _ST.fromDDL(spec["schema"])
             else:
                 from milan_spark.plans.validate import _source_schema
                 from milan_spark.plans.nodes import Node as _N
@@ -313,6 +319,10 @@ class Application:
             df.write.mode(self.sink.get("mode", "overwrite")).format(
                 self.sink.get("fmt", "parquet")
             ).save(self.sink["path"])
+        elif kind in ("kinesis", "sqs", "dynamodb_table"):
+            from milan_spark.sources.queues import publish_batch
+
+            publish_batch(df, self.sink)
         return df, obs
 
     def _write_lineage(self, df: DataFrame, entry: dict) -> list:

@@ -1876,3 +1876,128 @@ def streaming_sequence_dfa_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     tbl = run_to_memory(matches, "streaming_sequence_dfa")
     return tbl.groupBy("user_id").agg(F.max("n_vcp").alias("n_vcp"))
+
+
+def _purchase_rollup_app(sf_dir: str, sink: dict):
+    """Shared 3-stage program for the partitioned-application queries:
+    filter purchases -> cents projection -> per-user rollup -> derived
+    average. Returns (Application, cut-candidate node ids by name)."""
+    from milan_spark.application import Application
+    from milan_spark.plans import Node
+
+    proj = Node(
+        "map",
+        {"exprs": ["user_id", "CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents"]},
+        [
+            Node(
+                "filter",
+                {"condition": "event_type = 'purchase'"},
+                [Node("external_stream", {"stream_id": "events"})],
+            )
+        ],
+    )
+    agg = Node(
+        "aggregate",
+        {"keys": ["user_id"], "aggs": {"total_cents": "sum(cents)", "n": "count(*)"}},
+        [proj],
+    )
+    final = Node(
+        "map",
+        {
+            "exprs": [
+                "user_id", "total_cents", "n",
+                "CAST(floor(total_cents / n) AS BIGINT) AS avg_cents",
+            ]
+        },
+        [agg],
+    )
+    app = Application(
+        app_id="purchase_rollup",
+        plan=final,
+        sources={"events": {"kind": "parquet", "path": f"{sf_dir}/events.parquet"}},
+        sink=sink,
+    )
+    return app, {"proj": proj.node_id, "agg": agg.node_id}
+
+
+@register(
+    "partitioned_application_two_part",
+    doc="The reference's application partitioner end-to-end (graph/partition/"
+    "package.scala:17-86, ApplicationPartitioner.scala:1): ONE program is "
+    "split at its rollup node into two sub-applications — the upstream "
+    "part's head becomes a queue sink, the terminal part binds the cut as "
+    "an external_stream over the matching queue source (emulated Kinesis), "
+    "with the cut edge's schema derived by the graph typechecker. The "
+    "runner executes each part in its OWN Spark session; the terminal "
+    "output hash-matches the unpartitioned program's oracle. The cut sits "
+    "on the REDUCED edge (per-user rollup, not raw events) — where a real "
+    "100 TB pipeline puts its deployment boundary.",
+    oracle="""
+WITH agg AS (
+  SELECT user_id,
+         CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS total_cents,
+         COUNT(*) AS n
+  FROM events WHERE event_type = 'purchase' GROUP BY user_id
+)
+SELECT user_id, total_cents, n,
+       CAST(FLOOR(total_cents / n) AS BIGINT) AS avg_cents
+FROM agg
+""",
+)
+def partitioned_application_two_part_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from milan_spark.application import Application
+    from milan_spark.partition import partition_application, run_partitioned
+
+    app, cut_at = _purchase_rollup_app(sf_dir, sink={"kind": "none"})
+    app = Application.from_json(app.to_json())  # the portable JSON is what ships
+    parts = partition_application(
+        app, [cut_at["agg"]], spark,
+        transport=tempfile.mkdtemp(prefix="milan_cut_"),
+    )
+    assert len(parts) == 2
+    return run_partitioned(parts, spark, mode="batch")
+
+
+@register(
+    "streaming_partitioned_application",
+    doc="The same partitioner on the STREAMING backend: the upstream part "
+    "runs as a StreamingQuery publishing its (stateless) head to the "
+    "emulated Kinesis spool; the terminal part's session reads the queue "
+    "as a stream and completes the per-user rollup to a memory sink — two "
+    "Spark sessions connected only by queue transport, the reference's "
+    "deploy-each-partition-separately shape (LambdaHandlerGenerator."
+    "scala:1). Cut at the stateless projection so append-mode publish is "
+    "exact. Same oracle as application_bundle_run.",
+    oracle=REGISTRY["application_bundle_run"].oracle,
+)
+def streaming_partitioned_application_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from milan_spark.partition import partition_application, run_partitioned
+    from milan_spark.plans import Node
+
+    from milan_spark.application import Application
+
+    app, cut_at = _purchase_rollup_app(sf_dir, sink={"kind": "none"})
+    # streaming flavor: terminal = the rollup itself, run in complete mode
+    agg = Node(
+        "aggregate",
+        {"keys": ["user_id"], "aggs": {"n": "count(*)", "total_cents": "sum(cents)"}},
+        app._find_node(cut_at["agg"]).inputs,  # over the same projection
+    )
+    app = Application(
+        app_id="purchase_rollup_live",
+        plan=agg,
+        sources=app.sources,
+        sink={"kind": "memory", "name": "streaming_partitioned_application",
+              "output_mode": "complete"},
+    )
+    parts = partition_application(
+        app, [cut_at["proj"]], spark,
+        transport=tempfile.mkdtemp(prefix="milan_cut_"),
+    )
+    # the terminal part's memory sink runs to completion and is returned
+    # as its table (bound to that part's own session — same JVM)
+    return run_partitioned(parts, spark, mode="streaming")

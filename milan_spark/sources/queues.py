@@ -380,6 +380,45 @@ def open_queue_sink(
     )
 
 
+def publish_batch(df: DataFrame, spec: Mapping) -> int:
+    """Batch twin of :func:`open_queue_sink`: publish a bounded DataFrame to
+    the emulated queue as one ordered batch (the partitioned-application
+    runner's batch mode uses this to hand a part's head stream to the next
+    part). Returns the number of messages published. Same guarded collect +
+    cap as the streaming publisher — a queue is a control-plane transport."""
+    kind = spec["kind"]
+    coord = {
+        "kinesis": spec.get("stream_name"),
+        "sqs": spec.get("queue_url"),
+        "dynamodb_table": spec.get("table_name"),
+    }[kind]
+    if not _is_local(coord):
+        raise MilanConnectorError(
+            f"{kind} sink {coord!r}: batch publish exists only for the "
+            "local: emulation"
+        )
+    base = _local_dir(coord)
+    docs = _collect_messages(df, coord)
+    if kind in ("kinesis", "sqs"):
+        if docs:
+            _spool(base, docs, chunk=spec.get("queue_limit"))
+        return len(docs)
+    key_cols = list(spec.get("key_cols") or [])
+    if not key_cols:
+        raise MilanConnectorError(
+            f"dynamodb_table sink {coord!r}: key_cols required (the table's "
+            "primary key)"
+        )
+    from milan_spark.streaming import merge_parquet_batch
+
+    merge_parquet_batch(df, os.path.join(base, "_state"), key_cols, batch_id=_next_seq(base))
+    changelog = os.path.join(base, "_changelog")
+    os.makedirs(changelog, exist_ok=True)
+    if docs:
+        _spool(changelog, docs)
+    return len(docs)
+
+
 def read_table_state(spark: SparkSession, table_coord: str) -> DataFrame:
     """Read the emulated DynamoDB table's current state (post-upserts)."""
     if not _is_local(table_coord):
