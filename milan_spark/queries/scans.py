@@ -293,3 +293,51 @@ def ewma_smoothing_from_ir_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return compile_node(from_json(to_json(s.node)), spark)
+
+
+@register(
+    "ewma_smoothing_event_backend",
+    doc="The SAME serialized EWMA plan on the THIRD compiler: the in-process "
+    "per-record EventHandler (plans.backend_event — the analog of the "
+    "reference's EventHandlerClassGenerator.scala:36-80 embedding target). "
+    "Deliberately driver-side: this backend exists to embed a pipeline as "
+    "a plain function (a sidecar scoring one record at a time); the "
+    "bounded collect IS the point, not a distributed-path defect — the "
+    "same JSON plan deploys unchanged to the batch/streaming compilers "
+    "when data outgrows one process. Fed in event_id order (arrival order "
+    "= processing order, doc/Milan Operations.md:27-51); same recursive-"
+    "CTE oracle as both other backends' twins.",
+    oracle=REGISTRY["ewma_smoothing"].oracle,
+)
+def ewma_smoothing_event_backend_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from milan_spark.plans.backend_event import compile_event
+    from milan_spark.plans.nodes import from_json, to_json
+    from milan_spark.stream import Stream
+
+    path = f"{sf_dir}/events.parquet"
+    s = (
+        Stream.from_parquet(spark, path)
+        .map("event_id", "user_id", "value")
+        .scan(
+            "milan_spark.functions.folds:ewma_cents_fold",
+            initial_state=None,
+            output_schema="event_id long, user_id long, ewma_cents long",
+            keys=["user_id"],
+            seq="event_id",
+        )
+    )
+    handler = compile_event(
+        from_json(to_json(s.node)),
+        schemas={path: ["event_id", "user_id", "ts", "event_type", "value"]},
+    )
+    rows = (
+        spark.read.parquet(path)
+        .select("event_id", "user_id", "value")
+        .orderBy("event_id")
+        .collect()
+    )
+    out = handler.process_many(r.asDict() for r in rows)
+    return spark.createDataFrame(
+        [(d["event_id"], d["user_id"], d["ewma_cents"]) for d in out],
+        schema="event_id long, user_id long, ewma_cents long",
+    )
