@@ -997,3 +997,106 @@ def maximal_independent_set(
             .alias("in_mis"),
         )
     )
+
+
+def scc_trim_contract(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    *,
+    trim_rounds: int = 8,
+    cc_iterations: int = 50,
+    max_rounds: int = 64,
+) -> DataFrame:
+    """The EXECUTABLE production recipe :func:`strongly_connected_components`'s
+    docstring prescribes for corpus-scale edge lists — trim + contract, then
+    the closure on the residual core. Output-identical to running the plain
+    operator on the same edges ((node, scc_id), scc_id = min member), with
+    the O(Σ|reach|) closure materialized only for the core:
+
+    1. **Trim** (the FW-BW "Trim" step, McLendon et al. 2005): peel nodes
+       lacking incoming or outgoing edges — such a node can sit on no cycle,
+       so it is a singleton SCC by construction. One semi-join pair per
+       round over a monotonically shrinking edge set (the :func:`kcore`
+       peeling shape); ``trim_rounds`` is an optimization knob, never a
+       correctness one — anything left untrimmed is still resolved exactly
+       by the closure.
+    2. **Contract** reciprocal components: u→v AND v→u proves u,v share an
+       SCC, so every connected component of the mutual-edge graph collapses
+       to its min-id representative (one :func:`connected_components` run —
+       the cheap UNDIRECTED primitive — over only the reciprocal pairs).
+       Edge endpoints map through the representative; self-loops vanish.
+    3. **Closure** on what remains: :func:`strongly_connected_components`
+       over the contracted residual. Because representatives are component
+       minima, the closure's min-based ids ARE the original graph's ids.
+    4. Map back: every node's scc_id = closure id of its representative,
+       defaulting to the representative itself (trimmed singletons and
+       fully-contracted components never reach the closure).
+
+    At 100 TB the trim typically removes the long acyclic tail (most real
+    digraphs are mostly DAG), the contraction collapses the obvious mutual
+    cliques, and the quadratic-risk closure sees only the small residual
+    core — measured on the sf0.1 periphery graph in SCALE.md.
+    """
+    e = (
+        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+        .persist()
+    )
+    all_nodes = (
+        e.select(F.col("u").alias("node"))
+        .unionByName(e.select(F.col("v").alias("node")))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    # 1. trim: keep only nodes with BOTH an out-edge and an in-edge
+    cur = e.localCheckpoint(eager=False)
+    for _ in range(trim_rounds):
+        core = (
+            cur.select(F.col("u").alias("n"))
+            .intersect(cur.select(F.col("v").alias("n")))
+        )
+        cur = (
+            cur.join(core.withColumnRenamed("n", "u"), "u", "left_semi")
+            .join(core.withColumnRenamed("n", "v"), "v", "left_semi")
+            .localCheckpoint(eager=False)
+        )
+    # 2. contract reciprocal components to their min-id representative.
+    # NB: expressed as an aliased self-semi-join, NOT cur.intersect(swapped
+    # projection) — Catalyst resolves the swap projection's attributes back
+    # to the same plan and the intersect degenerates to identity (observed:
+    # every u<v edge came back "reciprocal")
+    recip = (
+        cur.alias("a")
+        .join(
+            cur.alias("b"),
+            (F.col("a.u") == F.col("b.v")) & (F.col("a.v") == F.col("b.u")),
+            "left_semi",
+        )
+        .filter(F.col("u") < F.col("v"))
+    )
+    rep = connected_components(recip, "u", "v", max_iterations=cc_iterations).select(
+        F.col("node").alias("n"), F.col("label").alias("rep")
+    )
+    cu = cur.join(rep.withColumnRenamed("n", "u"), "u", "left").select(
+        F.coalesce("rep", "u").alias("cu"), "v"
+    )
+    ce = (
+        cu.join(rep.withColumnRenamed("n", "v"), "v", "left")
+        .select(F.col("cu").alias("u"), F.coalesce("rep", "v").alias("v"))
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+    # 3. exact closure on the residual core only
+    core_scc = strongly_connected_components(ce, "u", "v", max_rounds=max_rounds)
+    # 4. node -> representative -> closure id (default: the rep itself)
+    return (
+        all_nodes.join(rep.withColumnRenamed("n", "node"), "node", "left")
+        .select("node", F.coalesce("rep", "node").alias("rep"))
+        .join(core_scc.withColumnRenamed("node", "rep"), "rep", "left")
+        .select(
+            "node",
+            F.coalesce(F.col("scc_id"), F.col("rep")).cast("long").alias("scc_id"),
+        )
+    )

@@ -136,3 +136,41 @@ def test_hits_property_matches_python_model(spark, edges):
         for r in hits_scaled(df, iterations=2).collect()
     }
     assert got == _py_hits(edges, iterations=2)
+
+
+from milan_spark.operators.graph import scc_trim_contract
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+@given(digraphs)
+def test_scc_trim_contract_matches_python_reference(spark, edges):
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {r["node"]: r["scc_id"] for r in scc_trim_contract(df).collect()}
+    assert got == _py_scc(edges)
+
+
+def test_scc_trim_contract_knob_independent(spark):
+    # a 4-deep acyclic tail into a 3-cycle with a reciprocal appendage:
+    # trim_rounds too small to finish peeling must NOT change the answer
+    # (leftover tail nodes are resolved exactly by the closure)
+    edges = [(100, 101), (101, 102), (102, 103), (103, 1),
+             (1, 2), (2, 3), (3, 1), (3, 7), (7, 3)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    want = _py_scc(edges)
+    for rounds in (0, 1, 8):
+        got = {r["node"]: r["scc_id"]
+               for r in scc_trim_contract(df, trim_rounds=rounds).collect()}
+        assert got == want, f"trim_rounds={rounds}"
+
+
+def test_scc_trim_contract_fully_contracted_core(spark):
+    # the whole cyclic core is one reciprocal clique -> contraction leaves
+    # ZERO edges for the closure; ids must still be component minima
+    edges = [(1, 2), (2, 1), (2, 3), (3, 2), (5, 1)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {r["node"]: r["scc_id"] for r in scc_trim_contract(df).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 5: 5}
