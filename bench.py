@@ -18,7 +18,46 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 
+def _warm_streaming_child(sf_dir: str, names: list[str]) -> None:
+    """Child mode: measure the named queries in THIS fresh session — one
+    untimed warmup then SPARK_GRAFT_BENCH_PASSES timed passes each — and
+    print one JSON map {name: median}. Exists because streaming state
+    queries measured at the tail of a 240-query session carry
+    session-accumulation noise (GC state, checkpoint blocks, worker pools):
+    their code didn't change across rounds 7→8 yet cold medians drifted up
+    to 1.6×. The warm-isolated number is the comparable one."""
+    import time as _t
+
+    from milan_spark.catalog import queries
+    from milan_spark.session import get_spark, release_cached
+
+    spark = get_spark("milan_bench_warm_streaming")
+    qs = queries()
+    n_passes = int(os.environ.get("SPARK_GRAFT_BENCH_PASSES", "3"))
+    out: dict[str, float] = {}
+    for name in names:
+        samples = []
+        for p in range(n_passes + 1):  # pass 0 = untimed warmup
+            start = _t.perf_counter()
+            try:
+                qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+            except Exception as e:
+                print(f"warm-streaming error in {name}: {e}", file=sys.stderr)
+                break
+            if p > 0:
+                samples.append(round(_t.perf_counter() - start, 4))
+            release_cached(spark)
+        if samples:
+            s = sorted(samples)
+            n = len(s)
+            out[name] = s[n // 2] if n % 2 else round((s[n // 2 - 1] + s[n // 2]) / 2, 4)
+    print(json.dumps(out))
+
+
 def main() -> None:
+    if len(sys.argv) > 2 and sys.argv[1] == "--warm-streaming-child":
+        _warm_streaming_child(sys.argv[2], sys.argv[3:])
+        return
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     from milan_spark.catalog import queries
     from milan_spark.session import get_spark, release_cached
@@ -113,6 +152,28 @@ def main() -> None:
         # long-running queries. Breakdown in SCALE.md.
         "streaming_api": "transformWithStateInPandas",
     }
+    # standing warm-isolated tier for streaming state queries (round-8
+    # verdict: their end-of-session cold medians drift with catalog LENGTH,
+    # not code — re-measure them in one fresh subprocess session with per-
+    # query warmup and record BOTH numbers; "warm" is the cross-round
+    # comparable, "queries" stays the in-session number the totals use)
+    if os.environ.get("SPARK_GRAFT_BENCH_WARM_STREAMING", "1") != "0":
+        import subprocess
+
+        stream_names = sorted(k for k in timings if k.startswith("streaming_"))
+        if stream_names:
+            r = subprocess.run(
+                [sys.executable, os.path.abspath(__file__),
+                 "--warm-streaming-child", sf_dir, *stream_names],
+                capture_output=True, text=True,
+                env={**os.environ, "PYTHONPATH": here},
+            )
+            line = r.stdout.strip().splitlines()[-1] if r.stdout.strip() else "{}"
+            try:
+                detail["warm"] = json.loads(line)
+            except json.JSONDecodeError:
+                detail["warm_error"] = r.stderr[-1500:]
+
     baseline_path = os.path.join(here, "BENCH_r01.json")
     try:
         with open(baseline_path) as f:

@@ -34,6 +34,38 @@ from milan_spark.plans.nodes import Node, compile_node, from_json as _plan_from_
 
 BUNDLE_VERSION = 1
 
+_STATE_PROVIDERS = {
+    "memory": "org.apache.spark.sql.execution.streaming.state.HDFSBackedStateStoreProvider",
+    "rocksdb": "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+}
+_PROVIDER_KEY = "spark.sql.streaming.stateStore.providerClass"
+
+
+class _state_store_scope:
+    """Set the state-store provider for queries STARTED inside the scope and
+    restore it after — a StreamingQuery clones the session conf at
+    ``start()``, so this is exact per-query scoping (the Spark realization
+    of the reference's per-operation ``stateStores`` configuration,
+    ``ApplicationConfiguration.scala:121-154``). ``choice=None`` is a
+    no-op passthrough."""
+
+    def __init__(self, spark: SparkSession, choice: str | None):
+        self.spark, self.choice = spark, choice
+
+    def __enter__(self):
+        if self.choice:
+            self.prev = self.spark.conf.get(_PROVIDER_KEY, None)
+            self.spark.conf.set(_PROVIDER_KEY, _STATE_PROVIDERS[self.choice])
+        return self
+
+    def __exit__(self, *exc):
+        if self.choice:
+            if self.prev is None:
+                self.spark.conf.unset(_PROVIDER_KEY)
+            else:
+                self.spark.conf.set(_PROVIDER_KEY, self.prev)
+        return False
+
 # source spec kinds → how run_* resolves them
 #   parquet: {"path": ...}
 #   file:    {"path": ..., "fmt": ..., "options": {...}}
@@ -152,6 +184,11 @@ class Application:
                     f"sink on {sid!r}: unknown kind {entry.get('kind')!r} "
                     "(expected memory|file)"
                 )
+            if entry.get("state_store") not in (None, "memory", "rocksdb"):
+                raise ValueError(
+                    f"sink on {sid!r}: state_store "
+                    f"{entry.get('state_store')!r} unknown (expected memory|rocksdb)"
+                )
         for entry in self.lineage_sinks:
             sid = entry.get("stream_id")
             if sid not in node_ids:
@@ -169,6 +206,11 @@ class Application:
         if self.state_store not in (None, "memory", "rocksdb"):
             raise ValueError(
                 f"state_store {self.state_store!r} unknown (expected memory|rocksdb)"
+            )
+        if self.sink.get("state_store") not in (None, "memory", "rocksdb"):
+            raise ValueError(
+                f"sink state_store {self.sink.get('state_store')!r} unknown "
+                "(expected memory|rocksdb)"
             )
 
     def _node_ids(self) -> set[str]:
@@ -354,23 +396,8 @@ class Application:
         self.validate()
         from milan_spark.plans.backend_streaming import compile_node_streaming
 
-        _PROVIDERS = {
-            "memory": "org.apache.spark.sql.execution.streaming.state.HDFSBackedStateStoreProvider",
-            "rocksdb": "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
-        }
-        conf_key = "spark.sql.streaming.stateStore.providerClass"
-        prev_provider = spark.conf.get(conf_key, None)
-        if self.state_store:
-            # queries clone the session conf at start(); restored in finally
-            spark.conf.set(conf_key, _PROVIDERS[self.state_store])
-        try:
+        with _state_store_scope(spark, self.state_store):
             return self._run_streaming_inner(spark, compile_node_streaming)
-        finally:
-            if self.state_store:
-                if prev_provider is None:
-                    spark.conf.unset(conf_key)
-                else:
-                    spark.conf.set(conf_key, prev_provider)
 
     def _run_streaming_inner(self, spark: SparkSession, compile_node_streaming):
         bound = {sid: self._resolve_streaming(spark, sid) for sid in self.sources}
@@ -388,23 +415,31 @@ class Application:
             sub = compile_node_streaming(
                 self._find_node(entry["stream_id"]), spark, source_overrides=bound
             )
-            if entry["kind"] == "memory":
-                from milan_spark.streaming import run_to_memory
+            # per-OPERATION state-store scoping: each StreamingQuery clones
+            # the session conf at start(), so setting the provider around a
+            # single sink's start scopes its state stores to that query
+            # alone — the engine's realization of the reference's
+            # per-operation stateStores configuration
+            # (ApplicationConfiguration.scala:121-154, which attaches a
+            # StateStore choice to individual operation names)
+            with _state_store_scope(spark, entry.get("state_store")):
+                if entry["kind"] == "memory":
+                    from milan_spark.streaming import run_to_memory
 
-                run_to_memory(
-                    sub, entry["name"], output_mode=entry.get("output_mode", "append")
-                )
-            else:
-                from milan_spark.streaming import file_sink
-
-                started.append(
-                    file_sink(
-                        sub,
-                        entry["path"],
-                        fmt=entry.get("fmt", "parquet"),
-                        output_mode=entry.get("output_mode", "append"),
+                    run_to_memory(
+                        sub, entry["name"], output_mode=entry.get("output_mode", "append")
                     )
-                )
+                else:
+                    from milan_spark.streaming import file_sink
+
+                    started.append(
+                        file_sink(
+                            sub,
+                            entry["path"],
+                            fmt=entry.get("fmt", "parquet"),
+                            output_mode=entry.get("output_mode", "append"),
+                        )
+                    )
         for q in started:
             q.awaitTermination(300)
         sdf = compile_node_streaming(self.plan, spark, source_overrides=bound)
@@ -421,18 +456,20 @@ class Application:
         if kind == "memory":
             from milan_spark.streaming import run_to_memory
 
-            return run_to_memory(
-                sdf, self.sink["name"], output_mode=self.sink.get("output_mode", "append")
-            )
+            with _state_store_scope(spark, self.sink.get("state_store")):
+                return run_to_memory(
+                    sdf, self.sink["name"], output_mode=self.sink.get("output_mode", "append")
+                )
         if kind == "file":
             from milan_spark.streaming import file_sink
 
-            return file_sink(
-                sdf,
-                self.sink["path"],
-                fmt=self.sink.get("fmt", "parquet"),
-                output_mode=self.sink.get("output_mode", "append"),
-            )
+            with _state_store_scope(spark, self.sink.get("state_store")):
+                return file_sink(
+                    sdf,
+                    self.sink["path"],
+                    fmt=self.sink.get("fmt", "parquet"),
+                    output_mode=self.sink.get("output_mode", "append"),
+                )
         if kind in ("kinesis", "sqs", "dynamodb_table"):
             from milan_spark.sources.queues import open_queue_sink
 

@@ -26,6 +26,15 @@ class MilanAnalysisError(Exception):
     internal."""
 
 
+class MilanEmptyStreamError(RuntimeError):
+    """A streaming query ran to completion having read ZERO input rows —
+    almost always a mis-staged source (directory-shaped path, stale
+    symlink, wrong glob), not a real empty stream. Raised by the streaming
+    harness tripwire (``streaming.run_to_memory(require_input=True)``); the
+    bug class it guards against silently produced empty-but-"passing"
+    streams at sf1 for three rounds."""
+
+
 def _condense(e: AnalysisException) -> str:
     # first message line carries the error class + names; the rest is plan
     # dump / JVM trace

@@ -106,6 +106,7 @@ def run_to_memory(
     output_mode: str = "append",
     timeout_sec: int = 300,
     state_partitions: int | None = None,
+    require_input: bool = True,
 ) -> DataFrame:
     """Run a streaming DataFrame to completion into an in-memory table and
     return it (ref: SingletonMemorySink.scala:17-45 — tests write to a
@@ -156,7 +157,36 @@ def run_to_memory(
         _LAST_PROGRESS[:] = raw
     except Exception:
         _LAST_PROGRESS[:] = []
+    if require_input and _sources_never_advanced(_LAST_PROGRESS):
+        # permanent tripwire for the silent-empty-source class of bug (the
+        # round-5–8 sf1 regression: a staging symlink produced an empty
+        # FileStreamSource and every downstream assertion still "passed" on
+        # zero rows). The discriminator is the source OFFSET, not
+        # numInputRows: a source whose endOffset never advanced discovered
+        # nothing, while a query whose filters were pushed into the scan
+        # legitimately reports numInputRows == 0 yet still commits offsets.
+        # Opt out (require_input=False) only for deliberately-empty fixtures.
+        from milan_spark.errors import MilanEmptyStreamError
+
+        raise MilanEmptyStreamError(
+            f"streaming query {name!r} completed with NO source ever "
+            "advancing its offset — every source is empty or mis-staged "
+            "(directory-shaped path, wrong glob, stale symlink). Pass "
+            "require_input=False if an empty source is intended."
+        )
     return sdf.sparkSession.table(name)
+
+
+def _sources_never_advanced(progress: list[dict]) -> bool:
+    """True when across ALL microbatches, EVERY source's endOffset stayed
+    unset — the whole query read from dead sources. (Queries with zero
+    recorded progress entries count as dead too.)"""
+    for p in progress:
+        for s in p.get("sources") or []:
+            end = s.get("endOffset")
+            if end is not None and end != "None":
+                return False
+    return True
 
 
 def file_sink(

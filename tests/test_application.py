@@ -321,3 +321,37 @@ def test_bundle_with_left_windowed_join_both_lifecycles(spark):
     assert len(batch) > 0 and obs.get["n_out"] == len(batch)
     sdf = app.run_streaming(spark)
     assert sorted(map(tuple, sdf.collect())) == batch
+
+
+def test_per_sink_state_store_scoping(spark, tmp_path):
+    # the reference scopes state stores PER OPERATION
+    # (ApplicationConfiguration.scala:121-154); here each sink entry may
+    # carry its own provider — applied only around that query's start()
+    # (queries clone the session conf at start), restored afterwards
+    from milan_spark.application import _PROVIDER_KEY, _state_store_scope
+
+    prev = spark.conf.get(_PROVIDER_KEY, None)
+    with _state_store_scope(spark, "rocksdb"):
+        assert "RocksDB" in spark.conf.get(_PROVIDER_KEY)
+        with _state_store_scope(spark, "memory"):
+            assert "HDFSBacked" in spark.conf.get(_PROVIDER_KEY)
+        assert "RocksDB" in spark.conf.get(_PROVIDER_KEY)
+    assert spark.conf.get(_PROVIDER_KEY, None) == prev
+    with _state_store_scope(spark, None):
+        assert spark.conf.get(_PROVIDER_KEY, None) == prev
+
+    app = Application.from_json(_multi_sink_bundle(str(tmp_path / "ps")).to_json())
+    app.sinks[0]["state_store"] = "rocksdb"  # the tap alone runs on rocksdb
+    app.sink = {"kind": "memory", "name": "per_sink_out",
+                "output_mode": "complete", "state_store": "memory"}
+    table = app.run_streaming(spark)
+    got = sorted(tuple(r) for r in table.collect())
+    bdf, _ = Application.from_json(
+        _multi_sink_bundle(str(tmp_path / "pb")).to_json()
+    ).run_batch(spark)
+    assert got == sorted(tuple(r) for r in bdf.collect())
+    assert spark.conf.get(_PROVIDER_KEY, None) == prev
+    # bad per-sink value rejected by name
+    app.sinks[0]["state_store"] = "dynamo"
+    with pytest.raises(ValueError, match="state_store"):
+        app.validate()
