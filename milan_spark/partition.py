@@ -311,6 +311,62 @@ def _attach_intermediate(app: Application, part: Application, claimed: set[str])
             claimed.add(entry["stream_id"])
 
 
+#: ops that materialize cross-record state — the reference's
+#: ``StreamExpression.stateful`` flag, which its automatic partitioner keys
+#: on (ApplicationPartitioner.scala: ``getNodeIdIfStateful`` labels each
+#: stateful node as its own partition; stateless nodes inherit the parent's)
+STATEFUL_OPS = frozenset(
+    {
+        "aggregate", "time_window_aggregate", "session_window_aggregate",
+        "record_window", "left_enrichment_join", "full_enrichment_join",
+        "left_inner_enrichment_join", "relational_join", "left_windowed_join",
+        "asof_join", "cum_window", "running_sum_by", "stream_max_by",
+        "stream_min_by", "scan_fold", "last", "distinct", "cycle",
+        "rollup", "cube", "grouping_sets", "intersect", "except",
+        "order_limit",
+    }
+)
+
+
+def stateful_cut_ids(plan: Node) -> list[str]:
+    """The cut set the reference's AUTOMATIC partitioner derives: every
+    non-root stateful node whose output some other node consumes becomes a
+    partition boundary, so each resulting part contains at most ONE stateful
+    operation (``ApplicationPartitioner.partitionApplication`` — the Lambda
+    deployment model: one stateful handler per deployable). Nodes inside
+    cycle bodies are excluded (feedback edges cannot be cut)."""
+    in_cycle: set[str] = set()
+    for n in _walk(plan):
+        if n.op == "cycle":
+            in_cycle |= {m.node_id for m in _walk(n.inputs[1])}
+    return sorted(
+        n.node_id
+        for n in _walk(plan)
+        if n.op in STATEFUL_OPS
+        and n.node_id != plan.node_id
+        and n.node_id not in in_cycle
+    )
+
+
+def partition_by_stateful(
+    app: Application,
+    spark: SparkSession,
+    *,
+    transport: str | Mapping[str, str],
+    queue_kind: str = "kinesis",
+) -> list[Application]:
+    """The reference's automatic partitioning policy: split so that every
+    part holds at most one stateful operation (``ApplicationPartitioner.
+    scala:44-70``). Returns ``[app]`` unchanged when the plan has no
+    interior stateful node to cut at."""
+    cuts = stateful_cut_ids(app.plan)
+    if not cuts:
+        return [app]
+    return partition_application(
+        app, cuts, spark, transport=transport, queue_kind=queue_kind
+    )
+
+
 def run_partitioned(
     parts: Sequence[Application], spark: SparkSession, *, mode: str = "batch"
 ):

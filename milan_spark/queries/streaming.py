@@ -2001,3 +2001,62 @@ def streaming_partitioned_application_q(spark: SparkSession, sf_dir: str) -> Dat
     # the terminal part's memory sink runs to completion and is returned
     # as its table (bound to that part's own session — same JVM)
     return run_partitioned(parts, spark, mode="streaming")
+
+
+@register(
+    "partitioned_by_stateful_auto",
+    doc="The reference partitioner's AUTOMATIC policy (ApplicationPartitioner."
+    "scala:44-70: at most one stateful operation per deployable — the "
+    "Lambda model): a program with TWO stateful stages (per-user rollup, "
+    "then distinct over the derived tier column) is split with NO "
+    "user-supplied cut set — partition_by_stateful derives the boundary "
+    "from the ops' statefulness — into two queue-connected parts whose "
+    "composed output hash-matches the unpartitioned SQL.",
+    oracle="""
+WITH agg AS (
+  SELECT user_id,
+         CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS total_cents,
+         COUNT(*) AS n
+  FROM events WHERE event_type = 'purchase' GROUP BY user_id
+)
+SELECT DISTINCT CAST(FLOOR(total_cents / (n * 1000)) AS BIGINT) AS spend_tier
+FROM agg
+""",
+)
+def partitioned_by_stateful_auto_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from milan_spark.application import Application
+    from milan_spark.partition import (
+        STATEFUL_OPS,
+        partition_by_stateful,
+        run_partitioned,
+        _walk as _walk_nodes,
+    )
+    from milan_spark.plans import Node
+
+    app, cut_at = _purchase_rollup_app(sf_dir, sink={"kind": "none"})
+    tiers = Node(
+        "distinct",
+        {},
+        [
+            Node(
+                "map",
+                {"exprs": ["CAST(floor(total_cents / (n * 1000)) AS BIGINT) AS spend_tier"]},
+                [app._find_node(cut_at["agg"])],
+            )
+        ],
+    )
+    app = Application(
+        app_id="rollup_tiers_auto",
+        plan=tiers,
+        sources=app.sources,
+        sink={"kind": "none"},
+    )
+    parts = partition_by_stateful(
+        app, spark, transport=tempfile.mkdtemp(prefix="milan_cut_")
+    )
+    assert len(parts) == 2
+    for p in parts:
+        assert sum(1 for n in _walk_nodes(p.plan) if n.op in STATEFUL_OPS) <= 1
+    return run_partitioned(parts, spark, mode="batch")

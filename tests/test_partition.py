@@ -186,3 +186,38 @@ def test_intermediate_sink_attaches_to_first_part(spark):
     )
     # the filter node lives inside part 1's plan, so it IS claimed there
     assert parts2[0].sinks
+
+
+def test_partition_by_stateful_one_stateful_op_per_part(spark):
+    from milan_spark.partition import STATEFUL_OPS, partition_by_stateful
+    from milan_spark.partition import _walk as walk_nodes
+
+    # two stateful stages: per-user rollup, then a distinct over the derived
+    # column — the automatic policy must isolate each into its own part
+    app, _proj, agg = _rollup_app()
+    dd = Node("distinct", {}, [app.plan])
+    app2 = Application(
+        app_id="t_auto", plan=dd,
+        sources={"events": {"kind": "parquet", "path": EV}},
+    )
+    direct, _ = app2.run_batch(spark)
+    parts = partition_by_stateful(
+        app2, spark, transport=tempfile.mkdtemp(prefix="t_cut_")
+    )
+    assert len(parts) == 2  # agg part + terminal (distinct)
+    for p in parts:
+        n_stateful = sum(1 for n in walk_nodes(p.plan) if n.op in STATEFUL_OPS)
+        assert n_stateful <= 1, p.app_id
+    out = run_partitioned(parts, spark, mode="batch")
+    assert _collect(out) == _collect(direct)
+
+
+def test_partition_by_stateful_stateless_plan_passthrough(spark):
+    from milan_spark.partition import partition_by_stateful
+
+    plan = Node("filter", {"condition": "event_type = 'purchase'"},
+                [Node("external_stream", {"stream_id": "events"})])
+    app = Application(app_id="t_flat", plan=plan,
+                      sources={"events": {"kind": "parquet", "path": EV}})
+    parts = partition_by_stateful(app, spark, transport="/tmp/unused")
+    assert parts == [app]
