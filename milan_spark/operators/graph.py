@@ -1075,19 +1075,26 @@ def scc_trim_contract(
             "left_semi",
         )
         .filter(F.col("u") < F.col("v"))
+        .localCheckpoint(eager=False)
     )
-    rep = connected_components(recip, "u", "v", max_iterations=cc_iterations).select(
-        F.col("node").alias("n"), F.col("label").alias("rep")
-    )
-    cu = cur.join(rep.withColumnRenamed("n", "u"), "u", "left").select(
-        F.coalesce("rep", "u").alias("cu"), "v"
-    )
-    ce = (
-        cu.join(rep.withColumnRenamed("n", "v"), "v", "left")
-        .select(F.col("cu").alias("u"), F.coalesce("rep", "v").alias("v"))
-        .filter(F.col("u") != F.col("v"))
-        .distinct()
-    )
+    if recip.isEmpty():
+        # nothing to contract: skip the CC fixpoint's per-round jobs (a
+        # bounded decision probe, the house convergence pattern)
+        rep = cur.sparkSession.createDataFrame([], "n long, rep long")
+        ce = cur
+    else:
+        rep = connected_components(recip, "u", "v", max_iterations=cc_iterations).select(
+            F.col("node").alias("n"), F.col("label").alias("rep")
+        )
+        cu = cur.join(rep.withColumnRenamed("n", "u"), "u", "left").select(
+            F.coalesce("rep", "u").alias("cu"), "v"
+        )
+        ce = (
+            cu.join(rep.withColumnRenamed("n", "v"), "v", "left")
+            .select(F.col("cu").alias("u"), F.coalesce("rep", "v").alias("v"))
+            .filter(F.col("u") != F.col("v"))
+            .distinct()
+        )
     # 3. exact closure on the residual core only
     core_scc = strongly_connected_components(ce, "u", "v", max_rounds=max_rounds)
     # 4. node -> representative -> closure id (default: the rep itself)
