@@ -274,3 +274,21 @@ def test_expr_sql_semantics():
         e("regexp_extract(s, '.', 0)")
     with pytest.raises(MilanExprError, match="trailing"):
         e("a + 1 extra")
+
+
+def test_left_inner_join_event_matches_batch(spark):
+    left, right = _join_plan(spark)
+    joined = left.left_inner_join(right, on="user_id")
+    text = to_json(joined.node)
+    plan = from_json(text)
+    lsrc, rsrc = plan.inputs[0], plan.inputs[1]
+    while lsrc.inputs:
+        lsrc = lsrc.inputs[0]
+    while rsrc.inputs:
+        rsrc = rsrc.inputs[0]
+    handler = compile_event(plan, schemas={lsrc.node_id: EV_COLS, rsrc.node_id: EV_COLS})
+    ev = handler.process_many(
+        (sid, r) for r in _rows(spark) for sid in (rsrc.node_id, lsrc.node_id)
+    )
+    cols = handler.columns
+    assert _as_tuples(ev, cols) == _batch(spark, text, cols)
