@@ -236,7 +236,20 @@ _CAST_TYPES = {
     "float": lambda v: float(v),
     "string": lambda v: (str(v).lower() if isinstance(v, bool) else str(v)),
     "boolean": lambda v: bool(v),
+    "timestamp": lambda v: _to_timestamp(v),
 }
+
+
+def _to_timestamp(v):
+    # NTZ→TIMESTAMP under the engine's fixed UTC session tz is an identity;
+    # strings parse like Spark's ISO forms ('2024-01-02 03:04:05[.ffffff]')
+    import datetime as _dt
+
+    if isinstance(v, _dt.datetime):
+        return v
+    if isinstance(v, _dt.date):
+        return _dt.datetime(v.year, v.month, v.day)
+    return _dt.datetime.fromisoformat(str(v).strip().replace("T", " "))
 
 
 def _cast(v, typename: str):

@@ -20,9 +20,15 @@ plan (``tests/test_event_backend.py`` pins this three-way).
 Supported ops: ``external_stream`` / sources (entry points; leaf schemas
 supplied by the caller), ``filter``, ``map``, ``add_fields``, ``union``,
 ``left/full/left_inner_enrichment_join``, ``cum_window``,
-``running_sum_by``, ``stream_max_by`` / ``stream_min_by``, and ``scan_fold``
+``running_sum_by``, ``stream_max_by`` / ``stream_min_by``, ``scan_fold``
 (associative form lowered through the optimizer rule; opaque form resolved
-from its ``fold_ref`` FunctionReference). Everything else raises a
+from its ``fold_ref`` FunctionReference), and — the round-9 widening to the
+reference event compiler's full aggregate surface — ``aggregate``,
+``time_window_aggregate`` (tumbling/sliding, per-record refinement
+emission), ``distinct``, ``last``, ``record_window``, plus ``cache`` /
+``checkpoint`` / ``hint`` as pass-throughs (no lineage in-process). The
+aggregate set is the reference's sum/min/max/mean/any/count/argmin/argmax
+(doc/Milan Operations.md:102-118). Everything else raises a
 :class:`~milan_spark.errors.MilanAnalysisError` naming the op — cycles are
 rejected by name exactly like the reference's event compiler
 (``EventHandlerClassGenerator.scala:23`` "Cycles are not supported").
@@ -261,6 +267,366 @@ def _compile_arg_compare(n: Node, ins: list[_Op], maximize: bool) -> _Op:
     return _Op(ins[0].columns, step)
 
 
+# ---------------------------------------------------------------------------
+# Aggregate machinery shared by aggregate / time windows / record windows.
+# The reference's event handler evaluates its aggregate set (sum/min/max/
+# mean/any/count/argmin/argmax — doc/Milan Operations.md:102-118) per record;
+# these accumulators replicate the matching Spark functions' null discipline
+# (nulls skipped, count(*) counts all, avg = exact-sum double division,
+# min_by/max_by skip null ordering keys, first max wins).
+
+
+def _split_top_level(text: str) -> list[str]:
+    parts, depth, buf, quote = [], 0, [], None
+    for ch in text:
+        if quote:
+            buf.append(ch)
+            if ch == quote:
+                quote = None
+            continue
+        if ch in ("'", '"'):
+            quote = ch
+            buf.append(ch)
+        elif ch == "(":
+            depth += 1
+            buf.append(ch)
+        elif ch == ")":
+            depth -= 1
+            buf.append(ch)
+        elif ch == "," and depth == 0:
+            parts.append("".join(buf))
+            buf = []
+        else:
+            buf.append(ch)
+    if buf:
+        parts.append("".join(buf))
+    return [p.strip() for p in parts]
+
+
+def _ord_lt(a, b) -> bool:
+    """Spark ordering for aggregate comparisons: NaN sorts ABOVE every
+    value (TypeUtils.getInterpretedOrdering), so min skips past it and max
+    prefers it — unlike raw Python float compares where NaN is unordered."""
+    a_nan = isinstance(a, float) and a != a
+    b_nan = isinstance(b, float) and b != b
+    if a_nan:
+        return False
+    if b_nan:
+        return True
+    return a < b
+
+
+class _Acc:
+    """One aggregate accumulator; update(rec) then value()."""
+
+    __slots__ = ("kind", "fns", "state", "n", "seen")
+
+    def __init__(self, kind: str, fns):
+        self.kind = kind
+        self.fns = fns
+        self.state = None
+        self.n = 0
+        self.seen = False
+
+    def update(self, rec) -> None:
+        kind = self.kind
+        if kind == "count_star":
+            self.n += 1
+            return
+        v = self.fns[0](rec)
+        if kind in ("min_by", "max_by"):
+            o = self.fns[1](rec)
+            if o is None:
+                return
+            if not self.seen or (
+                _ord_lt(self.state[0], o) if kind == "max_by" else _ord_lt(o, self.state[0])
+            ):
+                self.state = (o, v)
+                self.seen = True
+            return
+        if v is None:
+            return
+        if kind == "count":
+            self.n += 1
+        elif kind == "sum":
+            self.state = v if not self.seen else self.state + v
+            self.seen = True
+        elif kind == "avg":
+            self.state = v if not self.seen else self.state + v
+            self.n += 1
+            self.seen = True
+        elif kind == "min":
+            if not self.seen or _ord_lt(v, self.state):
+                self.state = v
+            self.seen = True
+        elif kind == "max":
+            if not self.seen or _ord_lt(self.state, v):
+                self.state = v
+            self.seen = True
+        elif kind == "any":
+            self.state = bool(v) if not self.seen else (self.state or bool(v))
+            self.seen = True
+
+    def value(self):
+        if self.kind in ("count", "count_star"):
+            return self.n
+        if self.kind == "avg":
+            return None if not self.seen else self.state / self.n
+        if self.kind in ("min_by", "max_by"):
+            return self.state[1] if self.seen else None
+        return self.state if self.seen else None
+
+
+_AGG_KINDS = {
+    "sum": ("sum", 1), "count": ("count", 1), "min": ("min", 1),
+    "max": ("max", 1), "avg": ("avg", 1), "mean": ("avg", 1),
+    "any": ("any", 1), "bool_or": ("any", 1),
+    "min_by": ("min_by", 2), "max_by": ("max_by", 2),
+}
+
+
+def _parse_agg(text: str, node_id: str):
+    """``sum(expr)``-style aggregate → factory producing fresh :class:`_Acc`."""
+    t = text.strip()
+    lp = t.find("(")
+    name = t[:lp].strip().lower() if lp > 0 else ""
+    if lp <= 0 or not t.endswith(")") or name not in _AGG_KINDS:
+        raise MilanAnalysisError(
+            f"aggregate [{node_id}]: {text!r} is not in the event backend's "
+            f"aggregate subset (supported: {sorted(_AGG_KINDS)}, count(*))"
+        )
+    kind, arity = _AGG_KINDS[name]
+    inner = t[lp + 1 : -1].strip()
+    if name == "count" and inner == "*":
+        return lambda: _Acc("count_star", ())
+    args = _split_top_level(inner)
+    if len(args) != arity:
+        raise MilanAnalysisError(
+            f"aggregate [{node_id}]: {text!r} takes {arity} argument(s)"
+        )
+    fns = tuple(compile_expr(a) for a in args)
+    return lambda: _Acc(kind, fns)
+
+
+_IDENT_RE = None
+
+
+def _key_items(keys, node_id: str):
+    """Group-key exprs → (output name, fn). Bare identifiers and ``expr AS
+    alias`` only — a computed key without an alias would silently take
+    Spark's auto-generated name, so it is rejected by name instead."""
+    global _IDENT_RE
+    if _IDENT_RE is None:
+        import re
+
+        _IDENT_RE = re.compile(r"^[A-Za-z_][A-Za-z0-9_]*$")
+    items = []
+    for k in keys:
+        alias, fn = compile_projection(k)
+        if alias is None and not _IDENT_RE.match(k.strip()):
+            raise MilanAnalysisError(
+                f"aggregate [{node_id}]: computed group key {k!r} needs an "
+                "explicit AS alias on the event backend"
+            )
+        items.append((alias or k.strip(), fn))
+    return items
+
+
+def _compile_aggregate(n: Node, ins: list[_Op]) -> _Op:
+    """Milan Aggregate: emit the group's refined row on EVERY record — the
+    reference event handler's cadence (doc/Milan Operations.md:96-100; the
+    streaming backend's update mode is the per-microbatch relaxation of the
+    same semantics). The final emission per group equals the batch result."""
+    p = n.params
+    key_items = _key_items(list(p.get("keys", [])), n.node_id)
+    agg_items = [(a, _parse_agg(e, n.node_id)) for a, e in p["aggs"].items()]
+    cols = [name for name, _ in key_items] + [a for a, _ in agg_items]
+    state: dict[tuple, list] = {}
+
+    def step(idx, rec):
+        kv = tuple(fn(rec) for _, fn in key_items)
+        accs = state.get(kv)
+        if accs is None:
+            accs = state[kv] = [mk() for _, mk in agg_items]
+        out = {name: v for (name, _), v in zip(key_items, kv)}
+        for (alias, _), acc in zip(agg_items, accs):
+            acc.update(rec)
+            out[alias] = acc.value()
+        return [out]
+
+    return _Op(cols, step)
+
+
+def _interval_us(text: str, node_id: str) -> int:
+    """Fixed-length interval string → microseconds (month/year intervals
+    have no fixed length; rejected by name like the streaming backend's
+    unsupported ops)."""
+    units = {
+        "microsecond": 1, "millisecond": 1_000, "second": 1_000_000,
+        "minute": 60_000_000, "hour": 3_600_000_000, "day": 86_400_000_000,
+        "week": 604_800_000_000,
+    }
+    total, matched = 0, False
+    parts = text.strip().lower().replace("interval", "").split()
+    i = 0
+    while i < len(parts):
+        try:
+            qty = int(parts[i])
+            unit = parts[i + 1].rstrip("s")
+        except (ValueError, IndexError):
+            raise MilanAnalysisError(
+                f"time window [{node_id}]: cannot parse interval {text!r}"
+            ) from None
+        if unit not in units:
+            raise MilanAnalysisError(
+                f"time window [{node_id}]: unit {unit!r} is not fixed-length "
+                f"(supported: {sorted(units)})"
+            )
+        total += qty * units[unit]
+        matched = True
+        i += 2
+    if not matched or total <= 0:
+        raise MilanAnalysisError(
+            f"time window [{node_id}]: interval {text!r} must be positive"
+        )
+    return total
+
+
+_EPOCH = None
+
+
+def _ts_us(dt) -> int:
+    global _EPOCH
+    if _EPOCH is None:
+        from datetime import datetime
+
+        _EPOCH = datetime(1970, 1, 1)
+    d = dt.replace(tzinfo=None) if getattr(dt, "tzinfo", None) is not None else dt
+    delta = d - _EPOCH
+    return (delta.days * 86_400_000_000 + delta.seconds * 1_000_000 + delta.microseconds)
+
+
+def _us_ts(us: int):
+    from datetime import timedelta
+
+    return _EPOCH + timedelta(microseconds=us)
+
+
+def _compile_time_window(n: Node, ins: list[_Op]) -> _Op:
+    """Tumbling/sliding window aggregate with per-record refinement emission
+    (the reference's Aggregate-over-TumblingWindow cadence). Window
+    assignment replicates Catalyst's TimeWindowing rule exactly:
+    lastStart = t − ((t − offset + slide) mod slide), a record belongs to
+    every window with start ≤ t < start + size — so the session-UTC
+    datetimes round-trip bit-identically against the batch plan."""
+    p = n.params
+    ts_col = p["ts"]
+    size = _interval_us(p["size"], n.node_id)
+    slide = _interval_us(p.get("slide") or p["size"], n.node_id)
+    offset = _interval_us(p["offset"], n.node_id) if p.get("offset") else 0
+    key_items = _key_items(list(p.get("keys", [])), n.node_id)
+    agg_items = [(a, _parse_agg(e, n.node_id)) for a, e in p["aggs"].items()]
+    cols = ["window_start"] + [name for name, _ in key_items] + [a for a, _ in agg_items]
+    state: dict[tuple, list] = {}
+    n_windows = -(-size // slide)  # ceil
+
+    def step(idx, rec):
+        dt = rec.get(ts_col)
+        if dt is None:
+            return []  # null window group: unobservable refinement, skip
+        t = _ts_us(dt)
+        kv = tuple(fn(rec) for _, fn in key_items)
+        last_start = t - ((t - offset + slide) % slide)
+        out = []
+        for i in range(n_windows):
+            start = last_start - i * slide
+            if not (start <= t < start + size):
+                continue
+            gkey = (start, *kv)
+            accs = state.get(gkey)
+            if accs is None:
+                accs = state[gkey] = [mk() for _, mk in agg_items]
+            row = {"window_start": _us_ts(start)}
+            row.update({name: v for (name, _), v in zip(key_items, kv)})
+            for (alias, _), acc in zip(agg_items, accs):
+                acc.update(rec)
+                row[alias] = acc.value()
+            out.append(row)
+        return out
+
+    return _Op(cols, step)
+
+
+def _compile_distinct(n: Node, ins: list[_Op]) -> _Op:
+    """First arrival per (subset-)key survives — the streaming
+    DropDuplicates rule; with subset=None it is order-insensitive and equals
+    the batch distinct exactly."""
+    cols = ins[0].columns
+    key_cols = list(n.params.get("subset") or cols)
+    seen: set = set()
+
+    def step(idx, rec):
+        key = tuple(rec[c] for c in key_cols)
+        if key in seen:
+            return []
+        seen.add(key)
+        return [dict(rec)]
+
+    return _Op(list(cols), step)
+
+
+def _compile_last(n: Node, ins: list[_Op]) -> _Op:
+    """Milan Last: per-key latest record by seq; emits the replacement as it
+    happens (update cadence), so the final emission per key IS the batch
+    result. Arrival-order tie rule: a later arrival with an equal seq wins,
+    matching the streaming complete-mode snapshot."""
+    p = n.params
+    keys = list(p.get("keys", []))
+    seq = p.get("seq", "__seq")
+    state: dict[tuple, object] = {}
+
+    def step(idx, rec):
+        key = tuple(rec[c] for c in keys)
+        cur = state.get(key)
+        if cur is not None and _ord_lt(rec[seq], cur[seq]):
+            return []
+        state[key] = dict(rec)
+        return [dict(rec)]
+
+    return _Op(list(ins[0].columns), step)
+
+
+def _compile_record_window(n: Node, ins: list[_Op]) -> _Op:
+    """SlidingRecordWindow: trailing-N per-key frame — the reference keeps a
+    per-key priority queue (RecordWindowGenerator.scala:19); here a plain
+    bounded deque, aggregates re-folded over ≤ N rows per record."""
+    from collections import deque
+
+    p = n.params
+    keys = list(p.get("keys", []))
+    size = int(p["n"])
+    agg_items = [(a, _parse_agg(e, n.node_id)) for a, e in p["aggs"].items()]
+    in_cols = ins[0].columns
+    cols = list(in_cols) + [a for a, _ in agg_items if a not in in_cols]
+    state: dict[tuple, deque] = {}
+
+    def step(idx, rec):
+        key = tuple(rec[c] for c in keys)
+        buf = state.get(key)
+        if buf is None:
+            buf = state[key] = deque(maxlen=size)
+        buf.append(dict(rec))
+        out = dict(rec)
+        for alias, mk in agg_items:
+            acc = mk()
+            for r in buf:
+                acc.update(r)
+            out[alias] = acc.value()
+        return [out]
+
+    return _Op(cols, step)
+
+
 def _compile_scan_ref(n: Node, ins: list[_Op]) -> _Op:
     p = n.params
     fold = _resolve_function_ref(p["fold_ref"], n.node_id)
@@ -423,6 +789,19 @@ def compile_event(
             )
         if n.op in ("stream_max_by", "stream_min_by"):
             return _compile_arg_compare(n, ins, maximize=(n.op == "stream_max_by"))
+        if n.op == "aggregate":
+            return _compile_aggregate(n, ins)
+        if n.op == "time_window_aggregate":
+            return _compile_time_window(n, ins)
+        if n.op == "distinct":
+            return _compile_distinct(n, ins)
+        if n.op == "last":
+            return _compile_last(n, ins)
+        if n.op == "record_window":
+            return _compile_record_window(n, ins)
+        if n.op in ("cache", "checkpoint", "hint"):
+            # in-process: no lineage, no state store — pass through
+            return _identity_op(list(ins[0].columns))
         if n.op == "scan_fold":
             if p.get("fold_ref"):
                 return _compile_scan_ref(n, ins)

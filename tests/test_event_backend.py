@@ -223,13 +223,13 @@ def test_stream_max_by_three_backends(spark):
 
 
 def test_unsupported_ops_named_errors(spark):
-    agg = Node(
-        "aggregate",
-        {"keys": ["user_id"], "aggs": {"n": "count(*)"}},
+    sess = Node(
+        "session_window_aggregate",
+        {"ts": "ts", "gap": "30 minutes", "keys": ["user_id"], "aggs": {"n": "count(*)"}},
         [Node("external_stream", {"stream_id": "ev"})],
     )
-    with pytest.raises(MilanAnalysisError, match="aggregate"):
-        compile_event(agg, schemas={"ev": EV_COLS})
+    with pytest.raises(MilanAnalysisError, match="session_window_aggregate"):
+        compile_event(sess, schemas={"ev": EV_COLS})
     cyc = Node(
         "cycle", {"max_iterations": 2},
         [Node("external_stream", {"stream_id": "ev"}),
@@ -292,3 +292,169 @@ def test_left_inner_join_event_matches_batch(spark):
     )
     cols = handler.columns
     assert _as_tuples(ev, cols) == _batch(spark, text, cols)
+
+
+# --- round-9 widening: the reference event compiler's aggregate surface ----
+
+
+def _final_per(dicts, cols, n_keys):
+    """Per-record refinement emissions → final snapshot per group (the last
+    emission per key tuple), as sorted tuples — what batch computes once."""
+    last = {}
+    for d in dicts:
+        t = tuple(d[c] for c in cols)
+        last[t[:n_keys]] = t
+    return sorted(last.values(), key=_key)
+
+
+def test_grouped_aggregate_three_backends(spark):
+    s = (
+        Stream.from_parquet(spark, EV)
+        .map("event_type", "user_id",
+             "CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents")
+        .group_by("event_type")
+        .select(n="count(*)", total="sum(cents)", hi="max(cents)", lo="min(cents)")
+    )
+    text = to_json(s.node)
+    handler = compile_event(from_json(text), schemas={EV: EV_COLS})
+    ev = handler.process_many(_rows(spark))
+    cols = handler.columns
+    # to_json sorts param keys, so agg columns come back alphabetical
+    assert cols == ["event_type", "hi", "lo", "n", "total"]
+    got = _final_per(ev, cols, 1)
+    assert got == _batch(spark, text, cols)
+    assert got == _stream(spark, text, "ev3_group_agg", cols, output_mode="complete")
+    assert len(got) > 0
+
+
+def test_aggregate_avg_and_argmax_match_batch(spark):
+    # avg = exact int sum / count double division; max_by ordered on the
+    # unique event_id so the tie rule never fires
+    s = (
+        Stream.from_parquet(spark, EV)
+        .map("event_type", "event_id",
+             "CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents")
+        .group_by("event_type")
+        .select(mean_cents="avg(cents)", latest_cents="max_by(cents, event_id)",
+                first_cents="min_by(cents, event_id)")
+    )
+    text = to_json(s.node)
+    handler = compile_event(from_json(text), schemas={EV: EV_COLS})
+    ev = handler.process_many(_rows(spark))
+    cols = handler.columns
+    assert _final_per(ev, cols, 1) == _batch(spark, text, cols)
+
+
+def test_tumbling_window_three_backends(spark):
+    s = (
+        Stream.from_parquet(spark, EV)
+        .map("event_type", "CAST(ts AS TIMESTAMP) AS ts",
+             "CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents")
+        .group_by("event_type")
+        .tumbling_window("ts", "1 day")
+        .select(n="count(*)", total_cents="sum(cents)")
+    )
+    text = to_json(s.node)
+    handler = compile_event(from_json(text), schemas={EV: EV_COLS})
+    ev = handler.process_many(_rows(spark))
+    cols = handler.columns
+    assert cols == ["window_start", "event_type", "n", "total_cents"]
+    got = _final_per(ev, cols, 2)
+    assert got == _batch(spark, text, cols)
+    assert got == _stream(spark, text, "ev3_tumbling", cols, output_mode="complete")
+    assert len(got) > 0
+
+
+def test_sliding_window_with_offset_event_matches_batch(spark):
+    # size 2 days / slide 1 day / 6h offset: every record lands in TWO
+    # windows and the offset shifts boundaries — the full TimeWindowing rule
+    s = (
+        Stream.from_parquet(spark, EV)
+        .map("CAST(ts AS TIMESTAMP) AS ts",
+             "CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents")
+        .sliding_window("ts", "2 days", "1 day", offset="6 hours")
+        .select(n="count(*)", total="sum(cents)")
+    )
+    text = to_json(s.node)
+    handler = compile_event(from_json(text), schemas={EV: EV_COLS})
+    ev = handler.process_many(_rows(spark))
+    cols = handler.columns
+    got = _final_per(ev, cols, 1)
+    assert got == _batch(spark, text, cols)
+    # sliding: refinement emissions per record = windows containing it (2)
+    assert len(ev) == 2 * len(_rows(spark))
+
+
+def test_distinct_three_backends(spark):
+    s = Stream.from_parquet(spark, EV).map("user_id", "event_type").distinct()
+    text = to_json(s.node)
+    handler = compile_event(from_json(text), schemas={EV: EV_COLS})
+    ev = handler.process_many(_rows(spark))
+    cols = handler.columns
+    got = _as_tuples(ev, cols)  # emits first occurrence only: already final
+    assert got == _batch(spark, text, cols)
+    assert got == _stream(spark, text, "ev3_distinct", cols)
+
+
+def test_last_event_matches_batch(spark):
+    s = (
+        Stream.from_parquet(spark, EV)
+        .map("event_id", "user_id", "event_type", "event_id AS __seq")
+        .group_by("user_id")
+        .last()
+    )
+    text = to_json(s.node)
+    handler = compile_event(from_json(text), schemas={EV: EV_COLS})
+    ev = handler.process_many(_rows(spark))
+    cols = handler.columns
+    # last emits each replacement; key position = user_id (col 1)
+    finals = {}
+    for d in ev:
+        finals[d["user_id"]] = tuple(d[c] for c in cols)
+    assert sorted(finals.values(), key=_key) == _batch(spark, text, cols)
+
+
+def test_record_window_three_backends(spark):
+    s = (
+        Stream.from_parquet(spark, EV)
+        .where("event_type = 'click'")
+        .map("event_id", "user_id",
+             "CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents",
+             "event_id AS __seq")
+        .group_by("user_id")
+        .record_window(
+            3,
+            {"t_sum": "sum(cents)", "t_n": "count(*)",
+             "t_min": "min(cents)", "t_max": "max(cents)"},
+        )
+    )
+    text = to_json(s.node)
+    handler = compile_event(from_json(text), schemas={EV: EV_COLS})
+    ev = handler.process_many(_rows(spark))
+    cols = handler.columns
+    got = _as_tuples(ev, cols)  # one emission per record on ALL backends
+    assert got == _batch(spark, text, cols)
+    assert got == _stream(spark, text, "ev3_recwin", cols)
+    assert len(got) > 0
+
+
+def test_event_aggregate_rejects_unsupported_shapes(spark):
+    bad = Node(
+        "aggregate", {"keys": ["user_id"], "aggs": {"s": "stddev(value)"}},
+        [Node("external_stream", {"stream_id": "ev"})],
+    )
+    with pytest.raises(MilanAnalysisError, match="stddev|subset"):
+        compile_event(bad, schemas={"ev": EV_COLS})
+    computed_key = Node(
+        "aggregate", {"keys": ["user_id % 2"], "aggs": {"n": "count(*)"}},
+        [Node("external_stream", {"stream_id": "ev"})],
+    )
+    with pytest.raises(MilanAnalysisError, match="AS alias"):
+        compile_event(computed_key, schemas={"ev": EV_COLS})
+    months = Node(
+        "time_window_aggregate",
+        {"ts": "ts", "size": "1 month", "aggs": {"n": "count(*)"}, "keys": []},
+        [Node("external_stream", {"stream_id": "ev"})],
+    )
+    with pytest.raises(MilanAnalysisError, match="fixed-length"):
+        compile_event(months, schemas={"ev": EV_COLS})
