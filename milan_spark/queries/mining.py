@@ -2106,3 +2106,101 @@ def int8_quantization_audit_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("rmse_grid"),
     ).select("dim", "lo", "hi", "max_abs_err_255", "rmse_grid")
+
+
+def _perceptron_chain(rounds: int) -> str:
+    """Unrolled-CTE replay of operators.learning.perceptron_train: feature
+    frame f(doc_id, y, x1..x4), then per round ONE misclassified-set
+    aggregate and the truncating mean-gradient update — the same
+    (g − g mod m)/m integer division the driver computes, CASE-guarded so a
+    clean round is a no-op exactly like the operator."""
+    stop = ("'and', 'das', 'de', 'der', 'des', 'die', 'el', 'et', 'ein', "
+            "'in', 'is', 'ist', 'la', 'le', 'les', 'los', 'of', 'que', "
+            "'the', 'to', 'und', 'y'")
+    parts = [f"""
+WITH t AS (
+  SELECT doc_id, lang, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+  FROM documents
+), f AS (
+  SELECT doc_id,
+         CAST(CASE WHEN lang = 'en' THEN 1 ELSE -1 END AS BIGINT) AS y,
+         CAST(len(toks) AS BIGINT) AS x1,
+         CAST(COALESCE(list_sum(list_transform(toks, x -> length(x))), 0)
+              AS BIGINT) AS x2,
+         CAST(len(list_filter(toks, x -> x IN ({stop}))) AS BIGINT) AS x3,
+         CAST(len(list_distinct(toks)) AS BIGINT) AS x4
+  FROM t
+), r0 AS (
+  SELECT CAST(0 AS BIGINT) AS b, CAST(0 AS BIGINT) AS c1,
+         CAST(0 AS BIGINT) AS c2, CAST(0 AS BIGINT) AS c3,
+         CAST(0 AS BIGINT) AS c4
+)"""]
+    for r in range(1, rounds + 1):
+        prev = f"r{r-1}"
+        margin = "(b + c1*x1 + c2*x2 + c3*x3 + c4*x4)"
+        upd = ", ".join(
+            f"{w} + CASE WHEN m > 0 THEN CAST((g{j} - g{j} % m) / m AS BIGINT) "
+            f"ELSE 0 END AS {w}"
+            for j, w in enumerate(["b", "c1", "c2", "c3", "c4"])
+        )
+        parts.append(f""", g{r} AS (
+  SELECT COUNT(*) AS m,
+         CAST(COALESCE(SUM(y), 0) AS BIGINT) AS g0,
+         CAST(COALESCE(SUM(y * x1), 0) AS BIGINT) AS g1,
+         CAST(COALESCE(SUM(y * x2), 0) AS BIGINT) AS g2,
+         CAST(COALESCE(SUM(y * x3), 0) AS BIGINT) AS g3,
+         CAST(COALESCE(SUM(y * x4), 0) AS BIGINT) AS g4
+  FROM f, {prev} WHERE y * {margin} <= 0
+), r{r} AS (
+  SELECT {upd} FROM g{r}, {prev}
+)""")
+    parts.append(f"""
+SELECT f.doc_id, f.y,
+       CAST(b + c1*x1 + c2*x2 + c3*x3 + c4*x4 AS BIGINT) AS margin,
+       (b + c1*x1 + c2*x2 + c3*x3 + c4*x4) > 0 AS keep,
+       ((f.y > 0) = ((b + c1*x1 + c2*x2 + c3*x3 + c4*x4) > 0)) AS correct
+FROM f, r{rounds}
+""")
+    return "".join(parts)
+
+
+_PERCEPTRON_ROUNDS = 4
+_PERCEPTRON_FEATURES = ["n_tokens", "len_sum", "n_stop", "n_uniq"]
+
+
+@register(
+    "perceptron_quality_gate",
+    doc="TRAINED quality gate (operators.learning.perceptron_train): a batch "
+    "mean-gradient perceptron learns to separate English documents from "
+    "integer surface features (token/char/stopword/distinct counts), then "
+    "gates on the learned margin — the trainable tier FineWeb-edu-style "
+    "pipelines put in front of the corpus, where the fixed-weight "
+    "quality_classifier_gate is the inference-only tier. Every round is ONE "
+    "map-side-combinable aggregate with the weights riding in as literal "
+    "ints (the MMR winner-literal pattern); the oracle replays the whole "
+    "4-round trajectory in unrolled CTEs, so the value hash pins training, "
+    "not just inference. |w| is row-count-independent (mean gradient), so "
+    "the int64 envelope holds at any corpus size.",
+    oracle=_perceptron_chain(_PERCEPTRON_ROUNDS),
+)
+def perceptron_quality_gate_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from milan_spark.operators.learning import perceptron_margins, perceptron_train
+    from milan_spark.operators.text import STOPWORDS, tokenize
+
+    docs = table(spark, sf_dir, "documents")
+    toks = tokenize("text")
+    feats = docs.select(
+        "doc_id",
+        F.when(F.col("lang") == "en", F.lit(1)).otherwise(F.lit(-1)).cast("long").alias("y"),
+        F.array_size(toks).cast("long").alias("n_tokens"),
+        F.aggregate(toks, F.lit(0).cast("long"), lambda acc, tk: acc + F.length(tk)).alias("len_sum"),
+        F.size(F.filter(toks, lambda tk: tk.isin(*STOPWORDS))).cast("long").alias("n_stop"),
+        F.array_size(F.array_distinct(toks)).cast("long").alias("n_uniq"),
+    ).persist()
+    traj = perceptron_train(
+        feats, _PERCEPTRON_FEATURES, "y", rounds=_PERCEPTRON_ROUNDS
+    )
+    out = perceptron_margins(
+        feats, traj[-1], _PERCEPTRON_FEATURES, label_col="y"
+    )
+    return out.select("doc_id", "y", "margin", "keep", "correct")
