@@ -2017,14 +2017,17 @@ SELECT CAST((SELECT s FROM src) AS BIGINT) AS start_node,
 """,
 )
 def graph_diameter_double_sweep_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from milan_spark.operators.graph import bfs_levels
+    from milan_spark.operators.graph import bfs_levels, bfs_prepared_edges
 
-    pairs = _copart_pairs(spark, sf_dir).persist()
-    source = int(pairs.agg(F.min(F.least("src", "dst"))).first()[0])
-    l1 = bfs_levels(pairs, source, a_col="src", b_col="dst", iterations=8)
+    pairs = _copart_pairs(spark, sf_dir)
+    # ONE doubled/partitioned/persisted edge cache feeds both sweeps (and
+    # the source probe) — the per-sweep rebuild was the query's top cost
+    edges = bfs_prepared_edges(pairs, a_col="src", b_col="dst")
+    source = int(edges.agg(F.min("u")).first()[0])
+    l1 = bfs_levels(pairs, source, a_col="src", b_col="dst", iterations=8, edges=edges)
     far_row = l1.orderBy(F.col("dist").desc(), F.col("n")).first()
     far_node, ecc_start = int(far_row["n"]), int(far_row["dist"])
-    l2 = bfs_levels(pairs, far_node, a_col="src", b_col="dst", iterations=8)
+    l2 = bfs_levels(pairs, far_node, a_col="src", b_col="dst", iterations=8, edges=edges)
     return l2.agg(F.max("dist").alias("__m")).select(
         F.lit(source).cast("long").alias("start_node"),
         F.lit(far_node).cast("long").alias("far_node"),
