@@ -146,9 +146,24 @@ def compile_node(
             raise ValueError(
                 f"cycle {n.node_id} needs exactly [initial, body] inputs"
             )
+        # converge="unchanged_count": stop when a round leaves the state's
+        # row count unchanged — a termination criterion the plan AUTHOR
+        # declares (Flink iterations carry the same concept); valid only
+        # for set-monotone bodies (grow-only like BFS/TC closures or
+        # shrink-only like peeling), where an unchanged count IS the
+        # fixpoint. Numeric cycles (SSSP, PageRank, HITS) improve values at
+        # constant cardinality and must NOT set it. The probe is one
+        # count() over the round's already-checkpointed state.
+        converge = n.params.get("converge")
+        if converge not in (None, "unchanged_count"):
+            raise ValueError(
+                f"cycle {n.node_id}: unknown converge={converge!r} "
+                "(supported: 'unchanged_count')"
+            )
         init = compile_(n.inputs[0])
         body = n.inputs[1]
         cur = init
+        prev_count = None
         for _ in range(int(n.params["max_iterations"])):
             it_memo: dict[str, DataFrame] = {}
 
@@ -170,6 +185,11 @@ def compile_node(
                 return df
 
             cur = cbody(body).localCheckpoint(eager=True)
+            if converge == "unchanged_count":
+                c = cur.count()
+                if c == prev_count:
+                    break
+                prev_count = c
         return cur
 
     return compile_(node)

@@ -847,7 +847,8 @@ def bfs_levels_cycle_ir_q(spark: SparkSession, sf_dir: str) -> DataFrame:
                        [state, by_node])]),
         ])],
     )
-    plan = Node("cycle", {"max_iterations": 6}, [seed, body])
+    # grow-only state (union + min-agg): unchanged count IS the fixpoint
+    plan = Node("cycle", {"max_iterations": 6, "converge": "unchanged_count"}, [seed, body])
     return compile_node(from_json(to_json(plan)), spark)
 
 
@@ -1355,7 +1356,8 @@ def kcore_cycle_ir_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     plan = Node(
         "aggregate",
         {"keys": ["u AS node"], "aggs": {"core_deg": "count(1)"}},
-        [Node("cycle", {"max_iterations": 8}, [seed, body])],
+        # shrink-only peel: an unchanged edge count means no node fell below k
+        [Node("cycle", {"max_iterations": 8, "converge": "unchanged_count"}, [seed, body])],
     )
     return compile_node(from_json(to_json(plan)), spark)
 
@@ -1455,7 +1457,8 @@ def scc_cycle_ir_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         )],
     )
     body = Node("distinct", {}, [Node("union", {}, [state, step])])
-    reach = Node("cycle", {"max_iterations": 12}, [edges, body])
+    # grow-only distinct pair closure: unchanged count = transitive fixpoint
+    reach = Node("cycle", {"max_iterations": 12, "converge": "unchanged_count"}, [edges, body])
     transpose = Node("map", {"exprs": ["v AS u", "u AS v"]}, [reach])
     mutual = Node(
         "map",

@@ -87,3 +87,38 @@ def test_cycle_ref_outside_cycle_and_nesting_rejected(spark):
     nested = Node("cycle", {"max_iterations": 2}, [seed, outer_body])
     with pytest.raises(ValueError, match="nested cycles"):
         compile_node(nested, spark)
+
+
+def _growing_cycle(iters: int, converge=None) -> Node:
+    """Grow-only set state: seed {1}; body adds n+1 for n < 5 and dedups —
+    fixpoint {1..5} after 4 effective rounds, count-stable afterwards."""
+    seed = Node("list_source", {"rows": [[1]], "schema": "n long"})
+    state = Node("cycle_ref")
+    grown = Node(
+        "map", {"exprs": ["n + 1 AS n"]},
+        [Node("filter", {"condition": "n < 5"}, [state])],
+    )
+    body = Node("distinct", {"subset": None},
+                [Node("union", {}, [state, grown])])
+    params = {"max_iterations": iters}
+    if converge:
+        params["converge"] = converge
+    return Node("cycle", params, [seed, body])
+
+
+def test_converge_unchanged_count_reaches_fixpoint(spark):
+    # 25 budgeted rounds, converged after 5 (4 growth + 1 stable probe):
+    # same answer as the fixed-round twin, from the same JSON round-trip
+    fast = compile_node(
+        from_json(to_json(_growing_cycle(25, converge="unchanged_count"))), spark
+    )
+    fixed = compile_node(from_json(to_json(_growing_cycle(6))), spark)
+    want = [1, 2, 3, 4, 5]
+    assert sorted(r["n"] for r in fast.collect()) == want
+    assert sorted(r["n"] for r in fixed.collect()) == want
+
+
+def test_converge_unknown_value_rejected(spark):
+    plan = _growing_cycle(3, converge="values_stable")
+    with pytest.raises(ValueError, match="unchanged_count"):
+        compile_node(from_json(to_json(plan)), spark)
