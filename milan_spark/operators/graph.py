@@ -569,6 +569,7 @@ def kcore(
         fwd.unionByName(fwd.select(F.col("v").alias("u"), F.col("u").alias("v")))
         .localCheckpoint(eager=False)
     )
+    prev = None
     for _ in range(rounds):
         deg = edges.groupBy("u").agg(F.count(F.lit(1)).alias("deg"))
         alive = deg.filter(F.col("deg") >= k).select("u")
@@ -577,6 +578,14 @@ def kcore(
             .join(alive.withColumnRenamed("u", "v"), "v", "left_semi")
             .localCheckpoint(eager=False)
         )
+        # shrink-only set: an unchanged edge count means this round removed
+        # nothing, so every later round is a no-op — break result-identical
+        # to the fixed truncation. The count rides the checkpoint the next
+        # round would have materialized anyway.
+        c = edges.count()
+        if c == prev:
+            break
+        prev = c
     return edges.groupBy(F.col("u").alias("node")).agg(
         F.count(F.lit(1)).alias("core_deg")
     )
@@ -655,13 +664,26 @@ def ktruss(
         )
         return credits.groupBy("u", "v").agg(F.count(F.lit(1)).alias("support"))
 
+    prev = None
+    sup = None
+    stabilized = False
     for _ in range(rounds):
         sup = support(und)
         und = (
             und.join(sup.filter(F.col("support") >= k - 2), ["u", "v"], "left_semi")
             .localCheckpoint(eager=False)
         )
-    final_sup = support(und)
+        # shrink-only: unchanged edge count ⇒ this round's filter removed
+        # nothing ⇒ fixpoint, and — since the edge set is the one `sup` was
+        # computed on — `sup` already IS the final support, so the break
+        # also saves the epilogue's full support pass (the expensive part:
+        # a whole degree/orient/intersect/credit pipeline per round).
+        c = und.count()
+        if c == prev:
+            stabilized = True
+            break
+        prev = c
+    final_sup = sup if stabilized else support(und)
     return und.join(final_sup, ["u", "v"], "left").select(
         "u", "v", F.coalesce("support", F.lit(0).cast("long")).alias("support")
     )
