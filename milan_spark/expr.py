@@ -223,7 +223,22 @@ _FUNCS: dict[str, Callable] = {
     "sign": _nullprop(lambda x: float((x > 0) - (x < 0)) if isinstance(x, float) else (x > 0) - (x < 0)),
     "signum": _nullprop(lambda x: float((x > 0) - (x < 0))),
     "mod": _nullprop(_java_mod),
+    # epoch extractors under the engine's fixed UTC session tz (naive
+    # datetimes ARE UTC here; see _to_timestamp)
+    "unix_micros": _nullprop(lambda v: _epoch_us(v)),
+    "unix_millis": _nullprop(lambda v: _epoch_us(v) // 1_000),
+    "unix_seconds": _nullprop(lambda v: _epoch_us(v) // 1_000_000),
 }
+
+
+def _epoch_us(v) -> int:
+    import datetime as _dt
+
+    d = _to_timestamp(v)
+    if d.tzinfo is not None:
+        d = d.astimezone(_dt.timezone.utc).replace(tzinfo=None)
+    delta = d - _dt.datetime(1970, 1, 1)
+    return delta.days * 86_400_000_000 + delta.seconds * 1_000_000 + delta.microseconds
 
 _CAST_TYPES = {
     "tinyint": lambda v: int(v),

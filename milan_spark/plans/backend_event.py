@@ -25,9 +25,12 @@ supplied by the caller), ``filter``, ``map``, ``add_fields``, ``union``,
 from its ``fold_ref`` FunctionReference), and — the round-9 widening to the
 reference event compiler's full aggregate surface — ``aggregate``,
 ``time_window_aggregate`` (tumbling/sliding, per-record refinement
-emission), ``distinct``, ``last``, ``record_window``, plus ``cache`` /
-``checkpoint`` / ``hint`` as pass-throughs (no lineage in-process). The
-aggregate set is the reference's sum/min/max/mean/any/count/argmin/argmax
+emission), ``distinct``, ``last``, ``record_window``, ``asof_join``
+(backward; forward rejected by name like the streaming compiler),
+``relational_join`` (inner / left_semi; outer needs end-of-stream),
+``left_windowed_join``, plus ``cache`` / ``checkpoint`` / ``hint`` as
+pass-throughs (no lineage in-process). The aggregate set is the
+reference's sum/min/max/mean/any/count/argmin/argmax
 (doc/Milan Operations.md:102-118). Everything else raises a
 :class:`~milan_spark.errors.MilanAnalysisError` naming the op — cycles are
 rejected by name exactly like the reference's event compiler
@@ -627,6 +630,159 @@ def _compile_record_window(n: Node, ins: list[_Op]) -> _Op:
     return _Op(cols, step)
 
 
+def _compile_relational_join(n: Node, ins: list[_Op]) -> _Op:
+    """Stream-stream equi-join, per-record: both sides buffer by key; each
+    arrival pairs with everything buffered on the other side, so the
+    emission multiset equals the batch join. left_semi emits each left
+    exactly once when its key is (or becomes) matched — the streaming
+    backend's no-eviction-staging rule. Outer joins need end-of-stream
+    knowledge and are rejected by name."""
+    p = n.params
+    if p.get("time_condition"):
+        raise MilanAnalysisError(
+            f"relational_join [{n.node_id}]: time_condition has no "
+            "event-backend realization; use the batch/streaming compilers"
+        )
+    how = p.get("how", "inner")
+    on = list(p["on"])
+    lcols, rcols = ins[0].columns, ins[1].columns
+    if how == "inner":
+        l_rest = [c for c in lcols if c not in on]
+        r_rest = [c for c in rcols if c not in on]
+        dup = set(l_rest) & set(r_rest)
+        if dup:
+            raise MilanAnalysisError(
+                f"relational_join [{n.node_id}]: ambiguous non-key columns "
+                f"{sorted(dup)} on both sides; project/rename first"
+            )
+        out_cols = on + l_rest + r_rest
+        lefts: dict[tuple, list] = {}
+        rights: dict[tuple, list] = {}
+
+        def emit(key, l, r):
+            out = dict(zip(on, key))
+            out.update({c: l[c] for c in l_rest})
+            out.update({c: r[c] for c in r_rest})
+            return out
+
+        def step(idx, rec):
+            key = tuple(rec[c] for c in on)
+            if idx == 0:
+                lefts.setdefault(key, []).append(dict(rec))
+                return [emit(key, rec, r) for r in rights.get(key, ())]
+            rights.setdefault(key, []).append(dict(rec))
+            return [emit(key, l, rec) for l in lefts.get(key, ())]
+
+        return _Op(out_cols, step)
+    if how == "left_semi":
+        matched: set = set()
+        pending: dict[tuple, list] = {}
+
+        def step(idx, rec):
+            key = tuple(rec[c] for c in on)
+            if idx == 0:
+                if key in matched:
+                    return [dict(rec)]
+                pending.setdefault(key, []).append(dict(rec))
+                return []
+            if key in matched:
+                return []
+            matched.add(key)
+            return pending.pop(key, [])
+
+        return _Op(list(lcols), step)
+    raise MilanAnalysisError(
+        f"relational_join [{n.node_id}]: how={how!r} has no event-backend "
+        "realization (supported: inner, left_semi — outer joins need "
+        "end-of-stream knowledge)"
+    )
+
+
+def _compile_asof(n: Node, ins: list[_Op]) -> _Op:
+    """Backward as-of: rights update per-key latest state, each left pairs
+    with the latest right at-or-before it (the caller feeds in ord order,
+    rights first on ties — the documented arrival contract); tolerance
+    nulls the right payload, key columns stay populated from the key, the
+    batch _pair_output rule. Forward needs future rights; rejected by name
+    exactly like the streaming compiler."""
+    p = n.params
+    if p.get("direction", "backward") != "backward":
+        raise MilanAnalysisError(
+            f"asof_join [{n.node_id}]: direction='forward' has no "
+            "event-backend realization (future rights are unseen); use the "
+            "batch compiler"
+        )
+    left_on, right_on = list(p["left_on"]), list(p["right_on"])
+    left_ord, right_ord = p["left_ord"], p["right_ord"]
+    tol = p.get("tolerance")
+    lcols, rcols = ins[0].columns, ins[1].columns
+    rename = _prefixed(lcols, rcols, p.get("right_prefix", "r_"))
+    out_cols = list(lcols) + [rename[c] for c in rcols]
+    rkey = set(right_on)
+    state: dict[tuple, dict] = {}
+
+    def step(idx, rec):
+        if idx == 1:
+            state[tuple(rec[c] for c in right_on)] = dict(rec)
+            return []
+        key = tuple(rec[c] for c in left_on)
+        r = state.get(key)
+        if r is not None and tol is not None and (rec[left_ord] - r[right_ord]) > tol:
+            r = None
+        out = dict(rec)
+        for c in rcols:
+            if c in rkey:
+                out[rename[c]] = key[right_on.index(c)]
+            else:
+                out[rename[c]] = None if r is None else r[c]
+        return [out]
+
+    return _Op(out_cols, step)
+
+
+_WJ_KINDS = frozenset({"sum", "count", "count_star", "min", "max"})
+
+
+def _compile_left_windowed(n: Node, ins: list[_Op]) -> _Op:
+    """LeftWindowedJoin + apply, per-record: rights fold into per-key
+    cumulative accumulators; each left emits its row plus the aggregates
+    over rights arrived at-or-before it (rights first on seq ties — the
+    arrival contract shared with the other two backends)."""
+    p = n.params
+    keys = list(p["left_on"])
+    right_on = list(p["right_on"])
+    agg_items = []
+    for alias, e in p["aggs"].items():
+        mk = _parse_agg(e, n.node_id)
+        if mk().kind not in _WJ_KINDS:
+            raise MilanAnalysisError(
+                f"left_windowed_join [{n.node_id}]: aggregate {e!r} outside "
+                "the serializable subset (sum/count/min/max)"
+            )
+        agg_items.append((alias, mk))
+    lcols = ins[0].columns
+    out_cols = list(lcols) + [a for a, _ in agg_items if a not in lcols]
+    state: dict[tuple, list] = {}
+
+    def step(idx, rec):
+        if idx == 1:
+            key = tuple(rec[c] for c in right_on)
+            accs = state.get(key)
+            if accs is None:
+                accs = state[key] = [mk() for _, mk in agg_items]
+            for acc in accs:
+                acc.update(rec)
+            return []
+        key = tuple(rec[c] for c in keys)
+        accs = state.get(key)
+        out = dict(rec)
+        for i, (alias, mk) in enumerate(agg_items):
+            out[alias] = accs[i].value() if accs is not None else mk().value()
+        return [out]
+
+    return _Op(out_cols, step)
+
+
 def _compile_scan_ref(n: Node, ins: list[_Op]) -> _Op:
     p = n.params
     fold = _resolve_function_ref(p["fold_ref"], n.node_id)
@@ -802,6 +958,12 @@ def compile_event(
         if n.op in ("cache", "checkpoint", "hint"):
             # in-process: no lineage, no state store — pass through
             return _identity_op(list(ins[0].columns))
+        if n.op == "relational_join":
+            return _compile_relational_join(n, ins)
+        if n.op == "asof_join":
+            return _compile_asof(n, ins)
+        if n.op == "left_windowed_join":
+            return _compile_left_windowed(n, ins)
         if n.op == "scan_fold":
             if p.get("fold_ref"):
                 return _compile_scan_ref(n, ins)

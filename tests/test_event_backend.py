@@ -458,3 +458,151 @@ def test_event_aggregate_rejects_unsupported_shapes(spark):
     )
     with pytest.raises(MilanAnalysisError, match="fixed-length"):
         compile_event(months, schemas={"ev": EV_COLS})
+
+
+# --- round-9 widening, part 2: joins on the event backend ----
+
+
+def _leaf_ids(plan):
+    """(left-source-id, right-source-id) of a binary plan's two subtrees."""
+    out = []
+    for side in plan.inputs:
+        n = side
+        while n.inputs:
+            n = n.inputs[0]
+        out.append(n.node_id)
+    return out
+
+
+def test_relational_join_inner_event_matches_batch(spark):
+    from milan_spark.plans import Node
+
+    src = Node("parquet_source", {"path": EV})
+    left = Node(
+        "map", {"exprs": ["user_id", "event_id AS pid"]},
+        [Node("filter", {"condition": "event_type = 'purchase'"}, [src])],
+    )
+    right = Node(
+        "map", {"exprs": ["user_id", "event_id AS sid"]},
+        [Node("filter", {"condition": "event_type = 'signup'"}, [src])],
+    )
+    join = Node("relational_join", {"on": ["user_id"], "how": "inner"}, [left, right])
+    text = to_json(join)
+    plan = from_json(text)
+    # ONE shared source: each record pumps through both branches
+    handler = compile_event(plan, schemas={EV: EV_COLS})
+    ev = handler.process_many(_rows(spark))
+    cols = handler.columns
+    assert cols == ["user_id", "pid", "sid"]
+    assert _as_tuples(ev, cols) == _batch(spark, text, cols)
+    assert len(ev) > 0
+
+
+def test_relational_join_left_semi_event_matches_batch(spark):
+    from milan_spark.plans import Node
+
+    src = Node("parquet_source", {"path": EV})
+    left = Node(
+        "map", {"exprs": ["user_id", "event_id AS pid"]},
+        [Node("filter", {"condition": "event_type = 'purchase'"}, [src])],
+    )
+    right = Node(
+        "map", {"exprs": ["user_id", "event_id AS sid"]},
+        [Node("filter", {"condition": "event_type = 'error'"}, [src])],
+    )
+    join = Node("relational_join", {"on": ["user_id"], "how": "left_semi"}, [left, right])
+    text = to_json(join)
+    handler = compile_event(from_json(text), schemas={EV: EV_COLS})
+    # feed in REVERSED event order too: semi emission is once-per-left
+    # whichever side arrives first, so the multiset is order-independent
+    ev = handler.process_many(reversed(_rows(spark)))
+    cols = handler.columns
+    assert cols == ["user_id", "pid"]
+    assert _as_tuples(ev, cols) == _batch(spark, text, cols)
+    assert len(ev) > 0
+
+
+def test_asof_join_event_matches_batch(spark):
+    purch = (
+        Stream.from_parquet(spark, EV)
+        .where("event_type = 'purchase'")
+        .map("event_id", "user_id", "unix_micros(CAST(ts AS TIMESTAMP)) AS ts_us")
+    )
+    views = (
+        Stream.from_parquet(spark, EV)
+        .where("event_type = 'view'")
+        .map("user_id", "event_id AS view_event_id",
+             "unix_micros(CAST(ts AS TIMESTAMP)) AS ts_us")
+    )
+    joined = purch.asof_join(
+        views, on="user_id", left_ord="ts_us", right_ord="ts_us",
+        tolerance=3 * 86_400 * 10**6,
+    )
+    text = to_json(joined.node)
+    plan = from_json(text)
+    lsrc, rsrc = _leaf_ids(plan)
+    handler = compile_event(plan, schemas={lsrc: EV_COLS, rsrc: EV_COLS})
+    # arrival contract: ord (ts) order, rights (views) before lefts on ties
+    rows = sorted(
+        _rows(spark),
+        key=lambda r: (r["ts"], 0 if r["event_type"] == "view" else 1, r["event_id"]),
+    )
+    ev = handler.process_many(
+        (sid, r) for r in rows for sid in (rsrc, lsrc)
+    )
+    cols = handler.columns
+    assert _as_tuples(ev, cols) == _batch(spark, text, cols)
+    assert len(ev) > 0
+
+
+def test_left_windowed_join_event_matches_batch(spark):
+    purchases = (
+        Stream.from_parquet(spark, EV).where("event_type = 'purchase'")
+        .map("user_id", "event_id", "event_id AS __seq")
+    )
+    views = (
+        Stream.from_parquet(spark, EV).where("event_type = 'view'")
+        .map("user_id", "CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents",
+             "event_id AS __seq")
+    )
+    joined = purchases.left_windowed_join(
+        views, on="user_id",
+        agg_exprs={"n_views": "count(cents)", "mx": "max(cents)"},
+    )
+    text = to_json(joined.node)
+    plan = from_json(text)
+    lsrc, rsrc = _leaf_ids(plan)
+    handler = compile_event(plan, schemas={lsrc: EV_COLS, rsrc: EV_COLS})
+    ev = handler.process_many(
+        (sid, r) for r in _rows(spark) for sid in (rsrc, lsrc)
+    )
+    cols = handler.columns
+    # to_json sorts param keys: agg columns come back alphabetical
+    assert cols == ["user_id", "event_id", "__seq", "mx", "n_views"]
+    assert _as_tuples(ev, cols) == _batch(spark, text, cols)
+    assert len(ev) > 0
+
+
+def test_event_join_rejections_named(spark):
+    from milan_spark.plans import Node
+
+    src = Node("external_stream", {"stream_id": "ev"})
+    outer = Node("relational_join", {"on": ["user_id"], "how": "left_outer"},
+                 [src, Node("external_stream", {"stream_id": "ev2"})])
+    with pytest.raises(MilanAnalysisError, match="left_outer"):
+        compile_event(outer, schemas={"ev": EV_COLS, "ev2": EV_COLS})
+    timed = Node(
+        "relational_join",
+        {"on": ["user_id"], "how": "inner", "time_condition": "l.ts >= r.ts"},
+        [src, Node("external_stream", {"stream_id": "ev2"})],
+    )
+    with pytest.raises(MilanAnalysisError, match="time_condition"):
+        compile_event(timed, schemas={"ev": EV_COLS, "ev2": EV_COLS})
+    fwd = Node(
+        "asof_join",
+        {"left_on": ["user_id"], "right_on": ["user_id"], "left_ord": "ts",
+         "right_ord": "ts", "direction": "forward"},
+        [src, Node("external_stream", {"stream_id": "ev2"})],
+    )
+    with pytest.raises(MilanAnalysisError, match="forward"):
+        compile_event(fwd, schemas={"ev": EV_COLS, "ev2": EV_COLS})
