@@ -159,3 +159,67 @@ def session_window_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
     return session_window_agg(
         ev, "ts", "30 minutes", keys=["user_id"], aggs=[F.count(F.lit(1)).alias("n_events")]
     ).select("user_id", "session_start", "session_end", "n_events")
+
+
+@register(
+    "tumbling_window_event_backend",
+    doc="The round-9 event-backend widening exercised end-to-end: a "
+    "serialized tumbling-window aggregate plan (group_by(event_type)."
+    "tumbling_window(ts, 1 day).select(count, sum)) compiled by the "
+    "in-process per-record EventHandler, which replays Catalyst's "
+    "TimeWindowing assignment per record and emits refinements; the final "
+    "snapshot per (window_start, event_type) is returned and hash-matched "
+    "against plain GROUP BY SQL — training emission cadence AND window "
+    "math pinned at once. Deliberately driver-side on the bounded demo "
+    "slice (event_id <= 100000), like ewma_smoothing_event_backend: this "
+    "backend embeds a pipeline as a plain function; bulk volume routes to "
+    "the batch/streaming compilers from the SAME JSON.",
+    oracle="""
+SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS window_start,
+       event_type,
+       COUNT(*) AS n,
+       CAST(SUM(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS total_cents
+FROM events
+WHERE event_id <= 100000
+GROUP BY 1, 2
+""",
+)
+def tumbling_window_event_backend_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from milan_spark.plans.backend_event import compile_event
+    from milan_spark.plans.nodes import from_json, to_json
+    from milan_spark.stream import Stream
+
+    path = f"{sf_dir}/events.parquet"
+    s = (
+        Stream.from_parquet(spark, path)
+        .map(
+            "event_type",
+            "CAST(ts AS TIMESTAMP) AS ts",
+            "CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents",
+        )
+        .group_by("event_type")
+        .tumbling_window("ts", "1 day")
+        .select(n="count(*)", total_cents="sum(cents)")
+    )
+    handler = compile_event(
+        from_json(to_json(s.node)),
+        schemas={path: ["event_id", "user_id", "ts", "event_type", "value"]},
+    )
+    rows = (
+        table(spark, sf_dir, "events")  # nanos-safe ts read
+        .filter("event_id <= 100000")  # the bounded demo slice (see doc)
+        .select("event_id", "ts", "event_type", "value")
+        .orderBy("event_id")
+        .collect()
+    )
+    # per-record refinement emissions; the LAST per group is the answer
+    final: dict[tuple, dict] = {}
+    for d in handler.process_many(r.asDict() for r in rows):
+        final[(d["window_start"], d["event_type"])] = d
+    return spark.createDataFrame(
+        [
+            (d["window_start"], d["event_type"], d["n"], d["total_cents"])
+            for d in final.values()
+        ],
+        schema="window_start timestamp, event_type string, n long, total_cents long",
+    )
