@@ -2225,3 +2225,76 @@ def scc_after_contraction_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     edges = core.unionByName(periphery_in).unionByName(periphery_out)
     return scc_trim_contract(edges, "u", "v", trim_rounds=2)
+
+
+@register(
+    "versioned_time_travel",
+    doc="Versioned table layout (operators.versioned): lakehouse-style "
+    "snapshot isolation over plain parquet — immutable per-commit data "
+    "directories + manifests, one atomically-replaced pointer; commits "
+    "write everything first and flip the pointer LAST, so readers resolve "
+    "a version once and never see a torn table. The query drives the full "
+    "lifecycle — append (pre-1995 orders), append (the rest), MERGE "
+    "(doubled cents for o_orderkey%10=0 plus synthetic inserted keys, the "
+    "merge_upsert COALESCE plan) — then time-travels all three snapshots "
+    "and rolls each up; the oracle re-derives every snapshot from the raw "
+    "orders table, so the hash pins commit isolation, merge semantics, and "
+    "history readability at once. Scale: append commits are O(new data); "
+    "manifests list directories, not files (O(commits) until compact).",
+    oracle="""
+WITH base AS (
+  SELECT o_orderkey, CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents,
+         o_orderdate
+  FROM orders
+), v1 AS (
+  SELECT * FROM base WHERE o_orderdate < DATE '1995-01-01'
+), v3 AS (
+  SELECT o_orderkey,
+         CASE WHEN o_orderkey % 10 = 0 THEN cents * 2 ELSE cents END AS cents
+  FROM base
+  UNION ALL
+  SELECT -o_orderkey AS o_orderkey, cents FROM base WHERE o_orderkey % 97 = 0
+)
+SELECT 1 AS version, COUNT(*) AS n_orders, CAST(SUM(cents) AS BIGINT) AS total_cents FROM v1
+UNION ALL
+SELECT 2, COUNT(*), CAST(SUM(cents) AS BIGINT) FROM base
+UNION ALL
+SELECT 3, COUNT(*), CAST(SUM(cents) AS BIGINT) FROM v3
+""",
+)
+def versioned_time_travel_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from milan_spark.operators.versioned import (
+        commit_append,
+        commit_merge,
+        read_version,
+    )
+
+    base = table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.expr("CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)").alias("cents"),
+        "o_orderdate",
+    )
+    path = tempfile.mkdtemp(prefix="milan_vtt_")
+    commit_append(base.filter("o_orderdate < DATE '1995-01-01'"), path, tag="pre95")
+    commit_append(base.filter("o_orderdate >= DATE '1995-01-01'"), path, tag="rest")
+    updates = base.filter("o_orderkey % 10 = 0").withColumn(
+        "cents", F.col("cents") * 2
+    ).unionByName(
+        base.filter("o_orderkey % 97 = 0").select(
+            (-F.col("o_orderkey")).alias("o_orderkey"), "cents", "o_orderdate"
+        )
+    )
+    commit_merge(spark, updates, path, ["o_orderkey"], tag="adjust")
+    parts = []
+    for v in (1, 2, 3):
+        parts.append(
+            read_version(spark, path, v).agg(
+                F.lit(v).cast("int").alias("version"),
+                F.count(F.lit(1)).alias("n_orders"),
+                F.sum("cents").alias("total_cents"),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
