@@ -2253,7 +2253,7 @@ WITH base AS (
          CASE WHEN o_orderkey % 10 = 0 THEN cents * 2 ELSE cents END AS cents
   FROM base
   UNION ALL
-  SELECT -o_orderkey AS o_orderkey, cents FROM base WHERE o_orderkey % 97 = 0
+  SELECT -o_orderkey AS o_orderkey, cents FROM base WHERE o_orderkey % 97 = 0 AND o_orderkey > 0
 )
 SELECT 1 AS version, COUNT(*) AS n_orders, CAST(SUM(cents) AS BIGINT) AS total_cents FROM v1
 UNION ALL
@@ -2280,7 +2280,7 @@ def versioned_time_travel_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     updates = base.filter("o_orderkey % 10 = 0").withColumn(
         "cents", F.col("cents") * 2
     ).unionByName(
-        base.filter("o_orderkey % 97 = 0").select(
+        base.filter("o_orderkey % 97 = 0 AND o_orderkey > 0").select(
             (-F.col("o_orderkey")).alias("o_orderkey"), "cents", "o_orderdate"
         )
     )
@@ -2298,3 +2298,64 @@ def versioned_time_travel_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     for p in parts[1:]:
         out = out.unionByName(p)
     return out
+
+
+@register(
+    "versioned_change_feed",
+    doc="Change data feed between two committed table versions — the "
+    "versioned layout (operators.versioned) composed with the CDC "
+    "classifier (operators.diff.snapshot_diff): rebuild the "
+    "versioned_time_travel table, diff version 2 against the post-MERGE "
+    "version 3, and roll the per-key change rows up by kind. Added keys "
+    "are the merge's synthetic inserts, changed keys the doubled-cents "
+    "updates, everything else unchanged — all re-derived from raw orders "
+    "by the oracle, so the hash pins that time travel exposes exactly the "
+    "delta the merge produced (ONE full-outer join on the key; the base "
+    "version never rewrites).",
+    oracle="""
+WITH base AS (
+  SELECT o_orderkey, CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+  FROM orders
+)
+SELECT 'added' AS change, (SELECT COUNT(*) FROM base WHERE o_orderkey % 97 = 0 AND o_orderkey > 0) AS n_keys
+UNION ALL
+SELECT 'changed', (SELECT COUNT(*) FROM base WHERE o_orderkey % 10 = 0 AND cents <> 0)
+UNION ALL
+SELECT 'unchanged', (SELECT COUNT(*) FROM base WHERE o_orderkey % 10 <> 0 OR cents = 0)
+""",
+)
+def versioned_change_feed_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from milan_spark.operators.diff import snapshot_diff
+    from milan_spark.operators.versioned import (
+        commit_append,
+        commit_merge,
+        read_version,
+    )
+
+    base = table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.expr("CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)").alias("cents"),
+        "o_orderdate",
+    )
+    path = tempfile.mkdtemp(prefix="milan_vcf_")
+    commit_append(base.filter("o_orderdate < DATE '1995-01-01'"), path)
+    commit_append(base.filter("o_orderdate >= DATE '1995-01-01'"), path)
+    updates = base.filter("o_orderkey % 10 = 0").withColumn(
+        "cents", F.col("cents") * 2
+    ).unionByName(
+        base.filter("o_orderkey % 97 = 0 AND o_orderkey > 0").select(
+            (-F.col("o_orderkey")).alias("o_orderkey"), "cents", "o_orderdate"
+        )
+    )
+    commit_merge(spark, updates, path, ["o_orderkey"])
+    diff = snapshot_diff(
+        read_version(spark, path, 2),
+        read_version(spark, path, 3),
+        keys=["o_orderkey"],
+        compare=["cents"],
+    )
+    return (
+        diff.filter("change <> 'removed'")  # merge never deletes
+        .groupBy("change")
+        .agg(F.count(F.lit(1)).alias("n_keys"))
+    )
