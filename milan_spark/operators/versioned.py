@@ -213,3 +213,22 @@ def vacuum(path: str, *, keep_from: int) -> dict:
             shutil.rmtree(os.path.join(droot, name))
             removed_d += 1
     return {"dirs_removed": removed_d, "manifests_removed": removed_m}
+
+
+def versioned_sink(path: str):
+    """``foreachBatch`` writer with EXACTLY-ONCE commits into a versioned
+    table: every microbatch appends under the tag ``batch=<id>``, and a
+    replayed batch id — Spark re-runs the last microbatch when a restart
+    finds its checkpoint behind the sink — is skipped because the manifest
+    already records it. The manifest chain IS the transaction log, the
+    standard batchId-idempotent transactional-sink recipe; combined with
+    the pointer-flips-last commit protocol, readers see each microbatch
+    exactly once or not yet."""
+
+    def write(batch_df: DataFrame, batch_id: int) -> None:
+        tag = f"batch={batch_id}"
+        if any(e["tag"] == tag for e in versions(path)):
+            return
+        commit_append(batch_df, path, tag=tag)
+
+    return write

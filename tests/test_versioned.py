@@ -127,3 +127,17 @@ def test_pointer_flips_last(spark, tbl, monkeypatch):
     # the next commit supersedes the orphan manifest for the same version
     commit_append(_df(spark, [(3, "c")]), tbl)
     assert _snap(read_version(spark, tbl)) == [(1, "a"), (3, "c")]
+
+
+def test_versioned_sink_is_batch_id_idempotent(spark, tbl):
+    from milan_spark.operators.versioned import versioned_sink
+
+    write = versioned_sink(tbl)
+    write(_df(spark, [(1, "a")]), 0)
+    write(_df(spark, [(2, "b")]), 1)
+    # replay of batch 0 (restart with a stale checkpoint): no new version
+    write(_df(spark, [(1, "a")]), 0)
+    assert current_version(tbl) == 2
+    assert _snap(read_version(spark, tbl)) == [(1, "a"), (2, "b")]
+    tags = [e["tag"] for e in versions(tbl)]
+    assert tags == ["batch=0", "batch=1"]
