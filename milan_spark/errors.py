@@ -35,6 +35,15 @@ class MilanEmptyStreamError(RuntimeError):
     streams at sf1 for three rounds."""
 
 
+class MilanConcurrentCommitError(RuntimeError):
+    """Two writers raced to commit the same version of a versioned table
+    and this one lost (its manifest claim found the slot taken). The
+    transaction wrote NOTHING visible — its data directory is an orphan the
+    next ``vacuum`` collects. Re-derive the commit from the new snapshot
+    and retry (``operators.versioned.commit_with_retry``); blind retry is
+    wrong for MERGE/compact, whose input depends on the snapshot."""
+
+
 def _condense(e: AnalysisException) -> str:
     # first message line carries the error class + names; the rest is plan
     # dump / JVM trace

@@ -10,37 +10,59 @@ Layout under ``path``:
 
   _versions/v<8-digit>.json   immutable manifest per commit: the list of
                               data directories visible at that version,
-                              parent version, op kind, caller tag
-  _latest                     one line, the current version number —
-                              replaced via ``os.replace`` (atomic on POSIX),
-                              the ONLY mutable object in the table
-  data/<8-digit>/             immutable parquet directory written by
-                              exactly one commit
+                              parent version, op kind, caller tag, the
+                              commit's schema, and (opt-in) per-file
+                              column min/max/null statistics
+  _latest                     one line, a version-number HINT kept close to
+                              the true head — a cache that saves manifest
+                              probes, never the source of truth
+  data/<8-digit>-<token>/     immutable parquet directory written by
+                              exactly one commit ATTEMPT (the token makes
+                              attempts collision-free; a losing attempt's
+                              directory is an orphan ``vacuum`` collects)
 
-Commit protocol (write things, THEN flip the pointer): (1) write the new
-data directory, (2) write the new manifest, (3) ``os.replace`` `_latest`.
-A reader resolves `_latest` once, then touches only immutable objects — a
-concurrent commit can never tear its snapshot (snapshot isolation). A crash
-before (3) leaves orphan files the next ``vacuum`` collects; the table
-itself is never inconsistent.
+Commit protocol — the MANIFEST LINK IS THE COMMIT POINT: (1) write the new
+data directory under a unique name, (2) write the finished manifest to a
+temp name and hard-link it into place — ``os.link`` is atomic AND
+exclusive, so of two racing writers exactly one owns version v and the
+other raises :class:`MilanConcurrentCommitError` having published nothing
+(optimistic concurrency, first-writer-wins; the plain-rename protocol this
+replaces silently clobbered the loser's manifest), (3) advance the
+`_latest` hint (best-effort, forward-only). ``current_version`` reads the
+hint then probes forward over contiguous manifests, so a crash anywhere
+leaves NO undecided state: before (2) only orphan files exist; after (2)
+the commit is durable and visible regardless of the hint — the same
+commit-file-creation-is-the-commit rule every log-structured table format
+uses. A reader resolves its version once, then touches only immutable
+objects — a concurrent commit can never tear its snapshot (snapshot
+isolation).
+
+On a real object store the ``os.link`` claim becomes a
+create-if-absent conditional PUT — the identical first-writer-wins shape —
+and the hint an ordinary overwrite PUT, safe because it is only a cache.
 
 Scale notes: an ``append`` commit is O(new data) — history accumulates as
 union-read directories until ``compact`` (one rewrite commit) folds them;
 ``merge`` reuses the full-outer COALESCE plan of ``merge_upsert`` and
 rewrites (the parquet-upsert cost model, documented there). Manifests list
-directories, not files, so manifest size is O(commits since compaction),
-never O(files).
+directories plus (with ``stats_cols``) one stats row per FILE — O(files
+since compaction), the Iceberg manifest scale story: the metadata a scan
+needs to prune 100 TB down to the matching files is itself a small table,
+and ``compact`` re-bounds it.
 """
 
 from __future__ import annotations
 
+import datetime as _dt
 import json
 import os
 import shutil
+import uuid
 
-from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql import Column, DataFrame, SparkSession, functions as F
+from pyspark.sql.types import StructType
 
-from milan_spark.errors import MilanAnalysisError
+from milan_spark.errors import MilanAnalysisError, MilanConcurrentCommitError
 
 _MANIFEST_DIR = "_versions"
 _LATEST = "_latest"
@@ -66,12 +88,18 @@ def _read_manifest(path: str, v: int) -> dict:
 
 
 def current_version(path: str) -> int:
-    """The committed version `_latest` points at (0 = empty table)."""
+    """The latest committed version (0 = empty table): the `_latest` hint,
+    corrected forward over any contiguous manifests a writer committed but
+    didn't get to advertise (crash between link and hint). Usually zero
+    extra probes; each probe is one metadata existence check."""
     try:
         with open(os.path.join(path, _LATEST)) as f:
-            return int(f.read().strip())
+            v = int(f.read().strip())
     except FileNotFoundError:
-        return 0
+        v = 0
+    while os.path.exists(_manifest_path(path, v + 1)):
+        v += 1
+    return v
 
 
 def versions(path: str) -> list[dict]:
@@ -91,49 +119,231 @@ def versions(path: str) -> list[dict]:
     return out
 
 
-def _commit(path: str, df: DataFrame, *, dirs_from_parent, op: str, tag) -> int:
+def _advance_hint(path: str, v: int) -> None:
+    # best-effort, forward-only cache update; losing a race (or the write
+    # itself) only costs later readers a probe, never correctness
+    head = max(v, current_version(path))
+    lpath = os.path.join(path, _LATEST)
+    tmp = lpath + f".tmp-{uuid.uuid4().hex[:8]}"
+    try:
+        with open(tmp, "w") as f:
+            f.write(str(head))
+        os.replace(tmp, lpath)
+    except OSError:
+        pass
+
+
+def _stat_kind(typ) -> str | None:
+    import pyarrow as pa
+
+    if pa.types.is_date(typ):
+        return "date"
+    if pa.types.is_timestamp(typ):
+        return "ts"
+    if (pa.types.is_integer(typ) or pa.types.is_floating(typ)
+            or pa.types.is_decimal(typ)):
+        return "num"
+    if pa.types.is_string(typ) or pa.types.is_large_string(typ):
+        return "str"
+    return None
+
+
+def _enc_stat(v, kind: str):
+    if v is None:
+        return None
+    if kind in ("date", "ts"):
+        if isinstance(v, _dt.datetime):
+            return v.replace(tzinfo=None).isoformat()
+        if isinstance(v, _dt.date):
+            return v.isoformat()
+        return str(v)
+    if kind == "num":
+        return float(v) if not isinstance(v, (int, float)) else v
+    return str(v)
+
+
+def _collect_stats(base: str, data_rel: str, cols: list[str]) -> dict:
+    """Per-FILE min/max/null-count for ``cols``, read from parquet footers
+    of the just-written directory — O(new files) driver-local metadata
+    reads, the write-side stats collection every table format does. Parquet
+    truncated string bounds stay valid bounds (min is floored, max is
+    bumped), so pruning against them is safe, never exact-required."""
+    import pyarrow.parquet as pq
+
+    out: dict[str, dict] = {}
+    droot = os.path.join(base, data_rel)
+    for name in sorted(os.listdir(droot)):
+        if not name.endswith(".parquet"):
+            continue
+        pf = pq.ParquetFile(os.path.join(droot, name))
+        md, schema = pf.metadata, pf.schema_arrow
+        idx = {f: i for i, f in enumerate(schema.names)}
+        fstats: dict[str, dict] = {}
+        for c in cols:
+            if c not in idx:
+                continue
+            kind = _stat_kind(schema.field(c).type)
+            if kind is None:
+                continue
+            mn = mx = None
+            nulls = rows = 0
+            ok = True
+            for rg in range(md.num_row_groups):
+                col = md.row_group(rg).column(idx[c])
+                rows += md.row_group(rg).num_rows
+                st = col.statistics
+                if st is None or not st.has_null_count:
+                    ok = False
+                    break
+                nulls += st.null_count
+                if st.has_min_max:
+                    if mn is None or st.min < mn:
+                        mn = st.min
+                    if mx is None or st.max > mx:
+                        mx = st.max
+                elif st.null_count < md.row_group(rg).num_rows:
+                    ok = False  # values exist but no bounds -> can't prune
+                    break
+            if ok:
+                fstats[c] = {
+                    "kind": kind,
+                    "min": _enc_stat(mn, kind),
+                    "max": _enc_stat(mx, kind),
+                    "nulls": nulls,
+                    "rows": rows,
+                }
+        out[f"{data_rel}/{name}"] = fstats
+    return out
+
+
+def _schema_fields(schema_json: str) -> dict[str, str]:
+    return {
+        f["name"]: json.dumps(f["type"], sort_keys=True)
+        for f in json.loads(schema_json)["fields"]
+    }
+
+
+def _commit(
+    path: str,
+    df: DataFrame,
+    *,
+    dirs_from_parent,
+    op: str,
+    tag,
+    stats_cols: list[str] | None = None,
+    allow_schema_evolution: bool = False,
+) -> int:
     os.makedirs(os.path.join(path, _MANIFEST_DIR), exist_ok=True)
     os.makedirs(os.path.join(path, _DATA), exist_ok=True)
     parent = current_version(path)
     v = parent + 1
-    data_rel = f"{_DATA}/{_vname(v)}"
-    # a directory for v can only be the orphan of a commit that died before
-    # its pointer flip — no committed manifest can reference a version above
-    # `_latest`, so clearing it is safe and makes commits crash-recoverable
-    orphan = os.path.join(path, _DATA, _vname(v))
-    if os.path.isdir(orphan):
-        shutil.rmtree(orphan)
+    schema_json = df.schema.json()
+    dir_schemas: dict[str, str] = {}
+    stats: dict[str, dict] = {}
+    if parent:
+        pm = _read_manifest(path, parent)
+        if op == "append" and "schema" in pm:
+            old, new = _schema_fields(pm["schema"]), _schema_fields(schema_json)
+            if old != new and not allow_schema_evolution:
+                added = sorted(set(new) - set(old))
+                dropped = sorted(set(old) - set(new))
+                changed = sorted(
+                    k for k in set(old) & set(new) if old[k] != new[k]
+                )
+                raise MilanAnalysisError(
+                    f"versioned table {path}: append schema differs from "
+                    f"version {parent} (added={added}, missing={dropped}, "
+                    f"retyped={changed}); pass allow_schema_evolution=True "
+                    f"to evolve the table"
+                )
+        dir_schemas = dict(pm.get("dir_schemas", {}))
+        stats = dict(pm.get("stats", {}))
+    # unique per-ATTEMPT directory: racing commits never touch each other's
+    # files; the loser's directory is an orphan vacuum() collects
+    data_rel = f"{_DATA}/{_vname(v)}-{uuid.uuid4().hex[:8]}"
     # (1) immutable data directory
     df.write.mode("errorifexists").parquet(os.path.join(path, data_rel))
-    dirs = list(dirs_from_parent(parent)) + [data_rel]
-    # (2) immutable manifest
-    manifest = {"version": v, "parent": parent, "op": op, "tag": tag, "dirs": dirs}
+    inherited = list(dirs_from_parent(parent))
+    dirs = inherited + [data_rel]
+    dir_schemas = {d: s for d, s in dir_schemas.items() if d in inherited}
+    dir_schemas[data_rel] = schema_json
+    stats = {f: s for f, s in stats.items()
+             if f.rsplit("/", 1)[0] in inherited}
+    if stats_cols:
+        stats.update(_collect_stats(path, data_rel, list(stats_cols)))
+    manifest = {
+        "version": v, "parent": parent, "op": op, "tag": tag, "dirs": dirs,
+        "schema": schema_json, "dir_schemas": dir_schemas, "stats": stats,
+    }
+    # (2) THE COMMIT POINT: hard-link the finished manifest into place —
+    # atomic AND exclusive, so exactly one racing writer owns version v
     mpath = _manifest_path(path, v)
-    with open(mpath + ".tmp", "w") as f:
+    tmp = mpath + f".tmp-{uuid.uuid4().hex[:8]}"
+    with open(tmp, "w") as f:
         json.dump(manifest, f)
-    os.replace(mpath + ".tmp", mpath)
-    # (3) atomic pointer flip — the commit point
-    lpath = os.path.join(path, _LATEST)
-    with open(lpath + ".tmp", "w") as f:
-        f.write(str(v))
-    os.replace(lpath + ".tmp", lpath)
+    try:
+        os.link(tmp, mpath)
+    except FileExistsError:
+        raise MilanConcurrentCommitError(
+            f"versioned table {path}: version {v} was committed by a "
+            f"concurrent writer; this attempt published nothing, its data "
+            f"directory {data_rel} is an orphan for vacuum(). Re-derive "
+            f"from the new snapshot and retry (commit_with_retry)."
+        ) from None
+    finally:
+        os.unlink(tmp)
+    # (3) advertise — the hint is a cache, current_version probes past it
+    _advance_hint(path, v)
     return v
 
 
-def commit_append(df: DataFrame, path: str, *, tag: str | None = None) -> int:
+def commit_with_retry(fn, *, retries: int = 5):
+    """Run ``fn()`` (a zero-arg closure performing ONE commit, re-deriving
+    its input from the CURRENT snapshot each call — mandatory for
+    merge/compact, whose payload depends on the base) until it wins the
+    commit race."""
+    last = None
+    for _ in range(retries):
+        try:
+            return fn()
+        except MilanConcurrentCommitError as e:
+            last = e
+    raise MilanConcurrentCommitError(
+        f"lost {retries} commit races; giving up"
+    ) from last
+
+
+def commit_append(
+    df: DataFrame,
+    path: str,
+    *,
+    tag: str | None = None,
+    stats_cols: list[str] | None = None,
+    allow_schema_evolution: bool = False,
+) -> int:
     """Append commit: the new version sees the parent's directories plus one
-    new one. O(new data) write; history folds at the next ``compact``."""
+    new one. O(new data) write; history folds at the next ``compact``.
+    ``stats_cols`` opts into per-file zone maps (footer min/max into the
+    manifest); a schema differing from the parent requires
+    ``allow_schema_evolution=True`` and widens reads via mergeSchema."""
     return _commit(
         path, df,
         dirs_from_parent=lambda p: _read_manifest(path, p)["dirs"] if p else [],
-        op="append", tag=tag,
+        op="append", tag=tag, stats_cols=stats_cols,
+        allow_schema_evolution=allow_schema_evolution,
     )
 
 
-def commit_overwrite(df: DataFrame, path: str, *, tag: str | None = None) -> int:
+def commit_overwrite(
+    df: DataFrame, path: str, *, tag: str | None = None,
+    stats_cols: list[str] | None = None,
+) -> int:
     """Overwrite commit: the new version sees ONLY the new directory — the
     old versions keep their directories and stay readable (time travel)."""
-    return _commit(path, df, dirs_from_parent=lambda p: [], op="overwrite", tag=tag)
+    return _commit(
+        path, df, dirs_from_parent=lambda p: [], op="overwrite", tag=tag,
+        stats_cols=stats_cols,
+    )
 
 
 def commit_merge(
@@ -143,6 +353,7 @@ def commit_merge(
     key_cols: list[str],
     *,
     tag: str | None = None,
+    stats_cols: list[str] | None = None,
 ) -> int:
     """MERGE commit: full-outer COALESCE of updates over the current
     snapshot (the ``merge_upsert`` plan), rewritten as one directory."""
@@ -159,17 +370,50 @@ def commit_merge(
         for c in base.columns
     ]
     return _commit(
-        path, joined.select(*cols), dirs_from_parent=lambda p: [], op="merge", tag=tag
+        path, joined.select(*cols), dirs_from_parent=lambda p: [], op="merge",
+        tag=tag, stats_cols=stats_cols,
     )
 
 
-def compact(spark: SparkSession, path: str, *, tag: str | None = None) -> int:
+def compact(
+    spark: SparkSession,
+    path: str,
+    *,
+    tag: str | None = None,
+    stats_cols: list[str] | None = None,
+    cluster_by: tuple[str, ...] | list[str] | None = None,
+    partitions: int = 8,
+) -> int:
     """Fold the current snapshot's directory list into ONE directory (an
     overwrite commit of the current read) — the maintenance pass that keeps
-    append chains bounded; old versions stay readable until ``vacuum``."""
+    append chains AND manifests bounded; old versions stay readable until
+    ``vacuum``. ``cluster_by=(a,)`` range-sorts on one key; ``(a, b)``
+    interleaves Morton bits (``layout.z_value``) so per-file zone maps stay
+    tight on BOTH keys — compaction is exactly when re-clustering is free,
+    since the data is being rewritten anyway."""
+    df = read_version(spark, path)
+    if cluster_by:
+        cluster_by = tuple(cluster_by)
+        if len(cluster_by) == 1:
+            df = df.repartitionByRange(partitions, cluster_by[0]) \
+                   .sortWithinPartitions(cluster_by[0])
+        elif len(cluster_by) == 2:
+            from milan_spark.operators.layout import z_value
+
+            df = (
+                df.withColumn("__z", z_value(cluster_by[0], cluster_by[1]))
+                .repartitionByRange(partitions, "__z")
+                .sortWithinPartitions("__z")
+                .drop("__z")
+            )
+        else:
+            raise MilanAnalysisError(
+                f"compact: cluster_by takes 1 or 2 columns, got "
+                f"{list(cluster_by)}"
+            )
     return _commit(
-        path, read_version(spark, path), dirs_from_parent=lambda p: [],
-        op="compact", tag=tag,
+        path, df, dirs_from_parent=lambda p: [], op="compact", tag=tag,
+        stats_cols=stats_cols,
     )
 
 
@@ -178,17 +422,153 @@ def read_version(
 ) -> DataFrame:
     """Snapshot read: resolve the version ONCE (default: `_latest`), then a
     plain union-read of its immutable directories — concurrent commits
-    cannot tear it. ``version=N`` is time travel."""
+    cannot tear it. ``version=N`` is time travel. mergeSchema is enabled
+    only when the snapshot actually spans schemas (evolved table), since it
+    costs a footer read per file."""
     v = current_version(path) if version is None else int(version)
     if v == 0:
         raise MilanAnalysisError(f"versioned table {path}: no commits yet")
     m = _read_manifest(path, v)
-    return spark.read.parquet(*[os.path.join(path, d) for d in m["dirs"]])
+    reader = spark.read
+    if len(set(m.get("dir_schemas", {}).values())) > 1:
+        reader = reader.option("mergeSchema", "true")
+    return reader.parquet(*[os.path.join(path, d) for d in m["dirs"]])
+
+
+_PRUNE_OPS = ("=", "<", "<=", ">", ">=", "between")
+
+
+def _norm(value, kind: str):
+    if kind in ("date", "ts"):
+        if isinstance(value, _dt.datetime):
+            return value.replace(tzinfo=None).isoformat()
+        if isinstance(value, _dt.date):
+            return value.isoformat()
+        return str(value)
+    if kind == "num":
+        return value
+    return str(value)
+
+
+def _file_survives(fstats: dict, predicates) -> bool:
+    for col, op, value in predicates:
+        st = fstats.get(col)
+        if st is None:
+            continue  # no stats for this column -> cannot rule the file out
+        mn, mx = st["min"], st["max"]
+        if mn is None and mx is None:
+            if st["rows"] > 0 and st["nulls"] == st["rows"]:
+                return False  # all-NULL file; every pruning op rejects NULL
+            continue
+        k = st["kind"]
+        if op == "between":
+            lo, hi = _norm(value[0], k), _norm(value[1], k)
+            if mx < lo or mn > hi:
+                return False
+        else:
+            val = _norm(value, k)
+            if (
+                (op == "=" and (val < mn or val > mx))
+                or (op == "<" and mn >= val)
+                or (op == "<=" and mn > val)
+                or (op == ">" and mx <= val)
+                or (op == ">=" and mx < val)
+            ):
+                return False
+    return True
+
+
+def prune_files(
+    path: str, predicates, version: int | None = None
+) -> tuple[list[str], list[str], dict]:
+    """Manifest-only data skipping: evaluate conjunctive ``predicates``
+    (``[(col, op, value)]``, op in =, <, <=, >, >=, between) against each
+    file's recorded zone map. Returns (surviving files, stats-less dirs
+    that must be read whole, report). Pure driver-side metadata — no Spark
+    job, no file opened; this is the step that turns a 100 TB scan into
+    reading only the files whose [min, max] can hold a match. NULL
+    semantics: every supported op rejects NULL, so all-NULL files are
+    skipped; files lacking stats are always kept (pruning is a safe
+    superset, never exact-required)."""
+    for _, op, _v in predicates:
+        if op not in _PRUNE_OPS:
+            raise MilanAnalysisError(
+                f"prune_files: unsupported op {op!r}; use one of {_PRUNE_OPS}"
+            )
+    v = current_version(path) if version is None else int(version)
+    if v == 0:
+        raise MilanAnalysisError(f"versioned table {path}: no commits yet")
+    m = _read_manifest(path, v)
+    stats = m.get("stats", {})
+    covered_dirs = {f.rsplit("/", 1)[0] for f in stats}
+    kept = [f for f, fs in sorted(stats.items())
+            if _file_survives(fs, predicates)]
+    blind_dirs = [d for d in m["dirs"] if d not in covered_dirs]
+    report = {
+        "files_total": len(stats),
+        "files_kept": len(kept),
+        "files_skipped": len(stats) - len(kept),
+        "dirs_without_stats": len(blind_dirs),
+        "version": v,
+    }
+    return kept, blind_dirs, report
+
+
+def _predicate_column(predicates) -> Column:
+    cond = F.lit(True)
+    for col, op, value in predicates:
+        c = F.col(col)
+        if op == "between":
+            cond = cond & c.between(F.lit(value[0]), F.lit(value[1]))
+        elif op == "=":
+            cond = cond & (c == F.lit(value))
+        elif op == "<":
+            cond = cond & (c < F.lit(value))
+        elif op == "<=":
+            cond = cond & (c <= F.lit(value))
+        elif op == ">":
+            cond = cond & (c > F.lit(value))
+        else:
+            cond = cond & (c >= F.lit(value))
+    return cond
+
+
+def read_pruned(
+    spark: SparkSession,
+    path: str,
+    predicates,
+    version: int | None = None,
+    with_report: bool = False,
+):
+    """Predicate read over a versioned table: manifest zone maps drop
+    non-matching FILES before Spark ever lists them, then the exact
+    predicate is applied as a real filter (so the result is precisely
+    ``WHERE`` semantics — pruning only shrinks the scan, never the answer).
+    Row-group stats inside the surviving files still prune further, for
+    free, because the same bounds exist in their footers."""
+    kept, blind_dirs, report = prune_files(path, predicates, version)
+    m = _read_manifest(
+        path, current_version(path) if version is None else int(version)
+    )
+    paths = [os.path.join(path, p) for p in kept + blind_dirs]
+    if not paths:
+        df = spark.createDataFrame(
+            [], StructType.fromJson(json.loads(m["schema"]))
+        )
+    else:
+        reader = spark.read
+        if len(set(m.get("dir_schemas", {}).values())) > 1:
+            reader = reader.option("mergeSchema", "true")
+        df = reader.parquet(*paths)
+    df = df.filter(_predicate_column(predicates))
+    return (df, report) if with_report else df
 
 
 def vacuum(path: str, *, keep_from: int) -> dict:
     """Delete manifests below ``keep_from`` and every data directory no kept
-    manifest references. Explicit and bounded — nothing expires implicitly.
+    manifest references — including orphans of crashed or race-losing
+    commit attempts (their unique directory names are referenced by no
+    manifest). Explicit and bounded — nothing expires implicitly.
     Returns {"dirs_removed", "manifests_removed"}."""
     cur = current_version(path)
     if keep_from > cur:
@@ -222,7 +602,7 @@ def versioned_sink(path: str):
     finds its checkpoint behind the sink — is skipped because the manifest
     already records it. The manifest chain IS the transaction log, the
     standard batchId-idempotent transactional-sink recipe; combined with
-    the pointer-flips-last commit protocol, readers see each microbatch
+    the atomic manifest-link commit point, readers see each microbatch
     exactly once or not yet."""
 
     def write(batch_df: DataFrame, batch_id: int) -> None:

@@ -2359,3 +2359,103 @@ def versioned_change_feed_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("change")
         .agg(F.count(F.lit(1)).alias("n_keys"))
     )
+
+
+@register(
+    "versioned_pruned_scan",
+    doc="Manifest zone-map data skipping on the versioned table "
+    "(operators.versioned.prune_files/read_pruned): orders lands as three "
+    "date-ranged append commits with per-file min/max stats collected from "
+    "the parquet footers into the manifest (stats_cols), then a "
+    "date-window + price predicate is answered by read_pruned — files "
+    "whose [min, max] cannot hold a match are dropped DRIVER-SIDE from "
+    "the scan list before Spark lists anything, and the exact predicate "
+    "still applies, so the result is precisely WHERE semantics. The query "
+    "then re-clusters via compact(cluster_by=o_orderdate) and re-answers "
+    "the same predicate at the new version; both snapshots' monthly "
+    "rollups must match the oracle's plain WHERE twice. Self-checking: it "
+    "RAISES unless pruning actually skipped files in both versions, so a "
+    "silent stats regression fails the gate rather than degrading to a "
+    "full scan. Scale: this is the Iceberg/Delta scan-planning story — at "
+    "100 TB the manifest is the small table that turns a petabyte listing "
+    "into reading only matching files, and clustered compaction is what "
+    "keeps those zone maps tight as appends accumulate.",
+    oracle="""
+WITH hits AS (
+  SELECT date_trunc('month', o_orderdate) AS month,
+         CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+  FROM orders
+  WHERE o_orderdate BETWEEN TIMESTAMP '1998-01-01 00:00:00'
+                        AND TIMESTAMP '1998-12-31 23:59:59'
+    AND o_totalprice >= 100000.0
+), agg AS (
+  SELECT month, COUNT(*) AS n_orders, CAST(SUM(cents) AS BIGINT) AS total_cents
+  FROM hits GROUP BY month
+)
+SELECT 'appended' AS snapshot, * FROM agg
+UNION ALL
+SELECT 'compacted', * FROM agg
+""",
+)
+def versioned_pruned_scan_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import datetime as dt
+
+    from milan_spark.errors import MilanAnalysisError
+    from milan_spark.operators.versioned import (
+        commit_append,
+        compact,
+        read_pruned,
+    )
+
+    orders = table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate", "o_totalprice"
+    )
+    path = tempfile.mkdtemp(prefix="milan_vps_")
+    splits = [
+        orders.filter("o_orderdate < TIMESTAMP '1997-01-01'"),
+        orders.filter(
+            "o_orderdate >= TIMESTAMP '1997-01-01' "
+            "AND o_orderdate < TIMESTAMP '1999-01-01'"
+        ),
+        orders.filter("o_orderdate >= TIMESTAMP '1999-01-01'"),
+    ]
+    for part in splits:
+        # range-partition each commit on the date so per-file zone maps are
+        # tight -- the layout discipline that makes skipping effective
+        commit_append(
+            part.repartitionByRange(4, "o_orderdate")
+            .sortWithinPartitions("o_orderdate"),
+            path,
+            stats_cols=["o_orderdate", "o_totalprice"],
+        )
+    preds = [
+        ("o_orderdate", "between",
+         (dt.datetime(1998, 1, 1), dt.datetime(1998, 12, 31, 23, 59, 59))),
+        ("o_totalprice", ">=", 100000.0),
+    ]
+
+    def monthly(snapshot: str) -> DataFrame:
+        df, report = read_pruned(spark, path, preds, with_report=True)
+        if report["files_skipped"] < 1 or report["dirs_without_stats"]:
+            raise MilanAnalysisError(
+                f"versioned_pruned_scan: zone maps failed to prune "
+                f"({report}) — stats collection or skipping regressed"
+            )
+        return (
+            df.groupBy(F.date_trunc("month", "o_orderdate").alias("month"))
+            .agg(
+                F.count(F.lit(1)).alias("n_orders"),
+                F.sum(
+                    F.expr("CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)")
+                ).alias("total_cents"),
+            )
+            .select(F.lit(snapshot).alias("snapshot"), "*")
+        )
+
+    before = monthly("appended")
+    compact(
+        spark, path, cluster_by=("o_orderdate",),
+        stats_cols=["o_orderdate", "o_totalprice"], partitions=12,
+    )
+    after = monthly("compacted")
+    return before.unionByName(after)

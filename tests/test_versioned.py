@@ -9,6 +9,7 @@ import os
 import tempfile
 
 import pytest
+from pyspark.sql import functions as F
 
 from milan_spark.errors import MilanAnalysisError
 from milan_spark.operators.versioned import (
@@ -105,28 +106,201 @@ def test_named_errors(spark, tbl):
         vacuum(tbl, keep_from=9)
 
 
-def test_pointer_flips_last(spark, tbl, monkeypatch):
-    """Crash protocol: if the commit dies before the pointer flip, the table
-    still reads at the old version and the orphan is invisible."""
+def test_manifest_link_is_the_commit_point(spark, tbl, monkeypatch):
+    """Crash protocol: the manifest hard-link IS the commit. Dying before it
+    leaves nothing visible; dying after it (hint never advanced) leaves a
+    fully-committed version that ``current_version`` finds by probing."""
     import milan_spark.operators.versioned as V
 
     commit_append(_df(spark, [(1, "a")]), tbl)
-    real_replace = os.replace
 
-    def exploding_replace(src, dst):
-        if dst.endswith(V._LATEST):
-            raise RuntimeError("crash before pointer flip")
-        return real_replace(src, dst)
+    # crash BEFORE the link: manifest tmp write explodes -> nothing visible
+    real_link = os.link
 
-    monkeypatch.setattr(V.os, "replace", exploding_replace)
-    with pytest.raises(RuntimeError, match="crash"):
+    def exploding_link(src, dst):
+        raise RuntimeError("crash before manifest link")
+
+    monkeypatch.setattr(V.os, "link", exploding_link)
+    with pytest.raises(RuntimeError, match="crash before manifest"):
         commit_append(_df(spark, [(2, "b")]), tbl)
     monkeypatch.undo()
     assert current_version(tbl) == 1
     assert _snap(read_version(spark, tbl)) == [(1, "a")]
-    # the next commit supersedes the orphan manifest for the same version
-    commit_append(_df(spark, [(3, "c")]), tbl)
+
+    # crash AFTER the link, before the hint: commit is durable and visible
+    real_replace = os.replace
+
+    def exploding_replace(src, dst):
+        if dst.endswith(V._LATEST):
+            raise RuntimeError("crash before hint advance")
+        return real_replace(src, dst)
+
+    monkeypatch.setattr(V.os, "link", real_link)
+    monkeypatch.setattr(V.os, "replace", exploding_replace)
+    # _advance_hint swallows OSError only; simulate death via monkeypatched
+    # replace -> the RuntimeError escapes, but the version is committed
+    with pytest.raises(RuntimeError, match="crash before hint"):
+        commit_append(_df(spark, [(3, "c")]), tbl)
+    monkeypatch.undo()
+    with open(os.path.join(tbl, "_latest")) as f:
+        assert f.read().strip() == "1"  # stale hint...
+    assert current_version(tbl) == 2  # ...corrected by probing
     assert _snap(read_version(spark, tbl)) == [(1, "a"), (3, "c")]
+    # and the chain continues normally
+    commit_append(_df(spark, [(4, "d")]), tbl)
+    assert current_version(tbl) == 3
+
+
+def test_concurrent_commit_loser_raises_and_publishes_nothing(
+    spark, tbl, monkeypatch
+):
+    """Optimistic concurrency: of two writers that both resolved parent=1
+    and race for version 2, the second raises MilanConcurrentCommitError,
+    its data directory is an unreferenced orphan, and vacuum collects it."""
+    import milan_spark.operators.versioned as V
+    from milan_spark.errors import MilanConcurrentCommitError
+
+    commit_append(_df(spark, [(1, "a")]), tbl)
+
+    # interleave: writer B's whole commit lands between A's data write and
+    # A's manifest claim — the exclusive os.link decides the race
+    real_link = os.link
+    state = {"fired": False}
+
+    def racing_link(src, dst):
+        if not state["fired"]:
+            state["fired"] = True
+            commit_append(_df(spark, [(9, "B")]), tbl, tag="winner")
+        return real_link(src, dst)
+
+    monkeypatch.setattr(V.os, "link", racing_link)
+    with pytest.raises(MilanConcurrentCommitError, match="concurrent"):
+        commit_append(_df(spark, [(8, "A")]), tbl, tag="loser")
+    monkeypatch.undo()
+    assert [e["tag"] for e in versions(tbl)] == [None, "winner"]
+    assert _snap(read_version(spark, tbl)) == [(1, "a"), (9, "B")]
+    # loser's orphan directory exists until vacuum reclaims it
+    data_dirs = os.listdir(os.path.join(tbl, "data"))
+    assert len(data_dirs) == 3
+    stats = vacuum(tbl, keep_from=1)
+    assert stats["dirs_removed"] == 1
+    assert _snap(read_version(spark, tbl)) == [(1, "a"), (9, "B")]
+
+
+def test_commit_with_retry_wins_after_race(spark, tbl):
+    from milan_spark.errors import MilanConcurrentCommitError
+    from milan_spark.operators.versioned import commit_with_retry
+
+    commit_append(_df(spark, [(1, "a")]), tbl)
+    attempts = {"n": 0}
+
+    def racy_commit():
+        attempts["n"] += 1
+        if attempts["n"] < 3:
+            raise MilanConcurrentCommitError("simulated race loss")
+        return commit_append(_df(spark, [(2, "b")]), tbl)
+
+    assert commit_with_retry(racy_commit) == 2
+    assert attempts["n"] == 3
+    with pytest.raises(MilanConcurrentCommitError, match="giving up"):
+        commit_with_retry(
+            lambda: (_ for _ in ()).throw(MilanConcurrentCommitError("x")),
+            retries=2,
+        )
+
+
+def test_zone_map_pruning_skips_files_result_exact(spark, tbl):
+    """Per-file manifest stats prune non-matching files driver-side; the
+    read still applies the exact predicate, so results == WHERE semantics."""
+    from milan_spark.operators.versioned import prune_files, read_pruned
+
+    df = spark.range(0, 1000).select(
+        F.col("id").alias("k"), (F.col("id") % 7).alias("m")
+    )
+    # range-partitioned write -> tight per-file k ranges
+    commit_append(
+        df.repartitionByRange(8, "k").sortWithinPartitions("k"),
+        tbl, stats_cols=["k", "m"],
+    )
+    kept, blind, report = prune_files(tbl, [("k", ">=", 900)])
+    assert blind == []
+    assert report["files_total"] == 8
+    assert report["files_skipped"] >= 6
+    out, rep = read_pruned(
+        spark, tbl, [("k", ">=", 900)], with_report=True
+    )
+    assert sorted(r["k"] for r in out.collect()) == list(range(900, 1000))
+    assert rep["files_skipped"] >= 6
+    # between on the clustered key
+    out2 = read_pruned(spark, tbl, [("k", "between", (250, 260))])
+    assert out2.count() == 11
+    # un-clustered column m: zone maps are useless (every file spans 0..6)
+    # but the answer is still exact
+    assert read_pruned(spark, tbl, [("m", "=", 3)]).count() == 143
+    # predicate selecting nothing: empty frame with the table schema
+    empty = read_pruned(spark, tbl, [("k", ">", 10_000)])
+    assert empty.count() == 0
+    assert empty.columns == ["k", "m"]
+
+
+def test_zone_map_pruning_null_and_statless_files(spark, tbl):
+    from milan_spark.operators.versioned import prune_files, read_pruned
+
+    # commit 1: stats collected, k all NULL in one file
+    allnull = spark.createDataFrame(
+        [(None, "x")] * 5, "k long, v string"
+    ).coalesce(1)
+    commit_append(allnull, tbl, stats_cols=["k"])
+    # commit 2: NO stats -> must always be read
+    commit_append(_df(spark, [(5, "b")]).coalesce(1), tbl)
+    kept, blind, report = prune_files(tbl, [("k", ">=", 0)])
+    assert kept == []  # all-NULL file skipped: >= rejects NULL
+    assert len(blind) == 1 and report["dirs_without_stats"] == 1
+    assert _snap(read_pruned(spark, tbl, [("k", ">=", 0)])) == [(5, "b")]
+
+
+def test_schema_evolution_gated_and_merge_read(spark, tbl):
+    from milan_spark.operators.versioned import commit_append, read_version
+
+    commit_append(_df(spark, [(1, "a")]), tbl)
+    wide = spark.createDataFrame([(2, "b", 7.5)], "k long, v string, w double")
+    with pytest.raises(MilanAnalysisError, match="added=\\['w'\\]"):
+        commit_append(wide, tbl)
+    v2 = commit_append(wide, tbl, allow_schema_evolution=True)
+    cur = read_version(spark, tbl)
+    assert set(cur.columns) == {"k", "v", "w"}
+    rows = {r["k"]: (r["v"], r["w"]) for r in cur.collect()}
+    assert rows == {1: ("a", None), 2: ("b", 7.5)}
+    # time travel to v1 keeps the narrow schema
+    assert read_version(spark, tbl, 1).columns == ["k", "v"]
+    assert v2 == 2
+
+
+def test_clustered_compact_tightens_zone_maps(spark, tbl):
+    """After a Morton-clustered compaction, per-file zone maps prune on
+    BOTH dimensions; before it (insertion-ordered by x only), the y
+    predicate prunes nothing."""
+    from milan_spark.operators.versioned import prune_files
+
+    n = 32
+    grid = spark.range(0, n * n).select(
+        (F.col("id") / n).cast("long").alias("x"),
+        (F.col("id") % n).alias("y"),
+    )
+    commit_append(
+        grid.repartitionByRange(8, "x").sortWithinPartitions("x"),
+        tbl, stats_cols=["x", "y"],
+    )
+    _, _, before = prune_files(tbl, [("y", "<", 4)])
+    assert before["files_skipped"] == 0  # every x-file spans all y
+    compact(spark, tbl, cluster_by=("x", "y"), stats_cols=["x", "y"],
+            partitions=8)
+    _, _, after_y = prune_files(tbl, [("y", "<", 4)])
+    _, _, after_x = prune_files(tbl, [("x", "<", 4)])
+    assert after_y["files_skipped"] > 0
+    assert after_x["files_skipped"] > 0
+    # data unchanged by re-clustering
+    assert read_version(spark, tbl).count() == n * n
 
 
 def test_versioned_sink_is_batch_id_idempotent(spark, tbl):
