@@ -344,3 +344,65 @@ def weighted_sample(
         .filter(F.col(rank_col) <= n_per_stratum)
         .drop("__ordh")
     )
+
+
+def aqp_uniform_estimates(
+    df: DataFrame,
+    key: Column | str,
+    group_cols: Sequence[str],
+    measure: Column | str,
+    *,
+    n_buckets: int = 10_007,
+    keep_buckets: int = 111,
+) -> DataFrame:
+    """Approximate query processing over a deterministic uniform sample:
+    keep the rows whose hash bucket < ``keep_buckets`` (inclusion
+    probability p = keep/n, a property of the RECORD — reproducible by any
+    engine, auditable in SQL), then per group emit Horvitz–Thompson
+    estimates scaled by 1/p in EXACT integer arithmetic:
+
+      n_sample                   rows sampled in the group
+      est_rows                   (n_sample · n_buckets) DIV keep_buckets
+      sum_measure                exact integer sum over the sample
+      est_sum_measure            (sum_measure · n_buckets) DIV keep_buckets
+      sum_sq_measure             Σ measure² over the sample — the variance
+                                 ingredient: SE(est_sum) ≈ sqrt((1-p)/p ·
+                                 (sum_sq − sum²/n)) · n/(n−1) · 1/p; kept
+                                 as the exact integer so callers derive any
+                                 CI without the engine committing to a
+                                 float rounding
+
+    ``measure`` must already be an integer-typed column (cents, counts —
+    the caller picks the scale so Σx² stays in int64; dollars not cents for
+    big tables). Scale: the sample predicate is a narrow projection — no
+    shuffle until the groupBy of the ~p·N surviving rows, so a 1% estimate
+    over 100 TB aggregates ~1 TB; with the sample materialized once, every
+    follow-up estimate is sample-sized. Prime n_buckets breaks stride
+    patterns in synthetic keys.
+    """
+    mc = F.col(measure) if isinstance(measure, str) else measure
+    sampled = df.filter(hash_bucket(key, n_buckets) < keep_buckets)
+    # integer DIV, not float /: the scaled sums must stay EXACT (and
+    # oracle-reproducible) past 2^53, where double division starts rounding
+    est_rows = F.expr(
+        f"CAST((n_sample * {n_buckets}) DIV {keep_buckets} AS BIGINT)"
+    )
+    est_sum = F.expr(
+        f"CAST((sum_measure * {n_buckets}) DIV {keep_buckets} AS BIGINT)"
+    )
+    return (
+        sampled.groupBy(*group_cols)
+        .agg(
+            F.count(F.lit(1)).alias("n_sample"),
+            F.sum(mc.cast("long")).alias("sum_measure"),
+            F.sum((mc.cast("long") * mc.cast("long"))).alias("sum_sq_measure"),
+        )
+        .select(
+            *group_cols,
+            "n_sample",
+            est_rows.alias("est_rows"),
+            "sum_measure",
+            est_sum.alias("est_sum_measure"),
+            "sum_sq_measure",
+        )
+    )

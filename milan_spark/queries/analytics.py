@@ -2079,3 +2079,52 @@ def theilsen_user_trend_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("median_slope"),
     )
+
+
+@register(
+    "aqp_revenue_estimate",
+    doc="Approximate query processing (operators/sampling.py "
+    "aqp_uniform_estimates): per-returnflag row-count and revenue "
+    "estimates from a deterministic ~1.1% uniform sample of lineitem "
+    "(hash bucket < 111 of 10007 on the line's composite key). "
+    "Horvitz-Thompson scaling is EXACT integer arithmetic (DIV), and the "
+    "variance ingredient sum_sq is emitted as the raw integer so any CI "
+    "follows without a float commitment: SE ~ sqrt((1-p)/p * group "
+    "variance) / p. The sample predicate is a narrow projection (no "
+    "shuffle until the ~1% survivors aggregate), so the 100 TB version "
+    "touches ~1 TB post-filter; the same sample, materialized once, "
+    "amortizes across every follow-up estimate. Measures are whole "
+    "dollars, not cents, so the squared sums stay in int64 at sf100.",
+    oracle=f"""
+WITH s AS (
+  SELECT l_returnflag,
+         CAST(floor(l_extendedprice) AS BIGINT) AS dollars
+  FROM lineitem
+  WHERE {_BUCKET.format(s="CAST(l_orderkey * 10 + l_linenumber AS VARCHAR)", n=10007)} < 111
+), g AS (
+  SELECT l_returnflag,
+         COUNT(*) AS n_sample,
+         CAST(SUM(dollars) AS BIGINT) AS sum_measure,
+         CAST(SUM(dollars * dollars) AS BIGINT) AS sum_sq_measure
+  FROM s GROUP BY l_returnflag
+)
+SELECT l_returnflag, n_sample,
+       (n_sample * 10007) // 111 AS est_rows,
+       sum_measure,
+       (sum_measure * 10007) // 111 AS est_sum_measure,
+       sum_sq_measure
+FROM g
+""",
+)
+def aqp_revenue_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from milan_spark.operators.sampling import aqp_uniform_estimates
+
+    li = table(spark, sf_dir, "lineitem").select(
+        "l_returnflag",
+        (F.col("l_orderkey") * 10 + F.col("l_linenumber")).alias("line_key"),
+        F.floor("l_extendedprice").cast("long").alias("dollars"),
+    )
+    return aqp_uniform_estimates(
+        li, "line_key", ["l_returnflag"], "dollars",
+        n_buckets=10_007, keep_buckets=111,
+    )

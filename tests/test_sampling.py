@@ -118,3 +118,41 @@ def test_top_fraction_quota_zero_stratum_dropped(spark):
     )
     # 3 rows / 5 -> quota 0: nothing kept, no divide-by-zero
     assert top_fraction_by_score(df, ["source"], "score", frac=(1, 5), key="doc_id").count() == 0
+
+
+def test_aqp_uniform_estimates_exact_scaling_and_accuracy(spark):
+    from milan_spark.operators.sampling import aqp_uniform_estimates
+
+    n = 100_000
+    df = spark.range(0, n).select(
+        F.col("id").alias("k"),
+        (F.col("id") % 2).cast("string").alias("g"),
+        (F.col("id") % 100 + 1).alias("v"),
+    )
+    out = {
+        r["g"]: r.asDict()
+        for r in aqp_uniform_estimates(df, "k", ["g"], "v").collect()
+    }
+    assert set(out) == {"0", "1"}
+    for g, r in out.items():
+        # Horvitz-Thompson scaling is exact integer DIV of the sample sums
+        assert r["est_rows"] == (r["n_sample"] * 10_007) // 111
+        assert r["est_sum_measure"] == (r["sum_measure"] * 10_007) // 111
+        # estimates land near the truth (rate ~1.1% of 50k rows per group
+        # -> ~550 samples, relative SE ~4-5%; a 20% bound is ~4 sigma and
+        # the hash is deterministic, so this never flakes)
+        assert abs(r["est_rows"] - n / 2) < 0.2 * n / 2
+        true_sum = sum(i % 100 + 1 for i in range(n) if i % 2 == int(g))
+        assert abs(r["est_sum_measure"] - true_sum) < 0.2 * true_sum
+        assert r["sum_sq_measure"] >= r["sum_measure"]
+
+
+def test_aqp_uniform_estimates_is_partitioning_invariant(spark):
+    from milan_spark.operators.sampling import aqp_uniform_estimates
+
+    df = spark.range(0, 5_000).select(
+        F.col("id").alias("k"), F.lit("a").alias("g"), F.lit(7).alias("v")
+    )
+    a = aqp_uniform_estimates(df, "k", ["g"], "v").collect()[0].asDict()
+    b = aqp_uniform_estimates(df.repartition(17), "k", ["g"], "v").collect()[0].asDict()
+    assert a == b
