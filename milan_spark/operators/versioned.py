@@ -216,6 +216,114 @@ def _collect_stats(base: str, data_rel: str, cols: list[str]) -> dict:
     return out
 
 
+_P31 = 2_147_483_647
+_BLOOM_SCRAMBLE = {31: 2_654_435_761, 131: 2_246_822_519}
+# Java-regex "." (used by char_fold_hash's char split) skips line terminators
+_LINE_TERMS = frozenset("\n\r\x85\u2028\u2029")
+_INTEGRAL = ("tinyint", "smallint", "int", "bigint")
+
+
+def _py_fold(s: str, base: int) -> int:
+    h = 0
+    for ch in s:
+        if ch in _LINE_TERMS:
+            continue
+        h = (h * base + ord(ch)) % _P31
+    return h
+
+
+def _bloom_probe_bits(value, numeric: bool, m_bits: int) -> list[int]:
+    """Driver-side twin of sketch._bloom_idx: the two bit positions a key
+    sets, computed in pure Python so a point lookup consults the manifest
+    without starting a Spark job. Must stay arithmetic-identical to the
+    column expression (pytest pins them against each other)."""
+    if numeric:
+        return [
+            (int(value) % _P31) * _BLOOM_SCRAMBLE[b] % _P31 % m_bits
+            for b in (31, 131)
+        ]
+    s = str(value)
+    return [
+        _py_fold(s, b) * _BLOOM_SCRAMBLE[31] % _P31 % m_bits for b in (31, 131)
+    ]
+
+
+def _bloom_has(bloom: dict, value) -> bool:
+    words = bloom["words"]
+    for i in _bloom_probe_bits(value, bloom["numeric"], bloom["m"]):
+        w = words.get(str(i >> 5), 0)
+        if not (w >> (i % 32)) & 1:
+            return False
+    return True
+
+
+def _collect_blooms(
+    spark: SparkSession, base: str, data_rel: str, cols: list[str],
+    m_bits: int,
+) -> dict:
+    """Per-FILE Bloom filters for point-lookup pruning where zone maps are
+    blind (high-cardinality keys whose per-file [min, max] spans the whole
+    domain — hash-distributed ids, content hashes). One narrow scan of the
+    JUST-WRITTEN directory grouped by input_file_name; the bit_or aggregate
+    is map-side combinable and the collect is bounded by files × m/32
+    words, metadata-scale by construction. Uses the portable two-fold hash
+    of sketch.bloom_build, so filters are bit-identical across engines and
+    re-derivable in SQL."""
+    from milan_spark.operators.sketch import _bloom_idx
+
+    df = spark.read.parquet(os.path.join(base, data_rel))
+    dtypes = dict(df.dtypes)
+    out: dict[str, dict] = {}
+    present = [c for c in cols if c in dtypes]
+    # seed an empty filter per (file, col): a file whose keys are all NULL
+    # gets no aggregate row, and its empty bloom correctly rejects every
+    # equality probe instead of falling back to "no index, must read"
+    for name in sorted(os.listdir(os.path.join(base, data_rel))):
+        if name.endswith(".parquet"):
+            for c in present:
+                numeric = dtypes[c] in _INTEGRAL
+                if numeric or dtypes[c] == "string":
+                    out.setdefault(f"{data_rel}/{name}", {})[c] = {
+                        "m": m_bits, "numeric": numeric, "words": {}
+                    }
+    for col in present:
+        numeric = dtypes[col] in _INTEGRAL
+        if not numeric and dtypes[col] != "string":
+            raise MilanAnalysisError(
+                f"bloom_cols: column {col!r} has type {dtypes[col]}; per-file "
+                f"blooms support integral and string keys"
+            )
+        k = F.col(col) if numeric else F.col(col).cast("string")
+        idxs = (
+            df.select(F.input_file_name().alias("__f"), k.alias("__k"))
+            .where(F.col("__k").isNotNull())
+            .select(
+                "__f",
+                F.explode(
+                    F.array(
+                        _bloom_idx(F.col("__k"), 31, m_bits, numeric=numeric),
+                        _bloom_idx(F.col("__k"), 131, m_bits, numeric=numeric),
+                    )
+                ).alias("__idx"),
+            )
+        )
+        bit = F.call_function(
+            "shiftleft", F.lit(1).cast("long"), (F.col("__idx") % 32).cast("int")
+        )
+        words = idxs.groupBy(
+            "__f", F.shiftright("__idx", 5).cast("int").alias("w")
+        ).agg(F.bit_or(bit).alias("bw"))
+        for row in words.collect():
+            fname = row["__f"].rsplit("/", 1)[-1]
+            frel = f"{data_rel}/{fname}"
+            slot = out.setdefault(frel, {}).setdefault(
+                col, {"m": m_bits, "numeric": numeric, "words": {}}
+            )
+            prev = slot["words"].get(str(row["w"]), 0)
+            slot["words"][str(row["w"])] = prev | row["bw"]
+    return out
+
+
 def _schema_fields(schema_json: str) -> dict[str, str]:
     return {
         f["name"]: json.dumps(f["type"], sort_keys=True)
@@ -231,6 +339,8 @@ def _commit(
     op: str,
     tag,
     stats_cols: list[str] | None = None,
+    bloom_cols: list[str] | None = None,
+    bloom_bits: int = 8192,
     allow_schema_evolution: bool = False,
 ) -> int:
     os.makedirs(os.path.join(path, _MANIFEST_DIR), exist_ok=True)
@@ -258,6 +368,9 @@ def _commit(
                 )
         dir_schemas = dict(pm.get("dir_schemas", {}))
         stats = dict(pm.get("stats", {}))
+        blooms = dict(pm.get("blooms", {}))
+    else:
+        blooms = {}
     # unique per-ATTEMPT directory: racing commits never touch each other's
     # files; the loser's directory is an orphan vacuum() collects
     data_rel = f"{_DATA}/{_vname(v)}-{uuid.uuid4().hex[:8]}"
@@ -269,11 +382,18 @@ def _commit(
     dir_schemas[data_rel] = schema_json
     stats = {f: s for f, s in stats.items()
              if f.rsplit("/", 1)[0] in inherited}
+    blooms = {f: b for f, b in blooms.items()
+              if f.rsplit("/", 1)[0] in inherited}
     if stats_cols:
         stats.update(_collect_stats(path, data_rel, list(stats_cols)))
+    if bloom_cols:
+        blooms.update(_collect_blooms(
+            df.sparkSession, path, data_rel, list(bloom_cols), bloom_bits
+        ))
     manifest = {
         "version": v, "parent": parent, "op": op, "tag": tag, "dirs": dirs,
         "schema": schema_json, "dir_schemas": dir_schemas, "stats": stats,
+        "blooms": blooms,
     }
     # (2) THE COMMIT POINT: hard-link the finished manifest into place —
     # atomic AND exclusive, so exactly one racing writer owns version v
@@ -319,17 +439,22 @@ def commit_append(
     *,
     tag: str | None = None,
     stats_cols: list[str] | None = None,
+    bloom_cols: list[str] | None = None,
+    bloom_bits: int = 8192,
     allow_schema_evolution: bool = False,
 ) -> int:
     """Append commit: the new version sees the parent's directories plus one
     new one. O(new data) write; history folds at the next ``compact``.
     ``stats_cols`` opts into per-file zone maps (footer min/max into the
-    manifest); a schema differing from the parent requires
-    ``allow_schema_evolution=True`` and widens reads via mergeSchema."""
+    manifest); ``bloom_cols`` into per-file Bloom filters for point-lookup
+    pruning on keys zone maps can't order; a schema differing from the
+    parent requires ``allow_schema_evolution=True`` and widens reads via
+    mergeSchema."""
     return _commit(
         path, df,
         dirs_from_parent=lambda p: _read_manifest(path, p)["dirs"] if p else [],
-        op="append", tag=tag, stats_cols=stats_cols,
+        op="append", tag=tag, stats_cols=stats_cols, bloom_cols=bloom_cols,
+        bloom_bits=bloom_bits,
         allow_schema_evolution=allow_schema_evolution,
     )
 
@@ -337,12 +462,14 @@ def commit_append(
 def commit_overwrite(
     df: DataFrame, path: str, *, tag: str | None = None,
     stats_cols: list[str] | None = None,
+    bloom_cols: list[str] | None = None,
+    bloom_bits: int = 8192,
 ) -> int:
     """Overwrite commit: the new version sees ONLY the new directory — the
     old versions keep their directories and stay readable (time travel)."""
     return _commit(
         path, df, dirs_from_parent=lambda p: [], op="overwrite", tag=tag,
-        stats_cols=stats_cols,
+        stats_cols=stats_cols, bloom_cols=bloom_cols, bloom_bits=bloom_bits,
     )
 
 
@@ -354,6 +481,8 @@ def commit_merge(
     *,
     tag: str | None = None,
     stats_cols: list[str] | None = None,
+    bloom_cols: list[str] | None = None,
+    bloom_bits: int = 8192,
 ) -> int:
     """MERGE commit: full-outer COALESCE of updates over the current
     snapshot (the ``merge_upsert`` plan), rewritten as one directory."""
@@ -371,7 +500,8 @@ def commit_merge(
     ]
     return _commit(
         path, joined.select(*cols), dirs_from_parent=lambda p: [], op="merge",
-        tag=tag, stats_cols=stats_cols,
+        tag=tag, stats_cols=stats_cols, bloom_cols=bloom_cols,
+        bloom_bits=bloom_bits,
     )
 
 
@@ -381,6 +511,8 @@ def compact(
     *,
     tag: str | None = None,
     stats_cols: list[str] | None = None,
+    bloom_cols: list[str] | None = None,
+    bloom_bits: int = 8192,
     cluster_by: tuple[str, ...] | list[str] | None = None,
     partitions: int = 8,
 ) -> int:
@@ -413,7 +545,7 @@ def compact(
             )
     return _commit(
         path, df, dirs_from_parent=lambda p: [], op="compact", tag=tag,
-        stats_cols=stats_cols,
+        stats_cols=stats_cols, bloom_cols=bloom_cols, bloom_bits=bloom_bits,
     )
 
 
@@ -435,7 +567,7 @@ def read_version(
     return reader.parquet(*[os.path.join(path, d) for d in m["dirs"]])
 
 
-_PRUNE_OPS = ("=", "<", "<=", ">", ">=", "between")
+_PRUNE_OPS = ("=", "<", "<=", ">", ">=", "between", "in")
 
 
 def _norm(value, kind: str):
@@ -450,30 +582,44 @@ def _norm(value, kind: str):
     return str(value)
 
 
-def _file_survives(fstats: dict, predicates) -> bool:
+def _range_hit(st: dict, op: str, value) -> bool:
+    mn, mx = st["min"], st["max"]
+    k = st["kind"]
+    if op == "between":
+        lo, hi = _norm(value[0], k), _norm(value[1], k)
+        return not (mx < lo or mn > hi)
+    val = _norm(value, k)
+    if op == "=":
+        return mn <= val <= mx
+    if op == "<":
+        return mn < val
+    if op == "<=":
+        return mn <= val
+    if op == ">":
+        return mx > val
+    return mx >= val  # ">="
+
+
+def _file_survives(fstats: dict, fblooms: dict, predicates) -> bool:
     for col, op, value in predicates:
         st = fstats.get(col)
-        if st is None:
-            continue  # no stats for this column -> cannot rule the file out
-        mn, mx = st["min"], st["max"]
-        if mn is None and mx is None:
-            if st["rows"] > 0 and st["nulls"] == st["rows"]:
-                return False  # all-NULL file; every pruning op rejects NULL
-            continue
-        k = st["kind"]
-        if op == "between":
-            lo, hi = _norm(value[0], k), _norm(value[1], k)
-            if mx < lo or mn > hi:
+        if st is not None:
+            mn, mx = st["min"], st["max"]
+            if mn is None and mx is None:
+                if st["rows"] > 0 and st["nulls"] == st["rows"]:
+                    return False  # all-NULL file; every op rejects NULL
+            elif op == "in":
+                if not any(_range_hit(st, "=", v) for v in value):
+                    return False
+            elif not _range_hit(st, op, value):
                 return False
-        else:
-            val = _norm(value, k)
-            if (
-                (op == "=" and (val < mn or val > mx))
-                or (op == "<" and mn >= val)
-                or (op == "<=" and mn > val)
-                or (op == ">" and mx <= val)
-                or (op == ">=" and mx < val)
-            ):
+        # Bloom pruning applies to equality shapes only; it composes with
+        # zone maps (a file must pass BOTH to be read)
+        bl = fblooms.get(col)
+        if bl is not None:
+            if op == "=" and not _bloom_has(bl, value):
+                return False
+            if op == "in" and not any(_bloom_has(bl, v) for v in value):
                 return False
     return True
 
@@ -500,14 +646,18 @@ def prune_files(
         raise MilanAnalysisError(f"versioned table {path}: no commits yet")
     m = _read_manifest(path, v)
     stats = m.get("stats", {})
-    covered_dirs = {f.rsplit("/", 1)[0] for f in stats}
-    kept = [f for f, fs in sorted(stats.items())
-            if _file_survives(fs, predicates)]
+    blooms = m.get("blooms", {})
+    known = sorted(set(stats) | set(blooms))
+    covered_dirs = {f.rsplit("/", 1)[0] for f in known}
+    kept = [
+        f for f in known
+        if _file_survives(stats.get(f, {}), blooms.get(f, {}), predicates)
+    ]
     blind_dirs = [d for d in m["dirs"] if d not in covered_dirs]
     report = {
-        "files_total": len(stats),
+        "files_total": len(known),
         "files_kept": len(kept),
-        "files_skipped": len(stats) - len(kept),
+        "files_skipped": len(known) - len(kept),
         "dirs_without_stats": len(blind_dirs),
         "version": v,
     }
@@ -520,6 +670,8 @@ def _predicate_column(predicates) -> Column:
         c = F.col(col)
         if op == "between":
             cond = cond & c.between(F.lit(value[0]), F.lit(value[1]))
+        elif op == "in":
+            cond = cond & c.isin(list(value))
         elif op == "=":
             cond = cond & (c == F.lit(value))
         elif op == "<":

@@ -2459,3 +2459,61 @@ def versioned_pruned_scan_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     after = monthly("compacted")
     return before.unionByName(after)
+
+
+@register(
+    "versioned_bloom_lookup",
+    doc="Per-file Bloom-filter indexes on the versioned table "
+    "(operators.versioned bloom_cols): orders lands hash-distributed on "
+    "o_orderkey, so every file spans the whole key domain and zone maps "
+    "can prune NOTHING for a point lookup — the classic needle-in-100-TB "
+    "case. Each commit therefore aggregates a portable per-file Bloom "
+    "filter (sketch.bloom_build's two-fold hash, map-side combinable, "
+    "bounded at files x m/32 words in the manifest) and the driver-side "
+    "probe — a pure-Python twin of the column hash, pinned equal by "
+    "pytest — drops files whose filter lacks the key's bits before Spark "
+    "lists anything. The IN-list lookup unions per-key probes; the exact "
+    "predicate still applies, so the rows equal plain WHERE ... IN. "
+    "Self-checking: raises unless the bloom actually skipped most files. "
+    "False positives only cost an extra file read; never a lost row.",
+    oracle="""
+SELECT o_orderkey,
+       CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents,
+       o_orderdate
+FROM orders
+WHERE o_orderkey IN (1, 7, 32, 33, 999999999)
+""",
+)
+def versioned_bloom_lookup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from milan_spark.errors import MilanAnalysisError
+    from milan_spark.operators.versioned import commit_append, read_pruned
+
+    orders = table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice", "o_orderdate"
+    )
+    path = tempfile.mkdtemp(prefix="milan_vbl_")
+    # size the layout from the data so the filters stay useful at ANY sf:
+    # ~8k keys/file at 2^17 bits -> load 0.12, false-positive rate ~1.3%
+    # per key-file; a fixed file count would saturate the blooms at sf1
+    n = orders.count()
+    files = max(8, -(-n // 8000))
+    # hash distribution on the key: the layout point lookups actually face
+    commit_append(
+        orders.repartition(files, "o_orderkey"), path,
+        stats_cols=["o_orderkey"], bloom_cols=["o_orderkey"],
+        bloom_bits=1 << 17,
+    )
+    keys = (1, 7, 32, 33, 999999999)
+    df, report = read_pruned(
+        spark, path, [("o_orderkey", "in", keys)], with_report=True
+    )
+    if report["files_skipped"] < report["files_total"] // 2:
+        raise MilanAnalysisError(
+            f"versioned_bloom_lookup: bloom index failed to prune "
+            f"({report}) — per-file filter build or probe regressed"
+        )
+    return df.select(
+        "o_orderkey",
+        F.expr("CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)").alias("cents"),
+        "o_orderdate",
+    )

@@ -315,3 +315,79 @@ def test_versioned_sink_is_batch_id_idempotent(spark, tbl):
     assert _snap(read_version(spark, tbl)) == [(1, "a"), (2, "b")]
     tags = [e["tag"] for e in versions(tbl)]
     assert tags == ["batch=0", "batch=1"]
+
+
+def test_bloom_probe_matches_spark_bits(spark):
+    """The driver-side Python probe must stay arithmetic-identical to the
+    sketch._bloom_idx column expression for both key dtypes."""
+    import milan_spark.operators.versioned as V
+    from milan_spark.operators.sketch import _bloom_idx
+
+    m = 8192
+    num = spark.createDataFrame([(7,), (123456789,), (0,)], "k long")
+    rows = num.select(
+        "k",
+        _bloom_idx(F.col("k"), 31, m, numeric=True).alias("b31"),
+        _bloom_idx(F.col("k"), 131, m, numeric=True).alias("b131"),
+    ).collect()
+    for r in rows:
+        assert V._bloom_probe_bits(r["k"], True, m) == [r["b31"], r["b131"]]
+    txt = spark.createDataFrame([("a",), ("doc-42",), ("",)], "k string")
+    rows = txt.select(
+        "k",
+        _bloom_idx(F.col("k"), 31, m, numeric=False).alias("b31"),
+        _bloom_idx(F.col("k"), 131, m, numeric=False).alias("b131"),
+    ).collect()
+    for r in rows:
+        assert V._bloom_probe_bits(r["k"], False, m) == [r["b31"], r["b131"]]
+
+
+def test_bloom_point_lookup_prunes_hash_distributed_files(spark, tbl):
+    """On a hash-distributed key every file spans the whole [min, max]
+    domain — zone maps prune nothing — but per-file blooms pin a point
+    lookup to ~1 file, and the result still equals plain WHERE."""
+    from milan_spark.operators.versioned import prune_files, read_pruned
+
+    df = spark.range(0, 4000).select(
+        F.col("id").alias("k"), (F.col("id") * 3).alias("v")
+    )
+    commit_append(
+        df.repartition(8, "k"),  # hash distribution: zone maps useless
+        tbl, stats_cols=["k"], bloom_cols=["k"],
+    )
+    _, _, zm_only = prune_files(tbl, [("k", ">=", 0)])
+    assert zm_only["files_skipped"] == 0
+    kept, blind, rep = prune_files(tbl, [("k", "=", 1234)])
+    assert blind == []
+    # bloom at m=8192 bits for ~500 keys/file: expect most files skipped
+    assert rep["files_skipped"] >= 5
+    out = read_pruned(spark, tbl, [("k", "=", 1234)])
+    assert [(r["k"], r["v"]) for r in out.collect()] == [(1234, 3702)]
+    # IN-list lookup unions the per-value probes
+    out_in = read_pruned(spark, tbl, [("k", "in", (10, 20, 99999))])
+    assert sorted(r["k"] for r in out_in.collect()) == [10, 20]
+    # a key outside the domain: bloom almost surely rejects everywhere
+    _, _, miss = prune_files(tbl, [("k", "=", 10_000_000)])
+    assert miss["files_kept"] <= 1
+
+
+def test_bloom_string_keys_and_all_null_file(spark, tbl):
+    from milan_spark.operators.versioned import prune_files, read_pruned
+
+    docs = spark.createDataFrame(
+        [(f"doc-{i}", i) for i in range(100)] + [(None, -1)],
+        "doc_id string, n long",
+    )
+    commit_append(docs.coalesce(1), tbl, bloom_cols=["doc_id"])
+    # all-NULL second commit: seeded empty bloom rejects equality probes
+    commit_append(
+        spark.createDataFrame([(None, -2)] * 3, "doc_id string, n long")
+        .coalesce(1),
+        tbl, bloom_cols=["doc_id"],
+    )
+    kept, blind, rep = prune_files(tbl, [("doc_id", "=", "doc-7")])
+    assert blind == [] and rep["files_kept"] == 1
+    assert [r["n"] for r in
+            read_pruned(spark, tbl, [("doc_id", "=", "doc-7")]).collect()] == [7]
+    _, _, gone = prune_files(tbl, [("doc_id", "=", "nope-123")])
+    assert gone["files_kept"] == 0
