@@ -2128,3 +2128,140 @@ def aqp_revenue_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
         li, "line_key", ["l_returnflag"], "dollars",
         n_buckets=10_007, keep_buckets=111,
     )
+
+
+@register(
+    "gap_fill_hourly_ffill",
+    doc="Dense-grid time series repair (operators/timeseries.py): hourly "
+    "event counts and revenue per event_type, DENSIFIED over each type's "
+    "own [first, last] hour with sequence()+explode (per-key grids, no "
+    "global-calendar cross join), then forward-filled. Empty buckets keep "
+    "NULL counts — 'no data' stays distinct from 0 — while the ffill "
+    "column carries the last observed revenue forward, the dashboard/"
+    "feature-store convention. Two (key, bucket) shuffles for the "
+    "densify + one single-sweep window for the fill; a key's grid is "
+    "bounded by its own lifetime, so one immortal key cannot inflate "
+    "every series.",
+    oracle="""
+WITH obs AS (
+  SELECT event_type,
+         to_timestamp(CAST(floor(epoch(ts)) AS BIGINT)
+                      - CAST(floor(epoch(ts)) AS BIGINT) % 3600) AS bucket,
+         COUNT(*) AS n_events,
+         CAST(SUM(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS cents
+  FROM events GROUP BY 1, 2
+), span AS (
+  SELECT event_type, MIN(bucket) AS lo, MAX(bucket) AS hi FROM obs GROUP BY 1
+), grid AS (
+  SELECT event_type, unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS bucket
+  FROM span
+)
+SELECT g.event_type, CAST(g.bucket AS TIMESTAMP) AS bucket,
+       o.n_events, o.cents,
+       LAST_VALUE(o.cents IGNORE NULLS) OVER (
+         PARTITION BY g.event_type ORDER BY g.bucket
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+       ) AS cents_ffill
+FROM grid g LEFT JOIN obs o ON g.event_type = o.event_type AND g.bucket = o.bucket
+""",
+)
+def gap_fill_hourly_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from milan_spark.operators.timeseries import forward_fill, gap_fill
+
+    ev = table(spark, sf_dir, "events").select(
+        "event_type", "ts",
+        F.expr("CAST(floor(value * 100 + 0.5) AS BIGINT)").alias("cents_v"),
+    )
+    dense = gap_fill(
+        ev, ["event_type"], "ts", 3600,
+        {"n_events": F.count(F.lit(1)), "cents": F.sum("cents_v")},
+    )
+    return forward_fill(dense, ["event_type"], "bucket", ["cents"]).select(
+        "event_type", "bucket", "n_events", "cents",
+        F.col("cents_ffill").alias("cents_ffill"),
+    )
+
+
+@register(
+    "interpolate_daily_series",
+    doc="Linear interpolation over a sparse regular series "
+    "(operators/timeseries.py interpolate_linear): daily per-type revenue "
+    "where two of every five days are masked NULL (a deterministic "
+    "day-of-epoch rule both engines replay), then filled by interpolating "
+    "between the nearest surviving neighbors — two monotonic window "
+    "passes (last/first IGNORE NULLS), pure column algebra, no UDF. "
+    "Edges fall back one-sided. Values ride exact integer cents into the "
+    "shared prev+(next-prev)*dt/span formula and compare after "
+    "ROUND(.,4) (the house float discipline).",
+    oracle="""
+WITH daily AS (
+  SELECT event_type,
+         to_timestamp(CAST(floor(epoch(ts)) AS BIGINT)
+                      - CAST(floor(epoch(ts)) AS BIGINT) % 86400) AS day,
+         CAST(SUM(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS cents
+  FROM events GROUP BY 1, 2
+), masked AS (
+  SELECT event_type, day,
+         CASE WHEN (CAST(floor(epoch(day)) AS BIGINT) / 86400) % 5 < 2
+              THEN NULL ELSE cents END AS v
+  FROM daily
+), win AS (
+  SELECT event_type, day, v,
+         CAST(floor(epoch(day)) AS BIGINT) AS t,
+         LAST_VALUE(v IGNORE NULLS) OVER (
+           PARTITION BY event_type ORDER BY day
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pv,
+         LAST_VALUE(CASE WHEN v IS NOT NULL
+                         THEN CAST(floor(epoch(day)) AS BIGINT) END
+                    IGNORE NULLS) OVER (
+           PARTITION BY event_type ORDER BY day
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pt,
+         FIRST_VALUE(v IGNORE NULLS) OVER (
+           PARTITION BY event_type ORDER BY day
+           ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv,
+         FIRST_VALUE(CASE WHEN v IS NOT NULL
+                          THEN CAST(floor(epoch(day)) AS BIGINT) END
+                     IGNORE NULLS) OVER (
+           PARTITION BY event_type ORDER BY day
+           ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nt
+  FROM masked
+)
+SELECT event_type, CAST(day AS TIMESTAMP) AS day,
+       CAST(ROUND(CASE
+         WHEN v IS NOT NULL THEN CAST(v AS DOUBLE)
+         WHEN pv IS NULL THEN CAST(nv AS DOUBLE)
+         WHEN nv IS NULL THEN CAST(pv AS DOUBLE)
+         WHEN nt = pt THEN CAST(pv AS DOUBLE)
+         ELSE pv + (nv - pv) * (CAST(t AS DOUBLE) - pt) / (nt - pt)
+       END, 4) AS DOUBLE) AS cents_interp
+FROM win
+""",
+)
+def interpolate_daily_series(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from milan_spark.operators.timeseries import (
+        gap_fill,
+        interpolate_linear,
+    )
+
+    ev = table(spark, sf_dir, "events").select(
+        "event_type", "ts",
+        F.expr("CAST(floor(value * 100 + 0.5) AS BIGINT)").alias("cents_v"),
+    )
+    daily = gap_fill(
+        ev, ["event_type"], "ts", 86400, {"cents": F.sum("cents_v")}
+    ).withColumnRenamed("bucket", "day")
+    day_idx = (F.unix_timestamp("day") / F.lit(86400)).cast("long")
+    masked = daily.withColumn(
+        "v",
+        F.when(day_idx % 5 < 2, F.lit(None).cast("long")).otherwise(
+            F.col("cents")
+        ),
+    )
+    out = interpolate_linear(
+        masked.withColumn("v", F.col("v").cast("double")),
+        ["event_type"], "day", "v",
+    )
+    return out.select(
+        "event_type", "day",
+        F.round("v_interp", 4).cast("double").alias("cents_interp"),
+    )
