@@ -2517,3 +2517,67 @@ def versioned_bloom_lookup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)").alias("cents"),
         "o_orderdate",
     )
+
+
+@register(
+    "materialized_view_incremental",
+    doc="Incrementally-maintained materialized aggregate view "
+    "(operators/materialize.py) over the versioned orders table: the "
+    "first refresh computes per-priority sum/count/min/max from the full "
+    "snapshot; the two later appends are folded in by aggregating ONLY "
+    "the directories they added (appended_dirs_between reads the "
+    "manifest chain, no diff join, no history scan) and merging partial "
+    "states into the stored view with one full-outer coalesce — "
+    "O(delta)+O(view), the maintenance discipline that keeps a 100 TB "
+    "fact table's rollups affordable. The view is itself a versioned "
+    "table whose commit tag carries the src= watermark, so refresh is "
+    "idempotent and crash-safe. Self-checking: raises unless the second "
+    "refresh actually ran incrementally. The oracle recomputes the final "
+    "rollup from raw orders, pinning that incremental == recompute.",
+    oracle="""
+SELECT o_orderpriority,
+       COUNT(*) AS n_orders,
+       CAST(SUM(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS total_cents,
+       CAST(MIN(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS min_cents,
+       CAST(MAX(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS max_cents
+FROM orders
+GROUP BY o_orderpriority
+""",
+)
+def materialized_view_incremental_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from milan_spark.errors import MilanAnalysisError
+    from milan_spark.operators.materialize import refresh_agg_view
+    from milan_spark.operators.versioned import commit_append, read_version
+
+    orders = table(spark, sf_dir, "orders").select(
+        "o_orderpriority",
+        F.expr("CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)").alias("cents"),
+        "o_orderdate",
+    )
+    src = tempfile.mkdtemp(prefix="milan_mvi_src_")
+    view = tempfile.mkdtemp(prefix="milan_mvi_view_")
+    measures = {
+        "n_orders": ("count", "*"),
+        "total_cents": ("sum", "cents"),
+        "min_cents": ("min", "cents"),
+        "max_cents": ("max", "cents"),
+    }
+    commit_append(orders.filter("o_orderdate < TIMESTAMP '1997-01-01'"), src)
+    first = refresh_agg_view(spark, src, view, ["o_orderpriority"], measures)
+    commit_append(
+        orders.filter(
+            "o_orderdate >= TIMESTAMP '1997-01-01' "
+            "AND o_orderdate < TIMESTAMP '1999-01-01'"
+        ),
+        src,
+    )
+    commit_append(orders.filter("o_orderdate >= TIMESTAMP '1999-01-01'"), src)
+    second = refresh_agg_view(spark, src, view, ["o_orderpriority"], measures)
+    if first["mode"] != "full" or second["mode"] != "incremental":
+        raise MilanAnalysisError(
+            f"materialized_view_incremental: expected full then incremental "
+            f"refresh, got {first['mode']!r} then {second['mode']!r}"
+        )
+    return read_version(spark, view).select(
+        "o_orderpriority", "n_orders", "total_cents", "min_cents", "max_cents"
+    )
