@@ -764,3 +764,77 @@ def versioned_sink(path: str):
         commit_append(batch_df, path, tag=tag)
 
     return write
+
+
+def publish_appends(path: str, staging: str) -> dict:
+    """Advance the STREAMING TAIL of a versioned table: hard-link the
+    parquet files of every append commit newer than the staging area's
+    watermark into ``staging`` (names prefixed with the commit version for
+    provenance), then advance the watermark. A Structured Streaming file
+    source watching ``staging`` (:func:`stream_appends`) discovers exactly
+    the committed files — never an in-flight or race-losing orphan
+    directory, which a source watching ``data/`` directly would ingest.
+    Hard links cost no data copy; the table's files stay immutable.
+
+    Idempotent (re-runs publish nothing new) and append-only: a merge/
+    overwrite/compact commit raises a named error, the same contract the
+    incremental view maintenance documents — rewritten history cannot be
+    tailed, it must be reprocessed. Returns {"from_version", "to_version",
+    "files"}."""
+    os.makedirs(staging, exist_ok=True)
+    wm_path = os.path.join(staging, "_published")
+    try:
+        with open(wm_path) as f:
+            have = int(f.read().strip())
+    except FileNotFoundError:
+        have = 0
+    head = current_version(path)
+    files = 0
+    for v in range(have + 1, head + 1):
+        m = _read_manifest(path, v)
+        if m["op"] != "append":
+            raise MilanAnalysisError(
+                f"stream_appends: version {v} is op={m['op']!r}; a streaming "
+                f"tail is append-only — rewritten history must be "
+                f"reprocessed from a fresh snapshot"
+            )
+        new_dir = m["dirs"][-1]
+        droot = os.path.join(path, new_dir)
+        for name in sorted(os.listdir(droot)):
+            if not name.endswith(".parquet"):
+                continue
+            dst = os.path.join(staging, f"{_vname(v)}-{name}")
+            if not os.path.exists(dst):
+                os.link(os.path.join(droot, name), dst)
+                files += 1
+    tmp = wm_path + f".tmp-{uuid.uuid4().hex[:8]}"
+    with open(tmp, "w") as f:
+        f.write(str(head))
+    os.replace(tmp, wm_path)
+    return {"from_version": have, "to_version": head, "files": files}
+
+
+def stream_appends(
+    spark: SparkSession,
+    path: str,
+    staging: str,
+    *,
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """Structured-streaming read of a versioned table's append commits, via
+    a :func:`publish_appends` staging area — the table-as-stream half of
+    the lakehouse pattern (commits in, micro-batches out; the other half is
+    ``versioned_sink``, streams in, commits out). Exactly-once comes from
+    the file source's checkpointed seen-files log; the schema is pinned
+    from the current manifest, and append-mode schema evolution stays
+    compatible because parquet fills absent columns with NULL. No ordering
+    guarantee WITHIN a publish batch — time semantics belong to watermarks,
+    not file order."""
+    v = current_version(path)
+    if v == 0:
+        raise MilanAnalysisError(f"versioned table {path}: no commits yet")
+    schema = StructType.fromJson(json.loads(_read_manifest(path, v)["schema"]))
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    return reader.option("pathGlobFilter", "*.parquet").parquet(staging)

@@ -2117,3 +2117,56 @@ def streaming_versioned_sink_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("bucket")
         .agg(F.count(F.lit(1)).alias("n"), F.sum("cents").alias("total_cents"))
     )
+
+
+@register(
+    "streaming_versioned_tail",
+    doc="The versioned table as a STREAMING SOURCE "
+    "(operators.versioned.stream_appends): events land in three append "
+    "commits, publish_appends hard-links each commit's files into a "
+    "staging area a checkpointed file source tails — so the stream sees "
+    "exactly the committed files, never an in-flight writer's or a "
+    "race-loser's orphan directory, and each commit's rows arrive exactly "
+    "once. Closes the lakehouse loop with versioned_sink (streams in -> "
+    "commits; commits -> streams out). The aggregate is per-type count + "
+    "cents in complete mode; the oracle is the same rollup over raw "
+    "events, pinning that tailing the table loses and duplicates nothing.",
+    oracle="""
+SELECT event_type,
+       COUNT(*) AS n,
+       CAST(SUM(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS cents
+FROM events
+GROUP BY event_type
+""",
+)
+def streaming_versioned_tail_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from milan_spark.operators.versioned import (
+        commit_append,
+        publish_appends,
+        stream_appends,
+    )
+    from milan_spark.sources import table
+
+    ev = table(spark, sf_dir, "events").select(
+        "event_type", "ts",
+        F.expr("CAST(floor(value * 100 + 0.5) AS BIGINT)").alias("cents_v"),
+    )
+    path = tempfile.mkdtemp(prefix="milan_svt_tbl_")
+    staging = tempfile.mkdtemp(prefix="milan_svt_stage_")
+    commit_append(ev.filter("ts < TIMESTAMP '2024-01-10'"), path)
+    commit_append(
+        ev.filter("ts >= TIMESTAMP '2024-01-10' AND ts < TIMESTAMP '2024-01-20'"),
+        path,
+    )
+    commit_append(ev.filter("ts >= TIMESTAMP '2024-01-20'"), path)
+    publish_appends(path, staging)
+    sdf = stream_appends(spark, path, staging, max_files_per_trigger=4)
+    out = sdf.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("cents_v").alias("cents"),
+    )
+    return run_to_memory(
+        out, "streaming_versioned_tail", output_mode="complete"
+    )

@@ -391,3 +391,48 @@ def test_bloom_string_keys_and_all_null_file(spark, tbl):
             read_pruned(spark, tbl, [("doc_id", "=", "doc-7")]).collect()] == [7]
     _, _, gone = prune_files(tbl, [("doc_id", "=", "nope-123")])
     assert gone["files_kept"] == 0
+
+
+def test_stream_appends_tails_commits_exactly_once(spark, tbl, tmp_path):
+    """Streaming tail: publish_appends + a checkpointed file-source query
+    deliver each append commit's rows exactly once across a full query
+    rebuild-and-restart; non-append commits refuse to publish."""
+    from milan_spark.operators.versioned import (
+        publish_appends,
+        stream_appends,
+    )
+    from milan_spark.streaming import file_sink
+
+    staging = str(tmp_path / "staging")
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+
+    commit_append(_df(spark, [(1, "a"), (2, "b")]), tbl)
+    commit_append(_df(spark, [(3, "c")]), tbl)
+    rep = publish_appends(tbl, staging)
+    assert rep == {"from_version": 0, "to_version": 2, "files": rep["files"]}
+    # idempotent: nothing new on a re-run
+    assert publish_appends(tbl, staging)["files"] == 0
+
+    def run_once():
+        q = file_sink(stream_appends(spark, tbl, staging), out, checkpoint=ckpt)
+        q.awaitTermination(300)
+
+    run_once()
+    assert _snap(spark.read.parquet(out)) == [(1, "a"), (2, "b"), (3, "c")]
+
+    # more commits arrive; the REBUILT query resumes from its checkpoint
+    commit_append(_df(spark, [(4, "d")]), tbl)
+    publish_appends(tbl, staging)
+    run_once()
+    assert _snap(spark.read.parquet(out)) == [
+        (1, "a"), (2, "b"), (3, "c"), (4, "d"),
+    ]
+
+    # a rewrite cannot be tailed: named error, watermark not advanced
+    compact(spark, tbl)
+    with pytest.raises(MilanAnalysisError, match="append-only"):
+        publish_appends(tbl, staging)
+    # but an append AFTER the rewrite still refuses (the gap persists)
+    commit_append(_df(spark, [(5, "e")]), tbl)
+    with pytest.raises(MilanAnalysisError, match="append-only"):
+        publish_appends(tbl, staging)
