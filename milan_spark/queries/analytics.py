@@ -2265,3 +2265,86 @@ def interpolate_daily_series(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type", "day",
         F.round("v_interp", 4).cast("double").alias("cents_interp"),
     )
+
+
+@register(
+    "dq_constraint_quarantine",
+    doc="Declarative data-quality gate (operators/constraints.py): four "
+    "value constraints over orders — priced in range, known status, "
+    "recent order date, clerk well-formed — checked in ONE aggregate "
+    "pass (50 rules would still be one scan, map-side combinable), plus "
+    "a quarantine split whose failure-signature rollup groups bad rows "
+    "by WHICH rules they broke (one projection, no per-rule rescan). "
+    "NULL discipline: a rule that cannot prove a row valid counts it as "
+    "a violation — the poisoned-join-key postmortem rule. Output unions "
+    "the per-rule violation counts with per-signature quarantine counts; "
+    "the oracle re-derives both with CASE sums, pinning the NULL "
+    "semantics exactly.",
+    oracle="""
+WITH flags AS (
+  SELECT
+    CASE WHEN NOT COALESCE(o_totalprice > 0 AND o_totalprice < 450000, FALSE)
+         THEN 1 ELSE 0 END AS v_price,
+    CASE WHEN NOT COALESCE(o_orderstatus IN ('O', 'F', 'P'), FALSE)
+         THEN 1 ELSE 0 END AS v_status,
+    CASE WHEN NOT COALESCE(o_orderdate >= TIMESTAMP '1996-01-01', FALSE)
+         THEN 1 ELSE 0 END AS v_fresh,
+    CASE WHEN NOT COALESCE(substr(o_orderpriority, 2, 1) = '-', FALSE)
+         THEN 1 ELSE 0 END AS v_prio
+  FROM orders
+), sig AS (
+  SELECT CONCAT(
+           CASE WHEN v_fresh = 1 THEN '+order_fresh' ELSE '' END,
+           CASE WHEN v_price = 1 THEN '+price_in_range' ELSE '' END,
+           CASE WHEN v_prio = 1 THEN '+prio_wellformed' ELSE '' END,
+           CASE WHEN v_status = 1 THEN '+status_known' ELSE '' END
+         ) AS s
+  FROM flags
+  WHERE v_price + v_status + v_fresh + v_prio > 0
+)
+SELECT 'rule:price_in_range' AS item, CAST(SUM(v_price) AS BIGINT) AS n FROM flags
+UNION ALL
+SELECT 'rule:status_known', CAST(SUM(v_status) AS BIGINT) FROM flags
+UNION ALL
+SELECT 'rule:order_fresh', CAST(SUM(v_fresh) AS BIGINT) FROM flags
+UNION ALL
+SELECT 'rule:prio_wellformed', CAST(SUM(v_prio) AS BIGINT) FROM flags
+UNION ALL
+SELECT 'sig:' || s, CAST(COUNT(*) AS BIGINT) FROM sig GROUP BY s
+""",
+)
+def dq_constraint_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from milan_spark.operators.constraints import (
+        constraint_report,
+        quarantine,
+    )
+
+    orders = table(spark, sf_dir, "orders")
+    rules = {
+        "price_in_range": (F.col("o_totalprice") > 0)
+        & (F.col("o_totalprice") < 450000),
+        "status_known": F.col("o_orderstatus").isin("O", "F", "P"),
+        "order_fresh": F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"),
+        "prio_wellformed": F.substring("o_orderpriority", 2, 1) == "-",
+    }
+    report = constraint_report(orders, rules).select(
+        F.concat(F.lit("rule:"), F.col("rule")).alias("item"),
+        F.col("n_violations").cast("long").alias("n"),
+    )
+    _, invalid = quarantine(orders, rules)
+    sigs = (
+        invalid.select(
+            F.concat(
+                F.lit("sig:"),
+                F.concat_ws(
+                    "", F.transform(
+                        F.array_sort("failed_rules"),
+                        lambda r: F.concat(F.lit("+"), r),
+                    )
+                ),
+            ).alias("item")
+        )
+        .groupBy("item")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    return report.unionByName(sigs)
