@@ -838,3 +838,64 @@ def stream_appends(
     if max_files_per_trigger is not None:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
     return reader.option("pathGlobFilter", "*.parquet").parquet(staging)
+
+
+def table_stats(path: str, version: int | None = None) -> dict:
+    """Physical shape of a snapshot — the numbers a maintenance policy
+    reads: directories, files, bytes, and whether per-file metadata (zone
+    maps / blooms) covers the snapshot. Driver-side listing of the
+    snapshot's own directories only, O(files in snapshot)."""
+    v = current_version(path) if version is None else int(version)
+    if v == 0:
+        raise MilanAnalysisError(f"versioned table {path}: no commits yet")
+    m = _read_manifest(path, v)
+    files = bytes_ = 0
+    for d in m["dirs"]:
+        droot = os.path.join(path, d)
+        for name in os.listdir(droot):
+            if name.endswith(".parquet"):
+                files += 1
+                bytes_ += os.path.getsize(os.path.join(droot, name))
+    return {
+        "version": v,
+        "dirs": len(m["dirs"]),
+        "files": files,
+        "bytes": bytes_,
+        "stats_files": len(m.get("stats", {})),
+        "bloom_files": len(m.get("blooms", {})),
+    }
+
+
+def maybe_compact(
+    spark: SparkSession,
+    path: str,
+    *,
+    max_dirs: int = 16,
+    min_file_bytes: int | None = None,
+    **compact_kwargs,
+) -> dict:
+    """The small-file maintenance policy, as a decision not a ritual:
+    compact when the snapshot spans more than ``max_dirs`` directories
+    (append-chain length — every reader pays one listing per directory) or
+    when the MEAN file size has fallen under ``min_file_bytes`` (the
+    many-tiny-files regime that turns a 100 TB scan into metadata torture).
+    Policy reads only driver-side metadata; the compaction itself is one
+    rewrite commit and composes with ``cluster_by``/``stats_cols``/
+    ``bloom_cols`` so re-clustering and re-indexing ride the same rewrite.
+    Returns the decision and the stats it was based on."""
+    st = table_stats(path)
+    reason = None
+    if st["dirs"] > max_dirs:
+        reason = f"dirs {st['dirs']} > {max_dirs}"
+    elif (
+        min_file_bytes is not None
+        and st["files"] > 0
+        and st["bytes"] // st["files"] < min_file_bytes
+    ):
+        reason = (
+            f"mean file size {st['bytes'] // st['files']} < {min_file_bytes}"
+        )
+    if reason is None:
+        return {"compacted": False, "reason": None, "stats": st}
+    v = compact(spark, path, **compact_kwargs)
+    return {"compacted": True, "reason": reason, "version": v, "stats": st}

@@ -436,3 +436,25 @@ def test_stream_appends_tails_commits_exactly_once(spark, tbl, tmp_path):
     commit_append(_df(spark, [(5, "e")]), tbl)
     with pytest.raises(MilanAnalysisError, match="append-only"):
         publish_appends(tbl, staging)
+
+
+def test_maybe_compact_policy(spark, tbl):
+    from milan_spark.operators.versioned import maybe_compact, table_stats
+
+    for i in range(5):
+        commit_append(_df(spark, [(i, str(i))]).coalesce(1), tbl)
+    st = table_stats(tbl)
+    assert st["dirs"] == 5 and st["files"] == 5
+    # under the dir threshold: no-op
+    r = maybe_compact(spark, tbl, max_dirs=16)
+    assert r["compacted"] is False and current_version(tbl) == 5
+    # over it: one rewrite commit folds the chain
+    r2 = maybe_compact(spark, tbl, max_dirs=3)
+    assert r2["compacted"] is True and "dirs 5 > 3" in r2["reason"]
+    assert table_stats(tbl)["dirs"] == 1
+    assert _snap(read_version(spark, tbl)) == [
+        (0, "0"), (1, "1"), (2, "2"), (3, "3"), (4, "4"),
+    ]
+    # tiny-files trigger
+    r3 = maybe_compact(spark, tbl, max_dirs=16, min_file_bytes=1 << 30)
+    assert r3["compacted"] is True and "mean file size" in r3["reason"]
