@@ -342,6 +342,7 @@ def _commit(
     bloom_cols: list[str] | None = None,
     bloom_bits: int = 8192,
     allow_schema_evolution: bool = False,
+    exclude_files: list[str] | None = None,
 ) -> int:
     os.makedirs(os.path.join(path, _MANIFEST_DIR), exist_ok=True)
     os.makedirs(os.path.join(path, _DATA), exist_ok=True)
@@ -380,10 +381,15 @@ def _commit(
     dirs = inherited + [data_rel]
     dir_schemas = {d: s for d, s in dir_schemas.items() if d in inherited}
     dir_schemas[data_rel] = schema_json
+    excl = set(exclude_files or [])
+    if parent and exclude_files is None:
+        # plain commits inherit the parent's exclusions for inherited dirs
+        excl = {f for f in pm.get("exclude_files", [])
+                if f.rsplit("/", 1)[0] in inherited}
     stats = {f: s for f, s in stats.items()
-             if f.rsplit("/", 1)[0] in inherited}
+             if f.rsplit("/", 1)[0] in inherited and f not in excl}
     blooms = {f: b for f, b in blooms.items()
-              if f.rsplit("/", 1)[0] in inherited}
+              if f.rsplit("/", 1)[0] in inherited and f not in excl}
     if stats_cols:
         stats.update(_collect_stats(path, data_rel, list(stats_cols)))
     if bloom_cols:
@@ -393,7 +399,7 @@ def _commit(
     manifest = {
         "version": v, "parent": parent, "op": op, "tag": tag, "dirs": dirs,
         "schema": schema_json, "dir_schemas": dir_schemas, "stats": stats,
-        "blooms": blooms,
+        "blooms": blooms, "exclude_files": sorted(excl),
     }
     # (2) THE COMMIT POINT: hard-link the finished manifest into place —
     # atomic AND exclusive, so exactly one racing writer owns version v
@@ -549,6 +555,30 @@ def compact(
     )
 
 
+def _expand_dir(path: str, d: str, excl: set) -> list[str]:
+    droot = os.path.join(path, d)
+    return [
+        os.path.join(droot, n)
+        for n in sorted(os.listdir(droot))
+        if n.endswith(".parquet") and f"{d}/{n}" not in excl
+    ]
+
+
+def _snapshot_paths(path: str, m: dict) -> list[str]:
+    """Read paths for a manifest's snapshot: whole directories, except
+    those with excluded files (targeted-delete leftovers), which expand to
+    their surviving files. Only affected dirs pay a listing."""
+    excl = set(m.get("exclude_files", []))
+    excl_dirs = {f.rsplit("/", 1)[0] for f in excl}
+    out: list[str] = []
+    for d in m["dirs"]:
+        if d in excl_dirs:
+            out.extend(_expand_dir(path, d, excl))
+        else:
+            out.append(os.path.join(path, d))
+    return out
+
+
 def read_version(
     spark: SparkSession, path: str, version: int | None = None
 ) -> DataFrame:
@@ -564,7 +594,7 @@ def read_version(
     reader = spark.read
     if len(set(m.get("dir_schemas", {}).values())) > 1:
         reader = reader.option("mergeSchema", "true")
-    return reader.parquet(*[os.path.join(path, d) for d in m["dirs"]])
+    return reader.parquet(*_snapshot_paths(path, m))
 
 
 _PRUNE_OPS = ("=", "<", "<=", ">", ">=", "between", "in")
@@ -702,7 +732,10 @@ def read_pruned(
     m = _read_manifest(
         path, current_version(path) if version is None else int(version)
     )
-    paths = [os.path.join(path, p) for p in kept + blind_dirs]
+    excl = set(m.get("exclude_files", []))
+    paths = [os.path.join(path, p) for p in kept]
+    for d in blind_dirs:
+        paths.extend(_expand_dir(path, d, excl))
     if not paths:
         df = spark.createDataFrame(
             [], StructType.fromJson(json.loads(m["schema"]))
@@ -850,12 +883,15 @@ def table_stats(path: str, version: int | None = None) -> dict:
         raise MilanAnalysisError(f"versioned table {path}: no commits yet")
     m = _read_manifest(path, v)
     files = bytes_ = 0
-    for d in m["dirs"]:
-        droot = os.path.join(path, d)
-        for name in os.listdir(droot):
-            if name.endswith(".parquet"):
-                files += 1
-                bytes_ += os.path.getsize(os.path.join(droot, name))
+    for fp in _snapshot_paths(path, m):
+        if os.path.isdir(fp):
+            for name in os.listdir(fp):
+                if name.endswith(".parquet"):
+                    files += 1
+                    bytes_ += os.path.getsize(os.path.join(fp, name))
+        else:
+            files += 1
+            bytes_ += os.path.getsize(fp)
     return {
         "version": v,
         "dirs": len(m["dirs"]),
@@ -899,3 +935,75 @@ def maybe_compact(
         return {"compacted": False, "reason": None, "stats": st}
     v = compact(spark, path, **compact_kwargs)
     return {"compacted": True, "reason": reason, "version": v, "stats": st}
+
+
+def commit_delete(
+    spark: SparkSession,
+    path: str,
+    predicates,
+    *,
+    tag: str | None = None,
+    stats_cols: list[str] | None = None,
+    bloom_cols: list[str] | None = None,
+    bloom_bits: int = 8192,
+) -> dict:
+    """Targeted copy-on-write DELETE: remove every row matching the
+    conjunctive ``predicates`` (prune_files grammar) by rewriting ONLY the
+    files that can contain a match — the zone maps and Bloom filters that
+    prune reads bound the rewrite the same way, so a delete-one-customer
+    pass over a 100 TB table rewrites the handful of files holding that
+    key, not the table (the right-to-be-forgotten shape). Untouched files
+    stay referenced byte-identical; the new manifest excludes the rewritten
+    candidates from their original directories and adds one directory with
+    their surviving rows. Old versions still see the deleted rows (time
+    travel) until ``vacuum`` — for privacy deletes, vacuum IS the erasure
+    step and must follow.
+
+    NULL discipline mirrors SQL DELETE ... WHERE: a row whose predicate
+    evaluates to NULL does NOT match and is kept. Returns {"version",
+    "files_rewritten", "files_untouched"}."""
+    v = current_version(path)
+    if v == 0:
+        raise MilanAnalysisError(f"versioned table {path}: no commits yet")
+    m = _read_manifest(path, v)
+    excl = set(m.get("exclude_files", []))
+    # a delete must not silently degrade the index: the rewrite directory
+    # re-collects whatever stats/bloom columns the table already carries
+    if stats_cols is None:
+        stats_cols = sorted(
+            {c for fs in m.get("stats", {}).values() for c in fs}
+        ) or None
+    if bloom_cols is None:
+        bcols = {
+            c: b["m"]
+            for fb in m.get("blooms", {}).values()
+            for c, b in fb.items()
+        }
+        if bcols:
+            bloom_cols = sorted(bcols)
+            bloom_bits = max(bcols.values())
+    kept, blind_dirs, report = prune_files(path, predicates, v)
+    candidates = list(kept)
+    for d in blind_dirs:
+        candidates.extend(
+            os.path.relpath(p, path) for p in _expand_dir(path, d, excl)
+        )
+    total_files = report["files_total"] + sum(
+        len(_expand_dir(path, d, excl)) for d in blind_dirs
+    )
+    if not candidates:
+        return {"version": v, "files_rewritten": 0,
+                "files_untouched": total_files}
+    survivors = (
+        spark.read.parquet(*[os.path.join(path, f) for f in candidates])
+        .filter(~F.coalesce(_predicate_column(predicates), F.lit(False)))
+    )
+    new_excl = sorted(excl | set(candidates))
+    nv = _commit(
+        path, survivors,
+        dirs_from_parent=lambda p: _read_manifest(path, p)["dirs"] if p else [],
+        op="delete", tag=tag, stats_cols=stats_cols, bloom_cols=bloom_cols,
+        bloom_bits=bloom_bits, exclude_files=new_excl,
+    )
+    return {"version": nv, "files_rewritten": len(candidates),
+            "files_untouched": total_files - len(candidates)}

@@ -2581,3 +2581,76 @@ def materialized_view_incremental_q(spark: SparkSession, sf_dir: str) -> DataFra
     return read_version(spark, view).select(
         "o_orderpriority", "n_orders", "total_cents", "min_cents", "max_cents"
     )
+
+
+@register(
+    "versioned_targeted_delete",
+    doc="Targeted copy-on-write DELETE on the versioned table "
+    "(operators.versioned.commit_delete) — the right-to-be-forgotten "
+    "shape: orders lands range-clustered on o_custkey with per-file zone "
+    "maps, then one customer-key range is deleted by rewriting ONLY the "
+    "files whose [min, max] can contain those keys (the same manifest "
+    "metadata that prunes reads bounds the rewrite); every other file "
+    "stays referenced byte-identical, and the pre-delete snapshot remains "
+    "time-travelable until vacuum (which IS the erasure step for privacy "
+    "deletes — the docstring says so). NULL-safe SQL DELETE semantics: a "
+    "NULL predicate does not match, so NULL keys survive. Output is the "
+    "per-status rollup of the post-delete snapshot unioned with the "
+    "pre-delete one; the oracle re-derives both from raw orders, and the "
+    "query raises unless the rewrite actually touched a minority of "
+    "files.",
+    oracle="""
+WITH base AS (
+  SELECT o_orderstatus AS status,
+         o_custkey,
+         CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+  FROM orders
+)
+SELECT 'after_delete' AS snapshot, status,
+       COUNT(*) AS n_orders, CAST(SUM(cents) AS BIGINT) AS total_cents
+FROM base WHERE o_custkey < 200 OR o_custkey > 260
+GROUP BY status
+UNION ALL
+SELECT 'before_delete', status, COUNT(*), CAST(SUM(cents) AS BIGINT)
+FROM base GROUP BY status
+""",
+)
+def versioned_targeted_delete_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from milan_spark.errors import MilanAnalysisError
+    from milan_spark.operators.versioned import (
+        commit_append,
+        commit_delete,
+        read_version,
+    )
+
+    orders = table(spark, sf_dir, "orders").select(
+        F.col("o_orderstatus").alias("status"),
+        "o_custkey",
+        F.expr("CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)").alias("cents"),
+    )
+    path = tempfile.mkdtemp(prefix="milan_vtd_")
+    commit_append(
+        orders.repartitionByRange(8, "o_custkey")
+        .sortWithinPartitions("o_custkey"),
+        path, stats_cols=["o_custkey"],
+    )
+    rep = commit_delete(spark, path, [("o_custkey", "between", (200, 260))])
+    if rep["files_rewritten"] > rep["files_untouched"]:
+        raise MilanAnalysisError(
+            f"versioned_targeted_delete: rewrite was not targeted ({rep}) — "
+            f"zone-map bounding of the delete regressed"
+        )
+
+    def rollup(df: DataFrame, label: str) -> DataFrame:
+        return (
+            df.groupBy("status")
+            .agg(
+                F.count(F.lit(1)).alias("n_orders"),
+                F.sum("cents").alias("total_cents"),
+            )
+            .select(F.lit(label).alias("snapshot"), "*")
+        )
+
+    return rollup(read_version(spark, path), "after_delete").unionByName(
+        rollup(read_version(spark, path, 1), "before_delete")
+    )

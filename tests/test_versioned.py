@@ -458,3 +458,91 @@ def test_maybe_compact_policy(spark, tbl):
     # tiny-files trigger
     r3 = maybe_compact(spark, tbl, max_dirs=16, min_file_bytes=1 << 30)
     assert r3["compacted"] is True and "mean file size" in r3["reason"]
+
+
+def test_targeted_delete_rewrites_only_matching_files(spark, tbl):
+    """Copy-on-write DELETE bounded by the pruning index: only files whose
+    zone maps admit a match are rewritten; the rest stay referenced
+    byte-identical. Old versions still see the rows until vacuum."""
+    from milan_spark.operators.versioned import (
+        commit_delete,
+        prune_files,
+        read_pruned,
+        table_stats,
+    )
+
+    df = spark.range(0, 1000).select(
+        F.col("id").alias("k"), (F.col("id") % 10).alias("m")
+    )
+    commit_append(
+        df.repartitionByRange(8, "k").sortWithinPartitions("k"),
+        tbl, stats_cols=["k"],
+    )
+    sizes_before = {
+        f: os.path.getsize(os.path.join(tbl, "data", f))
+        for d in os.listdir(os.path.join(tbl, "data"))
+        for f in [f"{d}/{n}" for n in os.listdir(os.path.join(tbl, "data", d))]
+        if f.endswith(".parquet")
+    }
+    rep = commit_delete(spark, tbl, [("k", "between", (100, 220))],
+                        stats_cols=["k"])
+    assert rep["files_rewritten"] <= 3
+    assert rep["files_untouched"] >= 5
+    # current snapshot: rows gone, everything else intact
+    got = sorted(r["k"] for r in read_version(spark, tbl).collect())
+    assert got == [k for k in range(1000) if not (100 <= k <= 220)]
+    # time travel: the pre-delete snapshot still has them
+    assert read_version(spark, tbl, 1).count() == 1000
+    # untouched files byte-identical on disk
+    for f, size in sizes_before.items():
+        p = os.path.join(tbl, "data", f)
+        assert os.path.exists(p) and os.path.getsize(p) == size
+    # pruned reads on the new version still exact (stats refreshed)
+    kept, _, prep = prune_files(tbl, [("k", "between", (150, 160))])
+    assert prep["files_kept"] <= 2
+    assert read_pruned(spark, tbl, [("k", "between", (150, 160))]).count() == 0
+    assert read_pruned(spark, tbl, [("k", "between", (50, 60))]).count() == 11
+    # vacuum erases the old snapshot -> the deleted rows are truly gone
+    vacuum(tbl, keep_from=2)
+    with pytest.raises(MilanAnalysisError, match="does not exist"):
+        read_version(spark, tbl, 1)
+    assert read_version(spark, tbl).count() == 1000 - 121
+
+
+def test_delete_null_rows_survive_and_noop_delete(spark, tbl):
+    from milan_spark.operators.versioned import commit_delete
+
+    docs = spark.createDataFrame(
+        [(1, "a"), (None, "n1"), (2, "b"), (None, "n2")],
+        "k long, v string",
+    )
+    commit_append(docs.coalesce(1), tbl, stats_cols=["k"])
+    rep = commit_delete(spark, tbl, [("k", "=", 2)])
+    assert rep["files_rewritten"] == 1
+    left = sorted(
+        [(r["k"], r["v"]) for r in read_version(spark, tbl).collect()],
+        key=str,
+    )
+    # NULL-key rows do NOT match an equality delete (SQL DELETE semantics)
+    assert (None, "n1") in left and (None, "n2") in left and (1, "a") in left
+    assert (2, "b") not in left
+    # delete with no possible match: zero rewrites, no new version
+    v_before = current_version(tbl)
+    rep2 = commit_delete(spark, tbl, [("k", "=", 999)])
+    assert rep2["files_rewritten"] == 0
+    assert current_version(tbl) == v_before
+
+
+def test_delete_blocks_append_only_consumers(spark, tbl, tmp_path):
+    from milan_spark.operators.materialize import refresh_agg_view
+    from milan_spark.operators.versioned import commit_delete, publish_appends
+
+    commit_append(_df(spark, [(1, "a"), (2, "b")]), tbl)
+    view = str(tmp_path / "view")
+    refresh_agg_view(spark, tbl, view, ["k"], {"n": ("count", "*")})
+    commit_delete(spark, tbl, [("k", "=", 1)])
+    commit_append(_df(spark, [(3, "c")]), tbl)
+    with pytest.raises(MilanAnalysisError, match="op='delete'"):
+        refresh_agg_view(spark, tbl, view, ["k"], {"n": ("count", "*")})
+    with pytest.raises(MilanAnalysisError, match="append-only"):
+        publish_appends(tbl, str(tmp_path / "staging"))
