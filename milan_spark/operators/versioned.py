@@ -1007,3 +1007,82 @@ def commit_delete(
     )
     return {"version": nv, "files_rewritten": len(candidates),
             "files_untouched": total_files - len(candidates)}
+
+
+def commit_update(
+    spark: SparkSession,
+    path: str,
+    predicates,
+    assignments: dict[str, Column],
+    *,
+    tag: str | None = None,
+    stats_cols: list[str] | None = None,
+    bloom_cols: list[str] | None = None,
+    bloom_bits: int = 8192,
+) -> dict:
+    """Targeted copy-on-write UPDATE — the fourth DML verb (append=INSERT,
+    ``commit_merge``=MERGE, ``commit_delete``=DELETE): rewrite ONLY the
+    files that can contain a match, applying ``assignments`` (column ->
+    expression over the row) to matching rows and passing the rest of the
+    candidate rows through unchanged. Bounded exactly like
+    :func:`commit_delete` by the manifest's zone maps / Bloom filters;
+    non-candidate files stay referenced byte-identical. NULL predicates
+    do not match (rows keep their values). Index columns are re-collected
+    on the rewrite so stats never silently degrade. Returns {"version",
+    "files_rewritten", "files_untouched"}."""
+    v = current_version(path)
+    if v == 0:
+        raise MilanAnalysisError(f"versioned table {path}: no commits yet")
+    m = _read_manifest(path, v)
+    cols = [f["name"] for f in json.loads(m["schema"])["fields"]]
+    bad = sorted(set(assignments) - set(cols))
+    if bad:
+        raise MilanAnalysisError(
+            f"commit_update: assignment targets {bad} not in table columns "
+            f"{cols}"
+        )
+    excl = set(m.get("exclude_files", []))
+    if stats_cols is None:
+        stats_cols = sorted(
+            {c for fs in m.get("stats", {}).values() for c in fs}
+        ) or None
+    if bloom_cols is None:
+        bcols = {
+            c: b["m"]
+            for fb in m.get("blooms", {}).values()
+            for c, b in fb.items()
+        }
+        if bcols:
+            bloom_cols = sorted(bcols)
+            bloom_bits = max(bcols.values())
+    kept, blind_dirs, report = prune_files(path, predicates, v)
+    candidates = list(kept)
+    for d in blind_dirs:
+        candidates.extend(
+            os.path.relpath(p, path) for p in _expand_dir(path, d, excl)
+        )
+    total_files = report["files_total"] + sum(
+        len(_expand_dir(path, d, excl)) for d in blind_dirs
+    )
+    if not candidates:
+        return {"version": v, "files_rewritten": 0,
+                "files_untouched": total_files}
+    match = F.coalesce(_predicate_column(predicates), F.lit(False))
+    src = spark.read.parquet(*[os.path.join(path, f) for f in candidates])
+    rewritten = src.select(
+        *[
+            F.when(match, assignments[c]).otherwise(F.col(c)).alias(c)
+            if c in assignments
+            else F.col(c)
+            for c in src.columns
+        ]
+    )
+    new_excl = sorted(excl | set(candidates))
+    nv = _commit(
+        path, rewritten,
+        dirs_from_parent=lambda p: _read_manifest(path, p)["dirs"] if p else [],
+        op="update", tag=tag, stats_cols=stats_cols, bloom_cols=bloom_cols,
+        bloom_bits=bloom_bits, exclude_files=new_excl,
+    )
+    return {"version": nv, "files_rewritten": len(candidates),
+            "files_untouched": total_files - len(candidates)}

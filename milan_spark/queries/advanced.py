@@ -2654,3 +2654,74 @@ def versioned_targeted_delete_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rollup(read_version(spark, path), "after_delete").unionByName(
         rollup(read_version(spark, path, 1), "before_delete")
     )
+
+
+@register(
+    "versioned_targeted_update",
+    doc="Targeted copy-on-write UPDATE (operators.versioned.commit_update) "
+    "— the fourth DML verb beside append/MERGE/DELETE: a price correction "
+    "for one customer-key range rewrites only the files whose zone maps "
+    "admit those keys, applying the assignment to matching rows and "
+    "passing the candidates' other rows through unchanged; every "
+    "non-candidate file stays referenced byte-identical, and the "
+    "pre-update snapshot stays time-travelable. The query self-fails "
+    "unless the rewrite touched a minority of files; the oracle "
+    "re-derives post- and pre-update rollups from raw orders with a CASE "
+    "expression, pinning row identity through the update.",
+    oracle="""
+WITH base AS (
+  SELECT o_orderstatus AS status,
+         o_custkey,
+         CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+  FROM orders
+)
+SELECT 'after_update' AS snapshot, status, COUNT(*) AS n_orders,
+       CAST(SUM(CASE WHEN o_custkey BETWEEN 200 AND 260
+                     THEN cents + 500 ELSE cents END) AS BIGINT) AS total_cents
+FROM base GROUP BY status
+UNION ALL
+SELECT 'before_update', status, COUNT(*), CAST(SUM(cents) AS BIGINT)
+FROM base GROUP BY status
+""",
+)
+def versioned_targeted_update_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from milan_spark.errors import MilanAnalysisError
+    from milan_spark.operators.versioned import (
+        commit_append,
+        commit_update,
+        read_version,
+    )
+
+    orders = table(spark, sf_dir, "orders").select(
+        F.col("o_orderstatus").alias("status"),
+        "o_custkey",
+        F.expr("CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)").alias("cents"),
+    )
+    path = tempfile.mkdtemp(prefix="milan_vtu_")
+    commit_append(
+        orders.repartitionByRange(8, "o_custkey")
+        .sortWithinPartitions("o_custkey"),
+        path, stats_cols=["o_custkey"],
+    )
+    rep = commit_update(
+        spark, path, [("o_custkey", "between", (200, 260))],
+        {"cents": F.col("cents") + 500},
+    )
+    if rep["files_rewritten"] > rep["files_untouched"]:
+        raise MilanAnalysisError(
+            f"versioned_targeted_update: rewrite was not targeted ({rep})"
+        )
+
+    def rollup(df: DataFrame, label: str) -> DataFrame:
+        return (
+            df.groupBy("status")
+            .agg(
+                F.count(F.lit(1)).alias("n_orders"),
+                F.sum("cents").alias("total_cents"),
+            )
+            .select(F.lit(label).alias("snapshot"), "*")
+        )
+
+    return rollup(read_version(spark, path), "after_update").unionByName(
+        rollup(read_version(spark, path, 1), "before_update")
+    )

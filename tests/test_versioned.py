@@ -546,3 +546,34 @@ def test_delete_blocks_append_only_consumers(spark, tbl, tmp_path):
         refresh_agg_view(spark, tbl, view, ["k"], {"n": ("count", "*")})
     with pytest.raises(MilanAnalysisError, match="append-only"):
         publish_appends(tbl, str(tmp_path / "staging"))
+
+
+def test_targeted_update_rewrites_only_matching_files(spark, tbl):
+    from milan_spark.operators.versioned import commit_update
+
+    df = spark.range(0, 1000).select(
+        F.col("id").alias("k"), (F.col("id") * 2).alias("v")
+    )
+    commit_append(
+        df.repartitionByRange(8, "k").sortWithinPartitions("k"),
+        tbl, stats_cols=["k"],
+    )
+    rep = commit_update(
+        spark, tbl, [("k", "between", (500, 540))],
+        {"v": F.col("v") + 1_000_000},
+    )
+    assert rep["files_rewritten"] <= 2 and rep["files_untouched"] >= 6
+    rows = {r["k"]: r["v"] for r in read_version(spark, tbl).collect()}
+    assert len(rows) == 1000
+    for k in range(1000):
+        expect = k * 2 + (1_000_000 if 500 <= k <= 540 else 0)
+        assert rows[k] == expect
+    # time travel: pre-update values intact
+    old = {r["k"]: r["v"] for r in read_version(spark, tbl, 1).collect()}
+    assert old[520] == 1040
+    # bad assignment target: named error, nothing committed
+    from milan_spark.operators.versioned import current_version as cv
+    v = cv(tbl)
+    with pytest.raises(MilanAnalysisError, match="nope.*not in table"):
+        commit_update(spark, tbl, [("k", "=", 1)], {"nope": F.lit(0)})
+    assert cv(tbl) == v
