@@ -577,3 +577,46 @@ def test_targeted_update_rewrites_only_matching_files(spark, tbl):
     with pytest.raises(MilanAnalysisError, match="nope.*not in table"):
         commit_update(spark, tbl, [("k", "=", 1)], {"nope": F.lit(0)})
     assert cv(tbl) == v
+
+
+def test_clone_table_zero_copy_independent_evolution(spark, tbl, tmp_path):
+    from milan_spark.operators.versioned import (
+        clone_table,
+        commit_delete,
+        prune_files,
+        read_pruned,
+    )
+
+    df = spark.range(0, 200).select(
+        F.col("id").alias("k"), (F.col("id") % 5).alias("m")
+    )
+    commit_append(
+        df.repartitionByRange(4, "k").sortWithinPartitions("k"),
+        tbl, stats_cols=["k"],
+    )
+    dst = str(tmp_path / "clone")
+    assert clone_table(tbl, dst) == 1
+    # zero-copy: cloned files share inodes with the source
+    d = os.path.join(tbl, "data")
+    some = next(
+        os.path.join(d, sub, f)
+        for sub in os.listdir(d)
+        for f in os.listdir(os.path.join(d, sub))
+        if f.endswith(".parquet")
+    )
+    assert os.stat(some).st_nlink >= 2
+    # stats carried over: pruning works immediately on the clone
+    _, _, rep = prune_files(dst, [("k", ">=", 150)])
+    assert rep["files_skipped"] >= 2
+    assert read_pruned(spark, dst, [("k", ">=", 150)]).count() == 50
+    # clone evolves independently: delete there, source untouched
+    commit_delete(spark, dst, [("k", "between", (0, 99))])
+    assert read_version(spark, dst).count() == 100
+    assert read_version(spark, tbl).count() == 200
+    # and vice versa
+    commit_append(_df(spark, [(1000, "z")]).selectExpr(
+        "k", "CAST(0 AS LONG) AS m"), tbl, allow_schema_evolution=True)
+    assert read_version(spark, dst).count() == 100
+    # cloning onto an existing table: named error
+    with pytest.raises(MilanAnalysisError, match="already a versioned"):
+        clone_table(tbl, dst)
