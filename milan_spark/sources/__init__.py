@@ -261,3 +261,22 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name == "events":
         df = _normalize_events_ts(df)
     return df
+
+
+def versioned_source(
+    spark: SparkSession,
+    path: str,
+    version: int | None = None,
+    where=None,
+) -> DataFrame:
+    """Batch read of a versioned table (``operators.versioned``): the
+    current snapshot, a time-travel ``version``, or — with ``where``, a
+    list of ``(col, op, value)`` predicates — a manifest-pruned read that
+    skips files driver-side via zone maps / Bloom filters and still
+    applies the exact predicate."""
+    from milan_spark.operators.versioned import read_pruned, read_version
+
+    ensure_read_conf(spark)
+    if where:
+        return read_pruned(spark, path, where, version)
+    return read_version(spark, path, version)

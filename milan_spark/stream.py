@@ -24,7 +24,12 @@ from typing import Callable, Iterable, Sequence
 
 from pyspark.sql import Column, DataFrame, SparkSession, functions as F
 
-from milan_spark.errors import analysis_scope, require_columns, require_temporal
+from milan_spark.errors import (
+    MilanAnalysisError,
+    analysis_scope,
+    require_columns,
+    require_temporal,
+)
 from milan_spark.plans.nodes import Node
 from milan_spark.session import SEQ_COL
 
@@ -722,6 +727,27 @@ class Stream:
 
     def write_file(self, path: str, fmt: str = "json", mode: str = "overwrite", **options) -> None:
         self.df.write.mode(mode).format(fmt).options(**options).save(path)
+
+    def write_versioned(self, path: str, mode: str = "append", **commit_kw) -> int:
+        """Commit this stream's rows into a versioned table
+        (``operators.versioned`` — snapshot isolation, time travel, OCC).
+        ``mode`` picks the commit kind: "append" or "overwrite";
+        ``commit_kw`` passes through (tag, stats_cols, bloom_cols,
+        allow_schema_evolution, ...). Returns the committed version."""
+        from milan_spark.operators.versioned import (
+            commit_append,
+            commit_overwrite,
+        )
+
+        if mode == "append":
+            return commit_append(self.df, path, **commit_kw)
+        if mode == "overwrite":
+            return commit_overwrite(self.df, path, **commit_kw)
+        raise MilanAnalysisError(
+            f"write_versioned: mode must be 'append' or 'overwrite', got "
+            f"{mode!r} (MERGE/DELETE/UPDATE are table operations — use "
+            f"operators.versioned.commit_merge/commit_delete/commit_update)"
+        )
 
     def show(self, n: int = 20) -> None:
         self.df.show(n)

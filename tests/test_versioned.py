@@ -620,3 +620,19 @@ def test_clone_table_zero_copy_independent_evolution(spark, tbl, tmp_path):
     # cloning onto an existing table: named error
     with pytest.raises(MilanAnalysisError, match="already a versioned"):
         clone_table(tbl, dst)
+
+
+def test_stream_dsl_versioned_roundtrip(spark, tbl):
+    from milan_spark.sources import versioned_source
+    from milan_spark.stream import Stream
+
+    s = Stream(_df(spark, [(1, "a"), (2, "b")]))
+    assert s.write_versioned(tbl, stats_cols=["k"]) == 1
+    assert Stream(_df(spark, [(3, "c")])).write_versioned(tbl) == 2
+    assert _snap(versioned_source(spark, tbl)) == [(1, "a"), (2, "b"), (3, "c")]
+    assert _snap(versioned_source(spark, tbl, version=1)) == [(1, "a"), (2, "b")]
+    assert _snap(versioned_source(spark, tbl, where=[("k", ">=", 2)])) == [
+        (2, "b"), (3, "c"),
+    ]
+    with pytest.raises(MilanAnalysisError, match="append.*overwrite"):
+        Stream(_df(spark, [(4, "d")])).write_versioned(tbl, mode="merge")
