@@ -119,6 +119,19 @@ def versions(path: str) -> list[dict]:
     return out
 
 
+def _link_or_copy(src: str, dst: str) -> None:
+    # hard link when possible (zero-copy); fall back to a copy across
+    # filesystems (EXDEV) — semantics identical, cost is the bytes
+    try:
+        os.link(src, dst)
+    except OSError as e:
+        import errno
+
+        if e.errno != errno.EXDEV:
+            raise
+        shutil.copy2(src, dst)
+
+
 def _advance_hint(path: str, v: int) -> None:
     # best-effort, forward-only cache update; losing a race (or the write
     # itself) only costs later readers a probe, never correctness
@@ -838,7 +851,7 @@ def publish_appends(path: str, staging: str) -> dict:
                 continue
             dst = os.path.join(staging, f"{_vname(v)}-{name}")
             if not os.path.exists(dst):
-                os.link(os.path.join(droot, name), dst)
+                _link_or_copy(os.path.join(droot, name), dst)
                 files += 1
     tmp = wm_path + f".tmp-{uuid.uuid4().hex[:8]}"
     with open(tmp, "w") as f:
@@ -1115,7 +1128,9 @@ def clone_table(
         os.makedirs(dst_d, exist_ok=True)
         for name in os.listdir(src_d):
             if name.endswith(".parquet"):
-                os.link(os.path.join(src_d, name), os.path.join(dst_d, name))
+                _link_or_copy(
+                    os.path.join(src_d, name), os.path.join(dst_d, name)
+                )
     manifest = {
         "version": 1, "parent": 0, "op": "clone",
         "tag": tag or f"from={os.path.abspath(path)}@{v}",
