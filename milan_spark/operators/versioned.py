@@ -1153,3 +1153,46 @@ def clone_table(
         os.unlink(tmp)
     _advance_hint(dst, 1)
     return 1
+
+
+def rollback(path: str, to_version: int, *, tag: str | None = None) -> int:
+    """Restore an earlier snapshot as the NEW head — the bad-deploy /
+    bad-data incident lever: a metadata-only commit whose manifest is the
+    old version's dirs, stats, blooms, and exclusions verbatim (op
+    "rollback"). Nothing rewrites; history stays intact, so the bad
+    versions remain inspectable (and vacuum-able) and the rollback itself
+    is one more auditable commit, not an erasure. Fails atomically under
+    the same OCC claim as every commit."""
+    v = current_version(path)
+    if v == 0:
+        raise MilanAnalysisError(f"versioned table {path}: no commits yet")
+    if not (1 <= to_version <= v):
+        raise MilanAnalysisError(
+            f"rollback: target version {to_version} not in [1, {v}]"
+        )
+    old = _read_manifest(path, to_version)
+    nv = v + 1
+    manifest = {
+        "version": nv, "parent": v, "op": "rollback",
+        "tag": tag or f"to={to_version}",
+        "dirs": old["dirs"], "schema": old["schema"],
+        "dir_schemas": old.get("dir_schemas", {}),
+        "stats": old.get("stats", {}), "blooms": old.get("blooms", {}),
+        "exclude_files": old.get("exclude_files", []),
+    }
+    mpath = _manifest_path(path, nv)
+    tmp = mpath + f".tmp-{uuid.uuid4().hex[:8]}"
+    with open(tmp, "w") as f:
+        json.dump(manifest, f)
+    try:
+        os.link(tmp, mpath)
+    except FileExistsError:
+        raise MilanConcurrentCommitError(
+            f"versioned table {path}: version {nv} was committed by a "
+            f"concurrent writer during rollback; re-check the head and "
+            f"retry"
+        ) from None
+    finally:
+        os.unlink(tmp)
+    _advance_hint(path, nv)
+    return nv

@@ -636,3 +636,27 @@ def test_stream_dsl_versioned_roundtrip(spark, tbl):
     ]
     with pytest.raises(MilanAnalysisError, match="append.*overwrite"):
         Stream(_df(spark, [(4, "d")])).write_versioned(tbl, mode="merge")
+
+
+def test_rollback_restores_snapshot_metadata_only(spark, tbl):
+    from milan_spark.operators.versioned import prune_files, rollback
+
+    commit_append(
+        _df(spark, [(1, "a"), (2, "b")]).coalesce(1), tbl, stats_cols=["k"]
+    )
+    commit_overwrite(_df(spark, [(9, "oops")]), tbl)  # the bad deploy
+    n_data_dirs = len(os.listdir(os.path.join(tbl, "data")))
+    v = rollback(tbl, 1)
+    assert v == 3
+    # nothing was rewritten: no new data directory exists
+    assert len(os.listdir(os.path.join(tbl, "data"))) == n_data_dirs
+    assert _snap(read_version(spark, tbl)) == [(1, "a"), (2, "b")]
+    # carried stats still prune on the restored head
+    _, _, rep = prune_files(tbl, [("k", ">=", 1)])
+    assert rep["files_total"] == 1
+    # the bad version stays inspectable
+    assert _snap(read_version(spark, tbl, 2)) == [(9, "oops")]
+    assert versions(tbl)[-1]["op"] == "rollback"
+    # bad targets: named errors
+    with pytest.raises(MilanAnalysisError, match="not in \\[1, 3\\]"):
+        rollback(tbl, 7)
