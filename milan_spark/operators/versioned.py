@@ -191,7 +191,10 @@ def _collect_stats(base: str, data_rel: str, cols: list[str]) -> dict:
         pf = pq.ParquetFile(os.path.join(droot, name))
         md, schema = pf.metadata, pf.schema_arrow
         idx = {f: i for i, f in enumerate(schema.names)}
-        fstats: dict[str, dict] = {}
+        # file row count from the footer: lets COUNT-shaped queries answer
+        # from the manifest alone ("__rows" cannot collide — not a legal
+        # unquoted column name, and stat cols come from the schema)
+        fstats: dict[str, dict] = {"__rows": md.num_rows}
         for c in cols:
             if c not in idx:
                 continue
@@ -984,7 +987,8 @@ def commit_delete(
     # re-collects whatever stats/bloom columns the table already carries
     if stats_cols is None:
         stats_cols = sorted(
-            {c for fs in m.get("stats", {}).values() for c in fs}
+            {c for fs in m.get("stats", {}).values() for c in fs
+             if c != "__rows"}
         ) or None
     if bloom_cols is None:
         bcols = {
@@ -1057,7 +1061,8 @@ def commit_update(
     excl = set(m.get("exclude_files", []))
     if stats_cols is None:
         stats_cols = sorted(
-            {c for fs in m.get("stats", {}).values() for c in fs}
+            {c for fs in m.get("stats", {}).values() for c in fs
+             if c != "__rows"}
         ) or None
     if bloom_cols is None:
         bcols = {
@@ -1196,3 +1201,91 @@ def rollback(path: str, to_version: int, *, tag: str | None = None) -> int:
         os.unlink(tmp)
     _advance_hint(path, nv)
     return nv
+
+
+def count_where(
+    spark: SparkSession,
+    path: str,
+    predicates=(),
+    version: int | None = None,
+) -> dict:
+    """COUNT(*) with aggregate pushdown into the MANIFEST: files are split
+    three ways against the conjunctive ``predicates`` — disjoint (zone map
+    proves no row can match: contribute 0), fully-covered (zone map proves
+    EVERY row matches: min and max inside the predicate range and zero
+    nulls — contribute their footer row count without opening the file),
+    and partial (actually scanned, with the exact predicate). With no
+    predicates and full stats coverage the answer is a pure metadata sum —
+    the SELECT COUNT(*) that reads zero data bytes, same as every table
+    format's numRecords fast path; a count over a clustered predicate scans
+    only the boundary files of the range. Exactness is unconditional: any
+    file the metadata cannot decide is scanned. Returns {"count",
+    "files_metadata_only", "files_scanned", "files_skipped"}."""
+    v = current_version(path) if version is None else int(version)
+    if v == 0:
+        raise MilanAnalysisError(f"versioned table {path}: no commits yet")
+    m = _read_manifest(path, v)
+    stats = m.get("stats", {})
+    blooms = m.get("blooms", {})
+    excl = set(m.get("exclude_files", []))
+    known = sorted(set(stats) | set(blooms))
+    covered_dirs = {f.rsplit("/", 1)[0] for f in known}
+    scan: list[str] = [
+        p for d in m["dirs"] if d not in covered_dirs
+        for p in _expand_dir(path, d, excl)
+    ]
+    total = 0
+    meta_files = skipped = 0
+    for f in known:
+        fs, fb = stats.get(f, {}), blooms.get(f, {})
+        if not _file_survives(fs, fb, predicates):
+            skipped += 1
+            continue
+        rows = fs.get("__rows")
+        if rows is not None and all(
+            _file_fully_matches(fs.get(col), op, value)
+            for col, op, value in predicates
+        ):
+            total += rows
+            meta_files += 1
+        else:
+            scan.append(os.path.join(path, f))
+    if scan:
+        df = spark.read.parquet(*scan)
+        if predicates:
+            df = df.filter(_predicate_column(predicates))
+        total += df.count()
+    return {
+        "count": total,
+        "files_metadata_only": meta_files,
+        "files_scanned": len(scan),
+        "files_skipped": skipped,
+        "version": v,
+    }
+
+
+def _file_fully_matches(st, op: str, value) -> bool:
+    """True only when the zone map PROVES every row in the file satisfies
+    (col op value): bounds strictly inside the predicate range and no
+    NULLs (a NULL row never matches). Unknown -> False (forces a scan)."""
+    if st is None or st.get("nulls", 1) != 0:
+        return False
+    mn, mx = st["min"], st["max"]
+    if mn is None or mx is None:
+        return False
+    k = st["kind"]
+    if op == "between":
+        lo, hi = _norm(value[0], k), _norm(value[1], k)
+        return lo <= mn and mx <= hi
+    val = _norm(value, k)
+    if op == "=":
+        return mn == val and mx == val
+    if op == "<":
+        return mx < val
+    if op == "<=":
+        return mx <= val
+    if op == ">":
+        return mn > val
+    if op == ">=":
+        return mn >= val
+    return False  # "in": bloom can't prove totality

@@ -2725,3 +2725,63 @@ def versioned_targeted_update_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rollup(read_version(spark, path), "after_update").unionByName(
         rollup(read_version(spark, path, 1), "before_update")
     )
+
+
+@register(
+    "versioned_metadata_count",
+    doc="COUNT pushdown into the manifest "
+    "(operators.versioned.count_where): orders lands date-range-clustered "
+    "with footer row counts + zone maps in the manifest, and COUNT(*) "
+    "queries split files three ways — disjoint (skip), fully-covered "
+    "(counted from metadata without opening the file; requires proven "
+    "zero NULLs), partial (scanned exactly). The unfiltered count reads "
+    "ZERO data bytes, a year slice scans only its two boundary files — "
+    "the numRecords fast path every table format ships, generalized to "
+    "range predicates. Exactness is unconditional (undecidable files are "
+    "scanned), which the oracle pins by re-deriving every count from raw "
+    "orders; the query raises unless the metadata path actually engaged.",
+    oracle="""
+SELECT 'all' AS label, COUNT(*) AS n FROM orders
+UNION ALL
+SELECT 'y1997', COUNT(*) FROM orders
+WHERE o_orderdate BETWEEN TIMESTAMP '1997-01-01 00:00:00'
+                      AND TIMESTAMP '1997-12-31 23:59:59'
+UNION ALL
+SELECT 'pre96', COUNT(*) FROM orders
+WHERE o_orderdate < TIMESTAMP '1996-01-01 00:00:00'
+""",
+)
+def versioned_metadata_count_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import datetime as dt
+
+    from milan_spark.errors import MilanAnalysisError
+    from milan_spark.operators.versioned import commit_append, count_where
+
+    orders = table(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    path = tempfile.mkdtemp(prefix="milan_vmc_")
+    commit_append(
+        orders.repartitionByRange(12, "o_orderdate")
+        .sortWithinPartitions("o_orderdate"),
+        path, stats_cols=["o_orderdate"],
+    )
+    results = {
+        "all": count_where(spark, path),
+        "y1997": count_where(
+            spark, path,
+            [("o_orderdate", "between",
+              (dt.datetime(1997, 1, 1), dt.datetime(1997, 12, 31, 23, 59, 59)))],
+        ),
+        "pre96": count_where(
+            spark, path, [("o_orderdate", "<", dt.datetime(1996, 1, 1))]
+        ),
+    }
+    if results["all"]["files_scanned"] != 0 or (
+        results["y1997"]["files_metadata_only"] < 1
+    ):
+        raise MilanAnalysisError(
+            f"versioned_metadata_count: metadata fast path did not engage "
+            f"({results})"
+        )
+    return spark.createDataFrame(
+        [(k, r["count"]) for k, r in results.items()], "label string, n long"
+    )

@@ -660,3 +660,32 @@ def test_rollback_restores_snapshot_metadata_only(spark, tbl):
     # bad targets: named errors
     with pytest.raises(MilanAnalysisError, match="not in \\[1, 3\\]"):
         rollback(tbl, 7)
+
+
+def test_count_where_metadata_pushdown(spark, tbl):
+    from milan_spark.operators.versioned import count_where
+
+    df = spark.range(0, 1000).select(F.col("id").alias("k"))
+    commit_append(
+        df.repartitionByRange(8, "k").sortWithinPartitions("k"),
+        tbl, stats_cols=["k"],
+    )
+    # no predicate: pure metadata count, zero files opened
+    r = count_where(spark, tbl)
+    assert r == {"count": 1000, "files_metadata_only": 8,
+                 "files_scanned": 0, "files_skipped": 0, "version": 1}
+    # clustered range: interior files counted from metadata, boundary files
+    # scanned, disjoint files skipped — and the count is exact
+    r2 = count_where(spark, tbl, [("k", "between", (100, 400))])
+    assert r2["count"] == 301
+    assert r2["files_metadata_only"] >= 1
+    assert r2["files_scanned"] <= 2
+    assert r2["files_skipped"] >= 3
+    # an all-NULL-rejecting check: file with NULLs is never metadata-counted
+    commit_append(
+        spark.createDataFrame([(None,), (5,)], "k long").coalesce(1),
+        tbl, stats_cols=["k"],
+    )
+    r3 = count_where(spark, tbl, [("k", ">=", 0)])
+    assert r3["count"] == 1001
+    assert r3["files_scanned"] >= 1  # the nullable file had to be opened
