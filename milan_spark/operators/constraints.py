@@ -75,3 +75,53 @@ def quarantine(
     valid = tagged.filter(F.size(reason_col) == 0).drop(reason_col)
     invalid = tagged.filter(F.size(reason_col) > 0)
     return valid, invalid
+
+
+def audited_append(
+    df: DataFrame,
+    path: str,
+    rules: dict[str, Column],
+    *,
+    quarantine_path: str | None = None,
+    require_clean: bool = False,
+    **commit_kw,
+) -> dict:
+    """Write-audit-publish ingest: rows are checked against ``rules``
+    BEFORE anything becomes visible — clean rows commit to the versioned
+    table at ``path``; violating rows (with their ``failed_rules``
+    signature) commit to the ``quarantine_path`` table for triage, so bad
+    data lands somewhere inspectable instead of in the product table or
+    nowhere. ``require_clean=True`` turns the gate absolute: ANY violation
+    aborts with a named error and NOTHING commits (the snapshot-isolated
+    table guarantees readers never saw a partial ingest). The tagged frame
+    is persisted so audit + both writes are one source scan. Returns
+    {"version", "n_valid", "n_invalid", "quarantine_version"}."""
+    from milan_spark.operators.versioned import commit_append
+
+    tagged = df.withColumn("__failed", failed_rules_column(rules)).persist()
+    try:
+        invalid = tagged.filter(F.size("__failed") > 0)
+        n_invalid = invalid.count()
+        if require_clean and n_invalid:
+            sample = invalid.select(
+                F.explode("__failed").alias("rule")
+            ).groupBy("rule").count().collect()
+            raise MilanAnalysisError(
+                f"audited_append: {n_invalid} row(s) violate "
+                f"{ {r['rule']: r['count'] for r in sample} }; "
+                f"require_clean=True aborted the ingest — nothing committed"
+            )
+        valid = tagged.filter(F.size("__failed") == 0).drop("__failed")
+        n_valid = valid.count()
+        version = commit_append(valid, path, **commit_kw)
+        qv = None
+        if quarantine_path is not None and n_invalid:
+            qv = commit_append(
+                invalid.withColumnRenamed("__failed", "failed_rules"),
+                quarantine_path,
+                tag=f"audit-of={path}@{version}",
+            )
+        return {"version": version, "n_valid": n_valid,
+                "n_invalid": n_invalid, "quarantine_version": qv}
+    finally:
+        tagged.unpersist()

@@ -2348,3 +2348,68 @@ def dq_constraint_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).cast("long").alias("n"))
     )
     return report.unionByName(sigs)
+
+
+@register(
+    "wap_audited_ingest",
+    doc="Write-audit-publish ingest (operators/constraints.py "
+    "audited_append composed with the versioned table): orders are gated "
+    "by value constraints BEFORE anything becomes visible — clean rows "
+    "commit to the product table, violating rows commit to a quarantine "
+    "table carrying their failure signature, so bad data is inspectable "
+    "instead of shipped or dropped. One source scan covers the audit and "
+    "both writes (the tagged frame persists once). Output: per-table "
+    "totals plus the quarantine's per-rule violation rollup; the oracle "
+    "re-derives all of it with CASE sums, pinning the NULL-is-violation "
+    "discipline through the split.",
+    oracle="""
+WITH flags AS (
+  SELECT
+    CASE WHEN NOT COALESCE(o_totalprice > 0 AND o_totalprice < 450000, FALSE)
+         THEN 1 ELSE 0 END AS v_price,
+    CASE WHEN NOT COALESCE(o_orderdate >= TIMESTAMP '1996-01-01', FALSE)
+         THEN 1 ELSE 0 END AS v_fresh
+  FROM orders
+)
+SELECT 'published' AS item, CAST(SUM(CASE WHEN v_price + v_fresh = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n FROM flags
+UNION ALL
+SELECT 'quarantined', CAST(SUM(CASE WHEN v_price + v_fresh > 0 THEN 1 ELSE 0 END) AS BIGINT) FROM flags
+UNION ALL
+SELECT 'qrule:price_in_range', CAST(SUM(v_price) AS BIGINT) FROM flags
+UNION ALL
+SELECT 'qrule:order_fresh', CAST(SUM(v_fresh) AS BIGINT) FROM flags
+""",
+)
+def wap_audited_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile as _tf
+
+    from milan_spark.operators.constraints import audited_append
+    from milan_spark.operators.versioned import read_version
+
+    orders = table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice", "o_orderdate"
+    )
+    tbl = _tf.mkdtemp(prefix="milan_wap_tbl_")
+    q = _tf.mkdtemp(prefix="milan_wap_q_")
+    rules = {
+        "price_in_range": (F.col("o_totalprice") > 0)
+        & (F.col("o_totalprice") < 450000),
+        "order_fresh": F.col("o_orderdate")
+        >= F.lit("1996-01-01").cast("timestamp"),
+    }
+    audited_append(orders, tbl, rules, quarantine_path=q)
+    published = read_version(spark, tbl).agg(
+        F.lit("published").alias("item"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    quar = read_version(spark, q)
+    quarantined = quar.agg(
+        F.lit("quarantined").alias("item"), F.count(F.lit(1)).alias("n")
+    )
+    per_rule = (
+        quar.select(F.explode("failed_rules").alias("rule"))
+        .groupBy("rule")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.concat(F.lit("qrule:"), F.col("rule")).alias("item"), "n")
+    )
+    return published.unionByName(quarantined).unionByName(per_rule)

@@ -60,3 +60,31 @@ def test_null_allowed_when_rule_says_so(spark):
     rules = {"price_ok": F.col("price").isNull() | (F.col("price") > 0)}
     rep = constraint_report(df, rules).collect()[0]
     assert rep["n_violations"] == 1  # only -5 now
+
+
+def test_audited_append_publishes_clean_quarantines_bad(spark, tmp_path):
+    from milan_spark.operators.constraints import audited_append
+    from milan_spark.operators.versioned import read_version
+
+    df = spark.createDataFrame(ROWS, SCHEMA)
+    tbl, q = str(tmp_path / "tbl"), str(tmp_path / "quarantine")
+    rep = audited_append(df, tbl, _rules(), quarantine_path=q)
+    assert rep["n_valid"] == 1 and rep["n_invalid"] == 4
+    assert rep["version"] == 1 and rep["quarantine_version"] == 1
+    assert [r["k"] for r in read_version(spark, tbl).collect()] == [1]
+    quar = read_version(spark, q)
+    assert quar.count() == 4 and "failed_rules" in quar.columns
+    sigs = {tuple(sorted(r["failed_rules"])) for r in quar.collect()}
+    assert ("status_known",) in sigs
+
+
+def test_audited_append_require_clean_aborts_atomically(spark, tmp_path):
+    from milan_spark.errors import MilanAnalysisError
+    from milan_spark.operators.constraints import audited_append
+    from milan_spark.operators.versioned import current_version
+
+    df = spark.createDataFrame(ROWS, SCHEMA)
+    tbl = str(tmp_path / "tbl")
+    with pytest.raises(MilanAnalysisError, match="nothing committed"):
+        audited_append(df, tbl, _rules(), require_clean=True)
+    assert current_version(tbl) == 0  # truly nothing became visible
