@@ -125,3 +125,29 @@ def audited_append(
                 "n_invalid": n_invalid, "quarantine_version": qv}
     finally:
         tagged.unpersist()
+
+
+def audited_versioned_sink(
+    path: str,
+    rules: dict[str, Column],
+    *,
+    quarantine_path: str | None = None,
+):
+    """Streaming write-audit-publish: a ``foreachBatch`` writer that runs
+    :func:`audited_append` on every microbatch with EXACTLY-ONCE commits —
+    batch-id-idempotent like ``versioned_sink`` (a replayed batch id whose
+    tag the manifest already records publishes nothing again, on BOTH the
+    product and quarantine tables). Bad records never stall the stream and
+    never ship: they land in the quarantine table with their failure
+    signatures, microbatch by microbatch."""
+    from milan_spark.operators.versioned import versions
+
+    def write(batch_df: DataFrame, batch_id: int) -> None:
+        tag = f"batch={batch_id}"
+        if any(e["tag"] == tag for e in versions(path)):
+            return
+        audited_append(
+            batch_df, path, rules, quarantine_path=quarantine_path, tag=tag
+        )
+
+    return write

@@ -88,3 +88,19 @@ def test_audited_append_require_clean_aborts_atomically(spark, tmp_path):
     with pytest.raises(MilanAnalysisError, match="nothing committed"):
         audited_append(df, tbl, _rules(), require_clean=True)
     assert current_version(tbl) == 0  # truly nothing became visible
+
+
+def test_audited_versioned_sink_idempotent_per_batch(spark, tmp_path):
+    from milan_spark.operators.constraints import audited_versioned_sink
+    from milan_spark.operators.versioned import current_version, read_version
+
+    tbl, q = str(tmp_path / "tbl"), str(tmp_path / "quarantine")
+    write = audited_versioned_sink(tbl, _rules(), quarantine_path=q)
+    df = spark.createDataFrame(ROWS, SCHEMA)
+    write(df, 0)
+    write(spark.createDataFrame([(7, 1.0, "P")], SCHEMA), 1)
+    write(df, 0)  # replayed batch: no new versions anywhere
+    assert current_version(tbl) == 2
+    assert current_version(q) == 1
+    assert sorted(r["k"] for r in read_version(spark, tbl).collect()) == [1, 7]
+    assert read_version(spark, q).count() == 4

@@ -637,3 +637,28 @@ def test_feature_hash_bow_single_combinable_shuffle(spark):
     assert len(re.findall(r"Exchange hashpartitioning", p)) == 1
     assert "partial_sum" in p or "partial sum" in p.lower()
     assert "Join" not in p
+
+
+def test_read_pruned_pushes_residual_filter_to_scan(spark, tmp_path):
+    """Manifest pruning composes with engine pushdown: the exact predicate
+    read_pruned re-applies must reach the parquet scan as PushedFilters
+    (row-group pruning inside the surviving files), with no extra
+    exchange before the filter."""
+    from pyspark.sql import functions as F
+
+    from milan_spark.operators.versioned import commit_append, read_pruned
+
+    tbl = str(tmp_path / "vt")
+    df = spark.range(0, 10_000).select(F.col("id").alias("k"))
+    commit_append(
+        df.repartitionByRange(4, "k").sortWithinPartitions("k"),
+        tbl, stats_cols=["k"],
+    )
+    out = read_pruned(spark, tbl, [("k", "between", (2_000, 3_000))])
+    p = out._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+    )
+    assert "PushedFilters" in p and "GreaterThanOrEqual(k,2000)" in p
+    assert n_nodes(p, "Exchange") == 0  # narrow scan+filter, no shuffle
