@@ -18,6 +18,22 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, functions as F
 
 
+def _ckpt_counted(df: DataFrame) -> "tuple[DataFrame, int]":
+    """Materialize ``df`` once (eager ``localCheckpoint``) with its row count
+    riding the same job as a ``CollectMetrics`` observation — the house
+    convergence-probe pattern generalized: ONE job per round, never a
+    separate ``count()``/``isEmpty()``/``first()`` pass over a frame the
+    round materializes anyway. ``count()`` costs a full two-stage aggregate
+    on top of the materialization (measured ~6× a bounded probe at sf0.1);
+    the observation is map-side accumulator metrics, free at any scale.
+    Returns ``(checkpointed_df, row_count)``."""
+    from pyspark.sql import Observation
+
+    obs = Observation()
+    out = df.observe(obs, F.count(F.lit(1)).alias("n")).localCheckpoint(eager=True)
+    return out, int(obs.get["n"] or 0)
+
+
 def connected_components(
     pairs: DataFrame,
     a_col: str = "id_a",
@@ -111,18 +127,21 @@ def connected_components_star(
     min(Γ(u) ∪ {u}); small-star re-hangs every lower neighbor (and u) onto
     the local minimum. Lineage is truncated per round (eager
     localCheckpoint); convergence = the canonical (hi→lo) edge set is
-    UNCHANGED by a round, checked with one exceptAll probe per round on
-    already-materialized frames. At the fixpoint the edges ARE the answer:
-    every non-root points directly at its component minimum.
+    UNCHANGED by a round. The check is count-gated: each round's edge count
+    rides its materialization job as an observation, and only a round whose
+    count MATCHES the previous one pays the (single-direction) ``exceptAll``
+    probe — equal-size sets with an empty difference are equal, and a round
+    that changed the count is proven non-converged for free. At the fixpoint
+    the edges ARE the answer: every non-root points directly at its
+    component minimum.
     """
-    e = (
+    e, n_e = _ckpt_counted(
         pairs.select(
             F.greatest(F.col(a_col), F.col(b_col)).alias("u"),
             F.least(F.col(a_col), F.col(b_col)).alias("v"),
         )
         .where(F.col("u") != F.col("v"))
         .distinct()
-        .localCheckpoint(eager=True)
     )
     all_nodes = (
         e.select(F.col("u").alias("n"))
@@ -153,16 +172,18 @@ def connected_components_star(
             .distinct()
         )
         mn2 = o.groupBy("u").agg(F.min("v").alias("m"))
-        small = (
+        small, n_small = _ckpt_counted(
             o.join(mn2, "u")
             .select(F.col("v").alias("u"), F.col("m").alias("v"))
             .unionByName(mn2.select("u", F.col("m").alias("v")))
             .where(F.col("u") != F.col("v"))
             .distinct()
-            .localCheckpoint(eager=True)
         )
-        done = small.exceptAll(e).isEmpty() and e.exceptAll(small).isEmpty()
-        e = small
+        # both frames are distinct sets: equal counts + one empty set
+        # difference ⇒ equal sets, so the second exceptAll direction is
+        # redundant, and a count change skips the probe job entirely
+        done = n_small == n_e and small.exceptAll(e).isEmpty()
+        e, n_e = small, n_small
         if done:
             break
     return (
@@ -518,21 +539,20 @@ def bfs_levels(
         )
         # checkpoint the round's NEW set once — it feeds BOTH next round's
         # frontier and the dist union, and a lazy checkpoint per consumer
-        # would run the anti-join twice (measured 12.7 s → see SCALE.md)
-        new = (
+        # would run the anti-join twice (measured 12.7 s → see SCALE.md).
+        # The exhausted-frontier probe rides the materialization job as an
+        # observation (no separate first()/isEmpty job); every skipped dead
+        # level saves a join+distinct+anti-join job trio — result-identical,
+        # since exhausted rounds add no rows. Measured on
+        # graph_diameter_double_sweep at sf0.1 (true ecc ≈ 3, fixed depth
+        # 8): ~10 dead levels across the two sweeps skipped.
+        new, n_new = _ckpt_counted(
             cand.join(dist, "n", "left_anti")
             .select("n", F.lit(r).cast("int").alias("dist"))
-            .localCheckpoint(eager=False)
         )
         # dist stays a flat union of checkpointed level segments — depth
         # grows one union per level, cheap at any BFS depth
-        # exhausted-frontier early exit: the probe rides the checkpoint the
-        # next round would have materialized anyway (an empty frame scans
-        # fast), and every skipped level saves a join+distinct+anti-join job
-        # trio — result-identical, since exhausted rounds add no rows.
-        # Measured on graph_diameter_double_sweep at sf0.1 (true ecc ≈ 3,
-        # fixed depth 8): ~10 dead levels across the two sweeps skipped.
-        if new.first() is None:
+        if n_new == 0:
             return dist
         dist = dist.unionByName(new)
         frontier = new.select("n")
@@ -573,16 +593,14 @@ def kcore(
     for _ in range(rounds):
         deg = edges.groupBy("u").agg(F.count(F.lit(1)).alias("deg"))
         alive = deg.filter(F.col("deg") >= k).select("u")
-        edges = (
-            edges.join(alive, "u", "left_semi")
-            .join(alive.withColumnRenamed("u", "v"), "v", "left_semi")
-            .localCheckpoint(eager=False)
-        )
         # shrink-only set: an unchanged edge count means this round removed
         # nothing, so every later round is a no-op — break result-identical
-        # to the fixed truncation. The count rides the checkpoint the next
-        # round would have materialized anyway.
-        c = edges.count()
+        # to the fixed truncation. The count rides the round's own
+        # materialization job as an observation (no separate count() pass).
+        edges, c = _ckpt_counted(
+            edges.join(alive, "u", "left_semi")
+            .join(alive.withColumnRenamed("u", "v"), "v", "left_semi")
+        )
         if c == prev:
             break
         prev = c
@@ -669,16 +687,15 @@ def ktruss(
     stabilized = False
     for _ in range(rounds):
         sup = support(und)
-        und = (
-            und.join(sup.filter(F.col("support") >= k - 2), ["u", "v"], "left_semi")
-            .localCheckpoint(eager=False)
-        )
         # shrink-only: unchanged edge count ⇒ this round's filter removed
         # nothing ⇒ fixpoint, and — since the edge set is the one `sup` was
         # computed on — `sup` already IS the final support, so the break
         # also saves the epilogue's full support pass (the expensive part:
-        # a whole degree/orient/intersect/credit pipeline per round).
-        c = und.count()
+        # a whole degree/orient/intersect/credit pipeline per round). The
+        # count rides the materialization job as an observation.
+        und, c = _ckpt_counted(
+            und.join(sup.filter(F.col("support") >= k - 2), ["u", "v"], "left_semi")
+        )
         if c == prev:
             stabilized = True
             break
@@ -837,10 +854,11 @@ def strongly_connected_components(
             .filter(F.col("u") != F.col("v"))  # self-reach pairs add nothing to min({v} ∪ peers)
             .distinct()
         )
-        new = step.join(reach, ["u", "v"], "left_anti").localCheckpoint(eager=False)
-        # convergence observation rides the round's own action (house rule:
-        # one job per round, the count is not an extra pass)
-        if new.isEmpty():
+        # convergence probe rides the round's own materialization job as an
+        # observation (house rule: one job per round, the count is not an
+        # extra pass)
+        new, n_new = _ckpt_counted(step.join(reach, ["u", "v"], "left_anti"))
+        if n_new == 0:
             break
         reach = reach.unionByName(new).localCheckpoint(eager=False)
         delta = new
@@ -1021,14 +1039,16 @@ def maximal_independent_set(
             cand.select(F.col("node").alias("u")), "u"
         ).select(F.col("v").alias("node"))
         removed = cand.unionByName(dominated).distinct()
-        alive = alive.join(removed, "node", "left_anti").localCheckpoint(eager=False)
+        # the exhausted-alive-set probe rides the materialization job as an
+        # observation (no separate isEmpty pass)
+        alive, n_alive = _ckpt_counted(alive.join(removed, "node", "left_anti"))
         cur_e = (
             cur_e.join(alive.select(F.col("node").alias("u")), "u", "left_semi")
             .join(alive.select(F.col("node").alias("v")), "v", "left_semi")
             .select("u", "v")
             .localCheckpoint(eager=False)
         )
-        if alive.isEmpty():
+        if n_alive == 0:
             break
     mis = mis_frames[0]
     for frame in mis_frames[1:]:

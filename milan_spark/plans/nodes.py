@@ -152,18 +152,50 @@ def compile_node(
         # for set-monotone bodies (grow-only like BFS/TC closures or
         # shrink-only like peeling), where an unchanged count IS the
         # fixpoint. Numeric cycles (SSSP, PageRank, HITS) improve values at
-        # constant cardinality and must NOT set it. The probe is one
-        # count() over the round's already-checkpointed state.
+        # constant cardinality and must NOT set it. The probe rides each
+        # round's materialization job as a CollectMetrics observation — no
+        # separate count() job per round.
         converge = n.params.get("converge")
         if converge not in (None, "unchanged_count"):
             raise ValueError(
                 f"cycle {n.node_id}: unknown converge={converge!r} "
                 "(supported: 'unchanged_count')"
             )
+        # planner="static" (default "adaptive"): plan the round bodies with
+        # AQE off. A declaration by the plan AUTHOR that the body's join
+        # strategies and partitioning are fixed by construction (frontier ⋈
+        # co-partitioned edge cache, message aggregates back to the same
+        # key), so per-round adaptive re-planning buys nothing and costs a
+        # driver-synchronized stage-materialization job per exchange —
+        # measured 9.97 → 5.85 s on sssp_weighted_cycle_ir at sf0.1.
+        # Bodies whose join sides change size data-dependently across
+        # rounds (transitive closures, rescale joins against one-row maxes)
+        # must keep "adaptive" for runtime broadcast conversion — measured
+        # 2× the other way on the SCC closure cycle. Scale-independent: the
+        # choice tracks the body's SHAPE, not the data volume.
+        planner = n.params.get("planner", "adaptive")
+        if planner not in ("adaptive", "static"):
+            raise ValueError(
+                f"cycle {n.node_id}: unknown planner={planner!r} "
+                "(supported: 'adaptive', 'static')"
+            )
         init = compile_(n.inputs[0])
         body = n.inputs[1]
         cur = init
         prev_count = None
+
+        def round_checkpoint(df: DataFrame, eager: bool) -> DataFrame:
+            if planner == "static":
+                # physical planning happens inside localCheckpoint (toRdd),
+                # so scoping the conf here pins the round's plan while
+                # leaving the rest of the session adaptive
+                old = spark.conf.get("spark.sql.adaptive.enabled", "true")
+                spark.conf.set("spark.sql.adaptive.enabled", "false")
+                try:
+                    return df.localCheckpoint(eager=eager)
+                finally:
+                    spark.conf.set("spark.sql.adaptive.enabled", old)
+            return df.localCheckpoint(eager=eager)
         for _ in range(int(n.params["max_iterations"])):
             it_memo: dict[str, DataFrame] = {}
 
@@ -184,12 +216,30 @@ def compile_node(
                 it_memo[m.node_id] = df
                 return df
 
-            cur = cbody(body).localCheckpoint(eager=True)
+            out = cbody(body)
             if converge == "unchanged_count":
-                c = cur.count()
+                # eager round: the driver must see the count to decide
+                # whether to continue, but the count rides the round's own
+                # materialization job as an observation (one job per round)
+                from pyspark.sql import Observation
+
+                obs = Observation()
+                cur = round_checkpoint(
+                    out.observe(obs, F.count(F.lit(1)).alias("n")), eager=True
+                )
+                c = int(obs.get["n"] or 0)
                 if c == prev_count:
                     break
                 prev_count = c
+            else:
+                # fixed-iteration cycle: no per-round driver decision, so no
+                # per-round barrier — the lazy checkpoint still truncates
+                # lineage (each round's plan is O(body)) and still computes
+                # each round exactly once (the checkpointed RDD caches on
+                # first access), but the result-stage scan+cache job that an
+                # eager checkpoint runs per round is deferred into the
+                # consumer's single final action
+                cur = round_checkpoint(out, eager=False)
         return cur
 
     return compile_(node)

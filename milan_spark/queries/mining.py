@@ -1048,7 +1048,7 @@ def sssp_weighted_cycle_ir_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     plan = Node(
         "map",
         {"exprs": ["node", "dist"]},
-        [Node("cycle", {"max_iterations": 6}, [seed, body])],
+        [Node("cycle", {"max_iterations": 6, "planner": "static"}, [seed, body])],
     )
     return compile_node(from_json(to_json(plan)), spark)
 

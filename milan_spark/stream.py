@@ -684,10 +684,18 @@ class Stream:
                     )
             except Exception:
                 pass
+        # a convergence predicate forces a driver decision per round (eager
+        # checkpoint so the predicate sees materialized frames); without one
+        # there is no per-round decision, so no per-round barrier — the lazy
+        # checkpoint still truncates lineage and still computes each round
+        # exactly once (the checkpointed RDD caches on first access), but
+        # defers the per-round result-stage job into the consumer's single
+        # final action
+        eager = converged is not None
         cur = self
         for _ in range(max_iterations):
             nxt = body(cur)
-            nxt = Stream(nxt.df.localCheckpoint(eager=True), nxt.node)
+            nxt = Stream(nxt.df.localCheckpoint(eager=eager), nxt.node)
             if converged is not None and converged(cur.df, nxt.df):
                 return Stream(nxt.df, node)
             cur = nxt

@@ -36,16 +36,21 @@ state store, not this wrapper — same as Flink.
 Backends: every operator here runs on either of Spark's two arbitrary-state
 APIs through one backend-neutral driver (:func:`_drive`):
 
-- ``transformWithStateInPandas`` (Spark 4.x, the DEFAULT when available) —
-  the modern API and the closer analog of the reference's Flink keyed state:
-  explicit state handles created in ``init`` (this port uses a ValueState;
-  list/map handles and TTL compose on the same processor), RocksDB-backed,
-  with state-schema metadata and evolution. Requires ``google.protobuf`` in
-  the workers (``session.ensure_protobuf`` arranges it) and the RocksDB state
-  store provider (set on the session at build time).
-- ``applyInPandasWithState`` (the previous implementation) — kept fully
-  functional behind ``MILAN_STREAM_STATE_API=applyinpandas`` for comparison
-  and for environments without protobuf.
+- ``applyInPandasWithState`` — the DEFAULT for operators that use no
+  TWS-only feature: it has no per-start fixed cost, which matters for
+  replay/backfill (availableNow) runs that start a fresh query per job.
+- ``transformWithStateInPandas`` (Spark 4.x) — the modern API and the
+  closer analog of the reference's Flink keyed state: explicit state handles
+  created in ``init`` (this port uses a ValueState; list/map handles and TTL
+  compose on the same processor), RocksDB-backed, with state-schema metadata
+  and evolution. Selected automatically when an operator requests
+  ``state_ttl_ms`` (a TWS-only capability), or globally via
+  ``MILAN_STREAM_STATE_API=tws`` — the right default for long-running
+  production streams, where its ~1.4–1.5 s per-start driver cost (state
+  schema validation worker + RocksDB provider init) amortizes to zero.
+  Requires ``google.protobuf`` in the workers (``session.ensure_protobuf``
+  arranges it) and the RocksDB state store provider (set on the session at
+  build time).
 
 Both backends execute the SAME per-key ``process`` function, so semantics are
 identical by construction; the oracle suite runs green on each.
@@ -68,14 +73,31 @@ STATE_API_ENV = "MILAN_STREAM_STATE_API"  # "tws" | "applyinpandas" | "auto"
 _ROCKSDB = "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
 
 
-def use_tws() -> bool:
-    """Resolve the state-machine backend: ``tws`` when every WORKER can
-    import protobuf (see ``session.workers_can_import_protobuf`` — an
-    externally-created session whose JVM predates the shim path must fall
-    back, or the state machine crashes at runtime), else the legacy
-    ``applyInPandasWithState`` path."""
+def use_tws(need_ttl: bool = False) -> bool:
+    """Resolve the state-machine backend for one operator instance.
+
+    ``auto`` (the default) picks the LEGACY ``applyInPandasWithState`` path
+    unless the operator needs a TWS-only feature (``need_ttl``): the two
+    backends run the SAME per-key ``process`` function (results identical by
+    construction; the oracle suite is green on each), but
+    ``transformWithStateInPandas`` pays a measured ~1.4–1.5 s fixed cost at
+    EVERY stream start (a driver-side Python worker is spawned for
+    state-schema validation, plus the mandatory RocksDB provider's heavier
+    per-microbatch commit) that is pure overhead for replay/backfill-style
+    short-lived queries — the availableNow pattern this engine's harnesses
+    and any 100 TB backfill job run. Long-running production streams that
+    want TTL state hygiene (or state-schema evolution) opt into the modern
+    API per operator via ``state_ttl_ms`` or globally via
+    ``MILAN_STREAM_STATE_API=tws``.
+
+    ``tws`` additionally requires that every WORKER can import protobuf
+    (see ``session.workers_can_import_protobuf`` — an externally-created
+    session whose JVM predates the shim path must fall back, or the state
+    machine crashes at runtime)."""
     mode = os.environ.get(STATE_API_ENV, "auto")
     if mode == "applyinpandas":
+        return False
+    if mode == "auto" and not need_ttl:
         return False
     ok = workers_can_import_protobuf()
     if not ok and mode == "auto" and ensure_protobuf():
@@ -166,7 +188,7 @@ def _drive(
     def _fold(pdf_iter):
         return _fold_chunks(pdf_iter, in_cols, sort_by)
 
-    if use_tws():
+    if use_tws(need_ttl=state_ttl_ms is not None):
         from pyspark.sql.streaming.stateful_processor import StatefulProcessor
 
         # transformWithState requires the RocksDB state store provider. The
@@ -525,7 +547,7 @@ def left_inner_enrichment_join(
         kept = [l for l in buf if not match(l, payload)]
         return (payload, json.dumps(kept) if kept else None), emitted
 
-    if use_tws():
+    if use_tws(need_ttl=state_ttl_ms is not None):
         paired = _left_inner_tws(u, len(left_on), match, state_ttl_ms)
     else:
         paired = _run_state_machine(

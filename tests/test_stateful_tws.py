@@ -26,12 +26,18 @@ RIGHT_ROWS = [
 ]
 
 
-def test_tws_is_the_active_backend():
+def test_tws_backend_availability_and_policy(monkeypatch):
     """In this container the vendored-protobuf shim must make the modern API
     available — if this fails the whole suite silently tests only the legacy
-    path."""
+    path. Policy: ``auto`` resolves to the legacy API unless a TWS-only
+    feature (state TTL) is requested (the per-start driver cost of TWS is
+    pure overhead for replay-style queries); ``tws`` forces the modern API."""
     assert ensure_protobuf()
-    assert stateful.use_tws()
+    monkeypatch.delenv(stateful.STATE_API_ENV, raising=False)
+    assert not stateful.use_tws()          # auto, no TTL -> legacy
+    assert stateful.use_tws(need_ttl=True)  # auto + TTL -> modern API
+    monkeypatch.setenv(stateful.STATE_API_ENV, "tws")
+    assert stateful.use_tws()              # forced -> modern API
 
 
 @pytest.fixture()
