@@ -531,12 +531,19 @@ def bfs_levels(
     spark = pairs.sparkSession
     dist = spark.createDataFrame([(int(source), 0)], "n long, dist int")
     frontier = dist.select("n")
+    # the two most recent level segments: in an undirected BFS a neighbor of
+    # a level-(r-1) node has level in {r-2, r-1, r} (adjacent levels differ
+    # by at most 1), so the already-seen filter only ever needs the LAST TWO
+    # levels — anti-joining the full reached set would shuffle O(V) rows per
+    # round where O(frontier) suffices; the saving grows with depth and scale
+    recent = [frontier]
     for r in range(1, iterations + 1):
         cand = (
             frontier.join(edges, frontier.n == edges.u)
             .select(F.col("v").alias("n"))
             .distinct()
         )
+        seen = recent[0] if len(recent) == 1 else recent[0].unionByName(recent[1])
         # checkpoint the round's NEW set once — it feeds BOTH next round's
         # frontier and the dist union, and a lazy checkpoint per consumer
         # would run the anti-join twice (measured 12.7 s → see SCALE.md).
@@ -547,7 +554,7 @@ def bfs_levels(
         # graph_diameter_double_sweep at sf0.1 (true ecc ≈ 3, fixed depth
         # 8): ~10 dead levels across the two sweeps skipped.
         new, n_new = _ckpt_counted(
-            cand.join(dist, "n", "left_anti")
+            cand.join(seen, "n", "left_anti")
             .select("n", F.lit(r).cast("int").alias("dist"))
         )
         # dist stays a flat union of checkpointed level segments — depth
@@ -556,6 +563,7 @@ def bfs_levels(
             return dist
         dist = dist.unionByName(new)
         frontier = new.select("n")
+        recent = [recent[-1], frontier]
     return dist
 
 

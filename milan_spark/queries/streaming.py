@@ -447,16 +447,32 @@ def streaming_watermark_late_drop_q(spark: SparkSession, sf_dir: str) -> DataFra
         ("batch2", F.col("ts") >= t("2024-01-25")),
         ("batch3", (F.col("ts") >= t("2024-01-10")) & (F.col("ts") < t("2024-01-20"))),
     ]
-    for i, (name, pred) in enumerate(slices):
-        tmp = os.path.join(stage, f"__tmp_{name}")
-        ev.filter(pred).coalesce(1).write.parquet(tmp)
-        part = next(f for f in os.listdir(tmp) if f.endswith(".parquet"))
+    # ONE source pass: slice id as a CASE column, write partitioned on it
+    # (the _stage_cohort_slices device) instead of four filtered scans +
+    # coalesce(1) jobs — the staging cost that matters when the source is
+    # 100 TB is scan count, and the slices are disjoint and exhaustive so a
+    # single pass materializes all four microbatch files
+    sl = F.lit(None).cast("int")
+    for i, (_, pred) in enumerate(slices):
+        sl = F.when(pred, F.lit(i)).otherwise(sl)
+    tmp = os.path.join(stage, "__tmp")
+    (
+        ev.withColumn("__slice", sl)
+        .repartition(len(slices), "__slice")
+        .write.partitionBy("__slice")
+        .parquet(tmp)
+    )
+    for i, (name, _) in enumerate(slices):
+        src_dir = os.path.join(tmp, f"__slice={i}")
         dst = os.path.join(stage, f"{name}.parquet")
-        shutil.move(os.path.join(tmp, part), dst)
-        shutil.rmtree(tmp)
+        if not os.path.isdir(src_dir):  # empty slice: keep the file count
+            ev.limit(0).coalesce(1).write.parquet(src_dir)
+        part = next(f for f in os.listdir(src_dir) if f.endswith(".parquet"))
+        shutil.move(os.path.join(src_dir, part), dst)
         # FileStreamSource orders new files by modification time; pin the
         # arrival order explicitly (name order agrees, as a tiebreak)
         os.utime(dst, (1_000_000_000 + i * 1000, 1_000_000_000 + i * 1000))
+    shutil.rmtree(tmp)
     schema = spark.read.parquet(os.path.join(stage, "batch0.parquet")).schema
     sdf = (
         spark.readStream.schema(schema)
