@@ -54,10 +54,37 @@ def _warm_streaming_child(sf_dir: str, names: list[str]) -> None:
     print(json.dumps(out))
 
 
+def _prev_tracked_names(here: str) -> set[str]:
+    """Query names the driver's previous-round artifacts track per-query.
+    Keeping them in the printed ``queries`` map (even when they are no longer
+    among the slowest) prevents a membership change from reading as
+    ``dropped_from_bench`` round-over-round (the round-9 artifact)."""
+    names: set[str] = set()
+    for fname, extract in (
+        ("PERF_r09.json", lambda d: (d.get("per_query") or {}).keys()),
+        ("BENCH_r08.json", lambda d: ((d.get("parsed") or {}).get("queries") or {}).keys()),
+    ):
+        try:
+            with open(os.path.join(here, fname)) as f:
+                names.update(extract(json.load(f)))
+        except (OSError, json.JSONDecodeError, AttributeError):
+            pass
+    return names
+
+
 def main() -> None:
     if len(sys.argv) > 2 and sys.argv[1] == "--warm-streaming-child":
         _warm_streaming_child(sys.argv[2], sys.argv[3:])
         return
+    # Wall-clock budget for the WHOLE bench invocation (round-9 lesson: at
+    # 262 queries the fixed warmup + 3 passes + warm-streaming tier overran
+    # the driver's window and the one-line JSON was never printed — rc=124,
+    # no measurement at all). The budget adapts the number of timed passes
+    # (always >= 1) and gates the optional warm-streaming tier, so the
+    # summary line ALWAYS prints. Methodology is otherwise unchanged:
+    # untimed warmup pass, per-query median over the timed passes, noop sink.
+    budget = float(os.environ.get("SPARK_GRAFT_BENCH_BUDGET", "2000"))
+    t0 = time.perf_counter()
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     from milan_spark.catalog import queries
     from milan_spark.session import get_spark, release_cached
@@ -92,26 +119,50 @@ def main() -> None:
     # indistinguishable without a spread over warm passes)
     n_passes = int(os.environ.get("SPARK_GRAFT_BENCH_PASSES", "3"))
     warmup_pass = os.environ.get("SPARK_GRAFT_BENCH_WARMUP_PASS", "1") != "0"
+    pass_walls: list[float] = []
+    stream_wall = 0.0
     if warmup_pass:
+        w0 = time.perf_counter()
         for name, build in qs.items():
             try:
                 build(spark, sf_dir).write.format("noop").mode("overwrite").save()
             except Exception as e:
                 print(f"bench warmup error in {name}: {e}", file=sys.stderr)
             release_cached(spark)
+        pass_walls.append(time.perf_counter() - w0)
     samples: dict[str, list[float]] = {}
+    passes_run = 0
     for _pass in range(n_passes):
+        # budget check: pass 1 always runs; later passes only when they (plus
+        # the warm tier, whose numbers the cross-round comparison prefers)
+        # still fit. Estimate = the most recent full-pass wall clock.
+        if _pass >= 1 and pass_walls:
+            est_warm = 60.0 + stream_wall * (n_passes + 1)
+            if time.perf_counter() - t0 + pass_walls[-1] + est_warm > budget:
+                print(
+                    f"bench budget: stopping after {_pass} timed passes "
+                    f"({time.perf_counter() - t0:.0f}s elapsed of {budget:.0f}s)",
+                    file=sys.stderr,
+                )
+                break
+        p0 = time.perf_counter()
+        stream_wall = 0.0
         for name, build in qs.items():
             start = time.perf_counter()
             try:
                 build(spark, sf_dir).write.format("noop").mode("overwrite").save()
-                samples.setdefault(name, []).append(round(time.perf_counter() - start, 4))
+                took = time.perf_counter() - start
+                samples.setdefault(name, []).append(round(took, 4))
+                if name.startswith("streaming_"):
+                    stream_wall += took
             except Exception as e:  # a failing query must not hide the others
                 samples.setdefault(name, [])
                 print(f"bench error in {name}: {e}", file=sys.stderr)
             # multi-pass operators persist intermediates internally; drop them
             # so later queries aren't measured under accumulated heap pressure
             release_cached(spark)
+        pass_walls.append(time.perf_counter() - p0)
+        passes_run += 1
 
     def median(xs: list[float]) -> float:
         s = sorted(xs)
@@ -134,7 +185,8 @@ def main() -> None:
         "value": total,
         "unit": "sec",
         "sf": sf,
-        "n_passes": n_passes,
+        "n_passes": passes_run,
+        "budget_sec": budget,
         "queries": timings,
         # per-query raw pass times: spread = (max-min) distinguishes real
         # regressions from machine jitter when comparing rounds
@@ -158,7 +210,11 @@ def main() -> None:
     # not code — re-measure them in one fresh subprocess session with per-
     # query warmup and record BOTH numbers; "warm" is the cross-round
     # comparable, "queries" stays the in-session number the totals use)
-    if os.environ.get("SPARK_GRAFT_BENCH_WARM_STREAMING", "1") != "0":
+    est_warm = 60.0 + stream_wall * (n_passes + 1)
+    if (
+        os.environ.get("SPARK_GRAFT_BENCH_WARM_STREAMING", "1") != "0"
+        and time.perf_counter() - t0 + est_warm <= budget
+    ):
         import subprocess
 
         stream_names = sorted(k for k in timings if k.startswith("streaming_"))
@@ -174,6 +230,11 @@ def main() -> None:
                 detail["warm"] = json.loads(line)
             except json.JSONDecodeError:
                 detail["warm_error"] = r.stderr[-1500:]
+    elif os.environ.get("SPARK_GRAFT_BENCH_WARM_STREAMING", "1") != "0":
+        detail["warm_skipped"] = (
+            f"budget: {time.perf_counter() - t0:.0f}s elapsed + ~{est_warm:.0f}s "
+            f"estimated warm tier > {budget:.0f}s"
+        )
 
     baseline_path = os.path.join(here, "BENCH_r01.json")
     try:
@@ -198,6 +259,14 @@ def main() -> None:
     slowest = dict(
         sorted(((k, v) for k, v in timings.items() if v >= 0), key=lambda kv: -kv[1])[:15]
     )
+    # the printed map = slowest 15 ∪ every name the previous rounds' per-query
+    # artifacts track, so a query leaving the slowest-15 set never reads as
+    # "dropped_from_bench" (still bounded: the stdout tail keeps ~2000 chars,
+    # and a full 262-entry line would truncate — the round-1 lesson)
+    tracked = dict(slowest)
+    for k in sorted(_prev_tracked_names(here)):
+        if k in timings and timings[k] >= 0:
+            tracked[k] = timings[k]
     failed = sorted(k for k, v in timings.items() if v < 0)
     summary = {
         "metric": "total_catalog_query_wall_time",
@@ -209,7 +278,7 @@ def main() -> None:
         # "queries" kept for the driver contract; "slowest" is the honest
         # name — it is the 15 slowest only, NOT all timings (sum != value);
         # the full map lives in BENCH_DETAIL.json
-        "queries": slowest,
+        "queries": tracked,
         "slowest": slowest,
         "detail": "BENCH_DETAIL.json",
     }

@@ -5,6 +5,8 @@ contract every iterative-numeric operator carries)."""
 
 from __future__ import annotations
 
+import pytest
+
 from milan_spark.operators.learning import (
     _trunc_div,
     perceptron_margins,
@@ -60,6 +62,7 @@ def test_margins_and_gate(spark):
     assert rows[3]["margin"] == 0 and not rows[3]["keep"] and rows[3]["correct"]
 
 
+@pytest.mark.slow
 def test_partition_invariance(spark):
     import random
 

@@ -96,6 +96,7 @@ def test_tws_scan_without_keys(spark, tmp_path, monkeypatch):
     assert got == [1, 3, 6]
 
 
+@pytest.mark.slow
 def test_state_ttl_expires_idle_keys(spark, tmp_path, monkeypatch):
     """Processing-time state TTL (tws backend): a right record written in one
     run reads as ABSENT after the TTL elapses across a checkpoint restart, so

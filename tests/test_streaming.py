@@ -69,6 +69,7 @@ def _sorted_rows(df, cols):
     return [tuple(r) for r in df.select(*cols).orderBy(*cols).collect()]
 
 
+@pytest.mark.slow
 def test_streaming_left_enrichment_matches_batch(spark, sides):
     ls, rs, lb, rb = sides
     got = run_to_memory(stateful.left_enrichment_join(ls, rs, on="k"), "s_left_enrich")
@@ -78,6 +79,7 @@ def test_streaming_left_enrichment_matches_batch(spark, sides):
     assert got.count() == lb.count()  # one output per left arrival
 
 
+@pytest.mark.slow
 def test_streaming_full_enrichment_matches_batch(spark, sides):
     ls, rs, lb, rb = sides
     got = run_to_memory(stateful.full_enrichment_join(ls, rs, on="k"), "s_full_enrich")
@@ -87,6 +89,7 @@ def test_streaming_full_enrichment_matches_batch(spark, sides):
     assert got.count() == lb.count() + rb.count()  # every arrival emits
 
 
+@pytest.mark.slow
 def test_streaming_left_inner_matches_batch(spark, sides):
     ls, rs, lb, rb = sides
     got = run_to_memory(stateful.left_inner_enrichment_join(ls, rs, on="k"), "s_li_enrich")
@@ -95,6 +98,7 @@ def test_streaming_left_inner_matches_batch(spark, sides):
     assert _sorted_rows(got, cols) == _sorted_rows(want, cols)
 
 
+@pytest.mark.slow
 def test_streaming_left_inner_residual_rematch(spark, sides):
     """A buffered left failing the residual stays buffered for the next right
     — the stateful re-match the batch realization cannot express."""
@@ -113,6 +117,7 @@ def test_streaming_left_inner_residual_rematch(spark, sides):
     assert not any(r[0] == 4 for r in rows)
 
 
+@pytest.mark.slow
 def test_streaming_scan_matches_batch(spark, sides):
     ls, _, lb, _ = sides
 
@@ -133,6 +138,7 @@ def test_streaming_scan_matches_batch(spark, sides):
     assert _sorted_rows(got, cols) == _sorted_rows(want, cols)
 
 
+@pytest.mark.slow
 def test_streaming_windowed_agg_matches_batch(spark, tmp_path):
     ev = table(spark, "/root/testdata/sf0.001", "events")
     ev.write.parquet(str(tmp_path / "events"))
@@ -181,6 +187,7 @@ def test_foreach_batch_sink(spark, tmp_path):
     assert sum(seen) == 50
 
 
+@pytest.mark.slow
 def test_streaming_left_windowed_join_apply(spark, sides):
     """Each left pairs with the rights that arrived before it (temporal
     window state), bounded to the trailing window_n."""

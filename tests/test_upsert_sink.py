@@ -30,6 +30,7 @@ def _stage_batches(spark, batches):
     return stage
 
 
+@pytest.mark.slow
 def test_upsert_sink_matches_sequential_merge(spark):
     batches = [
         [(1, "a", 1), (2, "b", 2)],
@@ -49,6 +50,7 @@ def test_upsert_sink_matches_sequential_merge(spark):
     assert got == {(1, "A"), (2, "B"), (3, "c"), (4, "d")}
 
 
+@pytest.mark.slow
 def test_upsert_sink_seq_resolves_in_batch_duplicates(spark):
     batches = [[(1, "x", 1), (1, "y", 9), (2, "b", 2)]]
     stage = _stage_batches(spark, batches)
@@ -64,6 +66,7 @@ def test_upsert_sink_seq_resolves_in_batch_duplicates(spark):
     assert got == {(1, "y"), (2, "b")}
 
 
+@pytest.mark.slow
 def test_upsert_sink_recovers_stranded_old_dir(spark):
     """Crash window between the two renames: if a previous run died after
     os.rename(path, old) but before os.rename(tmp, path), the table lives

@@ -72,6 +72,7 @@ def test_snapshot_isolation_across_concurrent_commit(spark, tbl):
     assert _snap(read_version(spark, tbl)) == [(2, "b")]
 
 
+@pytest.mark.slow
 def test_compact_folds_dirs_result_identical(spark, tbl):
     for i in range(4):
         commit_append(_df(spark, [(i, str(i))]), tbl)
@@ -106,6 +107,7 @@ def test_named_errors(spark, tbl):
         vacuum(tbl, keep_from=9)
 
 
+@pytest.mark.slow
 def test_manifest_link_is_the_commit_point(spark, tbl, monkeypatch):
     """Crash protocol: the manifest hard-link IS the commit. Dying before it
     leaves nothing visible; dying after it (hint never advanced) leaves a
@@ -151,6 +153,7 @@ def test_manifest_link_is_the_commit_point(spark, tbl, monkeypatch):
     assert current_version(tbl) == 3
 
 
+@pytest.mark.slow
 def test_concurrent_commit_loser_raises_and_publishes_nothing(
     spark, tbl, monkeypatch
 ):
@@ -209,6 +212,7 @@ def test_commit_with_retry_wins_after_race(spark, tbl):
         )
 
 
+@pytest.mark.slow
 def test_zone_map_pruning_skips_files_result_exact(spark, tbl):
     """Per-file manifest stats prune non-matching files driver-side; the
     read still applies the exact predicate, so results == WHERE semantics."""
@@ -243,6 +247,7 @@ def test_zone_map_pruning_skips_files_result_exact(spark, tbl):
     assert empty.columns == ["k", "m"]
 
 
+@pytest.mark.slow
 def test_zone_map_pruning_null_and_statless_files(spark, tbl):
     from milan_spark.operators.versioned import prune_files, read_pruned
 
@@ -371,6 +376,7 @@ def test_bloom_point_lookup_prunes_hash_distributed_files(spark, tbl):
     assert miss["files_kept"] <= 1
 
 
+@pytest.mark.slow
 def test_bloom_string_keys_and_all_null_file(spark, tbl):
     from milan_spark.operators.versioned import prune_files, read_pruned
 
@@ -393,6 +399,7 @@ def test_bloom_string_keys_and_all_null_file(spark, tbl):
     assert gone["files_kept"] == 0
 
 
+@pytest.mark.slow
 def test_stream_appends_tails_commits_exactly_once(spark, tbl, tmp_path):
     """Streaming tail: publish_appends + a checkpointed file-source query
     deliver each append commit's rows exactly once across a full query
@@ -438,6 +445,7 @@ def test_stream_appends_tails_commits_exactly_once(spark, tbl, tmp_path):
         publish_appends(tbl, staging)
 
 
+@pytest.mark.slow
 def test_maybe_compact_policy(spark, tbl):
     from milan_spark.operators.versioned import maybe_compact, table_stats
 
@@ -579,6 +587,7 @@ def test_targeted_update_rewrites_only_matching_files(spark, tbl):
     assert cv(tbl) == v
 
 
+@pytest.mark.slow
 def test_clone_table_zero_copy_independent_evolution(spark, tbl, tmp_path):
     from milan_spark.operators.versioned import (
         clone_table,
@@ -662,6 +671,7 @@ def test_rollback_restores_snapshot_metadata_only(spark, tbl):
         rollback(tbl, 7)
 
 
+@pytest.mark.slow
 def test_count_where_metadata_pushdown(spark, tbl):
     from milan_spark.operators.versioned import count_where
 
