@@ -520,6 +520,12 @@ def bfs_levels(
 
     ``edges`` — a :func:`bfs_prepared_edges` frame to share across sweeps
     over the same graph; built (and persisted) here when not supplied.
+    MUST be a DOUBLED/undirected (u, v) list exactly as bfs_prepared_edges
+    builds it: the seen-set anti-join below keeps only the last TWO level
+    segments, which is correct because undirected BFS levels of adjacent
+    nodes differ by at most 1 — on a one-directional edge list that
+    invariant fails and stale nodes would re-enter with inflated
+    distances (not merely run slowly).
     """
     # persist HASH-PARTITIONED on the probe key: the cached blocks keep
     # their outputPartitioning, so each round's frontier join shuffles only
@@ -916,13 +922,14 @@ def random_walks(
     the same node diverge because the hash mixes the walk id every step.
 
     Plan shape (the 100 TB story): the neighbor index is built ONCE — one
-    row_number window over the distinct edge list keyed by ``src`` (the same
-    exchange an adjacency-list write pays), persisted hash-partitioned with
-    its degree projection. Each of the ``walk_length`` steps then shuffles
-    only the O(#walks) frontier: degree lookup + position-indexed neighbor
-    pick are both EQUI-joins (position is computed before the adjacency
-    join, so there is no per-neighbor fan-out-then-filter). That is the
-    frontier-delta BFS shape (:func:`bfs_levels`) with walks instead of
+    combinable groupBy folds the distinct edge list into a sorted neighbor
+    ARRAY per node (element i is the dst-ascending position-i neighbor, so
+    the array subsumes both the position index and the degree), persisted
+    hash-partitioned on the node key. Each of the ``walk_length`` steps then
+    shuffles only the O(#walks) frontier through ONE equi-join against the
+    cached arrays — the position pick is a row-local ``element_at``, no
+    per-neighbor fan-out-then-filter and no separate degree join. That is
+    the frontier-delta BFS shape (:func:`bfs_levels`) with walks instead of
     levels; per-step lineage truncation keeps the plan flat. Walks reaching
     a sink (no out-edges) simply stop extending — their prefix rows are
     already emitted.
@@ -931,22 +938,27 @@ def random_walks(
         edges.select(F.col(src).cast("long").alias("src"), F.col(dst).cast("long").alias("dst"))
         .distinct()
     )
-    from pyspark.sql import Window
-
-    w = Window.partitionBy("src").orderBy("dst")
-    adj = e.withColumn("pos", (F.row_number().over(w) - 1).cast("long")).persist()
-    # degree rides the already-built index (max pos + 1) — no second scan of e
-    deg = adj.groupBy("src").agg((F.max("pos") + 1).alias("deg")).persist()
-
-    # disjoint column names on the (persisted, reused) index frames — frontier
-    # lineage passes through both, so qualified self-join refs would be
-    # ambiguous otherwise
-    deg_idx = deg.select(F.col("src").alias("__dsrc"), F.col("deg").alias("__deg"))
-    adj_idx = adj.select(
-        F.col("src").alias("__asrc"), F.col("pos").alias("__apos"), F.col("dst").alias("__adst")
+    # SORTED-ARRAY adjacency: one combinable groupBy builds position index
+    # AND degree together (element i of the dst-ascending array IS the
+    # row_number()-1 = i-1 neighbor, so the indexed-row formulation's window
+    # sort and separate degree frame are both folded into it), persisted
+    # hash-partitioned on the node key. Each step is then ONE equi-join of
+    # the frontier against the cached arrays — the previous shape paid a
+    # degree join AND a (src, pos) adjacency join per step, i.e. twice the
+    # stages for the same picks. Skew note: a hub node's neighbor array
+    # lands in one row, the same single-task hot spot the row_number window
+    # already had; at extreme hub degrees either shape needs a degree cap.
+    adj = (
+        e.groupBy("src")
+        .agg(F.sort_array(F.collect_list("dst")).alias("__nbrs"))
+        .select(
+            F.col("src").alias("__asrc"),
+            "__nbrs",
+            F.array_size("__nbrs").cast("long").alias("__deg"),
+        )
+        .persist()
     )
-
-    starts = deg.select(F.col("src").alias("node"))
+    starts = adj.select(F.col("__asrc").alias("node"))
     frontier = starts.select(
         F.explode(F.sequence(F.lit(0), F.lit(walks_per_node - 1))).alias("w"), "node"
     ).select(
@@ -964,15 +976,14 @@ def random_walks(
             + F.lit(s) * F.lit(hash_b)
             + F.col("cur") * F.lit(hash_c)
         ) % F.lit(hash_m)
-        picked = frontier.join(
-            deg_idx, frontier["cur"] == deg_idx["__dsrc"], "inner"
-        ).select("walk_id", "cur", (hashed % F.col("__deg")).alias("pos"))
         frontier = (
-            picked.join(
-                adj_idx,
-                (picked["cur"] == adj_idx["__asrc"]) & (picked["pos"] == adj_idx["__apos"]),
+            frontier.join(adj, frontier["cur"] == adj["__asrc"], "inner")
+            .select(
+                "walk_id",
+                F.element_at(
+                    "__nbrs", ((hashed % F.col("__deg")) + 1).cast("int")
+                ).alias("cur"),
             )
-            .select("walk_id", F.col("__adst").alias("cur"))
             .localCheckpoint(eager=False)
         )
         out.append(

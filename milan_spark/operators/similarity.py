@@ -61,6 +61,17 @@ def cosine(a: Column, b: Column) -> Column:
     )
 
 
+def cosine_prenormed(a: Column, b: Column, a_n2: Column, b_n2: Column) -> Column:
+    """:func:`cosine` with the squared norms PRECOMPUTED per row: identical
+    expression values (same exact-int dot, same double division), but the
+    two norm aggregates run once per vector instead of once per PAIR — in a
+    k-query scoring pass the corpus norm was recomputed k times and the
+    query norm N times. Cuts per-pair array work from 3 folds to 1."""
+    return int_dot(a, b).cast("double") / (
+        F.sqrt(a_n2.cast("double")) * F.sqrt(b_n2.cast("double"))
+    )
+
+
 def ann_brute_force(
     corpus: DataFrame,
     id_col: str,
@@ -77,12 +88,20 @@ def ann_brute_force(
     q = (
         corpus.filter(F.col(id_col).isin(list(query_ids)))
         .select(F.col(id_col).alias("query_id"), quantize(vec_col).alias("__qv"))
+        .withColumn("__qn2", int_norm2(F.col("__qv")))
     )
-    c = corpus.select(F.col(id_col).alias("neighbor_id"), quantize(vec_col).alias("__cv"))
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), quantize(vec_col).alias("__cv")
+    ).withColumn("__cn2", int_norm2(F.col("__cv")))
     scored = (
         c.crossJoin(F.broadcast(q))
         .filter(F.col("neighbor_id") != F.col("query_id"))
-        .withColumn("cosine", cosine(F.col("__qv"), F.col("__cv")))
+        .withColumn(
+            "cosine",
+            cosine_prenormed(
+                F.col("__qv"), F.col("__cv"), F.col("__qn2"), F.col("__cn2")
+            ),
+        )
     )
     w = W.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
     return (
@@ -127,17 +146,27 @@ def ann_lsh(
     equi-join on bucket id (2^planes partitions), trading recall for a
     ~2^planes reduction in scored pairs. Deterministic by construction.
     """
-    withb = corpus.select(
-        F.col(id_col).alias("__vid"),
-        quantize(vec_col).alias("__v"),
-    ).withColumn("__bucket", lsh_bucket(F.col("__v"), planes))
+    withb = (
+        corpus.select(
+            F.col(id_col).alias("__vid"),
+            quantize(vec_col).alias("__v"),
+        )
+        .withColumn("__bucket", lsh_bucket(F.col("__v"), planes))
+        .withColumn("__n2", int_norm2(F.col("__v")))
+    )
     q = withb.filter(F.col("__vid").isin(list(query_ids))).select(
-        F.col("__vid").alias("query_id"), F.col("__v").alias("__qv"), "__bucket"
+        F.col("__vid").alias("query_id"),
+        F.col("__v").alias("__qv"),
+        F.col("__n2").alias("__qn2"),
+        "__bucket",
     )
     scored = (
         withb.join(F.broadcast(q), "__bucket")
         .filter(F.col("__vid") != F.col("query_id"))
-        .withColumn("cosine", cosine(F.col("__qv"), F.col("__v")))
+        .withColumn(
+            "cosine",
+            cosine_prenormed(F.col("__qv"), F.col("__v"), F.col("__qn2"), F.col("__n2")),
+        )
     )
     w = W.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("__vid"))
     return (
@@ -240,15 +269,37 @@ def _l2_int(a: Column, b: Column) -> Column:
     )
 
 
+def _argmin_struct(arr: Column, vec: Column, id_field: str) -> Column:
+    """min over ``arr`` (array<struct<{id_field}, __cent>>) of
+    struct(L2²(vec, __cent), {id_field}) — struct comparison is
+    lexicographic, so ties break on the id ascending, exactly the
+    ``min(struct(__d, id))`` convention every oracle unrolls."""
+    return F.array_min(
+        F.transform(
+            arr,
+            lambda c: F.struct(
+                _l2_int(vec, c["__cent"]).alias("__d"), c[id_field].alias(id_field)
+            ),
+        )
+    )
+
+
 def _best_cell(corpus_int: DataFrame, cells: DataFrame) -> DataFrame:
-    """Nearest-centroid assignment as ONE partial-aggregatable shuffle:
-    (__vid, __v) × broadcast (cell, __cent) → min(struct(__d, cell, __v))
-    per __vid. Ties break on cell id ascending (struct order) —
-    deterministic. Carrying __v through the struct avoids re-joining the
-    corpus afterward. Returns (__vid, cell, __v)."""
-    d = corpus_int.crossJoin(F.broadcast(cells)).withColumn("__d", _l2_int(F.col("__v"), F.col("__cent")))
-    best = d.groupBy("__vid").agg(F.min(F.struct("__d", "cell", "__v")).alias("__m"))
-    return best.select("__vid", F.col("__m.cell").alias("cell"), F.col("__m.__v").alias("__v"))
+    """Nearest-centroid assignment as a NARROW per-row map — zero shuffle of
+    the corpus: the centroid set (n_cells rows, model-sized by construction)
+    is folded into ONE array row, broadcast, and each corpus row computes its
+    argmin cell locally (ties break on cell ascending via struct order —
+    identical to the previous min(struct(__d, cell)) aggregate). The old
+    shape (crossJoin × n_cells → groupBy(__vid) min-struct) shuffled the
+    whole corpus once per assignment — per Lloyd ROUND — purely to compute a
+    per-row function; at 100 TB that is the difference between k narrow
+    passes and k corpus shuffles. Returns (__vid, cell, __v)."""
+    arr = cells.agg(F.collect_list(F.struct("cell", "__cent")).alias("__cells"))
+    best = _argmin_struct(F.col("__cells"), F.col("__v"), "cell")
+    return (
+        corpus_int.crossJoin(F.broadcast(arr))
+        .select("__vid", best["cell"].alias("cell"), "__v")
+    )
 
 
 def assign_cells(corpus_int: DataFrame, cells: DataFrame) -> DataFrame:
@@ -338,7 +389,10 @@ def ann_ivf(
     # window-rank formulation would sort N×n_cells rows; only the tiny query
     # side needs ranks beyond 1 for its n_probe cells)
     members = _best_cell(ci, cells).select(
-        "cell", F.col("__vid").alias("neighbor_id"), F.col("__v").alias("__cv")
+        "cell",
+        F.col("__vid").alias("neighbor_id"),
+        F.col("__v").alias("__cv"),
+        int_norm2(F.col("__v")).alias("__cn2"),
     )
     dist_q = (
         ci.filter(F.col("__vid").isin(list(query_ids)))
@@ -353,13 +407,20 @@ def ann_ivf(
     )
 
     queries = ci.filter(F.col("__vid").isin(list(query_ids))).select(
-        F.col("__vid").alias("query_id"), F.col("__v").alias("__qv")
+        F.col("__vid").alias("query_id"),
+        F.col("__v").alias("__qv"),
+        int_norm2(F.col("__v")).alias("__qn2"),
     )
     scored = (
         members.join(F.broadcast(probes), "cell")
         .filter(F.col("neighbor_id") != F.col("query_id"))
         .join(F.broadcast(queries), "query_id")
-        .withColumn("cosine", cosine(F.col("__qv"), F.col("__cv")))
+        .withColumn(
+            "cosine",
+            cosine_prenormed(
+                F.col("__qv"), F.col("__cv"), F.col("__qn2"), F.col("__cn2")
+            ),
+        )
     )
     wk = W.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
     return (
@@ -403,14 +464,26 @@ def semantic_dedup(
         dim = _dim_of(ci)
     cells = kmeans_cells(ci, n_cells, iters, dim=dim)
     # referenced three times in one action (both pair sides + survivor base):
-    # persist so the assignment computes once per materialization
-    assign = _best_cell(ci, cells).persist()
-    a = assign.select(F.col("__vid").alias("id_a"), "cell", F.col("__v").alias("__va"))
-    b = assign.select(F.col("__vid").alias("id_b"), "cell", F.col("__v").alias("__vb"))
+    # persist so the assignment computes once per materialization; the norm
+    # is stored per vector so the pair filter folds one array instead of 3
+    assign = _best_cell(ci, cells).withColumn("__n2", int_norm2(F.col("__v"))).persist()
+    a = assign.select(
+        F.col("__vid").alias("id_a"), "cell", F.col("__v").alias("__va"),
+        F.col("__n2").alias("__na"),
+    )
+    b = assign.select(
+        F.col("__vid").alias("id_b"), "cell", F.col("__v").alias("__vb"),
+        F.col("__n2").alias("__nb"),
+    )
     dups = (
         a.join(b, "cell")
         .filter(F.col("id_a") < F.col("id_b"))
-        .filter(cosine(F.col("__va"), F.col("__vb")) >= F.lit(threshold))
+        .filter(
+            cosine_prenormed(
+                F.col("__va"), F.col("__vb"), F.col("__na"), F.col("__nb")
+            )
+            >= F.lit(threshold)
+        )
         .select(F.col("id_b").alias("__vid"))
         .distinct()
     )
@@ -434,50 +507,101 @@ def pq_codebooks(
     if dim % m_subs:
         raise ValueError(f"dim {dim} not divisible by m_subs {m_subs}")
     d_sub = dim // m_subs
-    books = None
-    for s in range(m_subs):
-        ci_s = corpus_int.select(
-            "__vid", F.slice("__v", s * d_sub + 1, d_sub).alias("__v")
+    # all subspaces as ONE long-form frame — a single grouped Lloyd keyed by
+    # sub replaces m_subs sequential Lloyd chains (identical arithmetic per
+    # sub: vec_id < n_cells seeds, floor-mean updates, (d, cell) tie-breaks)
+    spark = corpus_int.sparkSession
+    sliced = _subspace_long(corpus_int, m_subs, d_sub)
+    cents = sliced.filter(F.col("__vid") < n_cells).select(
+        "sub", F.col("__vid").alias("cell"), F.col("__v").alias("__cent")
+    )
+    comps = ", ".join(
+        f"cast(floor(cast(sum(__v[{i}]) as double) / count(1)) as bigint)"
+        for i in range(d_sub)
+    )
+    update_sql = (
+        f"SELECT sub, cell, array({comps}) AS __cent FROM {{best}} GROUP BY sub, cell"
+    )
+    for _ in range(iters):
+        barr = cents.groupBy("sub").agg(
+            F.collect_list(F.struct("cell", "__cent")).alias("__bk")
         )
-        b = kmeans_cells(ci_s, n_cells, iters, dim=d_sub).withColumn("sub", F.lit(s))
-        books = b if books is None else books.unionByName(b)
-    return books.select("sub", "cell", "__cent")
+        pick = _argmin_struct(F.col("__bk"), F.col("__v"), "cell")
+        best = sliced.join(F.broadcast(barr), "sub").select(
+            "sub", pick["cell"].alias("cell"), "__v"
+        )
+        cents = spark.sql(update_sql, best=best).localCheckpoint(eager=False)
+    return cents.select("sub", "cell", "__cent")
+
+
+def _subspace_long(corpus_int: DataFrame, m_subs: int, d_sub: int) -> DataFrame:
+    """(__vid, __v[dim]) → long form (sub, __vid, __v[d_sub]) in one narrow
+    explode — the frame every fused per-subspace PQ pass runs over."""
+    return corpus_int.select(
+        "__vid",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(s).alias("sub"),
+                        F.slice("__v", s * d_sub + 1, d_sub).alias("__v"),
+                    )
+                    for s in range(m_subs)
+                ]
+            )
+        ).alias("__e"),
+    ).select(F.col("__e.sub").alias("sub"), "__vid", F.col("__e.__v").alias("__v"))
+
+
+def _assign_grouped(frame: DataFrame, cents: DataFrame, gid_cols: list[str]) -> DataFrame:
+    """Per-group nearest-codebook assignment as ONE equi-join + a narrow
+    per-row argmin: the all-group codebook table (model-sized) folds into
+    one array row per group, broadcasts, and each member row scans only its
+    OWN group's array (ties break (d, code) — the oracle convention). The
+    member frame never shuffles. Returns (gid..., __vid, code, __v)."""
+    barr = cents.groupBy(*gid_cols).agg(
+        F.collect_list(F.struct("code", "__cent")).alias("__bk")
+    )
+    best = _argmin_struct(F.col("__bk"), F.col("__v"), "code")
+    return frame.join(F.broadcast(barr), gid_cols).select(
+        *gid_cols, "__vid", best["code"].alias("code"), "__v"
+    )
 
 
 def kmeans_cells_grouped(
-    frame: DataFrame, n_codes: int, iters: int, dim: int, gid: str = "cell"
+    frame: DataFrame, n_codes: int, iters: int, dim: int, gid: "str | list[str]" = "cell"
 ) -> DataFrame:
     """Deterministic Lloyd k-means PER GROUP in one set of jobs: ``frame``
-    is (gid, __vid, __v); every group trains its own ``n_codes``-centroid
+    is (gid..., __vid, __v); every group trains its own ``n_codes``-centroid
     codebook simultaneously (seeds = the group's ``n_codes`` smallest-id
     vectors; floor-mean updates; (d, code) tie-breaks — the exact grouped
-    twin of :func:`kmeans_cells`). Returns (gid, code, __cent).
+    twin of :func:`kmeans_cells`). ``gid`` may be a composite key (e.g.
+    ``["cell", "sub"]`` trains every coarse-cell × subspace codebook in ONE
+    chain of jobs — residual PQ's m_subs × n_cells codebooks without m_subs
+    sequential loops). Returns (gid..., code, __cent).
 
-    This is what residual PQ needs — one codebook per coarse cell — without
-    n_cells separate Lloyd drivers: assignments join members to their OWN
-    group's centroids (the all-group codebook table is tiny → broadcast),
-    and the update is one combinable groupBy(gid, code). Total jobs stay
-    O(iters), independent of group count."""
+    Per iteration the member frame never shuffles: assignment is the
+    broadcast array-argmin of :func:`_assign_grouped`; only the combinable
+    centroid update (≤ groups × n_codes × dim cells) exchanges. Total jobs
+    stay O(iters), independent of group count."""
+    gid_cols = [gid] if isinstance(gid, str) else list(gid)
     spark = frame.sparkSession
-    wseed = W.partitionBy(gid).orderBy("__vid")
+    wseed = W.partitionBy(*gid_cols).orderBy("__vid")
     cents = (
         frame.withColumn("__rn", F.row_number().over(wseed))
         .filter(F.col("__rn") <= n_codes)
-        .select(F.col(gid), (F.col("__rn") - 1).alias("code"), F.col("__v").alias("__cent"))
+        .select(*gid_cols, (F.col("__rn") - 1).alias("code"), F.col("__v").alias("__cent"))
     )
+    gid_sql = ", ".join(gid_cols)
     comps = ", ".join(
         f"cast(floor(cast(sum(__v[{i}]) as double) / count(1)) as bigint)" for i in range(dim)
     )
-    update_sql = f"SELECT {gid}, code, array({comps}) AS __cent FROM {{best}} GROUP BY {gid}, code"
+    update_sql = (
+        f"SELECT {gid_sql}, code, array({comps}) AS __cent FROM {{best}} "
+        f"GROUP BY {gid_sql}, code"
+    )
     for _ in range(iters):
-        d = frame.join(F.broadcast(cents), gid).withColumn(
-            "__d", _l2_int(F.col("__v"), F.col("__cent"))
-        )
-        best = (
-            d.groupBy(gid, "__vid")
-            .agg(F.min(F.struct("__d", "code", "__v")).alias("__m"))
-            .select(gid, F.col("__m.code").alias("code"), F.col("__m.__v").alias("__v"))
-        )
+        best = _assign_grouped(frame, cents, gid_cols)
         cents = spark.sql(update_sql, best=best).localCheckpoint(eager=False)
     return cents
 
@@ -520,23 +644,32 @@ def build_ivfpq_residual_index(
         F.zip_with("__v", "__cent", lambda x, c: x - c).alias("__r"),
     ).persist()
 
-    books = None
-    codes = None
-    for s in range(m_subs):
-        res_s = res.select("cell", "__vid", F.slice("__r", s * d_sub + 1, d_sub).alias("__v"))
-        b = kmeans_cells_grouped(res_s, n_cells, pq_iters, dim=d_sub).withColumn(
-            "sub", F.lit(s)
-        )
-        d = res_s.join(F.broadcast(b), "cell").withColumn(
-            "__d", _l2_int(F.col("__v"), F.col("__cent"))
-        )
-        c = (
-            d.groupBy("cell", "__vid")
-            .agg(F.min(F.struct("__d", "code")).alias("__m"))
-            .select("cell", "__vid", F.lit(s).alias("sub"), F.col("__m.code").alias("code"))
-        )
-        books = b if books is None else books.unionByName(b)
-        codes = c if codes is None else codes.unionByName(c)
+    # all m_subs subspaces as ONE long-form frame (cell, sub, __vid, __v):
+    # a single grouped Lloyd keyed (cell, sub) trains every per-cell
+    # per-subspace codebook in O(pq_iters) jobs, and encoding is one
+    # broadcast array-argmin pass — the previous per-subspace loop ran
+    # m_subs sequential Lloyd chains + m_subs encode shuffles for the
+    # identical arithmetic (same seeds, updates, and (d, code) tie-breaks
+    # per group, so the trained codebooks and codes are bit-identical).
+    res_all = res.select(
+        "cell",
+        "__vid",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(s).alias("sub"),
+                        F.slice("__r", s * d_sub + 1, d_sub).alias("__v"),
+                    )
+                    for s in range(m_subs)
+                ]
+            )
+        ).alias("__e"),
+    ).select("cell", F.col("__e.sub").alias("sub"), "__vid", F.col("__e.__v").alias("__v"))
+    books = kmeans_cells_grouped(res_all, n_cells, pq_iters, dim=d_sub, gid=["cell", "sub"])
+    codes = _assign_grouped(res_all, books, ["cell", "sub"]).select(
+        "cell", "__vid", "sub", "code"
+    )
     return {
         "coarse": coarse,
         "books": books,
@@ -697,17 +830,16 @@ def pq_encode(corpus_int: DataFrame, books: DataFrame, m_subs: int, dim: int) ->
     billion-vector ANN fit a cluster). One broadcast min-struct assignment
     per subspace; the corpus never shuffles."""
     d_sub = dim // m_subs
-    out = None
-    for s in range(m_subs):
-        ci_s = corpus_int.select(
-            "__vid", F.slice("__v", s * d_sub + 1, d_sub).alias("__v")
-        )
-        cells_s = books.filter(F.col("sub") == s).select("cell", "__cent")
-        enc = _best_cell(ci_s, cells_s).select(
-            "__vid", F.lit(s).alias("sub"), F.col("cell").alias("code")
-        )
-        out = enc if out is None else out.unionByName(enc)
-    return out
+    # one broadcast array-argmin pass over the long-form frame: the corpus
+    # never shuffles AND never unions m_subs separate assignment subplans
+    sliced = _subspace_long(corpus_int, m_subs, d_sub)
+    barr = books.select("sub", F.col("cell").alias("code"), "__cent").groupBy("sub").agg(
+        F.collect_list(F.struct("code", "__cent")).alias("__bk")
+    )
+    pick = _argmin_struct(F.col("__bk"), F.col("__v"), "code")
+    return sliced.join(F.broadcast(barr), "sub").select(
+        "__vid", "sub", pick["code"].alias("code")
+    )
 
 
 def ann_pq(
@@ -890,11 +1022,15 @@ def random_projection(
     def sgn(p: int, d: int) -> int:
         return 1 if ((p + 1) * 73856093 + (d + 1) * 19349663) % 2000003 - 1000001 >= 0 else -1
 
-    qv = quantize(vec_col)
+    # quantize ONCE in a prior projection — as a shared subexpression of all
+    # out_dim components it was re-evaluated per component (measured in the
+    # plan: 16 copies of the transform), and the 16 aggregates fold the one
+    # materialized array instead
+    q = corpus.select(F.col(id_col), quantize(vec_col).alias("__q"))
     comps = [
         F.aggregate(
             F.zip_with(
-                qv,
+                F.col("__q"),
                 F.array(*[F.lit(sgn(p, d)).cast("long") for d in range(in_dim)]),
                 lambda x, s: x * s,
             ),
@@ -903,7 +1039,7 @@ def random_projection(
         )
         for p in range(out_dim)
     ]
-    return corpus.select(F.col(id_col), F.array(*comps).alias("proj"))
+    return q.select(F.col(id_col), F.array(*comps).alias("proj"))
 
 
 def hard_negatives(
@@ -934,19 +1070,24 @@ def hard_negatives(
         F.col(id_col).alias("query_id"),
         F.col(label_col).alias("__qlabel"),
         quantize(vec_col).alias("__qv"),
-    )
+    ).withColumn("__qn2", int_norm2(F.col("__qv")))
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(label_col).alias("neg_label"),
         quantize(vec_col).alias("__cv"),
-    )
+    ).withColumn("__cn2", int_norm2(F.col("__cv")))
     scored = (
         c.crossJoin(F.broadcast(q))
         .filter(
             (F.col("neighbor_id") != F.col("query_id"))
             & (F.col("neg_label") != F.col("__qlabel"))
         )
-        .withColumn("cosine", cosine(F.col("__qv"), F.col("__cv")))
+        .withColumn(
+            "cosine",
+            cosine_prenormed(
+                F.col("__qv"), F.col("__cv"), F.col("__qn2"), F.col("__cn2")
+            ),
+        )
     )
     w = W.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
     return (

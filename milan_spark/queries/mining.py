@@ -1197,18 +1197,37 @@ WHERE rank <= 5
 def jl_projection_neighbors_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window as W
 
-    from milan_spark.operators.similarity import cosine, random_projection
+    from milan_spark.operators.similarity import (
+        cosine_prenormed,
+        int_norm2,
+        random_projection,
+    )
 
     emb = table(spark, sf_dir, "embeddings")
     proj = random_projection(emb, "vec_id", "embedding", out_dim=16, in_dim=64)
-    q = proj.filter(F.col("vec_id") < 10).select(
-        F.col("vec_id").alias("query_id"), F.col("proj").alias("__qv")
+    # squared norm once per PROJECTED vector: the per-pair cosine then folds
+    # one 16-wide dot instead of dot + two norms (the corpus norm was
+    # recomputed once per query, the query norm once per corpus row)
+    pn = proj.withColumn("__n2", int_norm2(F.col("proj")))
+    q = pn.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("proj").alias("__qv"),
+        F.col("__n2").alias("__qn2"),
     )
-    c = proj.select(F.col("vec_id").alias("neighbor_id"), F.col("proj").alias("__cv"))
+    c = pn.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("proj").alias("__cv"),
+        F.col("__n2").alias("__cn2"),
+    )
     scored = (
         c.crossJoin(F.broadcast(q))
         .filter(F.col("neighbor_id") != F.col("query_id"))
-        .withColumn("pcos", cosine(F.col("__qv"), F.col("__cv")))
+        .withColumn(
+            "pcos",
+            cosine_prenormed(
+                F.col("__qv"), F.col("__cv"), F.col("__qn2"), F.col("__cn2")
+            ),
+        )
     )
     w = W.partitionBy("query_id").orderBy(F.col("pcos").desc(), F.col("neighbor_id"))
     return (

@@ -458,6 +458,9 @@ def streaming_watermark_late_drop_q(spark: SparkSession, sf_dir: str) -> DataFra
     tmp = os.path.join(stage, "__tmp")
     (
         ev.withColumn("__slice", sl)
+        # a null slice (null ts) would otherwise shuffle into the
+        # __HIVE_DEFAULT_PARTITION__ dir only to be discarded by the rmtree
+        .filter(F.col("__slice").isNotNull())
         .repartition(len(slices), "__slice")
         .write.partitionBy("__slice")
         .parquet(tmp)
@@ -467,8 +470,12 @@ def streaming_watermark_late_drop_q(spark: SparkSession, sf_dir: str) -> DataFra
         dst = os.path.join(stage, f"{name}.parquet")
         if not os.path.isdir(src_dir):  # empty slice: keep the file count
             ev.limit(0).coalesce(1).write.parquet(src_dir)
-        part = next(f for f in os.listdir(src_dir) if f.endswith(".parquet"))
-        shutil.move(os.path.join(src_dir, part), dst)
+        parts = [f for f in os.listdir(src_dir) if f.endswith(".parquet")]
+        # one file per slice is what repartition-on-slice guarantees; a
+        # config that splits files (maxRecordsPerFile) would silently drop
+        # microbatch rows here, so fail loudly instead
+        assert len(parts) == 1, f"expected 1 part in {src_dir}, found {parts}"
+        shutil.move(os.path.join(src_dir, parts[0]), dst)
         # FileStreamSource orders new files by modification time; pin the
         # arrival order explicitly (name order agrees, as a tiebreak)
         os.utime(dst, (1_000_000_000 + i * 1000, 1_000_000_000 + i * 1000))
@@ -1091,13 +1098,17 @@ def streaming_left_windowed_join_ir_q(spark: SparkSession, sf_dir: str) -> DataF
 
 
 
-# outer stream-stream join staging: the cohort slice first, then three
+# outer stream-stream join staging: the cohort slice first, then TWO
 # far-future slices whose only job is to advance BOTH watermarks past the
 # cohort (eviction uses min(left, right) watermark and fires one batch
-# behind, so two trailing batches guarantee every unmatched cohort row is
-# null-padded before the stream drains). mtime pins FIFO arrival order.
+# behind: batch1 advances the watermark past cohort+7d, batch2 evicts and
+# null-pads every unmatched cohort row — exactly the two trailing batches
+# the eviction rule requires; round 9 shipped a third, a pure ~0.7 s/batch
+# /side floor that the oracle shows is dead weight). mtime pins FIFO
+# arrival order. The slices partition the same event set, so the join's
+# MATCHED pairs are unchanged by the regrouping; only eviction timing moves.
 _COHORT_BOUNDS = [(None, "2024-01-10"), ("2024-01-20", "2024-01-24"),
-                  ("2024-01-24", "2024-01-27"), ("2024-01-27", None)]
+                  ("2024-01-24", None)]
 
 
 def _stage_cohort_slices(ev: DataFrame, etype: str, cols, prefix: str) -> str:
@@ -1139,13 +1150,14 @@ def _stage_cohort_slices(ev: DataFrame, etype: str, cols, prefix: str) -> str:
     for i in range(len(_COHORT_BOUNDS)):
         src_dir = os.path.join(tmp, f"__slice={i}")
         dst = os.path.join(d, f"batch{i}.parquet")
-        if os.path.isdir(src_dir):
-            part = next(f for f in os.listdir(src_dir) if f.endswith(".parquet"))
-            shutil.move(os.path.join(src_dir, part), dst)
-        else:  # empty slice: keep the file (and microbatch) count invariant
+        if not os.path.isdir(src_dir):  # empty slice: keep the file (and
+            # microbatch) count invariant
             side.select(*cols).limit(0).coalesce(1).write.parquet(src_dir)
-            part = next(f for f in os.listdir(src_dir) if f.endswith(".parquet"))
-            shutil.move(os.path.join(src_dir, part), dst)
+        parts = [f for f in os.listdir(src_dir) if f.endswith(".parquet")]
+        # one file per slice is what repartition-on-slice guarantees; a
+        # config that splits files would silently corrupt microbatches here
+        assert len(parts) == 1, f"expected 1 part in {src_dir}, found {parts}"
+        shutil.move(os.path.join(src_dir, parts[0]), dst)
         os.utime(dst, (1_000_000_000 + i * 1000,) * 2)
     shutil.rmtree(tmp)
     return d
@@ -1293,8 +1305,9 @@ def streaming_stream_stream_full_join_q(spark: SparkSession, sf_dir: str) -> Dat
     "publishes through the emulated Kinesis SINK (one JSON message file "
     "per chunk, queue_limit=2000 bounding the producer buffer, mtime-"
     "ordered FIFO), then the emulated Kinesis SOURCE replays the queue as "
-    "a second streaming query (maxFilesPerTrigger=1 - one microbatch per "
-    "message file) into a per-user rollup. Oracle = the direct SQL "
+    "a second streaming query (mtime-ordered FIFO listing; many message "
+    "files drain per microbatch) into a per-user rollup. Oracle = the "
+    "direct SQL "
     "aggregate; equality proves the queue transport is lossless and "
     "exactly-once end to end. Remote coordinates bind real connectors or "
     "raise MilanConnectorError naming the package at analysis time.",

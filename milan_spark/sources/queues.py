@@ -223,10 +223,19 @@ _CONNECTOR_HINTS = {
 }
 
 
+# Messages per replay microbatch: the spool is mtime-ordered so FIFO replay
+# order is a property of the file LISTING, not of one-file-per-trigger —
+# draining many message files per microbatch keeps losslessness/exactly-once
+# and order while shedding the ~0.5 s/microbatch floor the one-file setting
+# paid (measured on the kinesis roundtrip: every queue chunk became its own
+# microbatch). Bounded (not unlimited) so a huge backlog still batches sanely.
+_REPLAY_FILES_PER_TRIGGER = 1000
+
+
 def _emulation_stream(spark: SparkSession, d: str, schema: str) -> DataFrame:
     return (
         spark.readStream.schema(schema)
-        .option("maxFilesPerTrigger", 1)
+        .option("maxFilesPerTrigger", _REPLAY_FILES_PER_TRIGGER)
         .json(d)
     )
 
